@@ -1,0 +1,429 @@
+"""The JAX/XLA device rasterizer (v1: full-frame scan path).
+
+Replaces the DX9 rasterizer context hot path (reference:
+src/CKRasterizer/CKDX9Rasterizer/CKDX9RasterizerContext.cpp DrawPrimitive* /
+InternalDrawPrimitiveVB) with a data-parallel software rasterizer:
+
+- Triangle setup is one vectorized pass over the padded triangle stream
+  (adjoint edge functions in 2D-homogeneous screen space — no near-plane
+  geometric clipping; see raster/types.py docstring).
+- The frame is rendered by a `lax.scan` over triangle chunks; each chunk
+  evaluates edge functions over the framebuffer and resolves depth/blending
+  **in draw order** (parity with the reference's sequential DrawPrimitive
+  stream, including LESSEQUAL later-triangle-wins).
+- The framebuffer lives as channels-first (4, H, W) planes so the last axis is
+  the wide W dimension (TPU lanes), not the 4-channel axis.
+- All render states are data: per-triangle state indices gather per-chunk
+  state vectors, and every state-dependent op (compare funcs, blend factors,
+  texture blend/addressing) is computed branchlessly with jnp.where selection.
+
+This path is exact but O(T * H * W); the tile-binned path (bins triangles to
+framebuffer tiles, then rasterizes per-tile) building on the same per-pixel
+semantics lives in `tiled.py` and is the performance path for large scenes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import types as T
+from .types import (
+    NUM_SF, NUM_SI, SF_ALPHAREF, SF_BORDER_R,
+    SI_ALPHABLEND, SI_ALPHAFUNC, SI_ALPHATEST, SI_CULL, SI_DSTBLEND, SI_FOG,
+    SI_PERSPECTIVE, SI_SRCBLEND, SI_TEX, SI_TEXADDR, SI_TEXBLEND,
+    SI_TEXFILTER, SI_ZFUNC, SI_ZWRITE,
+    TriangleBatch, VXBLEND, VXCMP, VXCULL, VXTEXTUREBLEND, VXTEXTURE_ADDRESS,
+    VXTEXTURE_FILTER,
+)
+
+
+class DeviceBatch(NamedTuple):
+    """TriangleBatch as device arrays (see types.TriangleBatch)."""
+    xyw: jnp.ndarray
+    z: jnp.ndarray
+    color: jnp.ndarray
+    specular: jnp.ndarray
+    uv: jnp.ndarray
+    fog: jnp.ndarray
+    state_idx: jnp.ndarray
+    valid: jnp.ndarray
+
+    @staticmethod
+    def from_host(b: TriangleBatch, pad_to_multiple: int = 8) -> "DeviceBatch":
+        t = b.xyw.shape[0]
+        pt = max(pad_to_multiple, ((t + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple)
+        def pad(a, fill=0):
+            if a.shape[0] == pt:
+                return jnp.asarray(a)
+            out = np.zeros((pt,) + a.shape[1:], a.dtype)
+            out[:t] = a
+            return jnp.asarray(out)
+        return DeviceBatch(
+            xyw=pad(b.xyw), z=pad(b.z), color=pad(b.color), specular=pad(b.specular),
+            uv=pad(b.uv), fog=pad(b.fog), state_idx=pad(b.state_idx),
+            valid=pad(b.valid.astype(np.bool_)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Branchless state-dependent ops
+# ---------------------------------------------------------------------------
+
+def compare_op(func, a, b):
+    """D3D compare, `func` traced int32. a incoming, b stored."""
+    return jnp.select(
+        [func == VXCMP.NEVER, func == VXCMP.LESS, func == VXCMP.EQUAL,
+         func == VXCMP.LESSEQUAL, func == VXCMP.GREATER, func == VXCMP.NOTEQUAL,
+         func == VXCMP.GREATEREQUAL],
+        [jnp.zeros_like(a, bool), a < b, a == b, a <= b, a > b, a != b, a >= b],
+        default=jnp.ones_like(a, bool),
+    )
+
+
+def blend_factor(mode, src, dst, sa, da):
+    """Per-channel blend factor. src/dst are one channel; sa/da alpha planes.
+    For the alpha channel pass src=sa, dst=da, is_alpha handled by caller for
+    SRCALPHASAT (factor 1 on alpha)."""
+    one = jnp.ones_like(src)
+    zero = jnp.zeros_like(src)
+    return jnp.select(
+        [mode == VXBLEND.ZERO, mode == VXBLEND.ONE, mode == VXBLEND.SRCCOLOR,
+         mode == VXBLEND.INVSRCCOLOR, mode == VXBLEND.SRCALPHA, mode == VXBLEND.INVSRCALPHA,
+         mode == VXBLEND.DESTALPHA, mode == VXBLEND.INVDESTALPHA, mode == VXBLEND.DESTCOLOR,
+         mode == VXBLEND.INVDESTCOLOR, mode == VXBLEND.SRCALPHASAT],
+        [zero, one, src, one - src, sa, one - sa, da, one - da, dst, one - dst,
+         jnp.minimum(sa, one - da)],
+        default=one,
+    )
+
+
+def address_coord(coord, size, mode):
+    """Texel-space addressing; coord float texels, size traced int."""
+    fsize = size.astype(jnp.float32) if hasattr(size, "astype") else jnp.float32(size)
+    wrap = jnp.mod(coord, fsize)
+    period = jnp.mod(coord, 2.0 * fsize)
+    mirror = jnp.where(period < fsize, period, 2.0 * fsize - 1e-4 - period)
+    mirror_once = jnp.clip(jnp.abs(coord), 0.0, fsize - 1e-4)
+    clamp = jnp.clip(coord, 0.0, fsize - 1e-4)
+    return jnp.select(
+        [mode == VXTEXTURE_ADDRESS.WRAP, mode == VXTEXTURE_ADDRESS.MIRROR,
+         mode == VXTEXTURE_ADDRESS.MIRRORONCE],
+        [wrap, mirror, mirror_once],
+        default=clamp,
+    )
+
+
+def sample_texture(tex_planes, tex_hw, tex_id, u, v, si, sf):
+    """Sample the texture stack.
+
+    tex_planes: (NT, 4, TH, TW) f32 stack (padded to common size)
+    tex_hw:     (NT, 2) int32 actual (h, w)
+    tex_id:     traced int32 scalar
+    u, v:       (H, W) texture coords in [0,1] space
+    Returns four (H, W) channel planes.
+    """
+    tid = jnp.clip(tex_id, 0, tex_planes.shape[0] - 1)
+    tex = tex_planes[tid]                      # (4, TH, TW) dynamic-index gather
+    h = tex_hw[tid, 0]
+    w = tex_hw[tid, 1]
+    hf = h.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    mode = si[SI_TEXADDR]
+    filt = si[SI_TEXFILTER]
+    border = mode == VXTEXTURE_ADDRESS.BORDER
+    tu = u * wf
+    tv = v * hf
+    oob = (tu < 0) | (tu >= wf) | (tv < 0) | (tv >= hf)
+
+    linear = (
+        (filt == VXTEXTURE_FILTER.LINEAR)
+        | (filt == VXTEXTURE_FILTER.LINEARMIPNEAREST)
+        | (filt == VXTEXTURE_FILTER.LINEARMIPLINEAR)
+        | (filt == VXTEXTURE_FILTER.ANISOTROPIC)
+    )
+
+    th, tw_ = tex.shape[1], tex.shape[2]
+
+    def fetch(cu, cv):
+        iu = jnp.clip(address_coord(cu, w, mode), 0, wf - 1).astype(jnp.int32)
+        iv = jnp.clip(address_coord(cv, h, mode), 0, hf - 1).astype(jnp.int32)
+        iu = jnp.clip(iu, 0, tw_ - 1)
+        iv = jnp.clip(iv, 0, th - 1)
+        flat = tex.reshape(4, th * tw_)
+        idx = iv * tw_ + iu
+        return [jnp.take(flat[c], idx.reshape(-1), axis=0).reshape(u.shape) for c in range(4)]
+
+    # Nearest taps.
+    near = fetch(tu, tv)
+    # Bilinear taps.
+    fu = tu - 0.5
+    fv = tv - 0.5
+    u0 = jnp.floor(fu)
+    v0 = jnp.floor(fv)
+    du = fu - u0
+    dv = fv - v0
+    c00 = fetch(u0, v0)
+    c10 = fetch(u0 + 1.0, v0)
+    c01 = fetch(u0, v0 + 1.0)
+    c11 = fetch(u0 + 1.0, v0 + 1.0)
+    lin = [
+        c00[c] * (1 - du) * (1 - dv) + c10[c] * du * (1 - dv)
+        + c01[c] * (1 - du) * dv + c11[c] * du * dv
+        for c in range(4)
+    ]
+    out = [jnp.where(linear, lin[c], near[c]) for c in range(4)]
+    if NUM_SF:  # border substitution
+        bc = sf[SF_BORDER_R:SF_BORDER_R + 4]
+        out = [jnp.where(border & oob, bc[c], out[c]) for c in range(4)]
+    return out
+
+
+def tex_blend(mode, tex, diff):
+    """tex/diff: lists of 4 (H,W) planes -> blended list of 4 planes."""
+    tr = tex[:3]
+    ta = tex[3]
+    dr = diff[:3]
+    da = diff[3]
+    dot = ((tr[0] - 0.5) * (dr[0] - 0.5) + (tr[1] - 0.5) * (dr[1] - 0.5)
+           + (tr[2] - 0.5) * (dr[2] - 0.5)) * 4.0
+    out = []
+    for c in range(3):
+        out.append(jnp.select(
+            [(mode == VXTEXTUREBLEND.DECAL) | (mode == VXTEXTUREBLEND.COPY)
+             | (mode == VXTEXTUREBLEND.DECALMASK),
+             (mode == VXTEXTUREBLEND.MODULATE) | (mode == VXTEXTUREBLEND.MODULATEALPHA)
+             | (mode == VXTEXTUREBLEND.MODULATEMASK),
+             mode == VXTEXTUREBLEND.DECALALPHA,
+             mode == VXTEXTUREBLEND.ADD,
+             mode == VXTEXTUREBLEND.DOTPRODUCT3,
+             mode == VXTEXTUREBLEND.MAX],
+            [tr[c], tr[c] * dr[c], dr[c] * (1 - ta) + tr[c] * ta, dr[c] + tr[c],
+             dot, jnp.maximum(tr[c], dr[c])],
+            default=dr[c],
+        ))
+    alpha = jnp.select(
+        [(mode == VXTEXTUREBLEND.DECAL) | (mode == VXTEXTUREBLEND.COPY)
+         | (mode == VXTEXTUREBLEND.DECALMASK),
+         (mode == VXTEXTUREBLEND.MODULATE) | (mode == VXTEXTUREBLEND.MODULATEALPHA)
+         | (mode == VXTEXTUREBLEND.MODULATEMASK)],
+        [ta, ta * da],
+        default=da,
+    )
+    out.append(alpha)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The raster pass
+# ---------------------------------------------------------------------------
+
+def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog_color, scissor):
+    """Render one triangle onto (4,H,W) fb planes + (H,W) zb. Returns updated."""
+    (xyw, zv, col, spec, uv, fogv, sidx, valid) = tri
+    si = state_i[sidx]
+    sf = state_f[sidx]
+
+    v0, v1, v2 = xyw[0], xyw[1], xyw[2]
+    # Adjoint edge-function coefficients: E_j(p) = cross(v_{j+1}, v_{j+2}) . p
+    def cross3(a, b):
+        return jnp.stack([a[1] * b[2] - a[2] * b[1],
+                          a[2] * b[0] - a[0] * b[2],
+                          a[0] * b[1] - a[1] * b[0]])
+    adj0 = cross3(v1, v2)
+    adj1 = cross3(v2, v0)
+    adj2 = cross3(v0, v1)
+    det = v0[0] * adj0[0] + v0[1] * adj0[1] + v0[2] * adj0[2]
+    s = jnp.where(det >= 0, 1.0, -1.0)
+    degenerate = jnp.abs(det) < 1e-14
+
+    e0 = adj0[0] * px + adj0[1] * py + adj0[2]
+    e1 = adj1[0] * px + adj1[1] * py + adj1[2]
+    e2 = adj2[0] * px + adj2[1] * py + adj2[2]
+
+    def edge_inside(e, adj):
+        es = e * s
+        a = adj[0] * s
+        b = adj[1] * s
+        top_left = (b > 0) | ((b == 0) & (a > 0))
+        return (es > 0) | ((es == 0) & top_left)
+
+    inside = edge_inside(e0, adj0) & edge_inside(e1, adj1) & edge_inside(e2, adj2)
+    inside &= jnp.logical_not(degenerate) & valid
+    inside &= scissor
+
+    cull = si[SI_CULL]
+    front = det > 0
+    keep = ((cull == VXCULL.NONE)
+            | ((cull == VXCULL.CCW) & front)
+            | ((cull == VXCULL.CW) & jnp.logical_not(front)))
+    inside &= keep
+
+    esum = e0 + e1 + e2
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    depth = (e0 * zv[0] + e1 * zv[1] + e2 * zv[2]) * inv_det
+    inside &= (depth >= 0.0) & (depth <= 1.0)
+
+    # Interpolation weights (perspective-correct or screen-linear).
+    inv_esum = 1.0 / jnp.where(jnp.abs(esum) < 1e-30, 1e-30, esum)
+    persp = si[SI_PERSPECTIVE] != 0
+    w0 = jnp.where(persp, e0 * inv_esum, e0 * xyw[0, 2] * inv_det)
+    w1 = jnp.where(persp, e1 * inv_esum, e1 * xyw[1, 2] * inv_det)
+    w2 = jnp.where(persp, e2 * inv_esum, e2 * xyw[2, 2] * inv_det)
+
+    def interp(a0, a1, a2):
+        return w0 * a0 + w1 * a1 + w2 * a2
+
+    color = [interp(col[0, c], col[1, c], col[2, c]) for c in range(4)]
+
+    has_tex = si[SI_TEX] >= 0
+    if tex_planes is not None and tex_planes.shape[0] > 0:
+        ui = interp(uv[0, 0], uv[1, 0], uv[2, 0])
+        vi = interp(uv[0, 1], uv[1, 1], uv[2, 1])
+        texel = sample_texture(tex_planes, tex_hw, si[SI_TEX], ui, vi, si, sf)
+        blended = tex_blend(si[SI_TEXBLEND], texel, color)
+        color = [jnp.where(has_tex, blended[c], color[c]) for c in range(4)]
+
+    sp = [interp(spec[0, c], spec[1, c], spec[2, c]) for c in range(3)]
+    color = [color[0] + sp[0], color[1] + sp[1], color[2] + sp[2], color[3]]
+
+    fog_on = si[SI_FOG] != 0
+    fogf = jnp.clip(interp(fogv[0], fogv[1], fogv[2]), 0.0, 1.0)
+    color = [
+        jnp.where(fog_on, color[c] * fogf + fog_color[c] * (1.0 - fogf), color[c])
+        for c in range(3)
+    ] + [color[3]]
+    color = [jnp.clip(c, 0.0, 1.0) for c in color]
+
+    at_on = si[SI_ALPHATEST] != 0
+    at_pass = compare_op(si[SI_ALPHAFUNC], color[3], sf[SF_ALPHAREF])
+    inside &= jnp.where(at_on, at_pass, True)
+
+    inside &= compare_op(si[SI_ZFUNC], depth, zb)
+
+    blend_on = si[SI_ALPHABLEND] != 0
+    sa = color[3]
+    da = fb[3]
+    out = []
+    for c in range(4):
+        src_c = color[c]
+        dst_c = fb[c]
+        sfac = blend_factor(si[SI_SRCBLEND], src_c, dst_c, sa, da)
+        dfac = blend_factor(si[SI_DSTBLEND], src_c, dst_c, sa, da)
+        if c == 3:  # SRCALPHASAT uses factor 1 on alpha
+            sfac = jnp.where(si[SI_SRCBLEND] == VXBLEND.SRCALPHASAT, jnp.ones_like(sfac), sfac)
+            dfac = jnp.where(si[SI_DSTBLEND] == VXBLEND.SRCALPHASAT, jnp.ones_like(dfac), dfac)
+        blended_c = jnp.clip(src_c * sfac + dst_c * dfac, 0.0, 1.0)
+        out.append(jnp.where(blend_on, blended_c, src_c))
+
+    new_fb = jnp.stack([jnp.where(inside, out[c], fb[c]) for c in range(4)])
+    zwrite = (si[SI_ZWRITE] != 0) & inside
+    new_zb = jnp.where(zwrite, depth, zb)
+    return new_fb, new_zb
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def render_pass(
+    fb,            # (4, H, W) f32
+    zb,            # (H, W) f32
+    batch: DeviceBatch,
+    state_i,       # (S, NUM_SI) int32
+    state_f,       # (S, NUM_SF) f32
+    tex_planes,    # (NT, 4, TH, TW) f32 or (0,4,1,1)
+    tex_hw,        # (NT, 2) int32
+    fog_color,     # (3,) f32
+    viewport,      # (4,) f32 [x, y, w, h] scissor
+    chunk: int = 8,
+):
+    """Rasterize a TriangleBatch in draw order onto fb/zb planes."""
+    h, w = fb.shape[1], fb.shape[2]
+    py, px = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32) + 0.5,
+        jnp.arange(w, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    scissor = (
+        (px >= viewport[0]) & (px < viewport[0] + viewport[2])
+        & (py >= viewport[1]) & (py < viewport[1] + viewport[3])
+    )
+
+    t = batch.xyw.shape[0]
+    nchunks = (t + chunk - 1) // chunk
+    # reshape to (nchunks, chunk, ...)
+    def rs(a):
+        return a.reshape((nchunks, chunk) + a.shape[1:])
+    xs = tuple(rs(a) for a in batch)
+
+    def body(carry, tri_chunk):
+        fb, zb = carry
+        for i in range(chunk):
+            tri = tuple(a[i] for a in tri_chunk)
+            fb, zb = _one_triangle(px, py, fb, zb, tri, state_i, state_f,
+                                   tex_planes, tex_hw, fog_color, scissor)
+        return (fb, zb), None
+
+    (fb, zb), _ = jax.lax.scan(body, (fb, zb), xs)
+    return fb, zb
+
+
+# ---------------------------------------------------------------------------
+# Convenience device wrapper mirroring NullRasterizer for tests/demos
+# ---------------------------------------------------------------------------
+
+class JaxRasterizer:
+    def __init__(self, width: int, height: int):
+        self.width = int(width)
+        self.height = int(height)
+        self.fb = jnp.zeros((4, self.height, self.width), jnp.float32)
+        self.zb = jnp.ones((self.height, self.width), jnp.float32)
+        self.viewport = jnp.asarray([0, 0, width, height], jnp.float32)
+        self.fog_color = jnp.zeros(3, jnp.float32)
+        self.textures: list[np.ndarray] = []
+
+    def clear(self, color=(0, 0, 0, 0), z=1.0, clear_color=True, clear_z=True):
+        if clear_color:
+            c = jnp.asarray(color, jnp.float32)
+            self.fb = jnp.broadcast_to(c[:, None, None], self.fb.shape)
+        if clear_z:
+            self.zb = jnp.full_like(self.zb, z)
+
+    def set_viewport(self, x, y, w, h):
+        self.viewport = jnp.asarray([x, y, w, h], jnp.float32)
+
+    def _tex_stack(self):
+        if not self.textures:
+            return (jnp.zeros((1, 4, 1, 1), jnp.float32), jnp.ones((1, 2), jnp.int32))
+        th = max(t.shape[0] for t in self.textures)
+        tw = max(t.shape[1] for t in self.textures)
+        planes = np.zeros((len(self.textures), 4, th, tw), np.float32)
+        hw = np.zeros((len(self.textures), 2), np.int32)
+        for i, t in enumerate(self.textures):
+            planes[i, :, : t.shape[0], : t.shape[1]] = np.moveaxis(t, -1, 0)
+            hw[i] = (t.shape[0], t.shape[1])
+        return jnp.asarray(planes), jnp.asarray(hw)
+
+    def draw_batch(self, batch: TriangleBatch, state_i, state_f, textures=None, chunk: int = 1):
+        if textures is not None:
+            self.textures = textures
+        dbatch = DeviceBatch.from_host(batch)
+        planes, hw = self._tex_stack()
+        self.fb, self.zb = render_pass(
+            self.fb, self.zb, dbatch,
+            jnp.asarray(state_i), jnp.asarray(state_f),
+            planes, hw, self.fog_color, self.viewport,
+            chunk=chunk,
+        )
+
+    def framebuffer(self) -> np.ndarray:
+        """(H, W, 4) float32 view for comparisons."""
+        return np.moveaxis(np.asarray(self.fb), 0, -1)
+
+    def zbuffer(self) -> np.ndarray:
+        return np.asarray(self.zb)
+
+    def present(self) -> np.ndarray:
+        return np.clip(self.framebuffer() * 255.0 + 0.5, 0, 255).astype(np.uint8)
