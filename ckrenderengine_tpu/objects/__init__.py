@@ -1,0 +1,24 @@
+"""CK-compatible host object model.
+
+Thin handles over flat SoA scene state (SURVEY §7 architecture stance): the
+classes mirror the reference's public CK2 render API (RCKRenderManager /
+RCKRenderContext / RCKMesh / RCKMaterial / RCK3dEntity / RCKCamera / RCKLight,
+/root/reference/include/RCK*.h) but hold no per-object device resources —
+the scene compiler lowers them into one device-array pytree per render
+context, and ``RenderContext.Render()`` executes the jitted frame program.
+"""
+
+from .base import CKContext, CKObject
+from .entity import CK3dEntity, CK3dObject
+from .mesh import CKMesh
+from .material import CKMaterial
+from .texture import CKTexture
+from .light import CKLight, CKTargetLight
+from .camera import CKCamera, CKTargetCamera
+from .manager import CKRenderManager, CKRenderContext
+
+__all__ = [
+    "CKContext", "CKObject", "CK3dEntity", "CK3dObject", "CKMesh",
+    "CKMaterial", "CKTexture", "CKLight", "CKTargetLight", "CKCamera",
+    "CKTargetCamera", "CKRenderManager", "CKRenderContext",
+]

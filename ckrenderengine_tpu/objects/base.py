@@ -1,0 +1,145 @@
+"""CKObject / CKContext: the object registry.
+
+Equivalent of the CK2 SDK's CKContext + CKObject id system the reference
+plugs into (class registration in /root/reference/src/CK2_3D.cpp:146-175).
+Objects get integer IDs; the context owns the flat entity table and the
+render manager.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional
+
+from ..scene.entity_table import EntityTable
+
+# CK class ids (public Virtools values for the classes the plugin registers,
+# reference src/CK2_3D.cpp:146-175)
+CKCID_OBJECT = 1
+CKCID_RENDEROBJECT = 47
+CKCID_3DENTITY = 33
+CKCID_3DOBJECT = 31
+CKCID_CAMERA = 34
+CKCID_TARGETCAMERA = 35
+CKCID_LIGHT = 36
+CKCID_TARGETLIGHT = 37
+CKCID_MESH = 43
+CKCID_PATCHMESH = 44
+CKCID_MATERIAL = 30
+CKCID_TEXTURE = 41
+CKCID_SPRITE = 28
+CKCID_SPRITETEXT = 29
+CKCID_2DENTITY = 27
+CKCID_SPRITE3D = 24
+CKCID_PLACE = 22
+CKCID_GRID = 50
+CKCID_LAYER = 51
+CKCID_CURVE = 8
+CKCID_CURVEPOINT = 9
+CKCID_CHARACTER = 23
+CKCID_BODYPART = 32
+CKCID_KINEMATICCHAIN = 25
+CKCID_ANIMATION = 15
+CKCID_KEYEDANIMATION = 18
+CKCID_OBJECTANIMATION = 19
+CKCID_RENDERCONTEXT = 48
+
+
+class CKObject:
+    """Base object: id, name, visibility flag."""
+
+    CLASS_ID = CKCID_OBJECT
+
+    def __init__(self, context: "CKContext", name: str = ""):
+        self.context = context
+        self.id = context._register(self)
+        self.name = name
+        self._visible = True
+        self._to_be_deleted = False
+
+    def GetID(self) -> int:
+        return self.id
+
+    def GetName(self) -> str:
+        return self.name
+
+    def SetName(self, name: str):
+        self.name = name
+
+    def GetClassID(self) -> int:
+        return self.CLASS_ID
+
+    def Show(self, show: bool = True):
+        self._visible = bool(show)
+        self.context._bump_dynamic()
+
+    def IsVisible(self) -> bool:
+        return self._visible
+
+    def IsHiddenByParent(self) -> bool:
+        return False
+
+
+class CKContext:
+    """Object registry + shared scene state.
+
+    The CK2 runtime equivalent; tests construct it directly the way the
+    reference tests do (``CKContext context(nullptr, 0, 0)``,
+    /root/reference/tests/simple_mesh_test.cpp:14).
+    """
+
+    def __init__(self):
+        self._objects: dict[int, CKObject] = {}
+        self._next_id = itertools.count(1)
+        self.entity_table = EntityTable()
+        self.render_manager = None  # set by CKRenderManager.__init__
+        # Version counters driving scene recompiles vs cheap updates.
+        self._topology_version = 0  # geometry / parenting / material-group edits
+        self._dynamic_version = 0   # matrices / colors / light params
+
+    # -- registry ---------------------------------------------------------
+    def _register(self, obj: CKObject) -> int:
+        oid = next(self._next_id)
+        self._objects[oid] = obj
+        return oid
+
+    def GetObject(self, oid: int) -> Optional[CKObject]:
+        return self._objects.get(oid)
+
+    def GetObjectByName(self, name: str) -> Optional[CKObject]:
+        for o in self._objects.values():
+            if o.name == name:
+                return o
+        return None
+
+    def GetObjectsByClassID(self, cid: int) -> list:
+        return [o for o in self._objects.values() if o.GetClassID() == cid]
+
+    def DestroyObject(self, obj: "CKObject | int"):
+        if isinstance(obj, int):
+            obj = self._objects.get(obj)
+        if obj is None:
+            return
+        destroy = getattr(obj, "_on_destroy", None)
+        if destroy is not None:
+            destroy()
+        self._objects.pop(obj.id, None)
+        self._bump_topology()
+
+    # -- factory (CKContext::CreateObject equivalent) ---------------------
+    def CreateObject(self, cls, name: str = "", **kw):
+        return cls(self, name, **kw)
+
+    # -- dirty tracking ---------------------------------------------------
+    def _bump_topology(self):
+        self._topology_version += 1
+        self._dynamic_version += 1
+
+    def _bump_dynamic(self):
+        self._dynamic_version += 1
+
+    def GetRenderManager(self):
+        if self.render_manager is None:
+            from .manager import CKRenderManager
+            CKRenderManager(self)
+        return self.render_manager

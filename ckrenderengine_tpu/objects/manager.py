@@ -1,0 +1,581 @@
+"""CKRenderManager / CKRenderContext + the scene compiler.
+
+API mirror of RCKRenderManager (/root/reference/include/RCKRenderManager.h,
+src/CKRenderManager.cpp) and RCKRenderContext (include/RCKRenderContext.h,
+src/CKRenderContext.cpp). The TPU inversion (SURVEY §7): ``Render()`` does not
+traverse a scene graph issuing draw calls — it (re)uses a compiled flat
+``SceneDevice`` pytree and executes ONE jitted frame program
+(pipeline/frame.py). Scene compilation happens only when topology changes
+(meshes/materials/parenting edited); per-frame work is pure array updates.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..pipeline import frame as fr
+from ..pipeline.lighting import LightArray
+from ..raster.types import RasterState, pack_states, NUM_SF, NUM_SI, VXFOG
+from ..scene import entity_table as et
+from .base import (
+    CKCID_LIGHT, CKCID_RENDERCONTEXT, CKCID_TARGETLIGHT, CKContext, CKObject,
+)
+from .camera import CKCamera, CKTargetCamera
+from .entity import CK3dEntity
+from .light import CKLight
+from .material import CKMaterial
+
+
+def _pad_to(n: int, mult: int = 128) -> int:
+    return max(mult, ((n + mult - 1) // mult) * mult)
+
+
+class CompiledScene:
+    """Static layout of one render context's scene (host-side product of
+    compilation; the analogue of all CreateRenderGroups/CKVBuffer remaps +
+    scene-graph ordering flattened into arrays)."""
+
+    def __init__(self):
+        self.topology_version = -1
+        # pool
+        self.positions = np.zeros((0, 3), np.float32)
+        self.normals = np.zeros((0, 3), np.float32)
+        self.uv = np.zeros((0, 2), np.float32)
+        self.prelit = np.zeros((0, 4), np.float32)
+        self.prelit_spec = np.zeros((0, 3), np.float32)
+        # instanced stream
+        self.src_idx = np.zeros(0, np.int32)
+        self.vert_entity = np.zeros(0, np.int32)
+        self.vert_state = np.zeros(0, np.int32)
+        self.vert_lit = np.zeros(0, bool)
+        self.tri_idx = np.zeros((0, 3), np.int32)
+        self.tri_state = np.zeros(0, np.int32)
+        self.tri_valid = np.zeros(0, bool)
+        # buckets
+        self.materials: list[CKMaterial | None] = []
+        self.textures: list = []
+        self.levels: tuple = ()
+        self.n_entities = 0
+        self.entity_rows = np.zeros(0, np.int32)  # scene entity -> table row
+
+
+class VxStats:
+    """Frame statistics (reference VxStats / CKRasterizerStats,
+    include/CKRasterizerTypes.h:63-69)."""
+
+    def __init__(self):
+        self.NbTrianglesDrawn = 0
+        self.NbPointsDrawn = 0
+        self.NbLinesDrawn = 0
+        self.NbVerticesProcessed = 0
+        self.NbObjectDrawn = 0
+        self.RenderStateCacheHit = 0
+        self.RenderStateCacheMiss = 0
+        self.SmoothedFps = 0.0
+        self.FrameTime = 0.0
+
+
+class CKRenderContext(CKObject):
+    CLASS_ID = CKCID_RENDERCONTEXT
+
+    def __init__(self, context: CKContext, name: str = "", width: int = 256,
+                 height: int = 256):
+        super().__init__(context, name)
+        self.width = int(width)
+        self.height = int(height)
+        self.viewport = (0, 0, self.width, self.height)
+        self.attached_camera: CKCamera | None = None
+        self.mask = 1
+        # Per-context scene state (CKRenderedScene equivalents,
+        # reference src/CKRenderedScene.cpp:20-40 defaults).
+        self.background_color = np.array([0.0, 0.0, 0.0, 0.0], np.float32)
+        self.background_material: CKMaterial | None = None
+        self.ambient_light = np.array([0x0F / 255.0] * 3 + [1.0], np.float32)
+        self.fog_mode = int(VXFOG.NONE)
+        self.fog_start = 1.0
+        self.fog_end = 100.0
+        self.fog_density = 1.0
+        self.fog_color = np.zeros(3, np.float32)
+        self.clear_z = 1.0
+        # Output
+        self.fb = jnp.zeros((4, self.height, self.width), jnp.float32)
+        self.zb = jnp.ones((self.height, self.width), jnp.float32)
+        # Compile cache
+        self._compiled = CompiledScene()
+        self._tex_planes = jnp.zeros((1, 4, 1, 1), jnp.float32)
+        self._tex_hw = jnp.ones((1, 2), jnp.int32)
+        # Stats
+        self.stats = VxStats()
+        self._fps_window_start = time.monotonic()
+        self._fps_frames = 0
+        # Object membership: entities added via AddObject; empty = everything.
+        self._objects: list | None = None
+        self.pre_render_callbacks: list = []
+        self.post_render_callbacks: list = []
+
+    # -- camera -----------------------------------------------------------
+    def AttachViewpointToCamera(self, camera: CKCamera):
+        self.attached_camera = camera
+
+    def GetAttachedCamera(self) -> CKCamera | None:
+        return self.attached_camera
+
+    # -- object membership (RCKRenderContext::AddObject) ------------------
+    def AddObject(self, obj):
+        if self._objects is None:
+            self._objects = []
+        if obj not in self._objects:
+            self._objects.append(obj)
+            obj._in_render_context_mask |= self.mask
+            self.context._bump_topology()
+
+    def RemoveObject(self, obj):
+        if self._objects and obj in self._objects:
+            self._objects.remove(obj)
+            obj._in_render_context_mask &= ~self.mask
+            self.context._bump_topology()
+
+    def AddObjectWithHierarchy(self, obj):
+        self.AddObject(obj)
+        for i in range(obj.GetChildrenCount()):
+            self.AddObjectWithHierarchy(obj.GetChild(i))
+
+    # -- scene state ------------------------------------------------------
+    def SetBackgroundColor(self, rgba):
+        self.background_color = np.asarray(rgba, np.float32)
+
+    def GetBackgroundColor(self):
+        return self.background_color.copy()
+
+    def SetBackgroundMaterial(self, mat: CKMaterial | None):
+        self.background_material = mat
+
+    def SetAmbientLight(self, r, g=None, b=None):
+        if g is None:
+            rgba = np.asarray(r, np.float32)
+        else:
+            rgba = np.array([r, g, b, 1.0], np.float32)
+        self.ambient_light = rgba
+
+    def GetAmbientLight(self):
+        return self.ambient_light.copy()
+
+    def SetFogMode(self, mode: int):
+        self.fog_mode = int(mode)
+
+    def GetFogMode(self) -> int:
+        return self.fog_mode
+
+    def SetFogStart(self, v: float):
+        self.fog_start = float(v)
+
+    def SetFogEnd(self, v: float):
+        self.fog_end = float(v)
+
+    def SetFogDensity(self, v: float):
+        self.fog_density = float(v)
+
+    def SetFogColor(self, rgb):
+        self.fog_color = np.asarray(rgb, np.float32)[:3]
+
+    def SetViewRect(self, x, y, w, h):
+        self.viewport = (int(x), int(y), int(w), int(h))
+
+    def GetViewRect(self):
+        return self.viewport
+
+    def GetWidth(self) -> int:
+        return self.width
+
+    def GetHeight(self) -> int:
+        return self.height
+
+    def Resize(self, width: int, height: int):
+        self.width = int(width)
+        self.height = int(height)
+        self.viewport = (0, 0, self.width, self.height)
+        self.fb = jnp.zeros((4, self.height, self.width), jnp.float32)
+        self.zb = jnp.ones((self.height, self.width), jnp.float32)
+
+    # -- scene compilation -------------------------------------------------
+    def _scene_entities(self) -> list[CK3dEntity]:
+        if self._objects is not None:
+            ents = [o for o in self._objects if isinstance(o, CK3dEntity)]
+        else:
+            ents = [o for o in self.context._objects.values()
+                    if isinstance(o, CK3dEntity)]
+        # Scene-graph priority order (CKSceneGraphNode::SortNodes semantics:
+        # higher priority renders first; ties keep creation order).
+        ents.sort(key=lambda e: (-e.render_priority, e.id))
+        return ents
+
+    def _compile(self):
+        c = CompiledScene()
+        c.topology_version = self.context._topology_version
+        ctx = self.context
+        table = ctx.entity_table
+
+        entities = self._scene_entities()
+        c.n_entities = table.count
+        c.levels = table.level_schedule()
+
+        # Material/state buckets: one per distinct material (+ default).
+        default_mat = getattr(ctx.render_manager, "default_material", None)
+        mat_to_bucket: dict[int, int] = {}
+        tex_to_slot: dict[int, int] = {}
+
+        def bucket_for(mat: CKMaterial | None) -> int:
+            key = id(mat)
+            if key in mat_to_bucket:
+                return mat_to_bucket[key]
+            # texture slot
+            if mat is not None and mat.GetTexture(0) is not None:
+                tex = mat.GetTexture(0)
+                tkey = id(tex)
+                if tkey not in tex_to_slot:
+                    tex_to_slot[tkey] = len(c.textures)
+                    c.textures.append(tex)
+            mat_to_bucket[key] = len(c.materials)
+            c.materials.append(mat)
+            return mat_to_bucket[key]
+
+        pool_pos, pool_nrm, pool_uv, pool_col, pool_spec = [], [], [], [], []
+        mesh_offset: dict[int, int] = {}
+        pool_count = 0
+
+        src, vent, vstate, vlit = [], [], [], []
+        tidx, tstate = [], []
+        iv = 0
+
+        for ent in entities:
+            mesh = ent.GetCurrentMesh()
+            if mesh is None or mesh.GetFaceCount() == 0:
+                continue
+            if id(mesh) not in mesh_offset:
+                mesh_offset[id(mesh)] = pool_count
+                pool_pos.append(mesh.positions)
+                pool_nrm.append(mesh.normals)
+                pool_uv.append(mesh.uvs)
+                pool_col.append(mesh.colors)
+                pool_spec.append(mesh.specular_colors)
+                pool_count += mesh.positions.shape[0]
+            moff = mesh_offset[id(mesh)]
+            lit = not mesh.IsPreLitMode()
+            for grp in mesh.GetRenderGroups():
+                mat = grp.material if grp.material is not None else default_mat
+                b = bucket_for(mat)
+                nv = grp.vertex_map.shape[0]
+                src.append(moff + grp.vertex_map)
+                vent.append(np.full(nv, ent.row, np.int32))
+                vstate.append(np.full(nv, b, np.int32))
+                vlit.append(np.full(nv, lit, bool))
+                tidx.append(iv + grp.local_faces)
+                tstate.append(np.full(grp.local_faces.shape[0], b, np.int32))
+                iv += nv
+
+        if pool_count == 0:
+            pool_pos = [np.zeros((1, 3), np.float32)]
+            pool_nrm = [np.zeros((1, 3), np.float32)]
+            pool_uv = [np.zeros((1, 2), np.float32)]
+            pool_col = [np.ones((1, 4), np.float32)]
+            pool_spec = [np.zeros((1, 3), np.float32)]
+            pool_count = 1
+        c.positions = np.concatenate(pool_pos).astype(np.float32)
+        c.normals = np.concatenate(pool_nrm).astype(np.float32)
+        c.uv = np.concatenate(pool_uv).astype(np.float32)
+        c.prelit = np.concatenate(pool_col).astype(np.float32)
+        c.prelit_spec = np.concatenate(pool_spec).astype(np.float32)
+
+        if not c.materials:
+            bucket_for(default_mat)
+
+        iv_pad = _pad_to(max(iv, 1))
+        it = sum(a.shape[0] for a in tidx) if tidx else 0
+        it_pad = _pad_to(max(it, 1))
+
+        def cat_pad(parts, n, dtype, fill=0, shape=()):
+            if parts:
+                a = np.concatenate(parts).astype(dtype)
+            else:
+                a = np.zeros((0,) + shape, dtype)
+            out = np.full((n,) + a.shape[1:], fill, dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        c.src_idx = cat_pad(src, iv_pad, np.int32)
+        c.vert_entity = cat_pad(vent, iv_pad, np.int32)
+        c.vert_state = cat_pad(vstate, iv_pad, np.int32)
+        c.vert_lit = cat_pad(vlit, iv_pad, bool)
+        c.tri_idx = cat_pad(tidx, it_pad, np.int32, shape=(3,))
+        c.tri_state = cat_pad(tstate, it_pad, np.int32)
+        valid = np.zeros(it_pad, bool)
+        valid[:it] = True
+        c.tri_valid = valid
+        self._compiled = c
+
+        # Texture stack (padded plane layout; rebuilt on topology change only).
+        if c.textures:
+            imgs = [t.current_image() for t in c.textures]
+            imgs = [i if i is not None else np.zeros((1, 1, 4), np.float32) for i in imgs]
+            th = max(i.shape[0] for i in imgs)
+            tw = max(i.shape[1] for i in imgs)
+            planes = np.zeros((len(imgs), 4, th, tw), np.float32)
+            hw = np.zeros((len(imgs), 2), np.int32)
+            for i, img in enumerate(imgs):
+                planes[i, :, : img.shape[0], : img.shape[1]] = np.moveaxis(img, -1, 0)
+                hw[i] = (img.shape[0], img.shape[1])
+            self._tex_planes = jnp.asarray(planes)
+            self._tex_hw = jnp.asarray(hw)
+        else:
+            self._tex_planes = jnp.zeros((1, 4, 1, 1), jnp.float32)
+            self._tex_hw = jnp.ones((1, 2), jnp.int32)
+
+    # -- per-frame dynamic state -----------------------------------------
+    def _light_bank(self) -> LightArray:
+        lights = [o for o in self.context._objects.values()
+                  if isinstance(o, CKLight)]
+        rows = []
+        for l in lights:
+            prep = getattr(l, "prepare", None)
+            if prep is not None:
+                prep()
+            row = l.setup_row()
+            if row is not None:
+                rows.append(row)
+        n = _pad_to(max(len(rows), 1), 8)
+        z = LightArray.zeros(n)
+        arrs = {f: np.asarray(getattr(z, f)).copy() for f in LightArray._fields}
+        for i, row in enumerate(rows):
+            for k, v in row.items():
+                arrs[k][i] = v
+            arrs["active"][i] = row["active"]
+        return LightArray(**{k: jnp.asarray(v) for k, v in arrs.items()})
+
+    def _material_banks(self, c: CompiledScene):
+        states = []
+        diffuse, ambient, specular, emissive, power = [], [], [], [], []
+        fog_on = self.fog_mode != int(VXFOG.NONE)
+        for mat in c.materials:
+            if mat is None:
+                states.append(RasterState(fog=fog_on))
+                diffuse.append([0.7, 0.7, 0.7, 1.0])
+                ambient.append([0.3, 0.3, 0.3, 1.0])
+                specular.append([0.5, 0.5, 0.5, 1.0])
+                emissive.append([0.0, 0.0, 0.0, 1.0])
+                power.append(0.0)
+            else:
+                tex = mat.GetTexture(0)
+                slot = -1
+                if tex is not None:
+                    for i, t in enumerate(c.textures):
+                        if t is tex:
+                            slot = i
+                            break
+                states.append(mat.raster_state(texture_slot=slot, fog=fog_on))
+                lp = mat.lighting_params()
+                diffuse.append(lp["diffuse"])
+                ambient.append(lp["ambient"])
+                specular.append(lp["specular"])
+                emissive.append(lp["emissive"])
+                power.append(lp["power"])
+        si, sf = pack_states(states)
+        return (jnp.asarray(si), jnp.asarray(sf),
+                jnp.asarray(np.asarray(diffuse, np.float32)),
+                jnp.asarray(np.asarray(ambient, np.float32)),
+                jnp.asarray(np.asarray(specular, np.float32)),
+                jnp.asarray(np.asarray(emissive, np.float32)),
+                jnp.asarray(np.asarray(power, np.float32)))
+
+    def _build_scene_device(self) -> fr.SceneDevice:
+        ctx = self.context
+        table = ctx.entity_table
+        c = self._compiled
+        n = max(table.count, 1)
+
+        cam = self.attached_camera
+        if cam is not None:
+            prep = getattr(cam, "prepare", None)
+            if prep is not None:
+                prep()
+            view = cam.view_matrix()
+            aspect = self.viewport[2] / max(self.viewport[3], 1)
+            proj = cam.projection_matrix(aspect)
+            cam_pos = cam.GetWorldMatrix()[3, :3]
+        else:
+            view = np.eye(4, dtype=np.float32)
+            proj = np.eye(4, dtype=np.float32)
+            cam_pos = np.zeros(3, np.float32)
+
+        si, sf, md, ma, ms, me, mp = self._material_banks(c)
+        visible = (table.flags[:n] & et.VX_MOVEABLE_VISIBLE) != 0
+
+        return fr.SceneDevice(
+            local=jnp.asarray(table.local[:n]),
+            parent=jnp.asarray(table.parent[:n]),
+            entity_visible=jnp.asarray(visible),
+            positions=jnp.asarray(c.positions),
+            normals=jnp.asarray(c.normals),
+            uv=jnp.asarray(c.uv),
+            prelit=jnp.asarray(c.prelit),
+            prelit_spec=jnp.asarray(c.prelit_spec),
+            src_idx=jnp.asarray(c.src_idx),
+            vert_entity=jnp.asarray(c.vert_entity),
+            vert_state=jnp.asarray(c.vert_state),
+            vert_lit=jnp.asarray(c.vert_lit),
+            tri_idx=jnp.asarray(c.tri_idx),
+            tri_state=jnp.asarray(c.tri_state),
+            tri_valid=jnp.asarray(c.tri_valid),
+            state_i=si, state_f=sf,
+            mat_diffuse=md, mat_ambient=ma, mat_specular=ms, mat_emissive=me,
+            mat_power=mp,
+            lights=self._light_bank(),
+            global_ambient=jnp.asarray(self.ambient_light),
+            view=jnp.asarray(view, jnp.float32),
+            proj=jnp.asarray(proj, jnp.float32),
+            cam_pos=jnp.asarray(cam_pos, jnp.float32),
+            viewport=jnp.asarray(self.viewport, jnp.float32),
+            fog_mode=jnp.asarray(self.fog_mode, jnp.int32),
+            fog_start=jnp.asarray(self.fog_start, jnp.float32),
+            fog_end=jnp.asarray(self.fog_end, jnp.float32),
+            fog_density=jnp.asarray(self.fog_density, jnp.float32),
+            fog_color=jnp.asarray(self.fog_color, jnp.float32),
+            tex_planes=self._tex_planes,
+            tex_hw=self._tex_hw,
+            clear_color=jnp.asarray(self.background_color, jnp.float32),
+            clear_z=jnp.asarray(self.clear_z, jnp.float32),
+        )
+
+    # -- render -----------------------------------------------------------
+    def Render(self, flags: int = 0):
+        """One frame (RCKRenderContext::Render,
+        /root/reference/src/CKRenderContext.cpp:767-930)."""
+        t0 = time.monotonic()
+        for kind, fct, arg, _t in self.pre_render_callbacks:
+            fct(self, arg)
+        if self._compiled.topology_version != self.context._topology_version:
+            self._compile()
+        scene = self._build_scene_device()
+        self.fb, self.zb = fr.render_frame(
+            scene, self._compiled.levels, self.height, self.width)
+        for kind, fct, arg, _t in self.post_render_callbacks:
+            fct(self, arg)
+        # stats + FPS EMA over >=1s windows (reference :898-908)
+        self.stats.NbTrianglesDrawn = int(self._compiled.tri_valid.sum())
+        self.stats.NbVerticesProcessed = int(self._compiled.src_idx.shape[0])
+        self.stats.FrameTime = (time.monotonic() - t0) * 1000.0
+        self._fps_frames += 1
+        now = time.monotonic()
+        win = now - self._fps_window_start
+        if win >= 1.0:
+            fps = self._fps_frames / win
+            s = self.stats
+            s.SmoothedFps = fps if s.SmoothedFps == 0 else 0.9 * fps + 0.1 * s.SmoothedFps
+            self._fps_frames = 0
+            self._fps_window_start = now
+        return True
+
+    def Clear(self, flags: int = 0):
+        self.fb = jnp.broadcast_to(
+            jnp.asarray(self.background_color, jnp.float32)[:, None, None],
+            self.fb.shape)
+        self.zb = jnp.full_like(self.zb, self.clear_z)
+
+    def BackToFront(self) -> np.ndarray:
+        """uint8 RGBA snapshot of the framebuffer."""
+        fb = np.moveaxis(np.asarray(self.fb), 0, -1)
+        return np.clip(fb * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+    def framebuffer(self) -> np.ndarray:
+        return np.moveaxis(np.asarray(self.fb), 0, -1)
+
+    def zbuffer(self) -> np.ndarray:
+        return np.asarray(self.zb)
+
+    def GetStats(self) -> VxStats:
+        return self.stats
+
+    # -- picking (RCKRenderContext::Pick, src/CKRenderContext.cpp:1661-1900)
+    def Pick(self, x: int, y: int):
+        """Returns (entity, distance) of the nearest hit or (None, inf)."""
+        cam = self.attached_camera
+        if cam is None:
+            return None, float("inf")
+        vxp, vyp, vw, vh = self.viewport
+        # Build eye ray through the pixel in camera space.
+        ndc_x = (x - vxp) / vw * 2.0 - 1.0
+        ndc_y = 1.0 - (y - vyp) / vh * 2.0
+        aspect = vw / max(vh, 1)
+        proj = cam.projection_matrix(aspect)
+        # Invert the projection x/y scales: clip x = cam_x * m00, etc.
+        dir_cam = np.array([ndc_x / proj[0, 0], ndc_y / proj[1, 1], 1.0], np.float32)
+        w = cam.GetWorldMatrix()
+        origin = w[3, :3]
+        direction = dir_cam @ w[:3, :3]
+        best = (None, float("inf"))
+        for ent in self._scene_entities():
+            if not ent.IsVisible() or ent.GetCurrentMesh() is None:
+                continue
+            hit = ent.RayIntersection(origin, direction)
+            if hit is not None and hit[0] < best[1]:
+                best = (ent, hit[0])
+        return best
+
+
+class CKRenderManager(CKObject):
+    """Owner of render contexts + global options
+    (reference src/CKRenderManager.cpp:77-246)."""
+
+    def __init__(self, context: CKContext, name: str = "RenderManager"):
+        super().__init__(context, name)
+        context.render_manager = self
+        self.render_contexts: list[CKRenderContext] = []
+        self._context_mask_free = 0xFFFFFFFF
+        self._moved_entities: set[int] = set()
+        self.default_material = CKMaterial(context, "DefaultMat")
+        # The 17 legacy options (reference src/CKRenderManager.cpp:79-127).
+        from ..settings import default_options
+        self.options = default_options()
+
+    def CreateRenderContext(self, width: int = 256, height: int = 256,
+                            name: str = "RenderContext") -> CKRenderContext:
+        rc = CKRenderContext(self.context, name, width, height)
+        # Allocate a context mask bit (32 max in the reference; we grow).
+        for bit in range(64):
+            if self._context_mask_free & (1 << bit):
+                self._context_mask_free &= ~(1 << bit)
+                rc.mask = 1 << bit
+                break
+        self.render_contexts.append(rc)
+        return rc
+
+    def DestroyRenderContext(self, rc: CKRenderContext):
+        if rc in self.render_contexts:
+            self.render_contexts.remove(rc)
+            self._context_mask_free |= rc.mask
+        self.context.DestroyObject(rc)
+
+    def GetRenderContextCount(self) -> int:
+        return len(self.render_contexts)
+
+    def GetRenderContext(self, i: int) -> CKRenderContext:
+        return self.render_contexts[i]
+
+    def Process(self):
+        """Render every context (reference src/CKRenderManager.cpp:521-527)."""
+        for rc in self.render_contexts:
+            rc.Render()
+
+    def PreProcess(self):
+        self._moved_entities.clear()
+
+    def PostProcess(self):
+        pass
+
+    def SetRenderOptions(self, name: str, value):
+        self.options[name] = value
+
+    def GetRenderOptions(self, name: str):
+        return self.options.get(name)

@@ -1,0 +1,369 @@
+"""CKMesh: geometry container with per-face materials and material groups.
+
+API mirror of RCKMesh (/root/reference/include/RCKMesh.h, src/CKMesh.cpp):
+vertex arrays (positions/normals/uvs/colors), faces with per-face material,
+lines, prelit-vs-lit mode, normals building, and material-group construction
+(CreateRenderGroups, src/CKMesh.cpp:4519-4810). TPU-first difference: a
+"render group" here is just a face bucket + local vertex remap feeding the
+scene compiler's instanced SoA stream — no strips, no HW vertex buffers
+(tile binning on device subsumes vertex-cache optimization; the classic
+striper/optimizer utilities live in ckrenderengine_tpu/geometry for API and
+test parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import CKCID_MESH, CKContext, CKObject
+
+# VXMESH flags (public Virtools SDK values used by the reference)
+VXMESH_BOUNDINGUPTODATE = 0x00000001
+VXMESH_VISIBLE = 0x00000002
+VXMESH_OPTIMIZED = 0x00000004
+VXMESH_RENDERCHANNELS = 0x00000008
+VXMESH_HASTRANSPARENCY = 0x00000010
+VXMESH_PRELITMODE = 0x00000020
+VXMESH_WRAPU = 0x00000040
+VXMESH_WRAPV = 0x00000080
+VXMESH_FORCETRANSPARENCY = 0x00001000
+VXMESH_STRIPIFY = 0x00002000
+VXMESH_PROCEDURALUV = 0x00004000
+VXMESH_PROCEDURALPOS = 0x00008000
+
+
+class MaterialGroup:
+    """One per-material face bucket with local vertex remap — the CKVBuffer
+    equivalent (reference include/CKRenderEngineTypes.h:589-602)."""
+
+    def __init__(self, material, face_indices: np.ndarray, mesh: "CKMesh"):
+        self.material = material
+        self.face_indices = face_indices
+        faces = mesh.faces[face_indices]          # (F,3) global indices
+        uniq, inv = np.unique(faces.reshape(-1), return_inverse=True)
+        self.vertex_map = uniq.astype(np.int32)   # local -> global
+        self.local_faces = inv.reshape(-1, 3).astype(np.int32)
+
+
+class CKMesh(CKObject):
+    CLASS_ID = CKCID_MESH
+
+    def __init__(self, context: CKContext, name: str = ""):
+        super().__init__(context, name)
+        self.positions = np.zeros((0, 3), np.float32)
+        self.normals = np.zeros((0, 3), np.float32)
+        self.uvs = np.zeros((0, 2), np.float32)
+        self.colors = np.ones((0, 4), np.float32)       # prelit diffuse
+        self.specular_colors = np.zeros((0, 3), np.float32)
+        self.faces = np.zeros((0, 3), np.int32)
+        self.face_materials = np.zeros(0, np.int32)      # index into material slots
+        self.face_normals = np.zeros((0, 3), np.float32)
+        self.face_channel_mask = np.zeros(0, np.uint32)
+        self.lines = np.zeros((0, 2), np.int32)
+        self.materials: list = [None]                    # slot 0 = default material
+        self.channels: list = []                         # extra-UV material channels
+        self.flags = VXMESH_VISIBLE
+        self._groups: list[MaterialGroup] | None = None
+        self._bbox: tuple[np.ndarray, np.ndarray] | None = None
+        self._radius: float = 0.0
+        self.weights = None                              # PM vertex weights
+        self.pre_render_callbacks: list = []             # patch meshes hook here
+
+    # -- vertex API -------------------------------------------------------
+    def SetVertexCount(self, n: int):
+        def resize(a, fill=0.0):
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            m = min(n, a.shape[0])
+            out[:m] = a[:m]
+            return out
+
+        self.positions = resize(self.positions)
+        self.normals = resize(self.normals)
+        self.uvs = resize(self.uvs)
+        self.colors = resize(self.colors, 1.0)
+        self.specular_colors = resize(self.specular_colors)
+        self._dirty()
+
+    def GetVertexCount(self) -> int:
+        return int(self.positions.shape[0])
+
+    def SetVertexPosition(self, i: int, pos):
+        self.positions[i] = pos
+        self._dirty()
+
+    def GetVertexPosition(self, i: int) -> np.ndarray:
+        return self.positions[i].copy()
+
+    def SetVertexNormal(self, i: int, n):
+        self.normals[i] = n
+        self._dirty_dynamic()
+
+    def GetVertexNormal(self, i: int) -> np.ndarray:
+        return self.normals[i].copy()
+
+    def SetVertexTextureCoordinates(self, i: int, u: float, v: float, channel: int = -1):
+        if channel < 0:
+            self.uvs[i] = (u, v)
+        else:
+            self.channels[channel]["uvs"][i] = (u, v)
+        self._dirty_dynamic()
+
+    def GetVertexTextureCoordinates(self, i: int, channel: int = -1):
+        return tuple(self.uvs[i] if channel < 0 else self.channels[channel]["uvs"][i])
+
+    def SetVertexColor(self, i: int, rgba):
+        self.colors[i] = rgba
+        self._dirty_dynamic()
+
+    def GetVertexColor(self, i: int):
+        return self.colors[i].copy()
+
+    def SetVertexSpecularColor(self, i: int, rgb):
+        self.specular_colors[i] = rgb[:3]
+        self._dirty_dynamic()
+
+    # Batch setters (the TPU-native fast path).
+    def SetPositions(self, pos: np.ndarray):
+        pos = np.asarray(pos, np.float32)
+        if pos.shape[0] != self.positions.shape[0]:
+            self.SetVertexCount(pos.shape[0])
+        self.positions = pos.copy()
+        self._dirty()
+
+    def SetNormals(self, n: np.ndarray):
+        self.normals = np.asarray(n, np.float32).copy()
+        self._dirty_dynamic()
+
+    def SetUVs(self, uv: np.ndarray):
+        self.uvs = np.asarray(uv, np.float32).copy()
+        self._dirty_dynamic()
+
+    def SetColors(self, c: np.ndarray):
+        self.colors = np.asarray(c, np.float32).copy()
+        self._dirty_dynamic()
+
+    # -- face API ---------------------------------------------------------
+    def SetFaceCount(self, n: int):
+        def resize(a, fill=0):
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            m = min(n, a.shape[0])
+            out[:m] = a[:m]
+            return out
+
+        self.faces = resize(self.faces)
+        self.face_materials = resize(self.face_materials)
+        self.face_normals = resize(self.face_normals, 0.0)
+        self.face_channel_mask = resize(self.face_channel_mask)
+        self._dirty()
+
+    def GetFaceCount(self) -> int:
+        return int(self.faces.shape[0])
+
+    def SetFaceVertexIndex(self, f: int, a: int, b: int, c: int):
+        self.faces[f] = (a, b, c)
+        self._dirty()
+
+    def GetFaceVertexIndex(self, f: int):
+        return tuple(int(v) for v in self.faces[f])
+
+    def SetFaces(self, faces: np.ndarray):
+        faces = np.asarray(faces, np.int32)
+        if faces.shape[0] != self.faces.shape[0]:
+            self.SetFaceCount(faces.shape[0])
+        self.faces = faces.copy()
+        self._dirty()
+
+    def SetFaceMaterial(self, f, material):
+        slot = self._material_slot(material)
+        self.face_materials[f] = slot
+        self._dirty()
+
+    def GetFaceMaterial(self, f: int):
+        return self.materials[self.face_materials[f]]
+
+    def SetLineCount(self, n: int):
+        out = np.zeros((n, 2), np.int32)
+        m = min(n, self.lines.shape[0])
+        out[:m] = self.lines[:m]
+        self.lines = out
+        self._dirty()
+
+    def GetLineCount(self) -> int:
+        return int(self.lines.shape[0])
+
+    def SetLine(self, i: int, a: int, b: int):
+        self.lines[i] = (a, b)
+        self._dirty()
+
+    def _material_slot(self, material) -> int:
+        for i, m in enumerate(self.materials):
+            if m is material:
+                return i
+        self.materials.append(material)
+        return len(self.materials) - 1
+
+    def ApplyGlobalMaterial(self, material):
+        self.materials = [material]
+        self.face_materials[:] = 0
+        self._dirty()
+
+    def GetMaterialCount(self) -> int:
+        return len(self.materials)
+
+    def GetMaterial(self, i: int):
+        return self.materials[i]
+
+    # -- channels (extra UV sets; reference RCKMesh channels) -------------
+    def AddChannel(self, material, copy_uvs: bool = True) -> int:
+        uvs = self.uvs.copy() if copy_uvs else np.zeros_like(self.uvs)
+        self.channels.append({"material": material, "uvs": uvs, "active": True,
+                              "src_blend": None, "dst_blend": None})
+        self._dirty()
+        return len(self.channels) - 1
+
+    def RemoveChannel(self, idx: int):
+        del self.channels[idx]
+        self._dirty()
+
+    def GetChannelCount(self) -> int:
+        return len(self.channels)
+
+    def ActivateChannel(self, idx: int, active: bool = True):
+        self.channels[idx]["active"] = bool(active)
+        self._dirty()
+
+    def IsChannelActive(self, idx: int) -> bool:
+        return self.channels[idx]["active"]
+
+    # -- normals ----------------------------------------------------------
+    def BuildFaceNormals(self):
+        """Per-face unit normals (reference g_BuildFaceNormals,
+        src/CKMeshUtils.cpp / src/CKMesh.cpp:537-560)."""
+        if self.faces.shape[0] == 0:
+            return
+        v0 = self.positions[self.faces[:, 0]]
+        e1 = self.positions[self.faces[:, 1]] - v0
+        e2 = self.positions[self.faces[:, 2]] - v0
+        n = np.cross(e1, e2)
+        ln = np.linalg.norm(n, axis=-1, keepdims=True)
+        self.face_normals = (n / np.maximum(ln, 1e-30)).astype(np.float32)
+        self._dirty_dynamic()
+
+    def BuildNormals(self):
+        """Area-weighted vertex normals from face normals."""
+        self.BuildFaceNormals()
+        acc = np.zeros_like(self.positions)
+        for c in range(3):
+            np.add.at(acc, self.faces[:, c], self.face_normals)
+        ln = np.linalg.norm(acc, axis=-1, keepdims=True)
+        self.normals = (acc / np.maximum(ln, 1e-30)).astype(np.float32)
+        self._dirty_dynamic()
+
+    # -- topology helpers (reference RCKMesh API) -------------------------
+    def InverseWinding(self):
+        self.faces = self.faces[:, ::-1].copy()
+        self._dirty()
+
+    def Clean(self):
+        """Drop degenerate faces (repeated indices)."""
+        f = self.faces
+        keep = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+        self.faces = f[keep].copy()
+        self.face_materials = self.face_materials[keep].copy()
+        self.face_normals = self.face_normals[keep].copy() if self.face_normals.shape[0] == keep.shape[0] else self.face_normals
+        self.face_channel_mask = self.face_channel_mask[keep].copy()
+        self._dirty()
+
+    def Consolidate(self):
+        """Weld identical vertices (position+normal+uv) and remap faces."""
+        key = np.concatenate([self.positions, self.normals, self.uvs, self.colors], -1)
+        uniq, idx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
+        order = np.argsort(idx)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.size)
+        sel = idx[order]
+        self.positions = self.positions[sel].copy()
+        self.normals = self.normals[sel].copy()
+        self.uvs = self.uvs[sel].copy()
+        self.colors = self.colors[sel].copy()
+        self.specular_colors = self.specular_colors[sel].copy()
+        self.faces = rank[inv][self.faces].astype(np.int32)
+        self._dirty()
+
+    def UnOptimize(self):
+        self.flags &= ~VXMESH_OPTIMIZED
+        self._groups = None
+        self.context._bump_topology()
+
+    # -- material groups --------------------------------------------------
+    def CreateRenderGroups(self):
+        """Bucket faces per material (reference src/CKMesh.cpp:4519-4810)."""
+        groups = []
+        if self.faces.shape[0]:
+            for slot in np.unique(self.face_materials):
+                fi = np.nonzero(self.face_materials == slot)[0]
+                mat = self.materials[slot] if slot < len(self.materials) else None
+                groups.append(MaterialGroup(mat, fi, self))
+        self._groups = groups
+        self.flags |= VXMESH_OPTIMIZED
+        return groups
+
+    def GetRenderGroups(self) -> list[MaterialGroup]:
+        if self._groups is None or not (self.flags & VXMESH_OPTIMIZED):
+            self.CreateRenderGroups()
+        return self._groups
+
+    # -- bbox -------------------------------------------------------------
+    def GetLocalBox(self):
+        if self._bbox is None:
+            if self.positions.shape[0]:
+                self._bbox = (self.positions.min(0), self.positions.max(0))
+            else:
+                z = np.zeros(3, np.float32)
+                self._bbox = (z, z)
+        return self._bbox
+
+    def GetRadius(self) -> float:
+        bmin, bmax = self.GetLocalBox()
+        return float(np.linalg.norm(bmax - bmin) * 0.5)
+
+    def GetBaryCenter(self) -> np.ndarray:
+        if self.positions.shape[0] == 0:
+            return np.zeros(3, np.float32)
+        return self.positions.mean(0)
+
+    # -- modes ------------------------------------------------------------
+    def SetLitMode(self, prelit: bool):
+        if prelit:
+            self.flags |= VXMESH_PRELITMODE
+        else:
+            self.flags &= ~VXMESH_PRELITMODE
+        self.context._bump_topology()
+
+    def IsPreLitMode(self) -> bool:
+        return bool(self.flags & VXMESH_PRELITMODE)
+
+    def SetTransparent(self, t: bool):
+        if t:
+            self.flags |= VXMESH_FORCETRANSPARENCY
+        else:
+            self.flags &= ~VXMESH_FORCETRANSPARENCY
+        self.context._bump_topology()
+
+    def IsTransparent(self) -> bool:
+        """Transparent if forced, or any face material is alpha-transparent
+        (reference RCKMesh transparency derivation)."""
+        if self.flags & VXMESH_FORCETRANSPARENCY:
+            return True
+        return any(m is not None and m.IsAlphaTransparent() for m in self.materials)
+
+    # -- dirty ------------------------------------------------------------
+    def _dirty(self):
+        self._groups = None
+        self._bbox = None
+        self.flags &= ~VXMESH_OPTIMIZED
+        self.context._bump_topology()
+
+    def _dirty_dynamic(self):
+        self._bbox = None
+        self.context._bump_dynamic()

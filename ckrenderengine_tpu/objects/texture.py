@@ -1,0 +1,98 @@
+"""CKTexture: image container feeding the device texture stack.
+
+API mirror of RCKTexture (/root/reference/include/RCKTexture.h,
+src/CKTexture.cpp): system-memory image slots + lazy video upload. On TPU
+"video memory" is the per-frame padded texture plane stack; the scene
+compiler assigns pool slots.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import CKCID_TEXTURE, CKContext, CKObject
+
+
+class CKTexture(CKObject):
+    CLASS_ID = CKCID_TEXTURE
+
+    def __init__(self, context: CKContext, name: str = ""):
+        super().__init__(context, name)
+        self.slots: list[np.ndarray | None] = [None]   # (H,W,4) f32 images
+        self.current_slot = 0
+        self.desired_video_format = None
+        self.mipmap = True
+        self.user_mip_levels: list[np.ndarray] = []
+        self.transparent_color = None
+
+    # -- image API --------------------------------------------------------
+    def Create(self, width: int, height: int, bpp: int = 32, slot: int = 0):
+        while len(self.slots) <= slot:
+            self.slots.append(None)
+        self.slots[slot] = np.zeros((height, width, 4), np.float32)
+        self.context._bump_topology()
+        return True
+
+    def SetImage(self, image: np.ndarray, slot: int = 0):
+        """image: (H,W,3|4) float [0,1] or uint8."""
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        img = img.astype(np.float32)
+        if img.shape[-1] == 3:
+            img = np.concatenate([img, np.ones(img.shape[:-1] + (1,), np.float32)], -1)
+        while len(self.slots) <= slot:
+            self.slots.append(None)
+        self.slots[slot] = img
+        self.context._bump_topology()
+
+    def GetImage(self, slot: int = 0) -> np.ndarray | None:
+        return self.slots[slot]
+
+    def LockSurfacePtr(self, slot: int = 0) -> np.ndarray | None:
+        return self.slots[slot]
+
+    def GetWidth(self) -> int:
+        img = self.slots[self.current_slot]
+        return 0 if img is None else img.shape[1]
+
+    def GetHeight(self) -> int:
+        img = self.slots[self.current_slot]
+        return 0 if img is None else img.shape[0]
+
+    def GetSlotCount(self) -> int:
+        return len(self.slots)
+
+    def SetCurrentSlot(self, slot: int):
+        self.current_slot = int(slot)
+        self.context._bump_topology()
+
+    def GetCurrentSlot(self) -> int:
+        return self.current_slot
+
+    def SetDesiredVideoFormat(self, fmt):
+        self.desired_video_format = fmt
+
+    def UseMipmap(self, use: bool = True):
+        self.mipmap = bool(use)
+        self.context._bump_topology()
+
+    def GetMipmapCount(self) -> int:
+        img = self.slots[self.current_slot]
+        if img is None or not self.mipmap:
+            return 1
+        return int(np.log2(max(img.shape[0], img.shape[1]))) + 1
+
+    def SetTransparentColor(self, rgba):
+        """Color-key transparency: matching texels get alpha 0 (reference
+        CKBitmapData transparency semantics)."""
+        self.transparent_color = np.asarray(rgba, np.float32)
+        img = self.slots[self.current_slot]
+        if img is not None:
+            key = self.transparent_color[:3]
+            match = np.all(np.abs(img[..., :3] - key[None, None]) < (0.5 / 255.0), axis=-1)
+            img[..., 3] = np.where(match, 0.0, img[..., 3])
+        self.context._bump_topology()
+
+    def current_image(self) -> np.ndarray | None:
+        return self.slots[self.current_slot]

@@ -1,0 +1,72 @@
+"""Many-render-context batching + mesh sharding.
+
+The reference renders up to 32 contexts sequentially
+(RCKRenderManager::Process, /root/reference/src/CKRenderManager.cpp:521-527;
+mask allocation :131). The TPU-native scale story (SURVEY §5, BASELINE config
+5: "64 render contexts batched across a v5e slice") maps contexts to a batch
+axis: SceneDevice pytrees are stacked on a leading ``ctx`` axis, the frame
+program is vmapped over it, and the axis is sharded over a 1-D device mesh.
+No collectives are required in the frame program — each context's framebuffer
+lives wholly on one chip, so XLA partitions the batch embarrassingly across
+ICI with zero communication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..pipeline.frame import SceneDevice, render_frame_impl
+
+
+def stack_scenes(scenes: list[SceneDevice]) -> SceneDevice:
+    """Stack same-topology SceneDevice pytrees on a leading context axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *scenes)
+
+
+def replicate_scene(scene: SceneDevice, n: int) -> SceneDevice:
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), scene)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "height", "width", "chunk"))
+def render_frames_batched(scenes: SceneDevice, levels: tuple, height: int,
+                          width: int, chunk: int = 1):
+    """(B,...) SceneDevice -> (B,4,H,W) fb, (B,H,W) zb."""
+    fn = functools.partial(render_frame_impl, levels=levels, height=height,
+                           width=width, chunk=chunk)
+    return jax.vmap(fn)(scenes)
+
+
+def make_context_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices if n_devices is not None else len(devs)
+    return Mesh(np.array(devs[:n]), axis_names=("ctx",))
+
+
+def shard_scenes(scenes: SceneDevice, mesh: Mesh) -> SceneDevice:
+    """Place the leading context axis of every leaf on the ``ctx`` mesh axis."""
+    def put(x):
+        spec = P("ctx", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, scenes)
+
+
+def render_frames_sharded(scenes: SceneDevice, mesh: Mesh, levels: tuple,
+                          height: int, width: int, chunk: int = 1):
+    """Jit the batched frame program with the ctx axis sharded over the mesh.
+
+    Output framebuffers inherit the ctx sharding (each chip holds its own
+    contexts' pixels — the BackToFront / readback path gathers per context
+    on demand, not per frame).
+    """
+    scenes = shard_scenes(scenes, mesh)
+    out_spec = NamedSharding(mesh, P("ctx"))
+    fn = functools.partial(render_frames_batched, levels=levels, height=height,
+                           width=width, chunk=chunk)
+    fn = jax.jit(fn, out_shardings=(out_spec, out_spec))
+    return fn(scenes)
