@@ -1,0 +1,372 @@
+"""Keyframe animation controllers — the 11 controller types of the reference
+(RCKKeyframeData, /root/reference/include/RCKKeyframeData.h:10-306,
+src/CKKeyframeData.cpp):
+
+    Linear / TCB / Bezier x {position, scale}
+    Linear / TCB         x {rotation, scaleAxis}
+    morph
+
+TPU-first design: host controller objects hold numpy key arrays and
+precompute interpolation coefficients (TCB tangents, Bezier control points)
+whenever keys change; evaluation is a pure jnp segment lookup
+(`searchsorted` + hermite/bezier/lerp/slerp) that is vmap-able over an entire
+animation bank — `eval_vector_tracks` / `eval_quat_tracks` evaluate every
+track of every entity of a character in one call (SURVEY §2.5 TPU mapping).
+
+All tracks are padded to a common key count; `n_keys` masks the tail.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Interpolation modes (per-track)
+INTERP_LINEAR = 0
+INTERP_TCB = 1      # hermite with precomputed tangents
+INTERP_BEZIER = 2   # cubic bezier with precomputed control points
+
+
+# ---------------------------------------------------------------------------
+# Device evaluation
+# ---------------------------------------------------------------------------
+
+def _segment(times, t, n_keys):
+    """Locate segment [i, i+1] containing t; returns (i, local u in [0,1]).
+
+    times (K,), t scalar, n_keys scalar int. Clamps to track range.
+    """
+    k = times.shape[0]
+    nk = jnp.maximum(n_keys, 1)
+    last = nk - 1
+    idx = jnp.searchsorted(times, t, side="right") - 1
+    idx = jnp.clip(idx, 0, jnp.maximum(last - 1, 0))
+    t0 = times[idx]
+    t1 = times[jnp.minimum(idx + 1, last)]
+    dt = t1 - t0
+    u = jnp.where(dt > 1e-12, (t - t0) / jnp.where(dt > 1e-12, dt, 1.0), 0.0)
+    u = jnp.clip(u, 0.0, 1.0)
+    # Before first key / single-key track -> clamp.
+    u = jnp.where(t <= times[0], 0.0, u)
+    u = jnp.where(n_keys <= 1, 0.0, u)
+    return idx, u
+
+
+def eval_vector_track(times, values, tan_in, tan_out, mode, n_keys, t):
+    """Evaluate one D-dim track at time t.
+
+    times (K,), values (K,D), tan_in/tan_out (K,D) (TCB tangents or Bezier
+    control points), mode scalar int, n_keys scalar int.
+    """
+    idx, u = _segment(times, t, n_keys)
+    last = jnp.maximum(n_keys - 1, 0)
+    i1 = jnp.minimum(idx + 1, last)
+    v0 = values[idx]
+    v1 = values[i1]
+    u2 = u * u
+    u3 = u2 * u
+
+    lin = v0 + (v1 - v0) * u
+
+    # Hermite basis (TCB): outgoing tangent of key idx, incoming of key idx+1.
+    h1 = 2 * u3 - 3 * u2 + 1
+    h2 = -2 * u3 + 3 * u2
+    h3 = u3 - 2 * u2 + u
+    h4 = u3 - u2
+    tcb = h1 * v0 + h2 * v1 + h3 * tan_out[idx] + h4 * tan_in[i1]
+
+    # Cubic Bezier: control points stored as tan_out[idx] (after v0) and
+    # tan_in[i1] (before v1).
+    iu = 1.0 - u
+    bez = (iu * iu * iu * v0 + 3 * iu * iu * u * tan_out[idx]
+           + 3 * iu * u2 * tan_in[i1] + u3 * v1)
+
+    return jnp.select([mode == INTERP_LINEAR, mode == INTERP_TCB], [lin, tcb],
+                      default=bez)
+
+
+def eval_quat_track(times, quats, n_keys, t):
+    """Slerp between adjacent quaternion keys (x,y,z,w). quats (K,4)."""
+    from ..math.vxmath import quat_slerp
+
+    idx, u = _segment(times, t, n_keys)
+    last = jnp.maximum(n_keys - 1, 0)
+    q0 = quats[idx]
+    q1 = quats[jnp.minimum(idx + 1, last)]
+    return quat_slerp(q0, q1, u)
+
+
+# Banked evaluation: vmap over the track axis.
+eval_vector_tracks = jax.vmap(eval_vector_track,
+                              in_axes=(0, 0, 0, 0, 0, 0, 0))
+eval_quat_tracks = jax.vmap(eval_quat_track, in_axes=(0, 0, 0, 0))
+
+
+def eval_morph(times, vertex_keys, normal_keys, n_keys, t):
+    """Morph controller: lerp full vertex/normal arrays between keys.
+
+    vertex_keys (K,V,3), normal_keys (K,V,3) (reference morph controller with
+    compressed normals, include/RCKKeyframeData.h morph section).
+    """
+    idx, u = _segment(times, t, n_keys)
+    last = jnp.maximum(n_keys - 1, 0)
+    i1 = jnp.minimum(idx + 1, last)
+    verts = vertex_keys[idx] * (1.0 - u) + vertex_keys[i1] * u
+    n = normal_keys[idx] * (1.0 - u) + normal_keys[i1] * u
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    return verts, n
+
+
+# ---------------------------------------------------------------------------
+# Host controllers
+# ---------------------------------------------------------------------------
+
+def tcb_tangents(times: np.ndarray, values: np.ndarray, tcb: np.ndarray):
+    """Kochanek-Bartels incoming/outgoing tangents.
+
+    tcb (K,3): per-key (tension, continuity, bias). Standard TCB formulas
+    (the reference computes these lazily in the TCB controllers,
+    src/CKKeyframeData.cpp)."""
+    k = times.shape[0]
+    tin = np.zeros_like(values)
+    tout = np.zeros_like(values)
+    if k < 2:
+        return tin, tout
+    for i in range(k):
+        t_, c, b = tcb[i]
+        p = values[i]
+        pm = values[i - 1] if i > 0 else values[i]
+        pp = values[i + 1] if i < k - 1 else values[i]
+        d0 = p - pm
+        d1 = pp - p
+        tin[i] = ((1 - t_) * (1 - c) * (1 + b) * 0.5) * d0 + \
+                 ((1 - t_) * (1 + c) * (1 - b) * 0.5) * d1
+        tout[i] = ((1 - t_) * (1 + c) * (1 + b) * 0.5) * d0 + \
+                  ((1 - t_) * (1 - c) * (1 - b) * 0.5) * d1
+        # Adjust for non-uniform key spacing.
+        if 0 < i < k - 1:
+            dt0 = times[i] - times[i - 1]
+            dt1 = times[i + 1] - times[i]
+            denom = dt0 + dt1
+            if denom > 1e-12:
+                tin[i] *= 2 * dt0 / denom
+                tout[i] *= 2 * dt1 / denom
+    return tin, tout
+
+
+class AnimController:
+    """Base controller: sorted (time, value) keys, lazy coefficient build.
+
+    API mirror of CKAnimController (AddKey/RemoveKey/Evaluate/GetKey/Compare,
+    reference include/RCKKeyframeData.h)."""
+
+    DIM = 3
+    MODE = INTERP_LINEAR
+
+    def __init__(self):
+        self.times = np.zeros(0, np.float32)
+        self.values = np.zeros((0, self.DIM), np.float32)
+        self._tcb = np.zeros((0, 3), np.float32)     # tension/continuity/bias
+        self._tan_in = None
+        self._tan_out = None
+
+    # -- key editing ------------------------------------------------------
+    def AddKey(self, time: float, value, tcb=(0.0, 0.0, 0.0)):
+        value = np.asarray(value, np.float32).reshape(self.DIM)
+        i = int(np.searchsorted(self.times, time))
+        if i < len(self.times) and abs(self.times[i] - time) < 1e-9:
+            self.values[i] = value
+            self._tcb[i] = tcb
+        else:
+            self.times = np.insert(self.times, i, np.float32(time))
+            self.values = np.insert(self.values, i, value, axis=0)
+            self._tcb = np.insert(self._tcb, i, np.asarray(tcb, np.float32), axis=0)
+        self._dirty()
+        return i
+
+    def RemoveKey(self, index: int):
+        self.times = np.delete(self.times, index)
+        self.values = np.delete(self.values, index, axis=0)
+        self._tcb = np.delete(self._tcb, index, axis=0)
+        self._dirty()
+
+    def GetKeyCount(self) -> int:
+        return int(self.times.shape[0])
+
+    def GetKey(self, index: int):
+        return float(self.times[index]), self.values[index].copy()
+
+    def GetLength(self) -> float:
+        return float(self.times[-1]) if len(self.times) else 0.0
+
+    def Clone(self):
+        c = type(self)()
+        c.times = self.times.copy()
+        c.values = self.values.copy()
+        c._tcb = self._tcb.copy()
+        return c
+
+    def Compare(self, other, threshold: float = 0.0) -> bool:
+        if self.GetKeyCount() != other.GetKeyCount():
+            return False
+        if not np.allclose(self.times, other.times, atol=1e-6):
+            return False
+        return bool(np.allclose(self.values, other.values, atol=max(threshold, 1e-6)))
+
+    def _dirty(self):
+        self._tan_in = None
+        self._tan_out = None
+
+    # -- coefficients -----------------------------------------------------
+    def _coeffs(self):
+        if self._tan_in is None:
+            if self.MODE == INTERP_TCB:
+                self._tan_in, self._tan_out = tcb_tangents(
+                    self.times, self.values, self._tcb)
+            elif self.MODE == INTERP_BEZIER:
+                # Default Bezier control points: 1/3 along catmull-rom tangents
+                # (overridable per key via SetControlPoints).
+                tin, tout = tcb_tangents(self.times, self.values,
+                                         np.zeros_like(self._tcb))
+                self._tan_out = self.values + tout / 3.0
+                self._tan_in = self.values - tin / 3.0
+            else:
+                self._tan_in = np.zeros_like(self.values)
+                self._tan_out = np.zeros_like(self.values)
+        return self._tan_in, self._tan_out
+
+    def SetControlPoints(self, index: int, cp_in, cp_out):
+        """Bezier: explicit control points around key `index`."""
+        self._coeffs()
+        self._tan_in[index] = np.asarray(cp_in, np.float32)
+        self._tan_out[index] = np.asarray(cp_out, np.float32)
+
+    # -- evaluation -------------------------------------------------------
+    def Evaluate(self, t: float) -> np.ndarray:
+        if self.GetKeyCount() == 0:
+            return np.zeros(self.DIM, np.float32)
+        tin, tout = self._coeffs()
+        out = eval_vector_track(
+            jnp.asarray(self.times), jnp.asarray(self.values),
+            jnp.asarray(tin), jnp.asarray(tout),
+            jnp.asarray(self.MODE, jnp.int32),
+            jnp.asarray(self.GetKeyCount(), jnp.int32),
+            jnp.asarray(t, jnp.float32))
+        return np.asarray(out)
+
+    # -- padded bank row --------------------------------------------------
+    def bank_row(self, pad_keys: int):
+        """(times, values, tan_in, tan_out, mode, n_keys) padded to pad_keys."""
+        tin, tout = self._coeffs()
+        k = self.GetKeyCount()
+
+        def pad(a, fill=0.0):
+            out = np.full((pad_keys,) + a.shape[1:], fill, np.float32)
+            out[:k] = a
+            return out
+
+        # Pad times with a huge increasing tail so searchsorted stays sane.
+        times = np.full(pad_keys, 3.0e38, np.float32)
+        times[:k] = self.times
+        return (times, pad(self.values), pad(tin), pad(tout),
+                np.int32(self.MODE), np.int32(k))
+
+
+class LinearPositionController(AnimController):
+    DIM, MODE = 3, INTERP_LINEAR
+
+
+class LinearScaleController(AnimController):
+    DIM, MODE = 3, INTERP_LINEAR
+
+
+class TCBPositionController(AnimController):
+    DIM, MODE = 3, INTERP_TCB
+
+
+class TCBScaleController(AnimController):
+    DIM, MODE = 3, INTERP_TCB
+
+
+class BezierPositionController(AnimController):
+    DIM, MODE = 3, INTERP_BEZIER
+
+
+class BezierScaleController(AnimController):
+    DIM, MODE = 3, INTERP_BEZIER
+
+
+class RotationController(AnimController):
+    """Linear rotation: slerp between quaternion keys (x,y,z,w)."""
+
+    DIM = 4
+    MODE = INTERP_LINEAR
+
+    def Evaluate(self, t: float) -> np.ndarray:
+        if self.GetKeyCount() == 0:
+            return np.array([0, 0, 0, 1], np.float32)
+        out = eval_quat_track(
+            jnp.asarray(self.times), jnp.asarray(self.values),
+            jnp.asarray(self.GetKeyCount(), jnp.int32),
+            jnp.asarray(t, jnp.float32))
+        return np.asarray(out)
+
+    def bank_row(self, pad_keys: int):
+        k = self.GetKeyCount()
+        times = np.full(pad_keys, 3.0e38, np.float32)
+        times[:k] = self.times
+        vals = np.zeros((pad_keys, 4), np.float32)
+        vals[:, 3] = 1.0
+        vals[:k] = self.values
+        return times, vals, np.int32(k)
+
+
+class TCBRotationController(RotationController):
+    """TCB rotation — evaluated as piecewise slerp (the hermite easing of the
+    reference's TCB quats reduces to slerp for zero tension/continuity/bias;
+    full squad easing TODO)."""
+    MODE = INTERP_TCB
+
+
+class LinearScaleAxisController(RotationController):
+    """Scale-axis (quaternion) controller."""
+
+
+class TCBScaleAxisController(RotationController):
+    MODE = INTERP_TCB
+
+
+class MorphController:
+    """Morph controller: keyed full vertex (+normal) arrays
+    (reference RCKKeyframeData morph evaluation)."""
+
+    def __init__(self, vertex_count: int):
+        self.vertex_count = int(vertex_count)
+        self.times = np.zeros(0, np.float32)
+        self.vertex_keys = np.zeros((0, vertex_count, 3), np.float32)
+        self.normal_keys = np.zeros((0, vertex_count, 3), np.float32)
+
+    def AddKey(self, time: float, vertices, normals=None):
+        vertices = np.asarray(vertices, np.float32).reshape(self.vertex_count, 3)
+        if normals is None:
+            normals = np.zeros_like(vertices)
+        i = int(np.searchsorted(self.times, time))
+        self.times = np.insert(self.times, i, np.float32(time))
+        self.vertex_keys = np.insert(self.vertex_keys, i, vertices, axis=0)
+        self.normal_keys = np.insert(
+            self.normal_keys, i, np.asarray(normals, np.float32), axis=0)
+        return i
+
+    def GetKeyCount(self) -> int:
+        return int(self.times.shape[0])
+
+    def Evaluate(self, t: float):
+        if self.GetKeyCount() == 0:
+            return None, None
+        v, n = eval_morph(
+            jnp.asarray(self.times), jnp.asarray(self.vertex_keys),
+            jnp.asarray(self.normal_keys),
+            jnp.asarray(self.GetKeyCount(), jnp.int32),
+            jnp.asarray(t, jnp.float32))
+        return np.asarray(v), np.asarray(n)

@@ -60,6 +60,8 @@ class CompiledScene:
         self.levels: tuple = ()
         self.n_entities = 0
         self.entity_rows = np.zeros(0, np.int32)  # scene entity -> table row
+        # Static cap on triangles taking the ordered (sequential) raster path.
+        self.ordered_cap = 0
 
 
 class VxStats:
@@ -314,6 +316,24 @@ class CKRenderContext(CKObject):
         valid = np.zeros(it_pad, bool)
         valid[:it] = True
         c.tri_valid = valid
+
+        # Static ordered-path cap: triangles of materials that cannot take the
+        # deferred opaque reduce (mirror of raster/deferred.deferred_mask).
+        from ..raster.types import VXCMP
+
+        def needs_ordered(mat: CKMaterial | None) -> bool:
+            if mat is None:
+                return False
+            return (mat.AlphaBlendEnabled() or mat.AlphaTestEnabled()
+                    or not mat.ZWriteEnabled()
+                    or mat.z_func not in (int(VXCMP.LESS), int(VXCMP.LESSEQUAL)))
+
+        ordered_buckets = {i for i, m in enumerate(c.materials) if needs_ordered(m)}
+        if ordered_buckets and it:
+            n_ordered = int(np.isin(c.tri_state[:it], list(ordered_buckets)).sum())
+        else:
+            n_ordered = 0
+        c.ordered_cap = 0 if n_ordered == 0 else _pad_to(n_ordered, 64)
         self._compiled = c
 
         # Texture stack (padded plane layout; rebuilt on topology change only).
@@ -459,7 +479,8 @@ class CKRenderContext(CKObject):
             self._compile()
         scene = self._build_scene_device()
         self.fb, self.zb = fr.render_frame(
-            scene, self._compiled.levels, self.height, self.width)
+            scene, self._compiled.levels, self.height, self.width,
+            ordered_cap=self._compiled.ordered_cap)
         for kind, fct, arg, _t in self.post_render_callbacks:
             fct(self, arg)
         # stats + FPS EMA over >=1s windows (reference :898-908)

@@ -145,7 +145,8 @@ class CKMaterial(CKObject):
 
     def SetZFunc(self, func: int):
         self.z_func = int(func)
-        self.context._bump_dynamic()
+        # Changes deferred-vs-ordered classification -> recompile scene.
+        self.context._bump_topology()
 
     def GetZFunc(self) -> int:
         return self.z_func

@@ -33,12 +33,14 @@ def replicate_scene(scene: SceneDevice, n: int) -> SceneDevice:
         lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), scene)
 
 
-@functools.partial(jax.jit, static_argnames=("levels", "height", "width", "chunk"))
+@functools.partial(jax.jit, static_argnames=("levels", "height", "width",
+                                             "ordered_cap", "chunk"))
 def render_frames_batched(scenes: SceneDevice, levels: tuple, height: int,
-                          width: int, chunk: int = 1):
+                          width: int, ordered_cap: int | None = None,
+                          chunk: int = 64):
     """(B,...) SceneDevice -> (B,4,H,W) fb, (B,H,W) zb."""
     fn = functools.partial(render_frame_impl, levels=levels, height=height,
-                           width=width, chunk=chunk)
+                           width=width, ordered_cap=ordered_cap, chunk=chunk)
     return jax.vmap(fn)(scenes)
 
 
@@ -57,7 +59,8 @@ def shard_scenes(scenes: SceneDevice, mesh: Mesh) -> SceneDevice:
 
 
 def render_frames_sharded(scenes: SceneDevice, mesh: Mesh, levels: tuple,
-                          height: int, width: int, chunk: int = 1):
+                          height: int, width: int, ordered_cap: int | None = None,
+                          chunk: int = 64):
     """Jit the batched frame program with the ctx axis sharded over the mesh.
 
     Output framebuffers inherit the ctx sharding (each chip holds its own
@@ -67,6 +70,6 @@ def render_frames_sharded(scenes: SceneDevice, mesh: Mesh, levels: tuple,
     scenes = shard_scenes(scenes, mesh)
     out_spec = NamedSharding(mesh, P("ctx"))
     fn = functools.partial(render_frames_batched, levels=levels, height=height,
-                           width=width, chunk=chunk)
+                           width=width, ordered_cap=ordered_cap, chunk=chunk)
     fn = jax.jit(fn, out_shardings=(out_spec, out_spec))
     return fn(scenes)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..math import vxmath as vx
+from ..raster import deferred as df
 from ..raster import jax_backend as rb
 from ..raster.types import NUM_SF, NUM_SI, SI_ALPHABLEND, SI_ZWRITE
 from ..scene.entity_table import compose_world
@@ -136,7 +137,11 @@ def transform_and_light(scene: SceneDevice, levels: tuple):
 
 
 def assemble_triangles(scene: SceneDevice, clip, color, spec, fog):
-    """Triangle stage: gather per-corner attrs, cull, order. Returns DeviceBatch."""
+    """Triangle stage: gather per-corner attrs + cull. Returns the FULL
+    DeviceBatch in stream (priority) order — no permutation: the deferred
+    opaque reduce is order-independent (later draw index wins exact-depth
+    ties), and the ordered remainder is compacted separately by
+    :func:`ordered_subset`."""
     i0, i1, i2 = scene.tri_idx[:, 0], scene.tri_idx[:, 1], scene.tri_idx[:, 2]
 
     flags = vx.clip_flags(clip)
@@ -163,71 +168,105 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog):
     def g3(a):
         return jnp.stack([a[i0], a[i1], a[i2]], axis=1)
 
-    xyw = g3(xyw_v)                                              # (IT,3,3)
-    zt = g3(z)                                                   # (IT,3)
-    colort = g3(color)
-    spect = g3(spec)
-    uvt = g3(jnp.take(scene.uv, scene.src_idx, axis=0))
-    fogt = g3(fog)
+    return rb.DeviceBatch(
+        xyw=g3(xyw_v), z=g3(z), color=g3(color), specular=g3(spec),
+        uv=g3(jnp.take(scene.uv, scene.src_idx, axis=0)), fog=g3(fog),
+        state_idx=scene.tri_state, valid=valid,
+    )
 
-    # --- ordering: opaque (stream order = priority order) then transparent
-    # back-to-front by mean projected depth -----------------------------------
-    it = scene.tri_idx.shape[0]
-    transparent = jnp.take(scene.state_i[:, SI_ALPHABLEND], scene.tri_state) != 0
-    safe_w = jnp.where(jnp.abs(g3(w)) < 1e-12, 1e-12, g3(w))
-    zw = zt / safe_w                                             # (IT,3) depth
-    depth_mean = jnp.mean(zw, axis=1)
+
+def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
+                   transparent: jnp.ndarray, ordered_cap: int) -> rb.DeviceBatch:
+    """Compact the non-deferred triangles into a (static) ordered_cap-sized
+    stream: cutouts/z-overrides first in stream (priority) order, then
+    transparent back-to-front by mean projected depth — the device analogue
+    of CKSceneGraphRootNode::SortTransparentObjects
+    (/root/reference/src/CKSceneGraph.cpp:618-752).
+
+    ``transparent``: (IT,) bool, true alpha-blend triangles (need depth sort).
+    """
+    it = batch.valid.shape[0]
+    ordered = batch.valid & jnp.logical_not(defer_tri)
+    safe_w = jnp.where(jnp.abs(batch.xyw[..., 2]) < 1e-12, 1e-12, batch.xyw[..., 2])
+    depth_mean = jnp.mean(batch.z / safe_w, axis=1)
 
     arange = jnp.arange(it, dtype=jnp.int32)
     big = jnp.float32(3.0e38)
-    o_key = jnp.where(valid & ~transparent, arange.astype(jnp.float32), big)
+    o_key = jnp.where(ordered & ~transparent, arange.astype(jnp.float32), big)
     o_perm = jnp.argsort(o_key, stable=True).astype(jnp.int32)
-    t_key = jnp.where(valid & transparent, -depth_mean, big)     # far first
+    t_key = jnp.where(ordered & transparent, -depth_mean, big)   # far first
     t_perm = jnp.argsort(t_key, stable=True).astype(jnp.int32)
-    n_opaque = jnp.sum((valid & ~transparent).astype(jnp.int32))
-    slot = arange
-    t_slot = jnp.clip(slot - n_opaque, 0, it - 1)
-    perm = jnp.where(slot < n_opaque, o_perm[slot], t_perm[t_slot])
-    # Slots past (n_opaque + n_transparent) pick up invalid triangles from
-    # t_perm's tail; their valid=False masks them in the raster stage.
+    n_first = jnp.sum((ordered & ~transparent).astype(jnp.int32))
+    slot = jnp.arange(ordered_cap, dtype=jnp.int32)
+    t_slot = jnp.clip(slot - n_first, 0, it - 1)
+    perm = jnp.where(slot < n_first, o_perm[jnp.clip(slot, 0, it - 1)], t_perm[t_slot])
+    n_total = jnp.sum(ordered.astype(jnp.int32))
+    sel_valid = (slot < n_total) & jnp.take(ordered, perm, axis=0)
 
     def take(a):
         return jnp.take(a, perm, axis=0)
 
     return rb.DeviceBatch(
-        xyw=take(xyw), z=take(zt), color=take(colort), specular=take(spect),
-        uv=take(uvt), fog=take(fogt), state_idx=take(scene.tri_state),
-        valid=take(valid),
+        xyw=take(batch.xyw), z=take(batch.z), color=take(batch.color),
+        specular=take(batch.specular), uv=take(batch.uv), fog=take(batch.fog),
+        state_idx=take(batch.state_idx), valid=sel_valid,
     )
 
 
 def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int,
-                      chunk: int = 1):
-    """Full frame: clear -> vertex stage -> assemble -> rasterize.
+                      ordered_cap: int | None = None, chunk: int = 64):
+    """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
     Equivalent of RCKRenderContext::Render's device work
     (/root/reference/src/CKRenderContext.cpp:767-930) as a single XLA program.
     Unjitted implementation — vmap/pjit-composable (the many-context batch
     axis of parallel/context_batch.py maps over this).
+
+    ``ordered_cap``: static upper bound on triangles needing the ordered
+    (sequential) path — transparent / alpha-test / z-override materials.
+    None = all triangles ordered (conservative; slow). 0 = skip entirely.
+    ``chunk``: triangle-chunk size of the deferred depth reduce.
+
     Returns (fb (4,H,W) f32, zb (H,W) f32).
     """
-    fb = jnp.broadcast_to(scene.clear_color[:, None, None].astype(jnp.float32),
-                          (4, height, width))
-    zb = jnp.full((height, width), scene.clear_z, jnp.float32)
+    clear_fb = jnp.broadcast_to(scene.clear_color[:, None, None].astype(jnp.float32),
+                                (4, height, width))
 
     clip, color, spec, fog, _world = transform_and_light(scene, levels)
     batch = assemble_triangles(scene, clip, color, spec, fog)
 
-    fb, zb = rb.render_pass(
-        fb, zb, batch, scene.state_i, scene.state_f,
-        scene.tex_planes, scene.tex_hw, scene.fog_color, scene.viewport,
-        chunk=chunk,
-    )
+    defer_bucket = df.deferred_mask(scene.state_i)               # (S,)
+    defer_tri = jnp.take(defer_bucket, batch.state_idx) & batch.valid
+    transparent = jnp.take(scene.state_i[:, SI_ALPHABLEND], batch.state_idx) != 0
+
+    # --- deferred opaque: depth argmin reduce + one shade per pixel --------
+    setup = df.triangle_setup(batch.xyw, batch.z, batch.state_idx, batch.valid,
+                              scene.state_i)
+    best_id, best_depth = df.depth_reduce(
+        setup, defer_tri, scene.clear_z, scene.viewport, height, width,
+        chunk=chunk)
+    fb = df.shade_deferred(
+        best_id, batch.xyw, batch.z, batch.color, batch.specular, batch.uv,
+        batch.fog, batch.state_idx, scene.state_i, scene.state_f,
+        scene.tex_planes, scene.tex_hw, scene.fog_color, clear_fb,
+        height, width)
+    zb = best_depth
+
+    # --- ordered remainder: cutouts, z-overrides, transparent (sorted) -----
+    if ordered_cap is None:
+        ordered_cap = batch.valid.shape[0]
+    if ordered_cap > 0:
+        obatch = ordered_subset(batch, defer_tri, transparent, ordered_cap)
+        fb, zb = rb.render_pass(
+            fb, zb, obatch, scene.state_i, scene.state_f,
+            scene.tex_planes, scene.tex_hw, scene.fog_color, scene.viewport,
+            chunk=1,
+        )
     return fb, zb
 
 
 render_frame = functools.partial(
-    jax.jit, static_argnames=("levels", "height", "width", "chunk")
+    jax.jit, static_argnames=("levels", "height", "width", "ordered_cap", "chunk")
 )(render_frame_impl)
 
 

@@ -1,0 +1,327 @@
+"""Deferred opaque rasterization: depth argmin-reduce + one shade per pixel.
+
+The reference's hot loop is sequential per-triangle DrawPrimitive into a
+z-buffered framebuffer (CKDX9RasterizerContext::DrawPrimitive,
+/root/reference/src/CKRasterizer/CKDX9Rasterizer/CKDX9RasterizerContext.cpp:
+1555-1648). For OPAQUE triangles with default depth semantics (LESSEQUAL +
+z-write, no blending/alpha-test — the InitDefaultRenderStatesValue defaults,
+CKRasterizerLib/CKRasterizerContext.cpp:423-477), the final image is
+order-independent except for exact-depth ties, where the LATER draw wins.
+That makes the whole opaque pass a pure reduction:
+
+    winner(px) = argmin over triangles of (depth(px), -draw_index)
+
+Edge functions and the depth plane are affine in screen space, so each
+triangle-chunk evaluation is a fused multiply-add sweep over the pixel grid
+(VPU-wide, MXU-mappable), and the reduction scans triangle chunks with an
+(H,W) carry — no per-triangle sequential framebuffer dependency. Shading
+(texture/fog/specular) then runs ONCE per pixel on the winning triangle
+(deferred shading), instead of once per covered pixel per triangle.
+
+Triangles whose state needs order (alpha blend, alpha test, z-func override,
+no z-write) are excluded here and take the ordered path (jax_backend.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .types import (
+    NUM_SF, NUM_SI, SF_ALPHAREF, SF_BORDER_R,
+    SI_ALPHABLEND, SI_ALPHAFUNC, SI_ALPHATEST, SI_CULL, SI_DSTBLEND, SI_FOG,
+    SI_PERSPECTIVE, SI_SRCBLEND, SI_TEX, SI_TEXADDR, SI_TEXBLEND,
+    SI_TEXFILTER, SI_ZFUNC, SI_ZWRITE, VXBLEND, VXCMP, VXCULL, VXTEXTUREBLEND,
+    VXTEXTURE_ADDRESS, VXTEXTURE_FILTER,
+)
+
+
+def deferred_mask(state_i: jnp.ndarray) -> jnp.ndarray:
+    """Per-state-bucket: eligible for the order-independent opaque reduce."""
+    return (
+        (state_i[:, SI_ALPHABLEND] == 0)
+        & (state_i[:, SI_ALPHATEST] == 0)
+        & (state_i[:, SI_ZWRITE] != 0)
+        & ((state_i[:, SI_ZFUNC] == VXCMP.LESSEQUAL)
+           | (state_i[:, SI_ZFUNC] == VXCMP.LESS))
+    )
+
+
+def triangle_setup(xyw, z, state_idx, valid, state_i):
+    """Per-triangle setup: adjoint edge coeffs, depth plane, cull, flags.
+
+    xyw: (T,3,3) screen-homogeneous verts; z: (T,3) clip z.
+    Returns dict of (T,...) arrays.
+    """
+    v0, v1, v2 = xyw[:, 0], xyw[:, 1], xyw[:, 2]
+    adj0 = jnp.cross(v1, v2)          # (T,3): coeffs [a_x, a_y, c]
+    adj1 = jnp.cross(v2, v0)
+    adj2 = jnp.cross(v0, v1)
+    det = jnp.sum(v0 * adj0, axis=-1)                 # (T,)
+    s = jnp.where(det >= 0, 1.0, -1.0)
+    degenerate = jnp.abs(det) < 1e-14
+
+    cull = state_i[state_idx, SI_CULL]
+    front = det > 0
+    keep = ((cull == VXCULL.NONE)
+            | ((cull == VXCULL.CCW) & front)
+            | ((cull == VXCULL.CW) & ~front))
+
+    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
+    # depth(p) = sum_j e_j(p) * z_j / det  — affine plane in (x, y, 1).
+    zplane = (adj0 * z[:, 0:1] + adj1 * z[:, 1:2] + adj2 * z[:, 2:3]) * inv_det[:, None]
+    # esum(p) = det / w(p) — also affine; its sign (vs s) rejects behind-eye px.
+    esum_plane = adj0 + adj1 + adj2
+
+    # Signed edge coeffs and top-left flags (fill convention of the oracle).
+    e_coef = jnp.stack([adj0, adj1, adj2], axis=1) * s[:, None, None]   # (T,3,3)
+    a = e_coef[..., 0]
+    b = e_coef[..., 1]
+    top_left = (b > 0) | ((b == 0) & (a > 0))          # (T,3)
+
+    tvalid = valid & ~degenerate & keep
+    return dict(e_coef=e_coef, top_left=top_left, zplane=zplane,
+                esum_plane=esum_plane, s=s, det=det, inv_det=inv_det,
+                valid=tvalid)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "chunk"))
+def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
+                 chunk: int = 64):
+    """Argmin-reduce over deferred triangles.
+
+    Returns (best_id (H,W) int32 [-1 = background], best_depth (H,W) f32).
+    """
+    py, px = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(width, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    scissor = (
+        (px >= viewport[0]) & (px < viewport[0] + viewport[2])
+        & (py >= viewport[1]) & (py < viewport[1] + viewport[3])
+    )
+
+    t = setup["e_coef"].shape[0]
+    nchunks = (t + chunk - 1) // chunk
+    pad = nchunks * chunk - t
+
+    def prep(a, fill=0):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+        return a.reshape((nchunks, chunk) + a.shape[1:])
+
+    e_coef = prep(setup["e_coef"])
+    top_left = prep(setup["top_left"])
+    zplane = prep(setup["zplane"])
+    esum_plane = prep(setup["esum_plane"])
+    s_sign = prep(setup["s"])
+    tvalid = prep(setup["valid"] & defer_tri, False)
+    tri_ids = prep(jnp.arange(t, dtype=jnp.int32), -1)
+
+    init_depth = jnp.broadcast_to(jnp.asarray(clear_z, jnp.float32), (height, width))
+    init_id = jnp.full((height, width), -1, jnp.int32)
+
+    big = jnp.float32(3.0e38)
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        ec, tl, zp, ep, ss, tv, ids = xs       # leading dim = chunk C
+
+        def plane(coef):                       # coef (C,3) -> (C,H,W)
+            return (coef[:, 0, None, None] * px + coef[:, 1, None, None] * py
+                    + coef[:, 2, None, None])
+
+        e0 = plane(ec[:, 0])
+        e1 = plane(ec[:, 1])
+        e2 = plane(ec[:, 2])
+        cov = (
+            ((e0 > 0) | ((e0 == 0) & tl[:, 0, None, None]))
+            & ((e1 > 0) | ((e1 == 0) & tl[:, 1, None, None]))
+            & ((e2 > 0) | ((e2 == 0) & tl[:, 2, None, None]))
+        )
+        esum = plane(ep) * ss[:, None, None]
+        depth = plane(zp)
+        cov &= ((esum > 0) & (depth >= 0.0) & (depth <= 1.0)
+                & tv[:, None, None] & scissor[None])
+        dm = jnp.where(cov, depth, big)
+        # Within-chunk argmin; exact-depth ties -> later draw id wins.
+        dmin = jnp.min(dm, axis=0)                                  # (H,W)
+        idwin = jnp.max(jnp.where(dm == dmin[None], ids[:, None, None], -1), axis=0)
+        # Merge with carry (LESSEQUAL semantics: equal depth -> later wins).
+        better = (idwin >= 0) & ((dmin < best_d) | ((dmin == best_d) & (idwin > best_i)))
+        best_d = jnp.where(better, dmin, best_d)
+        best_i = jnp.where(better, idwin, best_i)
+        return (best_d, best_i), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        body, (init_depth, init_id),
+        (e_coef, top_left, zplane, esum_plane, s_sign, tvalid, tri_ids))
+    return best_i, best_d
+
+
+def _address_pp(coord, fsize, mode):
+    """Per-pixel texel addressing (mode is a per-pixel int array)."""
+    wrap = jnp.mod(coord, fsize)
+    period = jnp.mod(coord, 2.0 * fsize)
+    mirror = jnp.where(period < fsize, period, 2.0 * fsize - 1e-4 - period)
+    mirror_once = jnp.clip(jnp.abs(coord), 0.0, fsize - 1e-4)
+    clamp = jnp.clip(coord, 0.0, fsize - 1e-4)
+    return jnp.select(
+        [mode == VXTEXTURE_ADDRESS.WRAP, mode == VXTEXTURE_ADDRESS.MIRROR,
+         mode == VXTEXTURE_ADDRESS.MIRRORONCE],
+        [wrap, mirror, mirror_once], default=clamp)
+
+
+def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba):
+    """Per-pixel texture sampling with per-pixel texture ids.
+
+    tex_planes (NT,4,TH,TW); tid/u/v/mode/filt: (H,W) arrays.
+    Returns 4 (H,W) planes.
+    """
+    nt, _, th, tw = tex_planes.shape
+    flat = tex_planes.transpose(0, 2, 3, 1).reshape(nt * th * tw, 4)
+    tid_c = jnp.clip(tid, 0, nt - 1)
+    h = tex_hw[tid_c, 0].astype(jnp.float32)
+    w = tex_hw[tid_c, 1].astype(jnp.float32)
+    tu = u * w
+    tv = v * h
+    border = mode == VXTEXTURE_ADDRESS.BORDER
+    oob = (tu < 0) | (tu >= w) | (tv < 0) | (tv >= h)
+
+    def fetch(cu, cv):
+        iu = jnp.clip(_address_pp(cu, w, mode), 0, w - 1).astype(jnp.int32)
+        iv = jnp.clip(_address_pp(cv, h, mode), 0, h - 1).astype(jnp.int32)
+        idx = tid_c * (th * tw) + iv * tw + iu
+        texel = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (4,))
+        return [texel[..., c] for c in range(4)]
+
+    linear = (
+        (filt == VXTEXTURE_FILTER.LINEAR)
+        | (filt == VXTEXTURE_FILTER.LINEARMIPNEAREST)
+        | (filt == VXTEXTURE_FILTER.LINEARMIPLINEAR)
+        | (filt == VXTEXTURE_FILTER.ANISOTROPIC)
+    )
+    near = fetch(tu, tv)
+    fu = tu - 0.5
+    fv = tv - 0.5
+    u0 = jnp.floor(fu)
+    v0 = jnp.floor(fv)
+    du = fu - u0
+    dv = fv - v0
+    c00 = fetch(u0, v0)
+    c10 = fetch(u0 + 1.0, v0)
+    c01 = fetch(u0, v0 + 1.0)
+    c11 = fetch(u0 + 1.0, v0 + 1.0)
+    lin = [c00[c] * (1 - du) * (1 - dv) + c10[c] * du * (1 - dv)
+           + c01[c] * (1 - du) * dv + c11[c] * du * dv for c in range(4)]
+    out = [jnp.where(linear, lin[c], near[c]) for c in range(4)]
+    out = [jnp.where(border & oob, border_rgba[c], out[c]) for c in range(4)]
+    return out
+
+
+def tex_blend_pp(mode, tex, diff):
+    """Per-pixel texture-stage blend; mode (H,W) int; tex/diff lists of planes."""
+    tr, ta = tex[:3], tex[3]
+    dr, da = diff[:3], diff[3]
+    dot = ((tr[0] - 0.5) * (dr[0] - 0.5) + (tr[1] - 0.5) * (dr[1] - 0.5)
+           + (tr[2] - 0.5) * (dr[2] - 0.5)) * 4.0
+    out = []
+    for c in range(3):
+        out.append(jnp.select(
+            [(mode == VXTEXTUREBLEND.DECAL) | (mode == VXTEXTUREBLEND.COPY)
+             | (mode == VXTEXTUREBLEND.DECALMASK),
+             (mode == VXTEXTUREBLEND.MODULATE) | (mode == VXTEXTUREBLEND.MODULATEALPHA)
+             | (mode == VXTEXTUREBLEND.MODULATEMASK),
+             mode == VXTEXTUREBLEND.DECALALPHA,
+             mode == VXTEXTUREBLEND.ADD,
+             mode == VXTEXTUREBLEND.DOTPRODUCT3,
+             mode == VXTEXTUREBLEND.MAX],
+            [tr[c], tr[c] * dr[c], dr[c] * (1 - ta) + tr[c] * ta, dr[c] + tr[c],
+             dot, jnp.maximum(tr[c], dr[c])],
+            default=dr[c]))
+    alpha = jnp.select(
+        [(mode == VXTEXTUREBLEND.DECAL) | (mode == VXTEXTUREBLEND.COPY)
+         | (mode == VXTEXTUREBLEND.DECALMASK),
+         (mode == VXTEXTUREBLEND.MODULATE) | (mode == VXTEXTUREBLEND.MODULATEALPHA)
+         | (mode == VXTEXTUREBLEND.MODULATEMASK)],
+        [ta, ta * da], default=da)
+    out.append(alpha)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
+                   batch_uv, batch_fog, batch_state, state_i, state_f,
+                   tex_planes, tex_hw, fog_color, clear_fb,
+                   height: int, width: int):
+    """One shading evaluation per pixel on the winning triangle.
+
+    Returns (4,H,W) fb planes (background pixels keep clear_fb).
+    """
+    py, px = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(width, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    hit = best_id >= 0
+    tid = jnp.clip(best_id, 0, batch_xyw.shape[0] - 1)
+
+    # Gather winner attributes per pixel.
+    xyw = jnp.take(batch_xyw, tid, axis=0)       # (H,W,3,3)
+    v0, v1, v2 = xyw[..., 0, :], xyw[..., 1, :], xyw[..., 2, :]
+    adj0 = jnp.cross(v1, v2)
+    adj1 = jnp.cross(v2, v0)
+    adj2 = jnp.cross(v0, v1)
+    det = jnp.sum(v0 * adj0, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+
+    p1 = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)   # (H,W,3)
+    e0 = jnp.sum(adj0 * p1, -1)
+    e1 = jnp.sum(adj1 * p1, -1)
+    e2 = jnp.sum(adj2 * p1, -1)
+    esum = e0 + e1 + e2
+
+    si_all = jnp.take(state_i, jnp.take(batch_state, tid, axis=0), axis=0)  # (H,W,NUM_SI)
+    sf_all = jnp.take(state_f, jnp.take(batch_state, tid, axis=0), axis=0)
+
+    persp = si_all[..., SI_PERSPECTIVE] != 0
+    inv_esum = 1.0 / jnp.where(jnp.abs(esum) < 1e-30, 1e-30, esum)
+    ws = xyw[..., 2]                                       # (H,W,3) vertex w
+    w0 = jnp.where(persp, e0 * inv_esum, e0 * ws[..., 0] * inv_det)
+    w1 = jnp.where(persp, e1 * inv_esum, e1 * ws[..., 1] * inv_det)
+    w2 = jnp.where(persp, e2 * inv_esum, e2 * ws[..., 2] * inv_det)
+
+    def interp3(attr):                                     # attr (T,3,K)
+        a = jnp.take(attr, tid, axis=0)                    # (H,W,3,K)
+        return (w0[..., None] * a[..., 0, :] + w1[..., None] * a[..., 1, :]
+                + w2[..., None] * a[..., 2, :])
+
+    color = interp3(batch_color)                           # (H,W,4)
+    colorp = [color[..., c] for c in range(4)]
+
+    has_tex = si_all[..., SI_TEX] >= 0
+    uvi = interp3(batch_uv)                                # (H,W,2)
+    border = [sf_all[..., SF_BORDER_R + c] for c in range(4)]
+    texel = sample_texture_pp(
+        tex_planes, tex_hw, si_all[..., SI_TEX], uvi[..., 0], uvi[..., 1],
+        si_all[..., SI_TEXADDR], si_all[..., SI_TEXFILTER], border)
+    blended = tex_blend_pp(si_all[..., SI_TEXBLEND], texel, colorp)
+    colorp = [jnp.where(has_tex, blended[c], colorp[c]) for c in range(4)]
+
+    spec = interp3(batch_spec)                             # (H,W,3)
+    for c in range(3):
+        colorp[c] = colorp[c] + spec[..., c]
+
+    fog_on = si_all[..., SI_FOG] != 0
+    fogf = jnp.clip(interp3(batch_fog[..., None])[..., 0], 0.0, 1.0)
+    for c in range(3):
+        colorp[c] = jnp.where(fog_on, colorp[c] * fogf + fog_color[c] * (1.0 - fogf),
+                              colorp[c])
+    colorp = [jnp.clip(c, 0.0, 1.0) for c in colorp]
+
+    fb = jnp.stack([jnp.where(hit, colorp[c], clear_fb[c]) for c in range(4)])
+    return fb
