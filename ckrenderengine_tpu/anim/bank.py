@@ -1,0 +1,179 @@
+"""Device animation bank: every PRS track of an animation evaluated in one call.
+
+The reference evaluates controllers per entity per tick on the CPU
+(RCKObjectAnimation::SetStep, /root/reference/src/CKObjectAnimation.cpp:
+1674-1759: Evaluate{Position,Rotation,Scale,ScaleAxis} then rebuild the local
+matrix, then LocalMatrixChanged recursion). TPU inversion: all tracks of all
+animated entities are padded into one bank, a single vmapped evaluation
+produces every local matrix, and one scatter updates the entity table — the
+result feeds compose_world inside the SAME jitted frame program (animate ->
+compose -> skin -> render, no host round trip).
+
+Missing tracks fall back to the entity's base PRS decomposition, mirroring
+the reference's "decompose to fill missing parts" (:1716-1752).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..math import vxmath as vx
+from .keyframe import eval_quat_track, eval_vector_track
+
+
+class AnimBank(NamedTuple):
+    """A = animated entities, K = padded key count."""
+
+    entity_row: jnp.ndarray   # (A,) int32 target entity-table rows
+    # position track
+    pos_times: jnp.ndarray    # (A,K)
+    pos_values: jnp.ndarray   # (A,K,3)
+    pos_tin: jnp.ndarray      # (A,K,3)
+    pos_tout: jnp.ndarray     # (A,K,3)
+    pos_mode: jnp.ndarray     # (A,) int32
+    pos_n: jnp.ndarray        # (A,) int32 (0 = no track)
+    # rotation track (slerp)
+    rot_times: jnp.ndarray    # (A,K)
+    rot_quats: jnp.ndarray    # (A,K,4)
+    rot_n: jnp.ndarray        # (A,) int32
+    # scale track
+    scl_times: jnp.ndarray
+    scl_values: jnp.ndarray
+    scl_tin: jnp.ndarray
+    scl_tout: jnp.ndarray
+    scl_mode: jnp.ndarray
+    scl_n: jnp.ndarray
+    # base PRS fallback (decomposed entity local at bank build)
+    base_pos: jnp.ndarray     # (A,3)
+    base_rot: jnp.ndarray     # (A,4)
+    base_scl: jnp.ndarray     # (A,3)
+
+
+def evaluate_bank_prs(bank: AnimBank, t: jnp.ndarray):
+    """Evaluate every track at time t -> (pos (A,3), rot (A,4), scl (A,3))."""
+    a = bank.entity_row.shape[0]
+    tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (a,))
+    pos = jax.vmap(eval_vector_track)(
+        bank.pos_times, bank.pos_values, bank.pos_tin, bank.pos_tout,
+        bank.pos_mode, bank.pos_n, tt)
+    rot = jax.vmap(eval_quat_track)(bank.rot_times, bank.rot_quats, bank.rot_n, tt)
+    scl = jax.vmap(eval_vector_track)(
+        bank.scl_times, bank.scl_values, bank.scl_tin, bank.scl_tout,
+        bank.scl_mode, bank.scl_n, tt)
+    pos = jnp.where((bank.pos_n > 0)[:, None], pos, bank.base_pos)
+    rot = jnp.where((bank.rot_n > 0)[:, None], rot, bank.base_rot)
+    scl = jnp.where((bank.scl_n > 0)[:, None], scl, bank.base_scl)
+    return pos, rot, scl
+
+
+def blend_prs(p0, r0, s0, p1, r1, s1, factor):
+    """Blend two PRS sets (warper/merged-animation blending,
+    reference RCKObjectAnimation merged evaluation + CKCharacter warps)."""
+    f = jnp.asarray(factor, jnp.float32)
+    pos = p0 * (1.0 - f) + p1 * f
+    scl = s0 * (1.0 - f) + s1 * f
+    rot = jax.vmap(lambda a, b: vx.quat_slerp(a, b, f))(r0, r1)
+    return pos, rot, scl
+
+
+def prs_to_locals(pos, rot, scl):
+    """(A,3),(A,4),(A,3) -> (A,4,4) local matrices."""
+    return jax.vmap(vx.compose_prs)(pos, rot, scl)
+
+
+def apply_bank(local: jnp.ndarray, bank: AnimBank, t) -> jnp.ndarray:
+    """Evaluate at time t and scatter the (A,4,4) locals into (N,4,4)."""
+    pos, rot, scl = evaluate_bank_prs(bank, t)
+    mats = prs_to_locals(pos, rot, scl)
+    return local.at[bank.entity_row].set(mats, mode="drop")
+
+
+def apply_bank_blended(local: jnp.ndarray, bank_a: AnimBank, t_a,
+                       bank_b: AnimBank, t_b, factor) -> jnp.ndarray:
+    """Two-animation blend (transition warp): banks must target the same
+    entity_row layout (built from the same character)."""
+    p0, r0, s0 = evaluate_bank_prs(bank_a, t_a)
+    p1, r1, s1 = evaluate_bank_prs(bank_b, t_b)
+    pos, rot, scl = blend_prs(p0, r0, s0, p1, r1, s1, factor)
+    mats = prs_to_locals(pos, rot, scl)
+    return local.at[bank_a.entity_row].set(mats, mode="drop")
+
+
+def build_anim_bank(object_anims: list, entity_rows: list[int],
+                    pad_keys: int | None = None) -> AnimBank | None:
+    """Host: pack CKObjectAnimation controllers into an AnimBank.
+
+    object_anims[i] animates entity_rows[i]. Returns None when empty.
+    """
+    if not object_anims:
+        return None
+    a = len(object_anims)
+    kmax = 1
+    for oa in object_anims:
+        for c in (oa.position_controller, oa.rotation_controller,
+                  oa.scale_controller):
+            if c is not None:
+                kmax = max(kmax, c.GetKeyCount())
+    k = pad_keys or max(2, kmax)
+
+    def z(shape, fill=0.0):
+        return np.full(shape, fill, np.float32)
+
+    pos_times = z((a, k), 3.0e38)
+    pos_values = z((a, k, 3))
+    pos_tin = z((a, k, 3))
+    pos_tout = z((a, k, 3))
+    pos_mode = np.zeros(a, np.int32)
+    pos_n = np.zeros(a, np.int32)
+    rot_times = z((a, k), 3.0e38)
+    rot_quats = z((a, k, 4))
+    rot_quats[..., 3] = 1.0
+    rot_n = np.zeros(a, np.int32)
+    scl_times = z((a, k), 3.0e38)
+    scl_values = z((a, k, 3), 1.0)
+    scl_tin = z((a, k, 3))
+    scl_tout = z((a, k, 3))
+    scl_mode = np.zeros(a, np.int32)
+    scl_n = np.zeros(a, np.int32)
+    base_pos = z((a, 3))
+    base_rot = z((a, 4))
+    base_rot[:, 3] = 1.0
+    base_scl = z((a, 3), 1.0)
+
+    for i, oa in enumerate(object_anims):
+        ent = oa.Get3dEntity()
+        if ent is not None:
+            bp, br, bs = vx.decompose_prs(jnp.asarray(ent.GetLocalMatrix()))
+            base_pos[i] = np.asarray(bp)
+            base_rot[i] = np.asarray(br)
+            base_scl[i] = np.asarray(bs)
+        c = oa.position_controller
+        if c is not None and c.GetKeyCount() > 0:
+            t_, v_, ti_, to_, m_, n_ = c.bank_row(k)
+            pos_times[i], pos_values[i] = t_, v_
+            pos_tin[i], pos_tout[i] = ti_, to_
+            pos_mode[i], pos_n[i] = m_, n_
+        c = oa.rotation_controller
+        if c is not None and c.GetKeyCount() > 0:
+            t_, q_, n_ = c.bank_row(k)
+            rot_times[i], rot_quats[i], rot_n[i] = t_, q_, n_
+        c = oa.scale_controller
+        if c is not None and c.GetKeyCount() > 0:
+            t_, v_, ti_, to_, m_, n_ = c.bank_row(k)
+            scl_times[i], scl_values[i] = t_, v_
+            scl_tin[i], scl_tout[i] = ti_, to_
+            scl_mode[i], scl_n[i] = m_, n_
+
+    j = jnp.asarray
+    return AnimBank(
+        entity_row=j(np.asarray(entity_rows, np.int32)),
+        pos_times=j(pos_times), pos_values=j(pos_values), pos_tin=j(pos_tin),
+        pos_tout=j(pos_tout), pos_mode=j(pos_mode), pos_n=j(pos_n),
+        rot_times=j(rot_times), rot_quats=j(rot_quats), rot_n=j(rot_n),
+        scl_times=j(scl_times), scl_values=j(scl_values), scl_tin=j(scl_tin),
+        scl_tout=j(scl_tout), scl_mode=j(scl_mode), scl_n=j(scl_n),
+        base_pos=j(base_pos), base_rot=j(base_rot), base_scl=j(base_scl))

@@ -1,0 +1,413 @@
+"""Object / keyed animation host objects.
+
+API mirror of RCKObjectAnimation (/root/reference/include/RCKObjectAnimation.h
+:10-110, src/CKObjectAnimation.cpp) and RCKAnimation / RCKKeyedAnimation
+(include/RCKAnimation.h:7-73, src/CKKeyedAnimation.cpp). Host objects hold
+controllers and clip metadata; evaluation for rendering goes through the
+device AnimBank (anim/bank.py) so a character step is one jitted call. The
+per-object ``SetStep`` path (evaluate + write entity local matrix) is kept for
+API parity and host-side logic (it mirrors src/CKObjectAnimation.cpp:
+1674-1759 including PRS fallback from the entity's current matrix).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..math import vxmath as vx
+from ..objects.base import CKCID_ANIMATION, CKCID_KEYEDANIMATION, CKCID_OBJECTANIMATION, CKObject
+from .keyframe import (
+    BezierPositionController, BezierScaleController, LinearPositionController,
+    LinearScaleAxisController, LinearScaleController, MorphController,
+    RotationController, TCBPositionController, TCBRotationController,
+    TCBScaleAxisController, TCBScaleController,
+)
+
+# Controller type codes (CKANIMATION_CONTROLLER in the reference SDK).
+CKANIMATION_LINEAR_POS = 0
+CKANIMATION_TCB_POS = 1
+CKANIMATION_BEZIER_POS = 2
+CKANIMATION_LINEAR_SCL = 3
+CKANIMATION_TCB_SCL = 4
+CKANIMATION_BEZIER_SCL = 5
+CKANIMATION_LINEAR_ROT = 6
+CKANIMATION_TCB_ROT = 7
+CKANIMATION_LINEAR_SCLAXIS = 8
+CKANIMATION_TCB_SCLAXIS = 9
+CKANIMATION_MORPH = 10
+
+_POS_TYPES = {
+    CKANIMATION_LINEAR_POS: LinearPositionController,
+    CKANIMATION_TCB_POS: TCBPositionController,
+    CKANIMATION_BEZIER_POS: BezierPositionController,
+}
+_SCL_TYPES = {
+    CKANIMATION_LINEAR_SCL: LinearScaleController,
+    CKANIMATION_TCB_SCL: TCBScaleController,
+    CKANIMATION_BEZIER_SCL: BezierScaleController,
+}
+_ROT_TYPES = {
+    CKANIMATION_LINEAR_ROT: RotationController,
+    CKANIMATION_TCB_ROT: TCBRotationController,
+}
+_SCLAXIS_TYPES = {
+    CKANIMATION_LINEAR_SCLAXIS: LinearScaleAxisController,
+    CKANIMATION_TCB_SCLAXIS: TCBScaleAxisController,
+}
+
+
+class CKObjectAnimation(CKObject):
+    """One entity's animation: PRS (+scaleAxis, +morph) controllers.
+
+    Evaluation semantics mirror RCKObjectAnimation::SetStep
+    (src/CKObjectAnimation.cpp:1674-1759): missing tracks are filled from the
+    entity's current local-matrix decomposition; morph targets write the
+    mesh's vertex arrays (:1761-1800+).
+    """
+
+    CLASS_ID = CKCID_OBJECTANIMATION
+
+    def __init__(self, context, name: str = ""):
+        super().__init__(context, name)
+        self._entity = None
+        self.position_controller = None
+        self.rotation_controller = None
+        self.scale_controller = None
+        self.scale_axis_controller = None
+        self.morph_controller = None
+        self.length = 0.0
+        # Merged-animation sources (reference merged anims w/ merge factor).
+        self._merge_a = None
+        self._merge_b = None
+        self.merge_factor = 0.5
+
+    # -- entity binding ----------------------------------------------------
+    def Set3dEntity(self, ent):
+        self._entity = ent
+        if ent is not None and self not in ent.object_animations:
+            ent.object_animations.append(self)
+
+    def Get3dEntity(self):
+        return self._entity
+
+    # -- controller creation ----------------------------------------------
+    def CreateController(self, ctype: int):
+        if ctype in _POS_TYPES:
+            self.position_controller = _POS_TYPES[ctype]()
+            return self.position_controller
+        if ctype in _SCL_TYPES:
+            self.scale_controller = _SCL_TYPES[ctype]()
+            return self.scale_controller
+        if ctype in _ROT_TYPES:
+            self.rotation_controller = _ROT_TYPES[ctype]()
+            return self.rotation_controller
+        if ctype in _SCLAXIS_TYPES:
+            self.scale_axis_controller = _SCLAXIS_TYPES[ctype]()
+            return self.scale_axis_controller
+        raise ValueError(f"unknown controller type {ctype}")
+
+    def CreateMorphController(self, vertex_count: int):
+        self.morph_controller = MorphController(vertex_count)
+        return self.morph_controller
+
+    def DeleteController(self, ctype: int) -> bool:
+        if ctype in _POS_TYPES and self.position_controller is not None:
+            self.position_controller = None
+            return True
+        if ctype in _SCL_TYPES and self.scale_controller is not None:
+            self.scale_controller = None
+            return True
+        if ctype in _ROT_TYPES and self.rotation_controller is not None:
+            self.rotation_controller = None
+            return True
+        if ctype in _SCLAXIS_TYPES and self.scale_axis_controller is not None:
+            self.scale_axis_controller = None
+            return True
+        if ctype == CKANIMATION_MORPH and self.morph_controller is not None:
+            self.morph_controller = None
+            return True
+        return False
+
+    # -- length ------------------------------------------------------------
+    def GetLength(self) -> float:
+        if self.length > 0:
+            return self.length
+        l = 0.0
+        for c in (self.position_controller, self.rotation_controller,
+                  self.scale_controller, self.scale_axis_controller):
+            if c is not None:
+                l = max(l, c.GetLength())
+        if self.morph_controller is not None and self.morph_controller.GetKeyCount():
+            l = max(l, float(self.morph_controller.times[-1]))
+        return l
+
+    def SetLength(self, l: float):
+        self.length = float(l)
+
+    # -- evaluation --------------------------------------------------------
+    def EvaluatePosition(self, t: float):
+        if self.position_controller is None:
+            return None
+        return self.position_controller.Evaluate(t)
+
+    def EvaluateRotation(self, t: float):
+        if self.rotation_controller is None:
+            return None
+        return self.rotation_controller.Evaluate(t)
+
+    def EvaluateScale(self, t: float):
+        if self.scale_controller is None:
+            return None
+        return self.scale_controller.Evaluate(t)
+
+    def EvaluateKeys(self, t: float):
+        return (self.EvaluatePosition(t), self.EvaluateRotation(t),
+                self.EvaluateScale(t))
+
+    def evaluate_prs(self, t: float):
+        """PRS with base-matrix fallback for missing tracks."""
+        base_p = base_r = base_s = None
+        if self._entity is not None:
+            bp, br, bs = vx.decompose_prs(jnp.asarray(self._entity.GetLocalMatrix()))
+            base_p, base_r, base_s = np.asarray(bp), np.asarray(br), np.asarray(bs)
+        else:
+            base_p = np.zeros(3, np.float32)
+            base_r = np.array([0, 0, 0, 1], np.float32)
+            base_s = np.ones(3, np.float32)
+        p = self.EvaluatePosition(t)
+        r = self.EvaluateRotation(t)
+        s = self.EvaluateScale(t)
+        return (p if p is not None else base_p,
+                r if r is not None else base_r,
+                s if s is not None else base_s)
+
+    def SetStep(self, step: float, entity=None):
+        """Evaluate at ``step`` and write the target's local matrix
+        (+morph into the mesh)."""
+        ent = entity or self._entity
+        if self._merge_a is not None and self._merge_b is not None:
+            pa = self._merge_a.evaluate_prs(step)
+            pb = self._merge_b.evaluate_prs(step)
+            f = self.merge_factor
+            p = pa[0] * (1 - f) + pb[0] * f
+            r = np.asarray(vx.quat_slerp(jnp.asarray(pa[1]), jnp.asarray(pb[1]), f))
+            s = pa[2] * (1 - f) + pb[2] * f
+        else:
+            p, r, s = self.evaluate_prs(step)
+        if ent is not None:
+            m = np.asarray(vx.compose_prs(jnp.asarray(p), jnp.asarray(r),
+                                          jnp.asarray(s)))
+            ent.SetLocalMatrix(m)
+            if self.morph_controller is not None and ent.GetCurrentMesh() is not None:
+                v, n = self.morph_controller.Evaluate(step)
+                if v is not None:
+                    mesh = ent.GetCurrentMesh()
+                    mesh.SetPositions(v)
+                    if n is not None and np.any(n):
+                        mesh.SetNormals(n)
+
+    def SetFrame(self, frame: float):
+        self.SetStep(frame)
+
+    # -- merge / transition -------------------------------------------------
+    @staticmethod
+    def CreateMergedAnimation(context, a: "CKObjectAnimation",
+                              b: "CKObjectAnimation", factor: float = 0.5):
+        m = CKObjectAnimation(context, f"{a.GetName()}+{b.GetName()}")
+        m._merge_a, m._merge_b = a, b
+        m.merge_factor = float(factor)
+        m._entity = a._entity
+        return m
+
+    def SetMergeFactor(self, f: float):
+        self.merge_factor = float(f)
+
+    def GetMergeFactor(self) -> float:
+        return self.merge_factor
+
+    def CreateTransition(self, to_anim: "CKObjectAnimation", length: float,
+                         from_t: float, to_t: float = 0.0):
+        """Snapshot transition: linear/ slerp blend from this animation's pose
+        at from_t to to_anim's pose at to_t over ``length`` frames
+        (reference CreateTransition)."""
+        p0, r0, s0 = self.evaluate_prs(from_t)
+        p1, r1, s1 = to_anim.evaluate_prs(to_t)
+        tr = CKObjectAnimation(self.context,
+                               f"{self.GetName()}->{to_anim.GetName()}")
+        tr._entity = self._entity
+        pc = tr.CreateController(CKANIMATION_LINEAR_POS)
+        pc.AddKey(0.0, p0)
+        pc.AddKey(length, p1)
+        rc = tr.CreateController(CKANIMATION_LINEAR_ROT)
+        rc.AddKey(0.0, r0)
+        rc.AddKey(length, r1)
+        sc = tr.CreateController(CKANIMATION_LINEAR_SCL)
+        sc.AddKey(0.0, s0)
+        sc.AddKey(length, s1)
+        tr.SetLength(length)
+        return tr
+
+    def Clone(self):
+        c = CKObjectAnimation(self.context, self.GetName())
+        c._entity = self._entity
+        for attr in ("position_controller", "rotation_controller",
+                     "scale_controller", "scale_axis_controller"):
+            src = getattr(self, attr)
+            if src is not None:
+                setattr(c, attr, src.Clone())
+        c.length = self.length
+        return c
+
+
+class CKAnimation(CKObject):
+    """Base animation: length / framerate link / transition flags
+    (reference include/RCKAnimation.h:7-73)."""
+
+    CLASS_ID = CKCID_ANIMATION
+
+    # Transition modes (CK_ANIMATION_TRANSITION_MODE subset)
+    TRANSITION_THROUGH = 1
+    TRANSITION_BREAK = 2
+    TRANSITION_WARP = 4
+    SECONDARY_LOOP = 8
+
+    def __init__(self, context, name: str = ""):
+        super().__init__(context, name)
+        self.length = 0.0
+        self.frame = 0.0
+        self.framerate_linked = True
+        self.transition_mode = self.TRANSITION_THROUGH
+        self.charac = None
+
+    def GetLength(self) -> float:
+        return self.length
+
+    def SetLength(self, l: float):
+        self.length = float(l)
+
+    def GetFrame(self) -> float:
+        return self.frame
+
+    def SetFrame(self, f: float):
+        self.frame = float(f)
+
+    def GetStep(self) -> float:
+        return self.frame / self.length if self.length > 0 else 0.0
+
+    def SetStep(self, s: float):
+        self.SetFrame(s * self.length)
+
+    def SetCharacter(self, ch):
+        self.charac = ch
+
+    def GetCharacter(self):
+        return self.charac
+
+    def LinkToFrameRate(self, on: bool = True):
+        self.framerate_linked = bool(on)
+
+    def IsLinkedToFrameRate(self) -> bool:
+        return self.framerate_linked
+
+    def SetTransitionMode(self, mode: int):
+        self.transition_mode = int(mode)
+
+    def GetTransitionMode(self) -> int:
+        return self.transition_mode
+
+
+class CKKeyedAnimation(CKAnimation):
+    """A set of object animations forming one clip (reference
+    src/CKKeyedAnimation.cpp): per-entity animations + root animation with
+    root-motion extraction + CenterAnimation recentering."""
+
+    CLASS_ID = CKCID_KEYEDANIMATION
+
+    def __init__(self, context, name: str = ""):
+        super().__init__(context, name)
+        self.animations: list[CKObjectAnimation] = []
+        self.root_animation: CKObjectAnimation | None = None
+        self._bank = None
+        self._bank_version = -1
+
+    def AddAnimation(self, anim: CKObjectAnimation):
+        if anim not in self.animations:
+            self.animations.append(anim)
+            self.length = max(self.length, anim.GetLength())
+            self._bank = None
+
+    def RemoveAnimation(self, anim: CKObjectAnimation):
+        if anim in self.animations:
+            self.animations.remove(anim)
+            self._bank = None
+
+    def GetAnimationCount(self) -> int:
+        return len(self.animations)
+
+    def GetAnimation(self, ent_or_idx):
+        if isinstance(ent_or_idx, int):
+            return self.animations[ent_or_idx]
+        for a in self.animations:
+            if a.Get3dEntity() is ent_or_idx:
+                return a
+        return None
+
+    def SetRootAnimation(self, anim: CKObjectAnimation):
+        self.root_animation = anim
+
+    def GetRootAnimation(self):
+        return self.root_animation
+
+    def GetLength(self) -> float:
+        if self.length <= 0:
+            for a in self.animations:
+                self.length = max(self.length, a.GetLength())
+        return self.length
+
+    # -- host-path evaluation ----------------------------------------------
+    def SetFrame(self, frame: float):
+        """Apply every object animation at ``frame`` (host path)."""
+        self.frame = float(frame)
+        for a in self.animations:
+            a.SetStep(frame)
+
+    # -- device bank --------------------------------------------------------
+    def bank(self):
+        """AnimBank over all member animations with a bound entity."""
+        from .bank import build_anim_bank
+
+        if self._bank is None:
+            anims = [a for a in self.animations if a.Get3dEntity() is not None]
+            rows = [a.Get3dEntity().row for a in anims]
+            self._bank = build_anim_bank(anims, rows)
+        return self._bank
+
+    def invalidate_bank(self):
+        self._bank = None
+
+    def EvaluateRootPosition(self, frame: float):
+        """Root body-part position at ``frame`` (root-motion source,
+        reference src/CKCharacter.cpp:1038-1053)."""
+        ra = self.root_animation
+        if ra is None and self.animations:
+            ra = self.animations[0]
+        if ra is None:
+            return np.zeros(3, np.float32)
+        p = ra.EvaluatePosition(frame)
+        return p if p is not None else np.zeros(3, np.float32)
+
+    def CenterAnimation(self):
+        """Recenter the root animation's position keys around frame 0
+        (reference CKKeyedAnimation::CenterAnimation)."""
+        ra = self.root_animation
+        if ra is None or ra.position_controller is None:
+            return
+        pc = ra.position_controller
+        if pc.GetKeyCount() == 0:
+            return
+        origin = pc.values[0].copy()
+        pc.values = pc.values - origin
+        pc._dirty()
+        if self._bank is not None:
+            self._bank = None

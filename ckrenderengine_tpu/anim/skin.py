@@ -1,0 +1,184 @@
+"""CKSkin host object: bones, per-vertex weights, device-bank descriptor.
+
+API mirror of RCKSkin / RCKSkinBoneData (/root/reference/src/CKSkin.cpp,
+include/RCKSkin.h). The reference's per-bone gather lists
+(BuildBonePointLists, src/CKSkin.cpp:419+) and bone-major CalcPointsEx
+scatter (:183-331) are replaced by the vertex-major device kernel in
+pipeline/skinning.py; this class keeps the same construction API and
+provides a numpy `CalcPoints` for host-side queries/tests.
+
+Bone transform semantics (src/CKSkin.cpp:153-181,266-271): in row-vector
+convention a rest vertex maps through
+
+    object_init @ bone_initial_inverse @ bone_world @ object_inv_world
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class CKSkinBoneData:
+    """(reference RCKSkinBoneData)"""
+
+    def __init__(self):
+        self.entity = None               # the bone's CK3dEntity
+        self.initial_inverse = np.eye(4, dtype=np.float32)
+
+    def SetBone(self, ent):
+        self.entity = ent
+
+    def GetBone(self):
+        return self.entity
+
+    def SetBoneInitialInverseMatrix(self, m):
+        self.initial_inverse = np.asarray(m, np.float32)
+
+    def GetBoneInitialInverseMatrix(self):
+        return self.initial_inverse.copy()
+
+
+class CKSkin:
+    """Skin attached to a CK3dEntity (ent.CreateSkin())."""
+
+    MAX_BONES_PER_VERTEX = 4
+
+    def __init__(self, owner):
+        self.owner = owner               # the skinned CK3dEntity
+        self.bones: list[CKSkinBoneData] = []
+        self.object_init = np.eye(4, dtype=np.float32)
+        self.vertex_count = 0
+        self.rest_pos = np.zeros((0, 3), np.float32)
+        self.rest_nrm = np.zeros((0, 3), np.float32)
+        # Ragged host-side weights, normalized lazily.
+        self._vbones: list[list[int]] = []
+        self._vweights: list[list[float]] = []
+
+    # -- construction (RCKSkin API) ----------------------------------------
+    def SetBoneCount(self, n: int):
+        while len(self.bones) < n:
+            self.bones.append(CKSkinBoneData())
+        del self.bones[n:]
+
+    def GetBoneCount(self) -> int:
+        return len(self.bones)
+
+    def GetBoneData(self, i: int) -> CKSkinBoneData:
+        return self.bones[i]
+
+    def SetObjectInitMatrix(self, m):
+        self.object_init = np.asarray(m, np.float32)
+
+    def SetVertexCount(self, n: int):
+        self.vertex_count = int(n)
+        self.rest_pos = np.zeros((n, 3), np.float32)
+        self.rest_nrm = np.zeros((n, 3), np.float32)
+        self._vbones = [[] for _ in range(n)]
+        self._vweights = [[] for _ in range(n)]
+
+    def GetVertexCount(self) -> int:
+        return self.vertex_count
+
+    def SetVertexInitialPos(self, i: int, pos):
+        self.rest_pos[i] = pos
+
+    def SetVertexInitialNormal(self, i: int, n):
+        self.rest_nrm[i] = n
+
+    def SetRestPose(self, positions, normals=None):
+        positions = np.asarray(positions, np.float32)
+        self.SetVertexCount(positions.shape[0])
+        self.rest_pos = positions.copy()
+        if normals is not None:
+            self.rest_nrm = np.asarray(normals, np.float32).copy()
+
+    def SetVertexBone(self, vertex: int, bone: int, weight: float):
+        self._vbones[vertex].append(int(bone))
+        self._vweights[vertex].append(float(weight))
+
+    def SetVertexWeights(self, vertex: int, bones, weights):
+        self._vbones[vertex] = [int(b) for b in bones]
+        self._vweights[vertex] = [float(w) for w in weights]
+
+    def GetVertexWeights(self, vertex: int):
+        return list(self._vbones[vertex]), list(self._vweights[vertex])
+
+    # -- packed arrays -----------------------------------------------------
+    def packed_weights(self, k: int | None = None):
+        """(V,K) bone indices + normalized weights (top-K by weight,
+        remainder renormalized — the analogue of the reference's weighted-
+        mode remainder handling, src/CKSkin.cpp:201-233)."""
+        k = k or self.MAX_BONES_PER_VERTEX
+        v = self.vertex_count
+        bi = np.zeros((v, k), np.int32)
+        bw = np.zeros((v, k), np.float32)
+        for i in range(v):
+            pairs = sorted(zip(self._vweights[i], self._vbones[i]),
+                           reverse=True)[:k]
+            for j, (w, b) in enumerate(pairs):
+                bi[i, j] = b
+                bw[i, j] = w
+            s = bw[i].sum()
+            if s > 1e-12:
+                bw[i] /= s
+            elif pairs:
+                bw[i, 0] = 1.0
+        return bi, bw
+
+    def bone_pre_matrices(self) -> np.ndarray:
+        """(B,4,4) object_init @ initial_inverse per bone (constant part)."""
+        b = len(self.bones)
+        pre = np.zeros((b, 4, 4), np.float32)
+        for i, bd in enumerate(self.bones):
+            pre[i] = self.object_init @ bd.initial_inverse
+        return pre
+
+    def bone_rows(self) -> np.ndarray:
+        return np.asarray(
+            [bd.entity.row if bd.entity is not None else 0 for bd in self.bones],
+            np.int32)
+
+    def bank_descriptor(self, pool_offset: int) -> dict:
+        """Descriptor consumed by pipeline.skinning.build_skin_bank."""
+        bi, bw = self.packed_weights()
+        return dict(
+            pool_offset=int(pool_offset), rest_pos=self.rest_pos,
+            rest_nrm=self.rest_nrm, bone_idx=bi, bone_w=bw,
+            bone_rows=self.bone_rows(), obj_row=self.owner.row,
+            pre=self.bone_pre_matrices())
+
+    # -- host evaluation (oracle for tests; RCKSkin::CalcPointsEx) ---------
+    def CalcPoints(self) -> np.ndarray:
+        """Skinned positions in mesh-local space (numpy)."""
+        obj_inv = np.linalg.inv(self.owner.GetWorldMatrix())
+        bmats = np.zeros((len(self.bones), 4, 4), np.float32)
+        for i, bd in enumerate(self.bones):
+            bw = (bd.entity.GetWorldMatrix() if bd.entity is not None
+                  else np.eye(4, dtype=np.float32))
+            bmats[i] = self.object_init @ bd.initial_inverse @ bw @ obj_inv
+        bi, w = self.packed_weights()
+        p4 = np.concatenate([self.rest_pos,
+                             np.ones((self.vertex_count, 1), np.float32)], -1)
+        acc = np.zeros((self.vertex_count, 3), np.float32)
+        for j in range(bi.shape[1]):
+            m = bmats[bi[:, j]]                       # (V,4,4)
+            pj = np.einsum("vi,vij->vj", p4, m)[:, :3]
+            acc += pj * w[:, j:j + 1]
+        return acc
+
+    def UpdateMesh(self):
+        """Write skinned points into the owner's mesh (host path — the device
+        path goes through the frame program's skin stage)."""
+        mesh = self.owner.GetCurrentMesh()
+        if mesh is None:
+            return
+        mesh.SetPositions(self.CalcPoints())
+
+    def CalcBonesBBox(self):
+        """World bbox of all bone origins (reference CalcBonesBBox)."""
+        pts = np.asarray([bd.entity.GetWorldMatrix()[3, :3]
+                          for bd in self.bones if bd.entity is not None],
+                         np.float32)
+        if pts.size == 0:
+            return None
+        return pts.min(axis=0), pts.max(axis=0)

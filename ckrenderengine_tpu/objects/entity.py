@@ -255,6 +255,32 @@ class CK3dEntity(CKRenderObject):
         wc = corners @ w[:3, :3] + w[3, :3]
         return wc.min(0), wc.max(0)
 
+    # -- skin (RCK3dEntity skin pointer + UpdateSkin,
+    # /root/reference/src/CK3dEntity.cpp:2918-2973) -----------------------
+    def CreateSkin(self):
+        from ..anim.skin import CKSkin
+
+        self.skin = CKSkin(self)
+        self.context._bump_topology()
+        return self.skin
+
+    def GetSkin(self):
+        return self.skin
+
+    def DestroySkin(self) -> bool:
+        had = self.skin is not None
+        self.skin = None
+        self.context._bump_topology()
+        return had
+
+    def UpdateSkin(self) -> bool:
+        """Host-path skin deformation into the current mesh (the device path
+        runs inside the frame program's skin stage)."""
+        if self.skin is None:
+            return False
+        self.skin.UpdateMesh()
+        return True
+
     # -- picking ----------------------------------------------------------
     def RayIntersection(self, origin, direction, ref: "CK3dEntity | None" = None):
         """Nearest triangle hit in local space; mirrors g_RayIntersection

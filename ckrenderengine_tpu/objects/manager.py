@@ -62,6 +62,8 @@ class CompiledScene:
         self.entity_rows = np.zeros(0, np.int32)  # scene entity -> table row
         # Static cap on triangles taking the ordered (sequential) raster path.
         self.ordered_cap = 0
+        # Device skin bank (None when no entity has a skin).
+        self.skin_bank = None
 
 
 class VxStats:
@@ -252,19 +254,25 @@ class CKRenderContext(CKObject):
         tidx, tstate = [], []
         iv = 0
 
+        skin_descs = []
         for ent in entities:
             mesh = ent.GetCurrentMesh()
             if mesh is None or mesh.GetFaceCount() == 0:
                 continue
-            if id(mesh) not in mesh_offset:
-                mesh_offset[id(mesh)] = pool_count
+            # Skinned entities get a private pool block (their pool vertices
+            # are overwritten per-frame by the device skin stage).
+            mesh_key = (id(mesh), ent.row if ent.skin is not None else -1)
+            if mesh_key not in mesh_offset:
+                mesh_offset[mesh_key] = pool_count
                 pool_pos.append(mesh.positions)
                 pool_nrm.append(mesh.normals)
                 pool_uv.append(mesh.uvs)
                 pool_col.append(mesh.colors)
                 pool_spec.append(mesh.specular_colors)
+                if ent.skin is not None:
+                    skin_descs.append(ent.skin.bank_descriptor(pool_count))
                 pool_count += mesh.positions.shape[0]
-            moff = mesh_offset[id(mesh)]
+            moff = mesh_offset[mesh_key]
             lit = not mesh.IsPreLitMode()
             for grp in mesh.GetRenderGroups():
                 mat = grp.material if grp.material is not None else default_mat
@@ -334,6 +342,9 @@ class CKRenderContext(CKObject):
         else:
             n_ordered = 0
         c.ordered_cap = 0 if n_ordered == 0 else _pad_to(n_ordered, 64)
+
+        from ..pipeline.skinning import build_skin_bank
+        c.skin_bank = build_skin_bank(skin_descs)
         self._compiled = c
 
         # Texture stack (padded plane layout; rebuilt on topology change only).
@@ -478,8 +489,9 @@ class CKRenderContext(CKObject):
         if self._compiled.topology_version != self.context._topology_version:
             self._compile()
         scene = self._build_scene_device()
-        self.fb, self.zb = fr.render_frame(
+        self.fb, self.zb = fr.render_frame_full(
             scene, self._compiled.levels, self.height, self.width,
+            skin=self._compiled.skin_bank,
             ordered_cap=self._compiled.ordered_cap)
         for kind, fct, arg, _t in self.post_render_callbacks:
             fct(self, arg)

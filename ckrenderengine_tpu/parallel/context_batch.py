@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..pipeline.frame import SceneDevice, render_frame_impl
+from ..pipeline.frame import SceneDevice, render_frame_full_impl, render_frame_impl
 
 
 def stack_scenes(scenes: list[SceneDevice]) -> SceneDevice:
@@ -42,6 +42,28 @@ def render_frames_batched(scenes: SceneDevice, levels: tuple, height: int,
     fn = functools.partial(render_frame_impl, levels=levels, height=height,
                            width=width, ordered_cap=ordered_cap, chunk=chunk)
     return jax.vmap(fn)(scenes)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "height", "width",
+                                             "ordered_cap", "chunk"))
+def render_frames_full_batched(scenes: SceneDevice, levels: tuple, height: int,
+                               width: int, skin=None, anim=None,
+                               anim_t=None, ordered_cap: int | None = None,
+                               chunk: int = 64):
+    """Full step (animate -> compose -> skin -> render) over the ctx batch.
+
+    ``skin``/``anim`` are shared (replicated) banks; ``anim_t`` is a (B,)
+    per-context animation time — contexts render different frames of the
+    same clip (the many-context analogue of a batched training step).
+    """
+    def fn(scene, t):
+        return render_frame_full_impl(
+            scene, levels, height, width, skin=skin, anim=anim, anim_t=t,
+            ordered_cap=ordered_cap, chunk=chunk)
+
+    if anim_t is None:
+        anim_t = jnp.zeros(jax.tree_util.tree_leaves(scenes)[0].shape[0])
+    return jax.vmap(fn)(scenes, anim_t)
 
 
 def make_context_mesh(n_devices: int | None = None) -> Mesh:
@@ -73,3 +95,22 @@ def render_frames_sharded(scenes: SceneDevice, mesh: Mesh, levels: tuple,
                            width=width, ordered_cap=ordered_cap, chunk=chunk)
     fn = jax.jit(fn, out_shardings=(out_spec, out_spec))
     return fn(scenes)
+
+
+def render_frames_full_sharded(scenes: SceneDevice, mesh: Mesh, levels: tuple,
+                               height: int, width: int, skin=None, anim=None,
+                               anim_t=None, ordered_cap: int | None = None,
+                               chunk: int = 64):
+    """Sharded FULL training-step analogue: per-context animation times,
+    shared anim/skin banks (replicated), ctx axis over the device mesh."""
+    scenes = shard_scenes(scenes, mesh)
+    if anim_t is not None:
+        anim_t = jax.device_put(
+            jnp.asarray(anim_t, jnp.float32), NamedSharding(mesh, P("ctx")))
+    out_spec = NamedSharding(mesh, P("ctx"))
+    base = functools.partial(render_frames_full_batched, levels=levels,
+                             height=height, width=width,
+                             ordered_cap=ordered_cap, chunk=chunk)
+    fn = jax.jit(lambda s, sk, an, t: base(s, skin=sk, anim=an, anim_t=t),
+                 out_shardings=(out_spec, out_spec))
+    return fn(scenes, skin, anim, anim_t)

@@ -99,12 +99,15 @@ class SceneDevice(NamedTuple):
     clear_z: jnp.ndarray      # ()
 
 
-def transform_and_light(scene: SceneDevice, levels: tuple):
+def transform_and_light(scene: SceneDevice, levels: tuple, world=None):
     """Vertex stage: world compose -> gather -> transform -> light -> project.
 
     Returns (clip (IV,4), color (IV,4), spec (IV,3), fog (IV,), world (N,4,4)).
+    ``world``: optional precomputed world matrices (skin/anim stage already
+    composed them).
     """
-    world = compose_world(scene.local, scene.parent, levels)
+    if world is None:
+        world = compose_world(scene.local, scene.parent, levels)
     wm = jnp.take(world, scene.vert_entity, axis=0)              # (IV,4,4)
     pos = jnp.take(scene.positions, scene.src_idx, axis=0)       # (IV,3)
     nrm = jnp.take(scene.normals, scene.src_idx, axis=0)
@@ -214,7 +217,8 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
 
 
 def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int,
-                      ordered_cap: int | None = None, chunk: int = 64):
+                      ordered_cap: int | None = None, chunk: int = 64,
+                      world=None):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
     Equivalent of RCKRenderContext::Render's device work
@@ -232,7 +236,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     clear_fb = jnp.broadcast_to(scene.clear_color[:, None, None].astype(jnp.float32),
                                 (4, height, width))
 
-    clip, color, spec, fog, _world = transform_and_light(scene, levels)
+    clip, color, spec, fog, _world = transform_and_light(scene, levels, world)
     batch = assemble_triangles(scene, clip, color, spec, fog)
 
     defer_bucket = df.deferred_mask(scene.state_i)               # (S,)
@@ -268,6 +272,43 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 render_frame = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap", "chunk")
 )(render_frame_impl)
+
+
+def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
+                           width: int, skin=None, anim=None, anim_t=0.0,
+                           anim_b=None, anim_b_t=0.0, blend=0.0,
+                           ordered_cap: int | None = None, chunk: int = 64):
+    """The FULL per-frame device program: animate -> compose -> skin -> render.
+
+    This is the TPU training-step analogue of the reference's per-tick
+    behavior processing + render (SURVEY §3.2/§3.3 combined): track
+    evaluation (RCKObjectAnimation::SetStep semantics), world composition,
+    skin deformation (RCKSkin::CalcPointsEx semantics), and the frame raster
+    fused into ONE XLA program.
+
+    ``anim``: AnimBank evaluated at ``anim_t``; with ``anim_b`` a second bank
+    blended at factor ``blend`` (warp transitions). ``skin``: SkinBank.
+    """
+    from ..anim.bank import apply_bank, apply_bank_blended
+    from .skinning import apply_skin
+
+    local = scene.local
+    if anim is not None and anim_b is not None:
+        local = apply_bank_blended(local, anim, anim_t, anim_b, anim_b_t, blend)
+    elif anim is not None:
+        local = apply_bank(local, anim, anim_t)
+    world = compose_world(local, scene.parent, levels)
+    positions, normals = scene.positions, scene.normals
+    if skin is not None:
+        positions, normals = apply_skin(world, positions, normals, skin)
+    scene = scene._replace(local=local, positions=positions, normals=normals)
+    return render_frame_impl(scene, levels, height, width, ordered_cap, chunk,
+                             world=world)
+
+
+render_frame_full = functools.partial(
+    jax.jit, static_argnames=("levels", "height", "width", "ordered_cap", "chunk")
+)(render_frame_full_impl)
 
 
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):
