@@ -11,6 +11,7 @@ context, and ``RenderContext.Render()`` executes the jitted frame program.
 from .base import CKContext, CKObject
 from .entity import CK3dEntity, CK3dObject
 from .mesh import CKMesh
+from .patchmesh import CKPatch, CKPatchMesh, CKTVPatch
 from .material import CKMaterial
 from .texture import CKTexture
 from .light import CKLight, CKTargetLight
@@ -19,6 +20,7 @@ from .manager import CKRenderManager, CKRenderContext
 
 __all__ = [
     "CKContext", "CKObject", "CK3dEntity", "CK3dObject", "CKMesh",
+    "CKPatch", "CKPatchMesh", "CKTVPatch",
     "CKMaterial", "CKTexture", "CKLight", "CKTargetLight", "CKCamera",
     "CKTargetCamera", "CKRenderManager", "CKRenderContext",
 ]
