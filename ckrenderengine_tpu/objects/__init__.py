@@ -12,6 +12,8 @@ from .base import CKContext, CKObject
 from .entity import CK3dEntity, CK3dObject
 from .mesh import CKMesh
 from .patchmesh import CKPatch, CKPatchMesh, CKTVPatch
+from .entity2d import CK2dEntity, CKSprite, CKSpriteText
+from .sprite3d import CKSprite3D
 from .material import CKMaterial
 from .texture import CKTexture
 from .light import CKLight, CKTargetLight
@@ -21,6 +23,7 @@ from .manager import CKRenderManager, CKRenderContext
 __all__ = [
     "CKContext", "CKObject", "CK3dEntity", "CK3dObject", "CKMesh",
     "CKPatch", "CKPatchMesh", "CKTVPatch",
+    "CK2dEntity", "CKSprite", "CKSpriteText", "CKSprite3D",
     "CKMaterial", "CKTexture", "CKLight", "CKTargetLight", "CKCamera",
     "CKTargetCamera", "CKRenderManager", "CKRenderContext",
 ]

@@ -54,9 +54,11 @@ class CompiledScene:
         self.tri_idx = np.zeros((0, 3), np.int32)
         self.tri_state = np.zeros(0, np.int32)
         self.tri_valid = np.zeros(0, bool)
-        # buckets
-        self.materials: list[CKMaterial | None] = []
+        # buckets: (material, is_sprite) — sprite buckets force cull off
+        self.materials: list[tuple] = []
         self.textures: list = []
+        self.tex_slot: dict[int, int] = {}
+        self._tex_version = -1
         self.levels: tuple = ()
         self.n_entities = 0
         self.entity_rows = np.zeros(0, np.int32)  # scene entity -> table row
@@ -64,6 +66,13 @@ class CompiledScene:
         self.ordered_cap = 0
         # Device skin bank (None when no entity has a skin).
         self.skin_bank = None
+        # Ordered mesh sources of the vertex pool (per-frame dynamic refresh).
+        self.pool_sources: list = []
+        self._pool_version = -1
+        # Sprite3D billboards: (entity, pool_base, bucket) per sprite.
+        self.sprite3d_list: list = []
+        # Extra pool rows appended after mesh sources (billboard corners).
+        self.extra_pool = 0
 
 
 class VxStats:
@@ -227,23 +236,26 @@ class CKRenderContext(CKObject):
         c.levels = table.level_schedule()
 
         # Material/state buckets: one per distinct material (+ default).
+        # Sprite3D draws get their own bucket per material (cull forced off).
         default_mat = getattr(ctx.render_manager, "default_material", None)
-        mat_to_bucket: dict[int, int] = {}
-        tex_to_slot: dict[int, int] = {}
+        mat_to_bucket: dict[tuple, int] = {}
+        tex_to_slot = c.tex_slot
 
-        def bucket_for(mat: CKMaterial | None) -> int:
-            key = id(mat)
+        def tex_slot_for(tex) -> int:
+            tkey = id(tex)
+            if tkey not in tex_to_slot:
+                tex_to_slot[tkey] = len(c.textures)
+                c.textures.append(tex)
+            return tex_to_slot[tkey]
+
+        def bucket_for(mat: CKMaterial | None, sprite: bool = False) -> int:
+            key = (id(mat), sprite)
             if key in mat_to_bucket:
                 return mat_to_bucket[key]
-            # texture slot
             if mat is not None and mat.GetTexture(0) is not None:
-                tex = mat.GetTexture(0)
-                tkey = id(tex)
-                if tkey not in tex_to_slot:
-                    tex_to_slot[tkey] = len(c.textures)
-                    c.textures.append(tex)
+                tex_slot_for(mat.GetTexture(0))
             mat_to_bucket[key] = len(c.materials)
-            c.materials.append(mat)
+            c.materials.append((mat, sprite))
             return mat_to_bucket[key]
 
         pool_pos, pool_nrm, pool_uv, pool_col, pool_spec = [], [], [], [], []
@@ -264,6 +276,7 @@ class CKRenderContext(CKObject):
             mesh_key = (id(mesh), ent.row if ent.skin is not None else -1)
             if mesh_key not in mesh_offset:
                 mesh_offset[mesh_key] = pool_count
+                c.pool_sources.append(mesh)
                 pool_pos.append(mesh.positions)
                 pool_nrm.append(mesh.normals)
                 pool_uv.append(mesh.uvs)
@@ -286,6 +299,47 @@ class CKRenderContext(CKObject):
                 tstate.append(np.full(grp.local_faces.shape[0], b, np.int32))
                 iv += nv
 
+        # Sprite3D billboards: 4 reserved pool rows + 2 triangles per sprite,
+        # corners computed on device per frame (pipeline/overlay.py). The
+        # stream verts bind to the identity entity row (= table.count).
+        from .sprite3d import CKSprite3D
+
+        ident_row = table.count
+        for ent in entities:
+            if not isinstance(ent, CKSprite3D):
+                continue
+            mat = ent.material if ent.material is not None else default_mat
+            b = bucket_for(mat, sprite=True)
+            pool_base = pool_count
+            c.sprite3d_list.append((ent, pool_base, b))
+            u0, v0, u1, v1 = ent.uv_rect
+            pool_pos.append(np.zeros((4, 3), np.float32))
+            pool_nrm.append(np.zeros((4, 3), np.float32))
+            pool_uv.append(np.array([[u0, v1], [u1, v1], [u1, v0], [u0, v0]],
+                                    np.float32))
+            diff = (mat.GetDiffuse() if mat is not None
+                    else np.array([1, 1, 1, 1], np.float32))
+            pool_col.append(np.tile(np.asarray(diff, np.float32), (4, 1)))
+            pool_spec.append(np.zeros((4, 3), np.float32))
+            pool_count += 4
+            src.append(pool_base + np.arange(4, dtype=np.int32))
+            vent.append(np.full(4, ident_row, np.int32))
+            vstate.append(np.full(4, b, np.int32))
+            vlit.append(np.zeros(4, bool))
+            tidx.append(iv + np.array([[0, 1, 2], [0, 2, 3]], np.int32))
+            tstate.append(np.full(2, b, np.int32))
+            iv += 4
+        c.extra_pool = 4 * len(c.sprite3d_list)
+
+        # 2D overlay entities: register their textures in the shared stack.
+        from .entity2d import CK2dEntity
+
+        for obj in ctx._objects.values():
+            if isinstance(obj, CK2dEntity):
+                t = obj.texture()
+                if t is not None and t.current_image() is not None:
+                    tex_slot_for(t)
+
         if pool_count == 0:
             pool_pos = [np.zeros((1, 3), np.float32)]
             pool_nrm = [np.zeros((1, 3), np.float32)]
@@ -298,6 +352,9 @@ class CKRenderContext(CKObject):
         c.uv = np.concatenate(pool_uv).astype(np.float32)
         c.prelit = np.concatenate(pool_col).astype(np.float32)
         c.prelit_spec = np.concatenate(pool_spec).astype(np.float32)
+        c._mesh_pool_count = pool_count - c.extra_pool
+        c._pool_version = sum(getattr(m, "data_version", 0)
+                              for m in c.pool_sources)
 
         if not c.materials:
             bucket_for(default_mat)
@@ -336,7 +393,8 @@ class CKRenderContext(CKObject):
                     or not mat.ZWriteEnabled()
                     or mat.z_func not in (int(VXCMP.LESS), int(VXCMP.LESSEQUAL)))
 
-        ordered_buckets = {i for i, m in enumerate(c.materials) if needs_ordered(m)}
+        ordered_buckets = {i for i, (m, _sprite) in enumerate(c.materials)
+                           if needs_ordered(m)}
         if ordered_buckets and it:
             n_ordered = int(np.isin(c.tri_state[:it], list(ordered_buckets)).sum())
         else:
@@ -347,7 +405,17 @@ class CKRenderContext(CKObject):
         c.skin_bank = build_skin_bank(skin_descs)
         self._compiled = c
 
-        # Texture stack (padded plane layout; rebuilt on topology change only).
+        self._refresh_textures(force=True)
+
+    def _refresh_textures(self, force: bool = False):
+        """(Re)build the padded texture-plane stack; per-frame same-shape
+        image updates (video textures, re-rastered sprite text) re-upload
+        without recompiling."""
+        c = self._compiled
+        v = sum(getattr(t, "data_version", 0) for t in c.textures)
+        if not force and v == c._tex_version:
+            return
+        c._tex_version = v
         if c.textures:
             imgs = [t.current_image() for t in c.textures]
             imgs = [i if i is not None else np.zeros((1, 1, 4), np.float32) for i in imgs]
@@ -386,32 +454,32 @@ class CKRenderContext(CKObject):
         return LightArray(**{k: jnp.asarray(v) for k, v in arrs.items()})
 
     def _material_banks(self, c: CompiledScene):
+        from ..raster.types import VXCULL
+
         states = []
         diffuse, ambient, specular, emissive, power = [], [], [], [], []
         fog_on = self.fog_mode != int(VXFOG.NONE)
-        for mat in c.materials:
+        for mat, is_sprite in c.materials:
             if mat is None:
-                states.append(RasterState(fog=fog_on))
+                st = RasterState(fog=fog_on)
                 diffuse.append([0.7, 0.7, 0.7, 1.0])
                 ambient.append([0.3, 0.3, 0.3, 1.0])
                 specular.append([0.5, 0.5, 0.5, 1.0])
                 emissive.append([0.0, 0.0, 0.0, 1.0])
                 power.append(0.0)
             else:
-                tex = mat.GetTexture(0)
-                slot = -1
-                if tex is not None:
-                    for i, t in enumerate(c.textures):
-                        if t is tex:
-                            slot = i
-                            break
-                states.append(mat.raster_state(texture_slot=slot, fog=fog_on))
+                slot = c.tex_slot.get(id(mat.GetTexture(0)), -1)
+                st = mat.raster_state(texture_slot=slot, fog=fog_on)
                 lp = mat.lighting_params()
                 diffuse.append(lp["diffuse"])
                 ambient.append(lp["ambient"])
                 specular.append(lp["specular"])
                 emissive.append(lp["emissive"])
                 power.append(lp["power"])
+            if is_sprite:
+                import dataclasses
+                st = dataclasses.replace(st, cull=int(VXCULL.NONE))
+            states.append(st)
         si, sf = pack_states(states)
         return (jnp.asarray(si), jnp.asarray(sf),
                 jnp.asarray(np.asarray(diffuse, np.float32)),
@@ -420,10 +488,34 @@ class CKRenderContext(CKObject):
                 jnp.asarray(np.asarray(emissive, np.float32)),
                 jnp.asarray(np.asarray(power, np.float32)))
 
+    def _refresh_pool(self, c: CompiledScene):
+        """Re-gather vertex-pool arrays when any source mesh's data changed
+        since compile (morph targets, billboards, geomorph LOD) — dynamic
+        updates re-upload arrays without recompiling the frame program."""
+        if not c.pool_sources:
+            return
+        v = sum(getattr(m, "data_version", 0) for m in c.pool_sources)
+        if v == c._pool_version:
+            return
+        mc = c._mesh_pool_count
+
+        def regather(attr, old):
+            parts = [getattr(m, attr) for m in c.pool_sources]
+            parts.append(old[mc:])        # static tail (billboard rows)
+            return np.concatenate(parts).astype(np.float32)
+
+        c.positions = regather("positions", c.positions)
+        c.normals = regather("normals", c.normals)
+        c.uv = regather("uvs", c.uv)
+        c.prelit = regather("colors", c.prelit)
+        c.prelit_spec = regather("specular_colors", c.prelit_spec)
+        c._pool_version = v
+
     def _build_scene_device(self) -> fr.SceneDevice:
         ctx = self.context
         table = ctx.entity_table
         c = self._compiled
+        self._refresh_pool(c)
         n = max(table.count, 1)
 
         cam = self.attached_camera
@@ -479,6 +571,59 @@ class CKRenderContext(CKObject):
             clear_z=jnp.asarray(self.clear_z, jnp.float32),
         )
 
+    # -- per-frame overlay/billboard banks ---------------------------------
+    def _sprite3d_bank(self):
+        """Sprite3DBank rebuilt per frame (sizes/offsets/modes are dynamic;
+        counts/pool layout are static per compile)."""
+        from ..pipeline.overlay import Sprite3DBank
+
+        c = self._compiled
+        if not c.sprite3d_list:
+            return None
+        s = len(c.sprite3d_list)
+        row = np.zeros(s, np.int32)
+        size = np.zeros((s, 2), np.float32)
+        off = np.zeros((s, 2), np.float32)
+        mode = np.zeros(s, np.int32)
+        base = np.zeros(s, np.int32)
+        for i, (ent, pool_base, _b) in enumerate(c.sprite3d_list):
+            row[i] = ent.row
+            size[i] = ent.size2d
+            off[i] = ent.offset
+            mode[i] = ent.mode
+            base[i] = pool_base
+        return Sprite3DBank(
+            entity_row=jnp.asarray(row), size=jnp.asarray(size),
+            offset=jnp.asarray(off), mode=jnp.asarray(mode),
+            pool_base=jnp.asarray(base),
+            valid=jnp.ones(s, bool))
+
+    def _quad_banks(self):
+        """(background, foreground) QuadBanks from the 2D entity trees
+        (CKRenderedScene::Draw 2D passes, reference :166-179, :314-327)."""
+        from ..pipeline.overlay import build_quad_bank
+        from .entity2d import CK2dEntity
+
+        c = self._compiled
+        vw, vh = self.width, self.height
+        roots = [o for o in self.context._objects.values()
+                 if isinstance(o, CK2dEntity) and o.GetParent() is None]
+        back, fore = [], []
+        for r in sorted(roots, key=lambda e: e.zorder):
+            (back if r.IsBackground() else fore).append(r)
+        banks = []
+        for group in (back, fore):
+            flat: list[CK2dEntity] = []
+            for r in group:
+                r.collect_tree(flat)
+            quads = []
+            for e in flat:
+                t = e.texture()
+                slot = c.tex_slot.get(id(t), -1) if t is not None else -1
+                quads += e.quad_descriptors(vw, vh, slot)
+            banks.append(build_quad_bank(quads))
+        return banks[0], banks[1]
+
     # -- render -----------------------------------------------------------
     def Render(self, flags: int = 0):
         """One frame (RCKRenderContext::Render,
@@ -488,10 +633,16 @@ class CKRenderContext(CKObject):
             fct(self, arg)
         if self._compiled.topology_version != self.context._topology_version:
             self._compile()
+        # Quad banks first: lazy sprite-text rasters bump texture versions,
+        # which the stack refresh below then picks up this same frame.
+        quads_bg, quads_fg = self._quad_banks()
+        self._refresh_textures()
         scene = self._build_scene_device()
         self.fb, self.zb = fr.render_frame_full(
             scene, self._compiled.levels, self.height, self.width,
             skin=self._compiled.skin_bank,
+            sprites=self._sprite3d_bank(),
+            quads_bg=quads_bg, quads_fg=quads_fg,
             ordered_cap=self._compiled.ordered_cap)
         for kind, fct, arg, _t in self.post_render_callbacks:
             fct(self, arg)

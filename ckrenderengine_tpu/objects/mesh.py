@@ -127,8 +127,14 @@ class CKMesh(CKObject):
         pos = np.asarray(pos, np.float32)
         if pos.shape[0] != self.positions.shape[0]:
             self.SetVertexCount(pos.shape[0])
-        self.positions = pos.copy()
-        self._dirty()
+            self.positions = pos.copy()
+            self._dirty()
+        else:
+            # Same-shape update (morph targets, billboards, geomorph LOD):
+            # dynamic-only — the compiled scene re-gathers the vertex pool
+            # per frame without recompiling the frame program.
+            self.positions = pos.copy()
+            self._dirty_dynamic()
 
     def SetNormals(self, n: np.ndarray):
         self.normals = np.asarray(n, np.float32).copy()
@@ -362,8 +368,10 @@ class CKMesh(CKObject):
         self._groups = None
         self._bbox = None
         self.flags &= ~VXMESH_OPTIMIZED
+        self.data_version = getattr(self, "data_version", 0) + 1
         self.context._bump_topology()
 
     def _dirty_dynamic(self):
         self._bbox = None
+        self.data_version = getattr(self, "data_version", 0) + 1
         self.context._bump_dynamic()

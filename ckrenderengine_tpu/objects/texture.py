@@ -24,6 +24,7 @@ class CKTexture(CKObject):
         self.mipmap = True
         self.user_mip_levels: list[np.ndarray] = []
         self.transparent_color = None
+        self.data_version = 0
 
     # -- image API --------------------------------------------------------
     def Create(self, width: int, height: int, bpp: int = 32, slot: int = 0):
@@ -43,8 +44,16 @@ class CKTexture(CKObject):
             img = np.concatenate([img, np.ones(img.shape[:-1] + (1,), np.float32)], -1)
         while len(self.slots) <= slot:
             self.slots.append(None)
+        same_shape = (self.slots[slot] is not None
+                      and self.slots[slot].shape == img.shape)
         self.slots[slot] = img
-        self.context._bump_topology()
+        self.data_version += 1
+        # Same-shape updates (video textures, re-rastered text) are dynamic:
+        # the texture stack re-uploads without a scene recompile.
+        if same_shape:
+            self.context._bump_dynamic()
+        else:
+            self.context._bump_topology()
 
     def GetImage(self, slot: int = 0) -> np.ndarray | None:
         return self.slots[slot]

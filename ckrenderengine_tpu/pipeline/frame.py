@@ -108,7 +108,10 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None):
     """
     if world is None:
         world = compose_world(scene.local, scene.parent, levels)
-    wm = jnp.take(world, scene.vert_entity, axis=0)              # (IV,4,4)
+    # Row N = identity: world-space vertex sources (billboards) bind here.
+    world_ext = jnp.concatenate(
+        [world, jnp.eye(4, dtype=world.dtype)[None]], axis=0)
+    wm = jnp.take(world_ext, scene.vert_entity, axis=0)          # (IV,4,4)
     pos = jnp.take(scene.positions, scene.src_idx, axis=0)       # (IV,3)
     nrm = jnp.take(scene.normals, scene.src_idx, axis=0)
 
@@ -152,8 +155,10 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog):
     # (the AND-reduction of CKRasterizerContext::TransformVertices,
     # CKRasterizerLib/CKRasterizerContext.cpp:339-392, applied per-triangle).
     reject = (flags[i0] & flags[i1] & flags[i2]) != 0
-    # Entity-level visibility gate.
-    ent_vis = jnp.take(scene.entity_visible, jnp.take(scene.vert_entity, i0), axis=0)
+    # Entity-level visibility gate (identity row N is always visible).
+    vis_ext = jnp.concatenate(
+        [scene.entity_visible, jnp.ones((1,), bool)], axis=0)
+    ent_vis = jnp.take(vis_ext, jnp.take(scene.vert_entity, i0), axis=0)
     valid = scene.tri_valid & jnp.logical_not(reject) & ent_vis
 
     # Screen-homogeneous coords (raster/types.py convention).
@@ -218,7 +223,7 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
 
 def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int,
                       ordered_cap: int | None = None, chunk: int = 64,
-                      world=None):
+                      world=None, background=None):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
     Equivalent of RCKRenderContext::Render's device work
@@ -233,8 +238,12 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 
     Returns (fb (4,H,W) f32, zb (H,W) f32).
     """
-    clear_fb = jnp.broadcast_to(scene.clear_color[:, None, None].astype(jnp.float32),
-                                (4, height, width))
+    if background is not None:
+        clear_fb = background
+    else:
+        clear_fb = jnp.broadcast_to(
+            scene.clear_color[:, None, None].astype(jnp.float32),
+            (4, height, width))
 
     clip, color, spec, fog, _world = transform_and_light(scene, levels, world)
     batch = assemble_triangles(scene, clip, color, spec, fog)
@@ -277,19 +286,25 @@ render_frame = functools.partial(
 def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            width: int, skin=None, anim=None, anim_t=0.0,
                            anim_b=None, anim_b_t=0.0, blend=0.0,
+                           sprites=None, quads_bg=None, quads_fg=None,
                            ordered_cap: int | None = None, chunk: int = 64):
-    """The FULL per-frame device program: animate -> compose -> skin -> render.
+    """The FULL per-frame device program:
+    animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
     This is the TPU training-step analogue of the reference's per-tick
     behavior processing + render (SURVEY §3.2/§3.3 combined): track
     evaluation (RCKObjectAnimation::SetStep semantics), world composition,
-    skin deformation (RCKSkin::CalcPointsEx semantics), and the frame raster
-    fused into ONE XLA program.
+    skin deformation (RCKSkin::CalcPointsEx semantics), billboard expansion
+    (AddSprite3DBatch semantics), the frame raster, and the 2D overlay
+    passes (CKRenderedScene::Draw background/foreground trees) fused into
+    ONE XLA program.
 
     ``anim``: AnimBank evaluated at ``anim_t``; with ``anim_b`` a second bank
     blended at factor ``blend`` (warp transitions). ``skin``: SkinBank.
+    ``sprites``: Sprite3DBank. ``quads_bg``/``quads_fg``: QuadBanks.
     """
     from ..anim.bank import apply_bank, apply_bank_blended
+    from .overlay import apply_billboards, composite_quads
     from .skinning import apply_skin
 
     local = scene.local
@@ -301,9 +316,24 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
     positions, normals = scene.positions, scene.normals
     if skin is not None:
         positions, normals = apply_skin(world, positions, normals, skin)
+    if sprites is not None:
+        positions = apply_billboards(world, scene.view, positions, sprites,
+                                     scene.entity_visible)
     scene = scene._replace(local=local, positions=positions, normals=normals)
-    return render_frame_impl(scene, levels, height, width, ordered_cap, chunk,
-                             world=world)
+
+    background = None
+    if quads_bg is not None:
+        background = jnp.broadcast_to(
+            scene.clear_color[:, None, None].astype(jnp.float32),
+            (4, height, width))
+        background = composite_quads(background, quads_bg, scene.tex_planes,
+                                     scene.tex_hw, height, width)
+    fb, zb = render_frame_impl(scene, levels, height, width, ordered_cap,
+                               chunk, world=world, background=background)
+    if quads_fg is not None:
+        fb = composite_quads(fb, quads_fg, scene.tex_planes, scene.tex_hw,
+                             height, width)
+    return fb, zb
 
 
 render_frame_full = functools.partial(

@@ -1,0 +1,213 @@
+"""2D overlay + Sprite3D billboard tests (SURVEY §2.4): CK2dEntity trees,
+sprites, sprite text, compositing order, picking, billboards in the frame
+program."""
+
+import numpy as np
+import pytest
+
+from ckrenderengine_tpu.objects import (
+    CK2dEntity, CK3dObject, CKCamera, CKContext, CKMaterial, CKMesh,
+    CKSprite, CKSprite3D, CKSpriteText, CKTexture,
+)
+
+
+def _rc(ctx, w=64, h=64, cam=True):
+    rm = ctx.GetRenderManager()
+    rc = rm.CreateRenderContext(w, h)
+    if cam:
+        c = CKCamera(ctx, "cam")
+        c.SetPosition((0, 0, -5))
+        rc.AttachViewpointToCamera(c)
+    return rc
+
+
+class Test2dEntity:
+    def test_screen_rect_pixel_and_homogeneous(self):
+        ctx = CKContext()
+        e = CK2dEntity(ctx, "e")
+        e.SetPosition((10, 20))
+        e.SetSize((30, 40))
+        assert tuple(e.screen_rect(64, 64)) == (10, 20, 40, 60)
+        h = CK2dEntity(ctx, "h")
+        h.SetPosition((0.25, 0.5), hom=True)
+        h.SetSize((0.5, 0.25), hom=True)
+        assert tuple(h.screen_rect(100, 200)) == (25, 100, 75, 150)
+
+    def test_child_rect_relative_to_parent(self):
+        ctx = CKContext()
+        p = CK2dEntity(ctx, "p")
+        p.SetPosition((10, 10))
+        p.SetSize((40, 40))
+        c = CK2dEntity(ctx, "c")
+        c.SetParent(p)
+        c.SetPosition((0.5, 0.0), hom=True)
+        c.SetSize((10, 10))
+        assert tuple(c.screen_rect(64, 64)) == (30, 10, 40, 20)
+        # clip to parent
+        c.SetPosition((35, 35))
+        c.EnableClipToParent(True)
+        x0, y0, x1, y1 = c.screen_rect(64, 64)
+        assert (x1, y1) == (50, 50)
+
+    def test_cycle_rejected(self):
+        ctx = CKContext()
+        a = CK2dEntity(ctx, "a")
+        b = CK2dEntity(ctx, "b")
+        assert b.SetParent(a)
+        assert not a.SetParent(b)
+
+    def test_pick_front_most(self):
+        ctx = CKContext()
+        a = CK2dEntity(ctx, "a")
+        a.SetRect((0, 0, 40, 40))
+        b = CK2dEntity(ctx, "b")
+        b.SetRect((20, 20, 60, 60))
+        b.SetZOrder(5)
+        # emulate Pick2D over root list front-to-back
+        hit = None
+        for e in sorted([a, b], key=lambda x: -x.zorder):
+            hit = e.Pick(30, 30, 64, 64)
+            if hit is not None:
+                break
+        assert hit is b
+
+    def test_foreground_quad_renders_over_3d(self):
+        ctx = CKContext()
+        rc = _rc(ctx)
+        q = CK2dEntity(ctx, "hud")
+        q.SetRect((0, 0, 16, 16))
+        q.SetColor((0, 1, 0, 1))
+        rc.Render()
+        fb = rc.framebuffer()
+        assert fb[8, 8, 1] == pytest.approx(1.0, abs=1e-5)
+        assert fb[40, 40, 1] == pytest.approx(0.0, abs=1e-5)
+
+    def test_background_quad_behind_3d(self):
+        ctx = CKContext()
+        rc = _rc(ctx)
+        bgq = CK2dEntity(ctx, "bg")
+        bgq.SetRect((0, 0, 64, 64))
+        bgq.SetColor((0, 0, 1, 1))
+        bgq.SetBackground(True)
+        # a red triangle in front of the camera
+        mesh = CKMesh(ctx, "t")
+        mesh.SetPositions(np.array([[-1, -1, 0], [0, 1, 0], [1, -1, 0]],
+                                   np.float32))
+        mesh.SetFaces(np.array([[0, 1, 2]], np.int32))
+        mesh.BuildNormals()
+        mat = CKMaterial(ctx, "m")
+        mat.SetEmissive((1, 0, 0, 1))   # self-lit: no lights in this scene
+        mat.SetTwoSided(True)
+        mesh.ApplyGlobalMaterial(mat)
+        obj = CK3dObject(ctx, "tri")
+        obj.SetCurrentMesh(mesh)
+        rc.Render()
+        fb = rc.framebuffer()
+        # corner: background quad visible (blue); center: triangle (red-ish)
+        assert fb[2, 2, 2] == pytest.approx(1.0, abs=1e-5)
+        assert fb[32, 32, 0] > 0.05
+        assert fb[32, 32, 2] < 0.5
+
+    def test_alpha_blend_compositing(self):
+        ctx = CKContext()
+        rc = _rc(ctx, cam=False)
+        under = CK2dEntity(ctx, "under")
+        under.SetRect((0, 0, 32, 32))
+        under.SetColor((1, 0, 0, 1))
+        over = CK2dEntity(ctx, "over")
+        over.SetRect((0, 0, 32, 32))
+        over.SetColor((0, 0, 1, 0.5))
+        over.SetZOrder(1)
+        rc.Render()
+        fb = rc.framebuffer()
+        assert fb[16, 16, 0] == pytest.approx(0.5, abs=0.02)
+        assert fb[16, 16, 2] == pytest.approx(0.5, abs=0.02)
+
+
+class TestSprite:
+    def test_sprite_image_drawn(self):
+        ctx = CKContext()
+        rc = _rc(ctx, cam=False)
+        sp = CKSprite(ctx, "s")
+        img = np.zeros((8, 8, 4), np.float32)
+        img[:, :, 1] = 1.0   # green
+        img[:, :, 3] = 1.0
+        sp.SetImage(img)
+        sp.SetPosition((10, 10))
+        rc.Render()
+        fb = rc.framebuffer()
+        assert fb[14, 14, 1] == pytest.approx(1.0, abs=1e-4)
+        assert fb[5, 5, 1] == pytest.approx(0.0, abs=1e-4)
+
+    def test_sprite_text_renders_pixels(self):
+        ctx = CKContext()
+        rc = _rc(ctx, cam=False)
+        st = CKSpriteText(ctx, "txt")
+        st.SetSize((60, 16))
+        st.SetText("FPS 60")
+        st.SetTextColor((1, 1, 0, 1))
+        st.SetPosition((0, 0))
+        rc.Render()
+        fb = rc.framebuffer()
+        region = fb[0:16, 0:60]
+        assert (region[..., 0] > 0.5).sum() > 10   # some yellow text pixels
+        st.SetText("FPS 30")
+        rc.Render()
+        fb2 = rc.framebuffer()
+        assert np.abs(fb2 - fb).sum() > 0.1        # re-raster on change
+
+    def test_getters(self):
+        ctx = CKContext()
+        sp = CKSprite(ctx, "s")
+        sp.Create(16, 8)
+        assert sp.GetWidth() == 16
+        assert sp.GetHeight() == 8
+        assert sp.GetSlotCount() == 1
+
+
+class TestSprite3D:
+    def _scene(self, mode):
+        ctx = CKContext()
+        rc = _rc(ctx)
+        sp = CKSprite3D(ctx, "board")
+        mat = CKMaterial(ctx, "m")
+        mat.SetDiffuse((1, 0, 1, 1))
+        sp.SetMaterial(mat)
+        sp.SetSize((1.0, 1.0))
+        sp.SetMode(mode)
+        return ctx, rc, sp
+
+    def test_billboard_faces_camera(self):
+        ctx, rc, sp = self._scene(CKSprite3D.MODE_BILLBOARD)
+        rc.Render()
+        fb = rc.framebuffer()
+        assert fb[32, 32, 0] > 0.5   # magenta at center
+        # move camera; still faces it (edge-on would vanish)
+        cam = rc.GetAttachedCamera()
+        cam.SetPosition((5, 0, 0))
+        cam.SetOrientation((-1, 0, 0))
+        rc.Render()
+        fb = rc.framebuffer()
+        assert fb[32, 32, 0] > 0.5
+
+    def test_invisible_sprite_not_drawn(self):
+        ctx, rc, sp = self._scene(CKSprite3D.MODE_BILLBOARD)
+        sp.Show(False)
+        rc.Render()
+        fb = rc.framebuffer()
+        assert fb.sum() == pytest.approx(0.0, abs=1e-5)
+
+    def test_uv_mapping_and_texture(self):
+        ctx, rc, sp = self._scene(CKSprite3D.MODE_BILLBOARD)
+        sp.material.SetDiffuse((1, 1, 1, 1))   # white: texture unmodulated
+        tex = CKTexture(ctx, "t")
+        img = np.zeros((8, 8, 4), np.float32)
+        img[:4] = (1, 0, 0, 1)     # top half red
+        img[4:] = (0, 1, 0, 1)     # bottom half green
+        tex.SetImage(img)
+        sp.material.SetTexture(tex)
+        rc.Render()
+        fb = rc.framebuffer()
+        # top half of billboard = top of image (red), bottom = green
+        assert fb[24, 32, 0] > 0.4 and fb[24, 32, 1] < 0.4
+        assert fb[40, 32, 1] > 0.4 and fb[40, 32, 0] < 0.4
