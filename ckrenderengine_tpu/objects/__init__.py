@@ -14,6 +14,9 @@ from .mesh import CKMesh
 from .patchmesh import CKPatch, CKPatchMesh, CKTVPatch
 from .entity2d import CK2dEntity, CKSprite, CKSpriteText
 from .sprite3d import CKSprite3D
+from .curve import CKCurve, CKCurvePoint
+from .grid import CKGrid, CKLayer
+from .place import CKPlace, CKPortalEntry
 from .material import CKMaterial
 from .texture import CKTexture
 from .light import CKLight, CKTargetLight
@@ -24,6 +27,7 @@ __all__ = [
     "CKContext", "CKObject", "CK3dEntity", "CK3dObject", "CKMesh",
     "CKPatch", "CKPatchMesh", "CKTVPatch",
     "CK2dEntity", "CKSprite", "CKSpriteText", "CKSprite3D",
+    "CKCurve", "CKCurvePoint", "CKGrid", "CKLayer", "CKPlace", "CKPortalEntry",
     "CKMaterial", "CKTexture", "CKLight", "CKTargetLight", "CKCamera",
     "CKTargetCamera", "CKRenderManager", "CKRenderContext",
 ]

@@ -71,6 +71,9 @@ class CompiledScene:
         self._pool_version = -1
         # Sprite3D billboards: (entity, pool_base, bucket) per sprite.
         self.sprite3d_list: list = []
+        # Line segments (stream-index pairs + colors) and their device bank.
+        self.line_segments: list = []
+        self.line_bank = None
         # Extra pool rows appended after mesh sources (billboard corners).
         self.extra_pool = 0
 
@@ -269,7 +272,8 @@ class CKRenderContext(CKObject):
         skin_descs = []
         for ent in entities:
             mesh = ent.GetCurrentMesh()
-            if mesh is None or mesh.GetFaceCount() == 0:
+            if mesh is None or (mesh.GetFaceCount() == 0
+                                and mesh.GetLineCount() == 0):
                 continue
             # Skinned entities get a private pool block (their pool vertices
             # are overwritten per-frame by the device skin stage).
@@ -297,6 +301,26 @@ class CKRenderContext(CKObject):
                 vlit.append(np.full(nv, lit, bool))
                 tidx.append(iv + grp.local_faces)
                 tstate.append(np.full(grp.local_faces.shape[0], b, np.int32))
+                iv += nv
+            # Mesh line list -> device line pass (RCKMesh line pass,
+            # reference src/CKMesh.cpp:4168-4192). Endpoints get their own
+            # stream block (full mesh vertex range).
+            if mesh.GetLineCount() > 0:
+                nv = mesh.positions.shape[0]
+                lmat = mesh.GetMaterial(0) if mesh.GetMaterialCount() else None
+                lcolor = (np.asarray(lmat.GetDiffuse(), np.float32)
+                          if lmat is not None else None)
+                src.append(moff + np.arange(nv, dtype=np.int32))
+                vent.append(np.full(nv, ent.row, np.int32))
+                vstate.append(np.zeros(nv, np.int32))
+                vlit.append(np.zeros(nv, bool))
+                for (a0, a1) in np.asarray(mesh.lines):
+                    col = (lcolor if lcolor is not None
+                           else mesh.colors[a0] if mesh.colors.shape[0] > a0
+                           else (1, 1, 1, 1))
+                    c.line_segments.append(
+                        dict(i0=iv + int(a0), i1=iv + int(a1),
+                             color=tuple(np.asarray(col).tolist())))
                 iv += nv
 
         # Sprite3D billboards: 4 reserved pool rows + 2 triangles per sprite,
@@ -403,6 +427,8 @@ class CKRenderContext(CKObject):
 
         from ..pipeline.skinning import build_skin_bank
         c.skin_bank = build_skin_bank(skin_descs)
+        from ..pipeline.lines import build_line_bank
+        c.line_bank = build_line_bank(c.line_segments)
         self._compiled = c
 
         self._refresh_textures(force=True)
@@ -535,10 +561,24 @@ class CKRenderContext(CKObject):
         si, sf, md, ma, ms, me, mp = self._material_banks(c)
         visible = (table.flags[:n] & et.VX_MOVEABLE_VISIBLE) != 0
 
+        # Per-entity scissor rects: CKPlace viewport clips apply to their
+        # hierarchies (reference src/CKSceneGraph.cpp:113-128).
+        big = 1.0e9
+        entity_clip = np.tile(np.array([-big, -big, big, big], np.float32),
+                              (n, 1))
+        from .place import CKPlace
+        for obj in ctx._objects.values():
+            if isinstance(obj, CKPlace) and obj.clip_rect is not None:
+                rect = np.asarray(obj.clip_rect, np.float32)
+                for d in obj.descendants():
+                    if d.row < n:
+                        entity_clip[d.row] = rect
+
         return fr.SceneDevice(
             local=jnp.asarray(table.local[:n]),
             parent=jnp.asarray(table.parent[:n]),
             entity_visible=jnp.asarray(visible),
+            entity_clip=jnp.asarray(entity_clip),
             positions=jnp.asarray(c.positions),
             normals=jnp.asarray(c.normals),
             uv=jnp.asarray(c.uv),
@@ -631,6 +671,12 @@ class CKRenderContext(CKObject):
         t0 = time.monotonic()
         for kind, fct, arg, _t in self.pre_render_callbacks:
             fct(self, arg)
+        # Dirty curves regenerate their line meshes before compilation
+        # (RCKCurve::Render = update-if-dirty then render).
+        from .curve import CKCurve
+        for obj in list(self.context._objects.values()):
+            if isinstance(obj, CKCurve) and obj.IsDirty():
+                obj.Update()
         if self._compiled.topology_version != self.context._topology_version:
             self._compile()
         # Quad banks first: lazy sprite-text rasters bump texture versions,
@@ -643,6 +689,7 @@ class CKRenderContext(CKObject):
             skin=self._compiled.skin_bank,
             sprites=self._sprite3d_bank(),
             quads_bg=quads_bg, quads_fg=quads_fg,
+            lines=self._compiled.line_bank,
             ordered_cap=self._compiled.ordered_cap)
         for kind, fct, arg, _t in self.post_render_callbacks:
             fct(self, arg)

@@ -45,6 +45,7 @@ class SceneDevice(NamedTuple):
     local: jnp.ndarray        # (N,4,4) local transforms
     parent: jnp.ndarray       # (N,) int32
     entity_visible: jnp.ndarray  # (N,) bool
+    entity_clip: jnp.ndarray  # (N,4) per-entity scissor rect (Place clips)
 
     # Mesh vertex pool (shared, unique geometry)
     positions: jnp.ndarray    # (V,3)
@@ -176,10 +177,17 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog):
     def g3(a):
         return jnp.stack([a[i0], a[i1], a[i2]], axis=1)
 
+    # Per-triangle scissor from the owning entity (Place viewport clips);
+    # identity row N gets the open rect.
+    big = jnp.float32(1.0e9)
+    open_rect = jnp.array([[-1e9, -1e9, 1e9, 1e9]], jnp.float32)
+    clip_ext = jnp.concatenate([scene.entity_clip, open_rect], axis=0)
+    tri_rect = jnp.take(clip_ext, jnp.take(scene.vert_entity, i0), axis=0)
+
     return rb.DeviceBatch(
         xyw=g3(xyw_v), z=g3(z), color=g3(color), specular=g3(spec),
         uv=g3(jnp.take(scene.uv, scene.src_idx, axis=0)), fog=g3(fog),
-        state_idx=scene.tri_state, valid=valid,
+        state_idx=scene.tri_state, valid=valid, clip_rect=tri_rect,
     )
 
 
@@ -218,6 +226,7 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
         xyw=take(batch.xyw), z=take(batch.z), color=take(batch.color),
         specular=take(batch.specular), uv=take(batch.uv), fog=take(batch.fog),
         state_idx=take(batch.state_idx), valid=sel_valid,
+        clip_rect=take(batch.clip_rect),
     )
 
 
@@ -254,7 +263,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 
     # --- deferred opaque: depth argmin reduce + one shade per pixel --------
     setup = df.triangle_setup(batch.xyw, batch.z, batch.state_idx, batch.valid,
-                              scene.state_i)
+                              scene.state_i, clip_rect=batch.clip_rect)
     best_id, best_depth = df.depth_reduce(
         setup, defer_tri, scene.clear_z, scene.viewport, height, width,
         chunk=chunk)
@@ -287,6 +296,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            width: int, skin=None, anim=None, anim_t=0.0,
                            anim_b=None, anim_b_t=0.0, blend=0.0,
                            sprites=None, quads_bg=None, quads_fg=None,
+                           lines=None,
                            ordered_cap: int | None = None, chunk: int = 64):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
@@ -330,6 +340,10 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                                      scene.tex_hw, height, width)
     fb, zb = render_frame_impl(scene, levels, height, width, ordered_cap,
                                chunk, world=world, background=background)
+    if lines is not None:
+        from .lines import draw_lines
+
+        fb = draw_lines(fb, zb, scene, world, lines, height, width)
     if quads_fg is not None:
         fb = composite_quads(fb, quads_fg, scene.tex_planes, scene.tex_hw,
                              height, width)

@@ -49,10 +49,11 @@ def deferred_mask(state_i: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def triangle_setup(xyw, z, state_idx, valid, state_i):
+def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None):
     """Per-triangle setup: adjoint edge coeffs, depth plane, cull, flags.
 
     xyw: (T,3,3) screen-homogeneous verts; z: (T,3) clip z.
+    clip_rect: optional (T,4) per-triangle scissor (Place viewport clips).
     Returns dict of (T,...) arrays.
     """
     v0, v1, v2 = xyw[:, 0], xyw[:, 1], xyw[:, 2]
@@ -82,9 +83,13 @@ def triangle_setup(xyw, z, state_idx, valid, state_i):
     top_left = (b > 0) | ((b == 0) & (a > 0))          # (T,3)
 
     tvalid = valid & ~degenerate & keep
+    if clip_rect is None:
+        big = 1.0e9
+        clip_rect = jnp.tile(jnp.array([[-big, -big, big, big]], jnp.float32),
+                             (xyw.shape[0], 1))
     return dict(e_coef=e_coef, top_left=top_left, zplane=zplane,
                 esum_plane=esum_plane, s=s, det=det, inv_det=inv_det,
-                valid=tvalid)
+                valid=tvalid, clip_rect=clip_rect)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk"))
@@ -121,6 +126,7 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
     s_sign = prep(setup["s"])
     tvalid = prep(setup["valid"] & defer_tri, False)
     tri_ids = prep(jnp.arange(t, dtype=jnp.int32), -1)
+    trect = prep(setup["clip_rect"])
 
     init_depth = jnp.broadcast_to(jnp.asarray(clear_z, jnp.float32), (height, width))
     init_id = jnp.full((height, width), -1, jnp.int32)
@@ -129,7 +135,7 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
 
     def body(carry, xs):
         best_d, best_i = carry
-        ec, tl, zp, ep, ss, tv, ids = xs       # leading dim = chunk C
+        ec, tl, zp, ep, ss, tv, ids, rect = xs  # leading dim = chunk C
 
         def plane(coef):                       # coef (C,3) -> (C,H,W)
             return (coef[:, 0, None, None] * px + coef[:, 1, None, None] * py
@@ -147,6 +153,11 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
         depth = plane(zp)
         cov &= ((esum > 0) & (depth >= 0.0) & (depth <= 1.0)
                 & tv[:, None, None] & scissor[None])
+        # Per-triangle scissor (Place viewport clips).
+        cov &= ((px[None] >= rect[:, 0, None, None])
+                & (py[None] >= rect[:, 1, None, None])
+                & (px[None] < rect[:, 2, None, None])
+                & (py[None] < rect[:, 3, None, None]))
         dm = jnp.where(cov, depth, big)
         # Within-chunk argmin; exact-depth ties -> later draw id wins.
         dmin = jnp.min(dm, axis=0)                                  # (H,W)
@@ -159,7 +170,7 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
 
     (best_d, best_i), _ = jax.lax.scan(
         body, (init_depth, init_id),
-        (e_coef, top_left, zplane, esum_plane, s_sign, tvalid, tri_ids))
+        (e_coef, top_left, zplane, esum_plane, s_sign, tvalid, tri_ids, trect))
     return best_i, best_d
 
 

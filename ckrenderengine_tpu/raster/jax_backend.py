@@ -52,6 +52,7 @@ class DeviceBatch(NamedTuple):
     fog: jnp.ndarray
     state_idx: jnp.ndarray
     valid: jnp.ndarray
+    clip_rect: jnp.ndarray   # (T,4) per-triangle scissor [x0,y0,x1,y1] px
 
     @staticmethod
     def from_host(b: TriangleBatch, pad_to_multiple: int = 8) -> "DeviceBatch":
@@ -63,10 +64,12 @@ class DeviceBatch(NamedTuple):
             out = np.zeros((pt,) + a.shape[1:], a.dtype)
             out[:t] = a
             return jnp.asarray(out)
+        big = 1.0e9
+        rect = np.tile(np.array([-big, -big, big, big], np.float32), (pt, 1))
         return DeviceBatch(
             xyw=pad(b.xyw), z=pad(b.z), color=pad(b.color), specular=pad(b.specular),
             uv=pad(b.uv), fog=pad(b.fog), state_idx=pad(b.state_idx),
-            valid=pad(b.valid.astype(np.bool_)),
+            valid=pad(b.valid.astype(np.bool_)), clip_rect=jnp.asarray(rect),
         )
 
 
@@ -224,7 +227,7 @@ def tex_blend(mode, tex, diff):
 
 def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog_color, scissor):
     """Render one triangle onto (4,H,W) fb planes + (H,W) zb. Returns updated."""
-    (xyw, zv, col, spec, uv, fogv, sidx, valid) = tri
+    (xyw, zv, col, spec, uv, fogv, sidx, valid, clip_rect) = tri
     si = state_i[sidx]
     sf = state_f[sidx]
 
@@ -255,6 +258,10 @@ def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog
     inside = edge_inside(e0, adj0) & edge_inside(e1, adj1) & edge_inside(e2, adj2)
     inside &= jnp.logical_not(degenerate) & valid
     inside &= scissor
+    # Per-triangle scissor (Place viewport clip, reference
+    # src/CKSceneGraph.cpp:113-128).
+    inside &= ((px >= clip_rect[0]) & (py >= clip_rect[1])
+               & (px < clip_rect[2]) & (py < clip_rect[3]))
 
     cull = si[SI_CULL]
     front = det > 0
