@@ -303,16 +303,58 @@ class CKMesh(CKObject):
 
     # -- material groups --------------------------------------------------
     def CreateRenderGroups(self):
-        """Bucket faces per material (reference src/CKMesh.cpp:4519-4810)."""
+        """Bucket faces per material (reference src/CKMesh.cpp:4519-4810).
+
+        Per-group face order follows the reference's optimize step: with
+        VXMESH_STRIPIFY the stripifier's emission order (NvStripifier branch,
+        :4743-4793), otherwise vertex-cache-optimized order (:4795+). On TPU
+        the order only affects exact-depth ties and transparent draws — the
+        deferred reduce is order-independent — but the cache-friendly order
+        also improves the host-side gather locality of the instanced stream.
+        """
         groups = []
         if self.faces.shape[0]:
             for slot in np.unique(self.face_materials):
                 fi = np.nonzero(self.face_materials == slot)[0]
                 mat = self.materials[slot] if slot < len(self.materials) else None
+                fi = self._optimize_group_order(fi)
                 groups.append(MaterialGroup(mat, fi, self))
         self._groups = groups
         self.flags |= VXMESH_OPTIMIZED
         return groups
+
+    def _optimize_group_order(self, face_indices: np.ndarray) -> np.ndarray:
+        if face_indices.shape[0] < 3:
+            return face_indices
+        from ..utils.geometry import (
+            MeshStriper, VertexCacheOptimizer, strip_to_triangles,
+        )
+        from ..settings import get_dword
+
+        faces = self.faces[face_indices]
+        if self.flags & VXMESH_STRIPIFY:
+            ms = MeshStriper()
+            ms.Compute(faces)
+            tris = np.concatenate(
+                [strip_to_triangles(s) for s in ms.strips]) \
+                if ms.strips else faces
+            # map stripified triangles back to original face rows
+            key = {tuple(sorted(f)): i for i, f in enumerate(map(tuple, faces))}
+            order = []
+            seen = set()
+            for t in map(tuple, tris):
+                i = key.get(tuple(sorted(t)))
+                if i is not None and i not in seen:
+                    seen.add(i)
+                    order.append(i)
+            for i in range(faces.shape[0]):
+                if i not in seen:
+                    order.append(i)
+            return face_indices[np.asarray(order, np.int64)]
+        cache = get_dword("VertexCache", 16)
+        opt = VertexCacheOptimizer(cache)
+        order = opt.Optimize(faces, self.positions.shape[0])
+        return face_indices[order.astype(np.int64)]
 
     def GetRenderGroups(self) -> list[MaterialGroup]:
         if self._groups is None or not (self.flags & VXMESH_OPTIMIZED):

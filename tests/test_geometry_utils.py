@@ -1,0 +1,246 @@
+"""Geometry-utility tests mirroring the reference's test strategy
+(tests/test_geometry_regressions.cpp, test_nvstripifier.cpp,
+test_meshstriper.cpp): radix edge cases, adjacency compaction, nearest-grid
+thresholds, strips compared as order-insensitive triangle multisets, cache
+optimization improving simulated miss counts."""
+
+import numpy as np
+import pytest
+
+from ckrenderengine_tpu.utils import (
+    BOUNDARY, MeshAdjacency, MeshStriper, NearestPointGrid, NvStripifier,
+    PlaceFitter, RadixSorter, VertexCache, VertexCacheOptimizer, native,
+    strip_to_triangles,
+)
+from ckrenderengine_tpu.objects import CKContext, CKMesh
+from ckrenderengine_tpu.objects.vertexbuffer import CKVertexBuffer
+
+
+def tri_multiset(faces) -> set:
+    """Order-insensitive triangle multiset (reference
+    tests/TestTriangleMultiset.h:19-49) — winding-insensitive keys."""
+    return sorted(tuple(sorted(map(int, f))) for f in np.asarray(faces))
+
+
+def grid_faces(n: int) -> np.ndarray:
+    """(2n^2, 3) triangulated n x n grid."""
+    faces = []
+    for r in range(n):
+        for c in range(n):
+            a = r * (n + 1) + c
+            b = a + 1
+            d = a + n + 1
+            e = d + 1
+            faces += [[a, b, e], [a, e, d]]
+    return np.asarray(faces, np.uint32)
+
+
+class TestRadix:
+    def test_empty_input(self):
+        rs = RadixSorter()
+        assert rs.Sort(np.zeros(0, np.uint32)).GetIndices().shape == (0,)
+
+    def test_u32_sort(self):
+        rng = np.random.default_rng(0)
+        v = rng.integers(0, 2**32, 1000, dtype=np.uint32)
+        idx = RadixSorter().Sort(v).GetIndices()
+        assert np.all(np.diff(v[idx].astype(np.uint64)) >= 0)
+
+    def test_f32_sort_with_negatives(self):
+        rng = np.random.default_rng(1)
+        v = rng.normal(0, 100, 500).astype(np.float32)
+        idx = RadixSorter().Sort(v).GetIndices()
+        assert np.all(np.diff(v[idx]) >= 0)
+
+    def test_stable_on_duplicates(self):
+        v = np.array([3, 1, 3, 1, 3], np.uint32)
+        idx = RadixSorter().Sort(v).GetIndices()
+        ones = idx[v[idx] == 1]
+        assert list(ones) == [1, 3]
+
+
+class TestAdjacency:
+    def test_two_triangles_share_edge(self):
+        faces = np.array([[0, 1, 2], [2, 1, 3]], np.uint32)
+        ma = MeshAdjacency(faces)
+        # shared edge (1,2): face0 edge1 (1->2), face1 edge0 (2->1)
+        assert ma.adj[0, 1] == 1
+        assert ma.adj[1, 0] == 0
+        assert ma.BoundaryEdgeCount() == 4
+
+    def test_closed_fan_no_boundary_inside(self):
+        faces = grid_faces(4)
+        ma = MeshAdjacency(faces)
+        interior = (ma.adj != BOUNDARY).sum()
+        assert interior > 0
+        # boundary edges = perimeter of grid: 4 sides x 4 segments + diagonals?
+        # each diagonal is shared; outer edges are open: 4*4 = 16
+        assert ma.BoundaryEdgeCount() == 16
+
+    def test_empty(self):
+        ma = MeshAdjacency(np.zeros((0, 3), np.uint32))
+        assert ma.adj.shape == (0, 3)
+
+
+class TestStripify:
+    @pytest.mark.parametrize("n", [1, 2, 4, 8])
+    def test_strips_cover_exact_triangle_multiset(self, n):
+        faces = grid_faces(n)
+        ms = MeshStriper()
+        ms.Compute(faces)
+        out = []
+        for i in range(ms.GetStripCount()):
+            out.append(strip_to_triangles(ms.GetStrip(i)))
+        got = tri_multiset(np.concatenate(out))
+        assert got == tri_multiset(faces)
+
+    def test_strips_are_longer_than_trilist(self):
+        faces = grid_faces(8)
+        ms = MeshStriper()
+        ms.Compute(faces)
+        total_idx = sum(len(ms.GetStrip(i)) for i in range(ms.GetStripCount()))
+        assert total_idx < faces.shape[0] * 3   # strips save indices
+
+    def test_connect_all_single_strip(self):
+        faces = grid_faces(3)
+        ms = MeshStriper()
+        ms.Compute(faces)
+        joined = ms.ConnectAll()
+        got = tri_multiset(strip_to_triangles(joined))
+        assert got == tri_multiset(faces)      # degenerates skipped
+
+    def test_nvstripifier_max_length(self):
+        faces = grid_faces(6)
+        nv = NvStripifier(max_strip_length=10)
+        strips = nv.Stripify(faces)
+        assert all(len(s) <= 10 for s in strips)
+        got = tri_multiset(np.concatenate(
+            [strip_to_triangles(s) for s in strips]))
+        assert got == tri_multiset(faces)
+
+    def test_empty_and_single(self):
+        assert MeshStriper().Compute(np.zeros((0, 3), np.uint32))
+        ms = MeshStriper()
+        ms.Compute(np.array([[5, 9, 7]], np.uint32))
+        assert ms.GetStripCount() == 1
+        assert tri_multiset(strip_to_triangles(ms.GetStrip(0))) == \
+            tri_multiset([[5, 9, 7]])
+
+
+class TestVertexCache:
+    def test_fifo_semantics(self):
+        c = VertexCache(2)
+        assert c.AddEntry(1)       # miss
+        assert c.AddEntry(2)       # miss
+        assert not c.AddEntry(1)   # hit (FIFO: no reorder on hit)
+        assert c.AddEntry(3)       # miss, evicts oldest (1)
+        assert not c.AddEntry(2)   # still cached
+        assert c.AddEntry(1)       # miss again after eviction
+
+    def test_optimizer_preserves_multiset_and_improves_misses(self):
+        faces = grid_faces(10)
+        rng = np.random.default_rng(2)
+        shuffled = faces[rng.permutation(faces.shape[0])]
+        opt = VertexCacheOptimizer(16)
+        reordered = opt.OptimizeFaces(shuffled)
+        assert tri_multiset(reordered) == tri_multiset(faces)
+        before = VertexCache.MissCount(shuffled.reshape(-1), 16)
+        after = VertexCache.MissCount(reordered.reshape(-1), 16)
+        assert after < before
+
+
+class TestNearestPointGrid:
+    def test_nearest_and_threshold(self):
+        pts = np.array([[0, 0, 0], [5, 0, 0], [0, 5, 0]], np.float32)
+        g = NearestPointGrid(pts, cell_size=1.0)
+        assert g.GetNearestPoint((0.4, 0, 0), 1.0) == 0
+        assert g.GetNearestPoint((4.8, 0.1, 0), 1.0) == 1
+        assert g.GetNearestPoint((2.5, 2.5, 0), 1.0) is None
+
+    def test_empty(self):
+        g = NearestPointGrid(np.zeros((0, 3), np.float32))
+        assert g.GetNearestPoint((0, 0, 0), 10.0) is None
+
+
+class TestPlaceFitter:
+    def test_common_box(self):
+        rng = np.random.default_rng(3)
+        shared = rng.normal(0, 1, (20, 3)).astype(np.float32)
+        a = np.concatenate([shared, rng.normal(10, 1, (10, 3)).astype(np.float32)])
+        b = np.concatenate([shared, rng.normal(-10, 1, (10, 3)).astype(np.float32)])
+        fit = PlaceFitter.ComputeBestFitBBox(a, b, threshold=1e-4)
+        assert fit is not None
+        center, axes, half = fit
+        np.testing.assert_allclose(center, shared.mean(0), atol=1e-4)
+
+    def test_no_overlap(self):
+        a = np.zeros((5, 3), np.float32)
+        b = np.full((5, 3), 100.0, np.float32)
+        assert PlaceFitter.ComputeBestFitBBox(a, b, 0.5) is None
+
+
+class TestNativeParity:
+    def test_native_lib_loads(self):
+        # The image ships g++; the native path must be active.
+        assert native.available()
+
+    def test_stripify_native_vs_python(self):
+        faces = grid_faces(5)
+        strips_native = MeshStriper()
+        strips_native.Compute(faces)
+        # force python fallback
+        lib = native._lib
+        try:
+            native._lib = None
+            native._tried = True
+            strips_py = MeshStriper()
+            strips_py.Compute(faces)
+        finally:
+            native._lib = lib
+        a = tri_multiset(np.concatenate(
+            [strip_to_triangles(s) for s in strips_native.strips]))
+        b = tri_multiset(np.concatenate(
+            [strip_to_triangles(s) for s in strips_py.strips]))
+        assert a == b == tri_multiset(faces)
+
+
+class TestMeshIntegration:
+    def test_stripify_flag_preserves_groups(self):
+        from ckrenderengine_tpu.objects.mesh import VXMESH_STRIPIFY
+
+        ctx = CKContext()
+        mesh = CKMesh(ctx, "m")
+        n = 6
+        verts = np.zeros(((n + 1) * (n + 1), 3), np.float32)
+        for r in range(n + 1):
+            for c in range(n + 1):
+                verts[r * (n + 1) + c] = (c, r, 0)
+        mesh.SetPositions(verts)
+        mesh.SetFaces(grid_faces(n).astype(np.int32))
+        mesh.flags |= VXMESH_STRIPIFY
+        groups = mesh.GetRenderGroups()
+        got = np.concatenate(
+            [g.vertex_map[g.local_faces] for g in groups])
+        assert tri_multiset(got) == tri_multiset(grid_faces(n))
+
+
+class TestVertexBuffer:
+    def test_lock_draw(self):
+        ctx = CKContext()
+        rm = ctx.GetRenderManager()
+        rc = rm.CreateRenderContext(32, 32)
+        vb = CKVertexBuffer(ctx, "vb", max_vertices=8)
+        pos, col, uv = vb.Lock(0, 3)
+        # clip-space triangle covering the center
+        pos[:] = [[-0.8, -0.8, 0.5, 1], [0.8, -0.8, 0.5, 1], [0, 0.9, 0.5, 1]]
+        col[:] = (1, 0, 0, 1)
+        vb.Unlock()
+        assert vb.Draw(rc)
+        fb = np.moveaxis(np.asarray(rc.fb), 0, -1)
+        assert fb[16, 16, 0] > 0.9
+
+    def test_check_grows(self):
+        ctx = CKContext()
+        vb = CKVertexBuffer(ctx, "vb", max_vertices=4)
+        vb.Check(100)
+        assert vb.max_vertices >= 100
