@@ -131,6 +131,16 @@ class CKContext:
         return cls(self, name, **kw)
 
     # -- dirty tracking ---------------------------------------------------
+    def Save(self, path: str, objects=None) -> int:
+        """Persist the scene (reference CKStateChunk Save path)."""
+        from ..io.serialize import SaveScene
+        return SaveScene(self, path, objects)
+
+    def Load(self, path: str) -> list:
+        """Load a scene file into this context (two-phase id remap)."""
+        from ..io.serialize import LoadScene
+        return LoadScene(self, path)
+
     def _bump_topology(self):
         self._topology_version += 1
         self._dynamic_version += 1

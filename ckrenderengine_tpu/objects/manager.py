@@ -131,6 +131,13 @@ class CKRenderContext(CKObject):
         self._objects: list | None = None
         self.pre_render_callbacks: list = []
         self.post_render_callbacks: list = []
+        # Aux subsystems
+        from ..profiler import FramePhases
+        self.phases = FramePhases()
+        self.target_texture = None         # render-to-texture target
+        self.stereo_enabled = False
+        self.eye_separation = 0.06         # world units between eyes
+        self.focal_length = 2.0
 
     # -- camera -----------------------------------------------------------
     def AttachViewpointToCamera(self, camera: CKCamera):
@@ -668,9 +675,14 @@ class CKRenderContext(CKObject):
     def Render(self, flags: int = 0):
         """One frame (RCKRenderContext::Render,
         /root/reference/src/CKRenderContext.cpp:767-930)."""
+        from ..profiler import PhaseTimer
+
         t0 = time.monotonic()
-        for kind, fct, arg, _t in self.pre_render_callbacks:
-            fct(self, arg)
+        ph = self.phases
+        ph.reset()
+        with PhaseTimer(ph, "CallbacksTime"):
+            for kind, fct, arg, _t in self.pre_render_callbacks:
+                fct(self, arg)
         # Dirty curves regenerate their line meshes before compilation
         # (RCKCurve::Render = update-if-dirty then render).
         from .curve import CKCurve
@@ -681,22 +693,37 @@ class CKRenderContext(CKObject):
             self._compile()
         # Quad banks first: lazy sprite-text rasters bump texture versions,
         # which the stack refresh below then picks up this same frame.
-        quads_bg, quads_fg = self._quad_banks()
+        with PhaseTimer(ph, "BankBuildTime"):
+            quads_bg, quads_fg = self._quad_banks()
+            sprites = self._sprite3d_bank()
         self._refresh_textures()
-        scene = self._build_scene_device()
-        self.fb, self.zb = fr.render_frame_full(
-            scene, self._compiled.levels, self.height, self.width,
-            skin=self._compiled.skin_bank,
-            sprites=self._sprite3d_bank(),
-            quads_bg=quads_bg, quads_fg=quads_fg,
-            lines=self._compiled.line_bank,
-            ordered_cap=self._compiled.ordered_cap)
-        for kind, fct, arg, _t in self.post_render_callbacks:
-            fct(self, arg)
+        with PhaseTimer(ph, "SceneBuildTime"):
+            scene = self._build_scene_device()
+        if self.stereo_enabled:
+            self._render_stereo(scene, quads_bg, quads_fg, sprites)
+        else:
+            with PhaseTimer(ph, "DeviceTime"):
+                self.fb, self.zb = fr.render_frame_full(
+                    scene, self._compiled.levels, self.height, self.width,
+                    skin=self._compiled.skin_bank,
+                    sprites=sprites,
+                    quads_bg=quads_bg, quads_fg=quads_fg,
+                    lines=self._compiled.line_bank,
+                    ordered_cap=self._compiled.ordered_cap)
+        # Render-to-texture (reference SetTargetTexture/CopyContext,
+        # src/CKRenderContext.cpp:606-638).
+        if self.target_texture is not None:
+            self.target_texture.SetImage(self.framebuffer())
+        with PhaseTimer(ph, "CallbacksTime"):
+            for kind, fct, arg, _t in self.post_render_callbacks:
+                fct(self, arg)
         # stats + FPS EMA over >=1s windows (reference :898-908)
         self.stats.NbTrianglesDrawn = int(self._compiled.tri_valid.sum())
         self.stats.NbVerticesProcessed = int(self._compiled.src_idx.shape[0])
+        self.stats.NbObjectDrawn = self._compiled.n_entities
+        self.stats.NbLinesDrawn = len(self._compiled.line_segments)
         self.stats.FrameTime = (time.monotonic() - t0) * 1000.0
+        ph.ObjectsRenderTime = self.stats.FrameTime - ph.CallbacksTime
         self._fps_frames += 1
         now = time.monotonic()
         win = now - self._fps_window_start
@@ -707,6 +734,72 @@ class CKRenderContext(CKObject):
             self._fps_frames = 0
             self._fps_window_start = now
         return True
+
+    def _render_stereo(self, scene, quads_bg, quads_fg, sprites):
+        """Stereo pair: per-eye view offset along the camera right axis,
+        composited side-by-side (reference stereo branch,
+        src/CKRenderContext.cpp:814-886 — per-eye world-matrix offset)."""
+        cam = self.attached_camera
+        right = (cam.GetWorldMatrix()[0, :3] if cam is not None
+                 else np.array([1, 0, 0], np.float32))
+        right = right / max(np.linalg.norm(right), 1e-12)
+        half = self.eye_separation * 0.5
+        fbs = []
+        for sign in (-1.0, 1.0):
+            offset = right * (half * sign)
+            view = np.asarray(scene.view)
+            eye_view = view.copy()
+            # translate the world opposite to the eye shift
+            eye_view[3, :3] = view[3, :3] - offset @ view[:3, :3]
+            eye_scene = scene._replace(view=jnp.asarray(eye_view, jnp.float32))
+            fb, zb = fr.render_frame_full(
+                eye_scene, self._compiled.levels, self.height, self.width,
+                skin=self._compiled.skin_bank, sprites=sprites,
+                quads_bg=quads_bg, quads_fg=quads_fg,
+                lines=self._compiled.line_bank,
+                ordered_cap=self._compiled.ordered_cap)
+            fbs.append(fb)
+        half_w = self.width // 2
+        left = fbs[0][:, :, ::2][:, :, :half_w]
+        right_fb = fbs[1][:, :, ::2][:, :, :half_w]
+        self.fb = jnp.concatenate([left, right_fb], axis=2)
+        self.zb = zb
+
+    # -- render-to-texture (reference SetTargetTexture) --------------------
+    def SetTargetTexture(self, texture):
+        self.target_texture = texture
+
+    def GetTargetTexture(self):
+        return self.target_texture
+
+    # -- stereo -------------------------------------------------------------
+    def SetStereoParameters(self, eye_separation: float, focal_length: float):
+        self.eye_separation = float(eye_separation)
+        self.focal_length = float(focal_length)
+        self.stereo_enabled = eye_separation > 0
+
+    def GetStereoParameters(self):
+        return self.eye_separation, self.focal_length
+
+    # -- debug dumps (reference Ctrl+Alt+F10 screen dump,
+    # src/CKRenderContext.cpp:589-603) ------------------------------------
+    def DumpToFile(self, path: str, what: str = "color") -> bool:
+        """Write the framebuffer ('color'), depth ('z'), or both to PNG."""
+        from PIL import Image
+
+        if what in ("color", "both"):
+            rgba = self.BackToFront()
+            Image.fromarray(rgba, "RGBA").save(
+                path if what == "color" else path.replace(".png", "_color.png"))
+        if what in ("z", "both"):
+            z = np.asarray(self.zb)
+            z8 = np.clip(z * 255.0, 0, 255).astype(np.uint8)
+            Image.fromarray(z8, "L").save(
+                path if what == "z" else path.replace(".png", "_z.png"))
+        return True
+
+    def GetPhaseTimes(self) -> dict:
+        return self.phases.as_dict()
 
     def Clear(self, flags: int = 0):
         self.fb = jnp.broadcast_to(
@@ -729,30 +822,131 @@ class CKRenderContext(CKObject):
         return self.stats
 
     # -- picking (RCKRenderContext::Pick, src/CKRenderContext.cpp:1661-1900)
-    def Pick(self, x: int, y: int):
-        """Returns (entity, distance) of the nearest hit or (None, inf)."""
+    def _pick_ray(self, x: float, y: float):
+        """World-space eye ray through pixel (x,y), or None without camera."""
         cam = self.attached_camera
         if cam is None:
-            return None, float("inf")
+            return None
         vxp, vyp, vw, vh = self.viewport
-        # Build eye ray through the pixel in camera space.
         ndc_x = (x - vxp) / vw * 2.0 - 1.0
         ndc_y = 1.0 - (y - vyp) / vh * 2.0
         aspect = vw / max(vh, 1)
         proj = cam.projection_matrix(aspect)
-        # Invert the projection x/y scales: clip x = cam_x * m00, etc.
         dir_cam = np.array([ndc_x / proj[0, 0], ndc_y / proj[1, 1], 1.0], np.float32)
         w = cam.GetWorldMatrix()
-        origin = w[3, :3]
-        direction = dir_cam @ w[:3, :3]
+        return w[3, :3], dir_cam @ w[:3, :3]
+
+    def Pick2D(self, x: float, y: float):
+        """Front-most 2D entity under the pixel (reference Pick2D,
+        src/CKRenderContext.cpp:1638-1659)."""
+        from .entity2d import CK2dEntity
+
+        roots = [o for o in self.context._objects.values()
+                 if isinstance(o, CK2dEntity) and o.GetParent() is None]
+        # foreground before background, high zorder first
+        roots.sort(key=lambda e: (e.IsBackground(), -e.zorder))
+        for r in roots:
+            hit = r.Pick(x, y, self.width, self.height)
+            if hit is not None:
+                return hit
+        return None
+
+    def Pick3D(self, x: float, y: float, precise_texture: bool = False):
+        """Nearest 3D hit: (entity, distance) or (None, inf). With
+        ``precise_texture``, alpha-tested texels don't pick
+        (PreciseTexturePick, reference src/CKMeshUtils.cpp:35+)."""
+        ray = self._pick_ray(x, y)
+        if ray is None:
+            return None, float("inf")
+        origin, direction = ray
         best = (None, float("inf"))
         for ent in self._scene_entities():
             if not ent.IsVisible() or ent.GetCurrentMesh() is None:
                 continue
             hit = ent.RayIntersection(origin, direction)
-            if hit is not None and hit[0] < best[1]:
-                best = (ent, hit[0])
+            if hit is None or hit[0] >= best[1]:
+                continue
+            if precise_texture and self._alpha_rejects(ent, hit, origin,
+                                                       direction):
+                continue
+            best = (ent, hit[0])
         return best
+
+    def _alpha_rejects(self, ent, hit, origin, direction) -> bool:
+        """True when the hit texel's alpha fails the material alpha test."""
+        dist, face = hit
+        mesh = ent.GetCurrentMesh()
+        if mesh.uvs.shape[0] == 0:
+            return False
+        mat = mesh.GetFaceMaterial(face)
+        tex = mat.GetTexture(0) if mat is not None else None
+        if tex is None:
+            return False
+        img = tex.current_image()
+        if img is None:
+            return False
+        inv = ent.GetInverseWorldMatrix()
+        o = np.asarray(origin, np.float32) @ inv[:3, :3] + inv[3, :3]
+        d = np.asarray(direction, np.float32) @ inv[:3, :3]
+        p = o + d * dist
+        a, b, c = mesh.faces[face]
+        va, vb, vc = mesh.positions[[a, b, c]]
+        # barycentric coords of p
+        v0, v1, v2 = vb - va, vc - va, p - va
+        d00, d01 = v0 @ v0, v0 @ v1
+        d11 = v1 @ v1
+        d20, d21 = v2 @ v0, v2 @ v1
+        den = d00 * d11 - d01 * d01
+        if abs(den) < 1e-12:
+            return False
+        v = (d11 * d20 - d01 * d21) / den
+        w_ = (d00 * d21 - d01 * d20) / den
+        u = 1.0 - v - w_
+        uv = u * mesh.uvs[a] + v * mesh.uvs[b] + w_ * mesh.uvs[c]
+        h, w = img.shape[0], img.shape[1]
+        tx = int(np.clip(uv[0] % 1.0 * w, 0, w - 1))
+        ty = int(np.clip(uv[1] % 1.0 * h, 0, h - 1))
+        return img[ty, tx, 3] < 0.5
+
+    def Pick(self, x: int, y: int, precise_texture: bool = False):
+        """2D entities first (front-to-back), then nearest 3D hit. Returns
+        (object, distance) — distance 0 for 2D hits."""
+        hit2d = self.Pick2D(x, y)
+        if hit2d is not None:
+            return hit2d, 0.0
+        return self.Pick3D(x, y, precise_texture)
+
+    def PickRect(self, rect) -> list:
+        """Entities whose projected bbox intersects the pixel rect
+        (RectPick, reference include/RCKRenderContext.h)."""
+        cam = self.attached_camera
+        if cam is None:
+            return []
+        x0, y0, x1, y1 = rect
+        vxp, vyp, vw, vh = self.viewport
+        aspect = vw / max(vh, 1)
+        view = cam.view_matrix()
+        proj = cam.projection_matrix(aspect)
+        vp = view @ proj
+        out = []
+        for ent in self._scene_entities():
+            if not ent.IsVisible() or ent.GetCurrentMesh() is None:
+                continue
+            bmin, bmax = ent.GetBoundingBox()
+            corners = np.array([[x, y, z, 1.0] for x in (bmin[0], bmax[0])
+                                for y in (bmin[1], bmax[1])
+                                for z in (bmin[2], bmax[2])], np.float32)
+            clip = corners @ vp
+            w = clip[:, 3]
+            front = w > 1e-6
+            if not front.any():
+                continue
+            sx = vxp + vw * 0.5 + clip[front, 0] / w[front] * vw * 0.5
+            sy = vyp + vh * 0.5 - clip[front, 1] / w[front] * vh * 0.5
+            if sx.max() < x0 or sx.min() > x1 or sy.max() < y0 or sy.min() > y1:
+                continue
+            out.append(ent)
+        return out
 
 
 class CKRenderManager(CKObject):
