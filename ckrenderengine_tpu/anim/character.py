@@ -268,19 +268,17 @@ class CKCharacter(CK3dObject):
             if ent is None:
                 continue
             p1, r1, s1 = oa.evaluate_prs(0.0)
-            m1 = np.asarray(vx.compose_prs(jnp.asarray(p1), jnp.asarray(r1),
-                                           jnp.asarray(s1)))
+            m1 = vx.np_compose_prs(p1, r1, s1)
             m0 = self._frozen_pose.get(ent.row) if self._frozen_pose else None
             if m0 is None:
                 ent.SetLocalMatrix(m1)
                 continue
-            p0_, r0_, s0_ = vx.decompose_prs(jnp.asarray(m0))
-            p1_, r1_, s1_ = vx.decompose_prs(jnp.asarray(m1))
-            p = np.asarray(p0_) * (1 - t) + np.asarray(p1_) * t
-            s = np.asarray(s0_) * (1 - t) + np.asarray(s1_) * t
-            r = np.asarray(vx.quat_slerp(r0_, r1_, t))
-            ent.SetLocalMatrix(np.asarray(
-                vx.compose_prs(jnp.asarray(p), jnp.asarray(r), jnp.asarray(s))))
+            p0_, r0_, s0_ = vx.np_decompose_prs(m0)
+            p1_, r1_, s1_ = vx.np_decompose_prs(m1)
+            p = p0_ * (1 - t) + p1_ * t
+            s = s0_ * (1 - t) + s1_ * t
+            r = vx.np_quat_slerp(r0_, r1_, t)
+            ent.SetLocalMatrix(vx.np_compose_prs(p, r, s))
         if t >= 1.0:
             self.active_animation = dst
             self.next_active_animation = None

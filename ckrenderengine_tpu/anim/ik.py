@@ -164,8 +164,7 @@ class CKKinematicChain(CKObject):
         if n < 1e-9:
             return
         local_axis /= n
-        r = np.asarray(vx.rotation_axis_angle(jnp.asarray(local_axis, jnp.float32),
-                                              jnp.asarray(angle, jnp.float32)))
+        r = vx.np_rotation_axis_angle(local_axis, angle)
         m = part.GetLocalMatrix()
         rot = m.copy()
         rot[:3, :3] = m[:3, :3] @ r[:3, :3]
@@ -177,7 +176,7 @@ class CKKinematicChain(CKObject):
     @staticmethod
     def _clamp_limits(m: np.ndarray, jd: IKJointData) -> np.ndarray:
         """Clamp the local rotation to the joint's Euler-angle box."""
-        p, q, s = vx.decompose_prs(jnp.asarray(m))
+        p, q, s = vx.np_decompose_prs(m)
         q = np.asarray(q)
         # quat -> xyz euler
         x, y, z, w = q
@@ -198,4 +197,4 @@ class CKKinematicChain(CKObject):
             cx * cy * sz - sx * sy * cz,
             cx * cy * cz + sx * sy * sz,
         ], np.float32)
-        return np.asarray(vx.compose_prs(p, jnp.asarray(q2), s))
+        return vx.np_compose_prs(p, q2, s)

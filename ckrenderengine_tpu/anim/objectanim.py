@@ -169,8 +169,8 @@ class CKObjectAnimation(CKObject):
         """PRS with base-matrix fallback for missing tracks."""
         base_p = base_r = base_s = None
         if self._entity is not None:
-            bp, br, bs = vx.decompose_prs(jnp.asarray(self._entity.GetLocalMatrix()))
-            base_p, base_r, base_s = np.asarray(bp), np.asarray(br), np.asarray(bs)
+            base_p, base_r, base_s = vx.np_decompose_prs(
+                self._entity.GetLocalMatrix())
         else:
             base_p = np.zeros(3, np.float32)
             base_r = np.array([0, 0, 0, 1], np.float32)
@@ -191,13 +191,12 @@ class CKObjectAnimation(CKObject):
             pb = self._merge_b.evaluate_prs(step)
             f = self.merge_factor
             p = pa[0] * (1 - f) + pb[0] * f
-            r = np.asarray(vx.quat_slerp(jnp.asarray(pa[1]), jnp.asarray(pb[1]), f))
+            r = vx.np_quat_slerp(pa[1], pb[1], f)
             s = pa[2] * (1 - f) + pb[2] * f
         else:
             p, r, s = self.evaluate_prs(step)
         if ent is not None:
-            m = np.asarray(vx.compose_prs(jnp.asarray(p), jnp.asarray(r),
-                                          jnp.asarray(s)))
+            m = vx.np_compose_prs(p, r, s)
             ent.SetLocalMatrix(m)
             if self.morph_controller is not None and ent.GetCurrentMesh() is not None:
                 v, n = self.morph_controller.Evaluate(step)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # Clip flags (Virtools VXCLIP_* semantics; values are the public SDK ones)
@@ -44,6 +45,124 @@ CBV_ALLINSIDE = 3
 # ---------------------------------------------------------------------------
 # Matrix constructors
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Numpy twins for HOST-side object-API math. The jnp versions below trace into
+# device programs; calling them from per-tick host code (Rotate, SetStep,
+# projection_matrix) would cost a device dispatch + readback round trip per
+# call — fatal under the axon TPU tunnel (~30 ms RTT).
+# ---------------------------------------------------------------------------
+
+def np_rotation_axis_angle(axis, angle) -> np.ndarray:
+    axis = np.asarray(axis, np.float32)
+    n = np.linalg.norm(axis)
+    axis = axis / n if n > 1e-30 else np.array([0, 0, 1], np.float32)
+    x, y, z = axis
+    c, s = np.cos(angle), np.sin(angle)
+    t = 1.0 - c
+    m = np.eye(4, dtype=np.float32)
+    m[0, :3] = (t * x * x + c, t * x * y + s * z, t * x * z - s * y)
+    m[1, :3] = (t * x * y - s * z, t * y * y + c, t * y * z + s * x)
+    m[2, :3] = (t * x * z + s * y, t * y * z - s * x, t * z * z + c)
+    return m
+
+
+def np_perspective(fov: float, aspect: float, near: float, far: float) -> np.ndarray:
+    m = np.zeros((4, 4), np.float32)
+    f = 1.0 / np.tan(fov * 0.5)
+    m[0, 0] = f / aspect
+    m[1, 1] = f
+    m[2, 2] = far / (far - near)
+    m[2, 3] = 1.0
+    m[3, 2] = -near * far / (far - near)
+    return m
+
+
+def np_orthographic(zoom: float, aspect: float, near: float, far: float) -> np.ndarray:
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = zoom / aspect
+    m[1, 1] = zoom
+    m[2, 2] = 1.0 / (far - near)
+    m[3, 2] = -near / (far - near)
+    m[3, 3] = 1.0
+    return m
+
+
+def np_quat_slerp(a, b, t: float) -> np.ndarray:
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    d = float(np.dot(a, b))
+    if d < 0:
+        b = -b
+        d = -d
+    if d > 0.9995:
+        out = a + (b - a) * t
+        return out / max(np.linalg.norm(out), 1e-30)
+    th = np.arccos(np.clip(d, -1, 1))
+    sth = np.sin(th)
+    return (np.sin((1 - t) * th) * a + np.sin(t * th) * b) / sth
+
+
+def np_quat_to_matrix3(q) -> np.ndarray:
+    x, y, z, w = np.asarray(q, np.float32)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y + z * w), 2 * (x * z - y * w)],
+        [2 * (x * y - z * w), 1 - 2 * (x * x + z * z), 2 * (y * z + x * w)],
+        [2 * (x * z + y * w), 2 * (y * z - x * w), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def np_compose_prs(pos, rot_q, scale) -> np.ndarray:
+    m = np.eye(4, dtype=np.float32)
+    r = np_quat_to_matrix3(rot_q)
+    s = np.asarray(scale, np.float32)
+    m[:3, :3] = r * s[:, None]      # row-vector convention: row i * scale[i]
+    m[3, :3] = np.asarray(pos, np.float32)
+    return m
+
+
+def np_quat_from_matrix3(r) -> np.ndarray:
+    r = np.asarray(r, np.float32)
+    tr = r[0, 0] + r[1, 1] + r[2, 2]
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        w = 0.25 * s
+        x = (r[1, 2] - r[2, 1]) / s
+        y = (r[2, 0] - r[0, 2]) / s
+        z = (r[0, 1] - r[1, 0]) / s
+    elif r[0, 0] > r[1, 1] and r[0, 0] > r[2, 2]:
+        s = np.sqrt(1.0 + r[0, 0] - r[1, 1] - r[2, 2]) * 2
+        w = (r[1, 2] - r[2, 1]) / s
+        x = 0.25 * s
+        y = (r[1, 0] + r[0, 1]) / s
+        z = (r[2, 0] + r[0, 2]) / s
+    elif r[1, 1] > r[2, 2]:
+        s = np.sqrt(1.0 + r[1, 1] - r[0, 0] - r[2, 2]) * 2
+        w = (r[2, 0] - r[0, 2]) / s
+        x = (r[1, 0] + r[0, 1]) / s
+        y = 0.25 * s
+        z = (r[2, 1] + r[1, 2]) / s
+    else:
+        s = np.sqrt(1.0 + r[2, 2] - r[0, 0] - r[1, 1]) * 2
+        w = (r[0, 1] - r[1, 0]) / s
+        x = (r[2, 0] + r[0, 2]) / s
+        y = (r[2, 1] + r[1, 2]) / s
+        z = 0.25 * s
+    q = np.array([x, y, z, w], np.float32)
+    return q / max(np.linalg.norm(q), 1e-30)
+
+
+def np_decompose_prs(m) -> tuple:
+    m = np.asarray(m, np.float32)
+    pos = m[3, :3].copy()
+    scale = np.linalg.norm(m[:3, :3], axis=1)
+    scale = np.where(scale < 1e-30, 1e-30, scale)
+    r = m[:3, :3] / scale[:, None]
+    if np.linalg.det(r) < 0:
+        scale[0] = -scale[0]
+        r = m[:3, :3] / scale[:, None]
+    return pos, np_quat_from_matrix3(r), scale.astype(np.float32)
+
 
 def identity(dtype=jnp.float32) -> jnp.ndarray:
     return jnp.eye(4, dtype=dtype)

@@ -78,10 +78,10 @@ class CKCamera(CK3dEntity):
     def projection_matrix(self, aspect: float) -> np.ndarray:
         """aspect = viewport width / height."""
         if self.projection_type == CK_ORTHOGRAPHICPROJECTION:
-            return np.asarray(vx.orthographic(
-                self.orthographic_zoom, aspect, self.front_plane, self.back_plane))
-        return np.asarray(vx.perspective(
-            float(self.fov), aspect, self.front_plane, self.back_plane))
+            return vx.np_orthographic(
+                self.orthographic_zoom, aspect, self.front_plane, self.back_plane)
+        return vx.np_perspective(
+            float(self.fov), aspect, self.front_plane, self.back_plane)
 
     def view_matrix(self) -> np.ndarray:
         """view = inverse of camera world matrix (CKRenderedScene::Draw sets

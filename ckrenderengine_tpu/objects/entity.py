@@ -156,7 +156,7 @@ class CK3dEntity(CKRenderObject):
         self._flag_moved()
 
     def Rotate(self, axis, angle, ref=None, keep_children: bool = False):
-        r = np.asarray(vx.rotation_axis_angle(np.asarray(axis, np.float32), float(angle)))
+        r = vx.np_rotation_axis_angle(axis, float(angle))
         local = self.context.entity_table.local[self.row]
         pos = local[3, :3].copy()
         m = local @ r

@@ -74,6 +74,10 @@ class CompiledScene:
         # Line segments (stream-index pairs + colors) and their device bank.
         self.line_segments: list = []
         self.line_bank = None
+        # Cached device arrays (uploaded once per compile / pool refresh).
+        self._dev_static: dict | None = None
+        self._dev_pool: dict | None = None
+        self._dev_pool_version = -2
         # Extra pool rows appended after mesh sources (billboard corners).
         self.extra_pool = 0
 
@@ -131,6 +135,14 @@ class CKRenderContext(CKObject):
         self._objects: list | None = None
         self.pre_render_callbacks: list = []
         self.post_render_callbacks: list = []
+        # Packed-transfer frame state (pipeline/packing.py)
+        self._layout_sig = None
+        self._layout = None
+        self._buf_f = None
+        self._buf_i = None
+        self._packed_static: dict | None = None
+        self._packed_static_vers = None
+        self._sprites_static = None
         # Aux subsystems
         from ..profiler import FramePhases
         self.phases = FramePhases()
@@ -466,7 +478,8 @@ class CKRenderContext(CKObject):
             self._tex_hw = jnp.ones((1, 2), jnp.int32)
 
     # -- per-frame dynamic state -----------------------------------------
-    def _light_bank(self) -> LightArray:
+    def _light_rows_np(self) -> dict:
+        """Numpy light bank (padded to 8; packed per frame)."""
         lights = [o for o in self.context._objects.values()
                   if isinstance(o, CKLight)]
         rows = []
@@ -478,12 +491,28 @@ class CKRenderContext(CKObject):
             if row is not None:
                 rows.append(row)
         n = _pad_to(max(len(rows), 1), 8)
-        z = LightArray.zeros(n)
-        arrs = {f: np.asarray(getattr(z, f)).copy() for f in LightArray._fields}
+        arrs = dict(
+            type=np.ones(n, np.int32),
+            diffuse=np.zeros((n, 4), np.float32),
+            specular=np.zeros((n, 4), np.float32),
+            ambient=np.zeros((n, 4), np.float32),
+            position=np.zeros((n, 3), np.float32),
+            direction=np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (n, 1)),
+            range=np.full(n, 1e8, np.float32),
+            falloff=np.ones(n, np.float32),
+            attenuation=np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (n, 1)),
+            cos_theta=np.ones(n, np.float32),
+            cos_phi=np.zeros(n, np.float32),
+            active=np.zeros(n, bool),
+        )
         for i, row in enumerate(rows):
             for k, v in row.items():
                 arrs[k][i] = v
             arrs["active"][i] = row["active"]
+        return arrs
+
+    def _light_bank(self) -> LightArray:
+        arrs = self._light_rows_np()
         return LightArray(**{k: jnp.asarray(v) for k, v in arrs.items()})
 
     def _material_banks(self, c: CompiledScene):
@@ -514,12 +543,12 @@ class CKRenderContext(CKObject):
                 st = dataclasses.replace(st, cull=int(VXCULL.NONE))
             states.append(st)
         si, sf = pack_states(states)
-        return (jnp.asarray(si), jnp.asarray(sf),
-                jnp.asarray(np.asarray(diffuse, np.float32)),
-                jnp.asarray(np.asarray(ambient, np.float32)),
-                jnp.asarray(np.asarray(specular, np.float32)),
-                jnp.asarray(np.asarray(emissive, np.float32)),
-                jnp.asarray(np.asarray(power, np.float32)))
+        return (si, sf,
+                np.asarray(diffuse, np.float32),
+                np.asarray(ambient, np.float32),
+                np.asarray(specular, np.float32),
+                np.asarray(emissive, np.float32),
+                np.asarray(power, np.float32))
 
     def _refresh_pool(self, c: CompiledScene):
         """Re-gather vertex-pool arrays when any source mesh's data changed
@@ -581,23 +610,36 @@ class CKRenderContext(CKObject):
                     if d.row < n:
                         entity_clip[d.row] = rect
 
+        # Cached device uploads: the stream topology is static per compile,
+        # the vertex pool per pool-version (morphs/billboard rows), so these
+        # jnp.asarray transfers happen once, not per frame.
+        if c._dev_static is None:
+            c._dev_static = dict(
+                src_idx=jnp.asarray(c.src_idx),
+                vert_entity=jnp.asarray(c.vert_entity),
+                vert_state=jnp.asarray(c.vert_state),
+                vert_lit=jnp.asarray(c.vert_lit),
+                tri_idx=jnp.asarray(c.tri_idx),
+                tri_state=jnp.asarray(c.tri_state),
+                tri_valid=jnp.asarray(c.tri_valid),
+            )
+        if c._dev_pool_version != c._pool_version:
+            c._dev_pool = dict(
+                positions=jnp.asarray(c.positions),
+                normals=jnp.asarray(c.normals),
+                uv=jnp.asarray(c.uv),
+                prelit=jnp.asarray(c.prelit),
+                prelit_spec=jnp.asarray(c.prelit_spec),
+            )
+            c._dev_pool_version = c._pool_version
+
         return fr.SceneDevice(
             local=jnp.asarray(table.local[:n]),
             parent=jnp.asarray(table.parent[:n]),
             entity_visible=jnp.asarray(visible),
             entity_clip=jnp.asarray(entity_clip),
-            positions=jnp.asarray(c.positions),
-            normals=jnp.asarray(c.normals),
-            uv=jnp.asarray(c.uv),
-            prelit=jnp.asarray(c.prelit),
-            prelit_spec=jnp.asarray(c.prelit_spec),
-            src_idx=jnp.asarray(c.src_idx),
-            vert_entity=jnp.asarray(c.vert_entity),
-            vert_state=jnp.asarray(c.vert_state),
-            vert_lit=jnp.asarray(c.vert_lit),
-            tri_idx=jnp.asarray(c.tri_idx),
-            tri_state=jnp.asarray(c.tri_state),
-            tri_valid=jnp.asarray(c.tri_valid),
+            **c._dev_pool,
+            **c._dev_static,
             state_i=si, state_f=sf,
             mat_diffuse=md, mat_ambient=ma, mat_specular=ms, mat_emissive=me,
             mat_power=mp,
@@ -645,10 +687,9 @@ class CKRenderContext(CKObject):
             pool_base=jnp.asarray(base),
             valid=jnp.ones(s, bool))
 
-    def _quad_banks(self):
-        """(background, foreground) QuadBanks from the 2D entity trees
-        (CKRenderedScene::Draw 2D passes, reference :166-179, :314-327)."""
-        from ..pipeline.overlay import build_quad_bank
+    def _quad_lists(self):
+        """(background, foreground) quad-descriptor lists from the 2D entity
+        trees (CKRenderedScene::Draw 2D passes, reference :166-179, :314-327)."""
         from .entity2d import CK2dEntity
 
         c = self._compiled
@@ -658,7 +699,7 @@ class CKRenderContext(CKObject):
         back, fore = [], []
         for r in sorted(roots, key=lambda e: e.zorder):
             (back if r.IsBackground() else fore).append(r)
-        banks = []
+        lists = []
         for group in (back, fore):
             flat: list[CK2dEntity] = []
             for r in group:
@@ -668,8 +709,218 @@ class CKRenderContext(CKObject):
                 t = e.texture()
                 slot = c.tex_slot.get(id(t), -1) if t is not None else -1
                 quads += e.quad_descriptors(vw, vh, slot)
-            banks.append(build_quad_bank(quads))
-        return banks[0], banks[1]
+            lists.append(quads)
+        return lists[0], lists[1]
+
+    def _quad_banks(self):
+        from ..pipeline.overlay import build_quad_bank
+
+        bg, fg = self._quad_lists()
+        return build_quad_bank(bg), build_quad_bank(fg)
+
+    # -- packed-transfer frame path -----------------------------------------
+    def _entity_clip_np(self, n: int) -> np.ndarray:
+        big = 1.0e9
+        entity_clip = np.tile(np.array([-big, -big, big, big], np.float32),
+                              (n, 1))
+        from .place import CKPlace
+        for obj in self.context._objects.values():
+            if isinstance(obj, CKPlace) and obj.clip_rect is not None:
+                rect = np.asarray(obj.clip_rect, np.float32)
+                for d in obj.descendants():
+                    if d.row < n:
+                        entity_clip[d.row] = rect
+        return entity_clip
+
+    def _ensure_packed_layout(self, n, s, l, sp, qb, qf):
+        from ..pipeline.packing import DynLayout
+
+        sig = (n, s, l, sp, qb, qf)
+        if self._layout_sig == sig:
+            return
+        self._layout_sig = sig
+        lay = DynLayout()
+        lay.add_f("local", (n, 4, 4))
+        lay.add_i("entity_visible", (n,))
+        lay.add_f("entity_clip", (n, 4))
+        lay.add_f("state_f", (s, NUM_SF))
+        lay.add_i("state_i", (s, NUM_SI))
+        for name in ("mat_diffuse", "mat_ambient", "mat_specular",
+                     "mat_emissive"):
+            lay.add_f(name, (s, 4))
+        lay.add_f("mat_power", (s,))
+        lay.add_i("lt_type", (l,))
+        lay.add_i("lt_active", (l,))
+        for name in ("lt_diffuse", "lt_specular", "lt_ambient"):
+            lay.add_f(name, (l, 4))
+        for name in ("lt_position", "lt_direction", "lt_attenuation"):
+            lay.add_f(name, (l, 3))
+        for name in ("lt_range", "lt_falloff", "lt_cos_theta", "lt_cos_phi"):
+            lay.add_f(name, (l,))
+        lay.add_f("global_ambient", (4,))
+        lay.add_f("view", (4, 4))
+        lay.add_f("proj", (4, 4))
+        lay.add_f("cam_pos", (3,))
+        lay.add_f("viewport", (4,))
+        lay.add_i("fog_mode", ())
+        for name in ("fog_start", "fog_end", "fog_density"):
+            lay.add_f(name, ())
+        lay.add_f("fog_color", (3,))
+        lay.add_f("clear_color", (4,))
+        lay.add_f("clear_z", ())
+        if sp:
+            lay.add_f("sp_size", (sp, 2))
+            lay.add_f("sp_offset", (sp, 2))
+            lay.add_i("sp_mode", (sp,))
+        for prefix, q in (("qbg", qb), ("qfg", qf)):
+            if q:
+                lay.add_f(f"{prefix}_rect", (q, 4))
+                lay.add_f(f"{prefix}_uvrect", (q, 4))
+                lay.add_f(f"{prefix}_color", (q, 4))
+                lay.add_i(f"{prefix}_tex", (q,))
+                lay.add_i(f"{prefix}_blend", (q,))
+                lay.add_i(f"{prefix}_valid", (q,))
+        self._layout = lay.freeze()
+        self._buf_f, self._buf_i = lay.make_buffers()
+
+    def _packed_static_dict(self, c: CompiledScene, n: int) -> dict:
+        vers = (id(c), c._pool_version, c._tex_version)
+        if self._packed_static is not None and self._packed_static_vers == vers:
+            return self._packed_static
+        if c._dev_static is None:
+            c._dev_static = dict(
+                src_idx=jnp.asarray(c.src_idx),
+                vert_entity=jnp.asarray(c.vert_entity),
+                vert_state=jnp.asarray(c.vert_state),
+                vert_lit=jnp.asarray(c.vert_lit),
+                tri_idx=jnp.asarray(c.tri_idx),
+                tri_state=jnp.asarray(c.tri_state),
+                tri_valid=jnp.asarray(c.tri_valid),
+            )
+        if c._dev_pool_version != c._pool_version:
+            c._dev_pool = dict(
+                positions=jnp.asarray(c.positions),
+                normals=jnp.asarray(c.normals),
+                uv=jnp.asarray(c.uv),
+                prelit=jnp.asarray(c.prelit),
+                prelit_spec=jnp.asarray(c.prelit_spec),
+            )
+            c._dev_pool_version = c._pool_version
+        ctx = self.context
+        static = dict(parent=jnp.asarray(ctx.entity_table.parent[:n]),
+                      tex_planes=self._tex_planes, tex_hw=self._tex_hw,
+                      **c._dev_pool, **c._dev_static)
+        self._packed_static = static
+        self._packed_static_vers = vers
+        # Sprite3D static arrays (entity rows / pool bases fixed per compile)
+        if c.sprite3d_list:
+            self._sprites_static = dict(
+                entity_row=jnp.asarray(
+                    np.asarray([e.row for e, _, _ in c.sprite3d_list], np.int32)),
+                pool_base=jnp.asarray(
+                    np.asarray([pb for _, pb, _ in c.sprite3d_list], np.int32)),
+                valid=jnp.ones(len(c.sprite3d_list), bool))
+        else:
+            self._sprites_static = None
+        return static
+
+    def _camera_np(self):
+        cam = self.attached_camera
+        if cam is not None:
+            prep = getattr(cam, "prepare", None)
+            if prep is not None:
+                prep()
+            view = cam.view_matrix()
+            aspect = self.viewport[2] / max(self.viewport[3], 1)
+            proj = cam.projection_matrix(aspect)
+            cam_pos = cam.GetWorldMatrix()[3, :3]
+        else:
+            view = np.eye(4, dtype=np.float32)
+            proj = np.eye(4, dtype=np.float32)
+            cam_pos = np.zeros(3, np.float32)
+        return np.asarray(view, np.float32), np.asarray(proj, np.float32), cam_pos
+
+    def _render_packed(self, quads_bg_list, quads_fg_list):
+        """One frame through the two-buffer packed path (fast path)."""
+        from ..pipeline.packing import fill
+
+        ctx = self.context
+        table = ctx.entity_table
+        c = self._compiled
+        self._refresh_pool(c)
+        n = max(table.count, 1)
+        si, sf, md, ma, ms, me, mp = self._material_banks(c)
+        lt = self._light_rows_np()
+        sp = len(c.sprite3d_list)
+
+        def pad4(k):
+            return 0 if k == 0 else max(4, ((k + 3) // 4) * 4)
+
+        qb = pad4(len(quads_bg_list))
+        qf = pad4(len(quads_fg_list))
+        self._ensure_packed_layout(n, si.shape[0], lt["type"].shape[0], sp,
+                                   qb, qf)
+        static = self._packed_static_dict(c, n)
+        view, proj, cam_pos = self._camera_np()
+
+        vals = dict(
+            local=table.local[:n],
+            entity_visible=(table.flags[:n] & et.VX_MOVEABLE_VISIBLE) != 0,
+            entity_clip=self._entity_clip_np(n),
+            state_f=sf, state_i=si, mat_diffuse=md, mat_ambient=ma,
+            mat_specular=ms, mat_emissive=me, mat_power=mp,
+            lt_type=lt["type"], lt_active=lt["active"],
+            lt_diffuse=lt["diffuse"], lt_specular=lt["specular"],
+            lt_ambient=lt["ambient"], lt_position=lt["position"],
+            lt_direction=lt["direction"], lt_attenuation=lt["attenuation"],
+            lt_range=lt["range"], lt_falloff=lt["falloff"],
+            lt_cos_theta=lt["cos_theta"], lt_cos_phi=lt["cos_phi"],
+            global_ambient=self.ambient_light, view=view, proj=proj,
+            cam_pos=cam_pos, viewport=np.asarray(self.viewport, np.float32),
+            fog_mode=self.fog_mode, fog_start=self.fog_start,
+            fog_end=self.fog_end, fog_density=self.fog_density,
+            fog_color=self.fog_color, clear_color=self.background_color,
+            clear_z=self.clear_z,
+        )
+        if sp:
+            vals["sp_size"] = np.asarray(
+                [e.size2d for e, _, _ in c.sprite3d_list], np.float32)
+            vals["sp_offset"] = np.asarray(
+                [e.offset for e, _, _ in c.sprite3d_list], np.float32)
+            vals["sp_mode"] = np.asarray(
+                [e.mode for e, _, _ in c.sprite3d_list], np.int32)
+        for prefix, cap, quads in (("qbg", qb, quads_bg_list),
+                                   ("qfg", qf, quads_fg_list)):
+            if not cap:
+                continue
+            rect = np.zeros((cap, 4), np.float32)
+            uvrect = np.tile(np.array([0, 0, 1, 1], np.float32), (cap, 1))
+            color = np.ones((cap, 4), np.float32)
+            tex = np.full(cap, -1, np.int32)
+            blend = np.zeros(cap, np.int32)
+            valid = np.zeros(cap, np.int32)
+            for i, dq in enumerate(quads):
+                rect[i] = dq["rect"]
+                uvrect[i] = dq.get("uvrect", (0, 0, 1, 1))
+                color[i] = dq.get("color", (1, 1, 1, 1))
+                tex[i] = dq.get("tex", -1)
+                blend[i] = int(dq.get("blend", 1))
+                valid[i] = 1
+            vals[f"{prefix}_rect"] = rect
+            vals[f"{prefix}_uvrect"] = uvrect
+            vals[f"{prefix}_color"] = color
+            vals[f"{prefix}_tex"] = tex
+            vals[f"{prefix}_blend"] = blend
+            vals[f"{prefix}_valid"] = valid
+
+        fill(self._buf_f, self._buf_i, self._layout, vals)
+        # Fresh copies: the staging buffers are reused next frame while this
+        # frame's host->device transfer may still be in flight (async tunnel).
+        return fr.render_frame_packed(
+            static, self._buf_f.copy(), self._buf_i.copy(), self._layout,
+            self._compiled.levels, self.height, self.width,
+            skin=c.skin_bank, sprites_static=self._sprites_static,
+            lines=c.line_bank, ordered_cap=c.ordered_cap)
 
     # -- render -----------------------------------------------------------
     def Render(self, flags: int = 0):
@@ -694,22 +945,22 @@ class CKRenderContext(CKObject):
         # Quad banks first: lazy sprite-text rasters bump texture versions,
         # which the stack refresh below then picks up this same frame.
         with PhaseTimer(ph, "BankBuildTime"):
-            quads_bg, quads_fg = self._quad_banks()
-            sprites = self._sprite3d_bank()
+            quads_bg_list, quads_fg_list = self._quad_lists()
         self._refresh_textures()
-        with PhaseTimer(ph, "SceneBuildTime"):
-            scene = self._build_scene_device()
         if self.stereo_enabled:
-            self._render_stereo(scene, quads_bg, quads_fg, sprites)
+            from ..pipeline.overlay import build_quad_bank
+
+            with PhaseTimer(ph, "SceneBuildTime"):
+                scene = self._build_scene_device()
+            self._render_stereo(scene, build_quad_bank(quads_bg_list),
+                                build_quad_bank(quads_fg_list),
+                                self._sprite3d_bank())
         else:
+            with PhaseTimer(ph, "SceneBuildTime"):
+                pass
             with PhaseTimer(ph, "DeviceTime"):
-                self.fb, self.zb = fr.render_frame_full(
-                    scene, self._compiled.levels, self.height, self.width,
-                    skin=self._compiled.skin_bank,
-                    sprites=sprites,
-                    quads_bg=quads_bg, quads_fg=quads_fg,
-                    lines=self._compiled.line_bank,
-                    ordered_cap=self._compiled.ordered_cap)
+                self.fb, self.zb = self._render_packed(quads_bg_list,
+                                                       quads_fg_list)
         # Render-to-texture (reference SetTargetTexture/CopyContext,
         # src/CKRenderContext.cpp:606-638).
         if self.target_texture is not None:

@@ -355,6 +355,72 @@ render_frame_full = functools.partial(
 )(render_frame_full_impl)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "levels", "height", "width", "ordered_cap",
+                     "chunk"))
+def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
+                        levels: tuple, height: int, width: int,
+                        skin=None, sprites_static=None, lines=None,
+                        ordered_cap: int | None = None, chunk: int = 64):
+    """Packed-transfer frame entry: ``static`` is the per-compile device
+    pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
+    buffers (see pipeline/packing.py). Unpacks fields on device and runs the
+    full frame program."""
+    from .overlay import QuadBank, Sprite3DBank
+    from .packing import has_field, unpack
+
+    d = unpack(dyn_f, dyn_i, layout)
+    lights = LightArray(
+        type=d["lt_type"], diffuse=d["lt_diffuse"], specular=d["lt_specular"],
+        ambient=d["lt_ambient"], position=d["lt_position"],
+        direction=d["lt_direction"], range=d["lt_range"],
+        falloff=d["lt_falloff"], attenuation=d["lt_attenuation"],
+        cos_theta=d["lt_cos_theta"], cos_phi=d["lt_cos_phi"],
+        active=d["lt_active"] != 0)
+    scene = SceneDevice(
+        local=d["local"], parent=static["parent"],
+        entity_visible=d["entity_visible"] != 0,
+        entity_clip=d["entity_clip"],
+        positions=static["positions"], normals=static["normals"],
+        uv=static["uv"], prelit=static["prelit"],
+        prelit_spec=static["prelit_spec"], src_idx=static["src_idx"],
+        vert_entity=static["vert_entity"], vert_state=static["vert_state"],
+        vert_lit=static["vert_lit"], tri_idx=static["tri_idx"],
+        tri_state=static["tri_state"], tri_valid=static["tri_valid"],
+        state_i=d["state_i"], state_f=d["state_f"],
+        mat_diffuse=d["mat_diffuse"], mat_ambient=d["mat_ambient"],
+        mat_specular=d["mat_specular"], mat_emissive=d["mat_emissive"],
+        mat_power=d["mat_power"], lights=lights,
+        global_ambient=d["global_ambient"], view=d["view"], proj=d["proj"],
+        cam_pos=d["cam_pos"], viewport=d["viewport"],
+        fog_mode=d["fog_mode"], fog_start=d["fog_start"],
+        fog_end=d["fog_end"], fog_density=d["fog_density"],
+        fog_color=d["fog_color"], tex_planes=static["tex_planes"],
+        tex_hw=static["tex_hw"], clear_color=d["clear_color"],
+        clear_z=d["clear_z"])
+    sprites = None
+    if sprites_static is not None:
+        sprites = Sprite3DBank(
+            entity_row=sprites_static["entity_row"], size=d["sp_size"],
+            offset=d["sp_offset"], mode=d["sp_mode"],
+            pool_base=sprites_static["pool_base"],
+            valid=sprites_static["valid"])
+
+    def quad_bank(prefix):
+        if not has_field(layout, f"{prefix}_rect"):
+            return None
+        return QuadBank(
+            rect=d[f"{prefix}_rect"], uvrect=d[f"{prefix}_uvrect"],
+            color=d[f"{prefix}_color"], tex=d[f"{prefix}_tex"],
+            blend=d[f"{prefix}_blend"], valid=d[f"{prefix}_valid"] != 0)
+
+    return render_frame_full_impl(
+        scene, levels, height, width, skin=skin, sprites=sprites,
+        quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
+        ordered_cap=ordered_cap, chunk=chunk)
+
+
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):
     """Device-side VxStats counters (reference include/CKRasterizerTypes.h:63-69)."""
     return {
