@@ -1,9 +1,11 @@
-"""Benchmark: frames/sec on a lit, textured, Z-buffered scene.
+"""Benchmark: Ballance-scale frame rate (BASELINE config 5).
 
-BASELINE config 2 scale (sphere + plane, 2 lights, Gouraud + textured,
-640x480). Prints ONE JSON line; vs_baseline is fps relative to the 60 fps
-north-star target (BASELINE.md working target — the reference publishes no
-numbers of its own).
+Scene: >=500k triangles at 1024x768 — a displaced terrain sheet plus a field
+of instanced crates/spheres under two lights with a textured floor material
+and linear fog, rendered through the full frame program (animate -> compose
+-> cull/bin -> shade -> resolve). Prints ONE JSON line; vs_baseline is fps
+against the 60 fps north-star target (BASELINE.md — the reference publishes
+no numbers of its own).
 """
 
 from __future__ import annotations
@@ -15,7 +17,7 @@ import time
 import numpy as np
 
 
-def make_sphere(rows: int = 16, cols: int = 24, radius: float = 1.0):
+def make_sphere(rows: int, cols: int, radius: float = 1.0):
     th = np.linspace(0, np.pi, rows + 1)
     ph = np.linspace(0, 2 * np.pi, cols, endpoint=False)
     T, Ph = np.meshgrid(th, ph, indexing="ij")
@@ -25,17 +27,35 @@ def make_sphere(rows: int = 16, cols: int = 24, radius: float = 1.0):
         radius * np.sin(T) * np.sin(Ph),
     ], -1).reshape(-1, 3).astype(np.float32)
     uv = np.stack([Ph / (2 * np.pi), T / np.pi], -1).reshape(-1, 2).astype(np.float32)
-
     faces = []
     for r in range(rows):
         for c in range(cols):
             a = r * cols + c
             b = r * cols + (c + 1) % cols
-            cidx = (r + 1) * cols + c
+            cc = (r + 1) * cols + c
             d = (r + 1) * cols + (c + 1) % cols
-            faces.append([a, cidx, b])
-            faces.append([b, cidx, d])
+            faces.append([a, cc, b])
+            faces.append([b, cc, d])
     return pts, uv, np.asarray(faces, np.int32)
+
+
+def make_terrain(n: int, extent: float, amp: float):
+    xs = np.linspace(-extent, extent, n + 1, dtype=np.float32)
+    zs = np.linspace(-extent, extent, n + 1, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    gy = amp * (np.sin(gx * 0.15) * np.cos(gz * 0.2)
+                + 0.3 * np.sin(gx * 0.7 + gz * 0.5))
+    verts = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float32)
+    uv = np.stack([(gx + extent) / (2 * extent) * 24,
+                   (gz + extent) / (2 * extent) * 24],
+                  -1).reshape(-1, 2).astype(np.float32)
+    faces = []
+    for r in range(n):
+        base = r * (n + 1)
+        for c in range(n):
+            a = base + c
+            faces += [[a, a + 1, a + n + 2], [a, a + n + 2, a + n + 1]]
+    return verts, uv, np.asarray(faces, np.int32)
 
 
 def build_scene(width: int, height: int):
@@ -48,71 +68,91 @@ def build_scene(width: int, height: int):
     rm = ctx.GetRenderManager()
     rc = rm.CreateRenderContext(width, height)
     cam = CKCamera(ctx, "cam")
-    cam.SetPosition((0.0, 1.5, -5.0))
-    cam.SetFrontPlane(0.5)
-    cam.SetBackPlane(200.0)
+    cam.SetPosition((0.0, 18.0, -60.0))
+    cam.SetOrientation((0.0, -0.25, 1.0))
+    cam.SetFrontPlane(1.0)
+    cam.SetBackPlane(4000.0)
     rc.AttachViewpointToCamera(cam)
+    rc.SetFogMode(3)
+    rc.SetFogStart(60.0)
+    rc.SetFogEnd(400.0)
+    rc.SetFogColor((0.35, 0.4, 0.5))
+    rc.SetBackgroundColor((0.35, 0.4, 0.5, 1.0))
 
-    pts, uv, faces = make_sphere()
+    tex = CKTexture(ctx, "checker")
+    img = (np.indices((32, 32)).sum(0) % 2).astype(np.float32)
+    tex.SetImage(np.stack([img * 0.6 + 0.3, img * 0.5 + 0.35,
+                           img * 0.4 + 0.3, np.ones_like(img)], -1))
+
+    # Terrain: 500x500 grid = 500k triangles.
+    tverts, tuv, tfaces = make_terrain(500, 300.0, 4.0)
+    terrain_mesh = CKMesh(ctx, "terrain")
+    terrain_mesh.SetPositions(tverts)
+    terrain_mesh.SetUVs(tuv)
+    terrain_mesh.SetFaces(tfaces)
+    terrain_mesh.BuildNormals()
+    tmat = CKMaterial(ctx, "terrainmat")
+    tmat.SetDiffuse((0.75, 0.8, 0.7, 1.0))
+    tmat.SetTexture(tex)
+    terrain_mesh.ApplyGlobalMaterial(tmat)
+    terrain = CK3dObject(ctx, "terrain")
+    terrain.SetCurrentMesh(terrain_mesh)
+
+    # A field of spheres (shared mesh, instanced per entity).
+    spts, suv, sfaces = make_sphere(12, 18, 1.6)
     sphere_mesh = CKMesh(ctx, "sphere")
-    sphere_mesh.SetPositions(pts)
-    sphere_mesh.SetUVs(uv)
-    sphere_mesh.SetFaces(faces)
+    sphere_mesh.SetPositions(spts)
+    sphere_mesh.SetUVs(suv)
+    sphere_mesh.SetFaces(sfaces)
     sphere_mesh.BuildNormals()
     smat = CKMaterial(ctx, "spheremat")
-    smat.SetDiffuse((0.8, 0.3, 0.2, 1.0))
-    smat.SetPower(20.0)
+    smat.SetDiffuse((0.85, 0.3, 0.2, 1.0))
+    smat.SetPower(24.0)
     sphere_mesh.ApplyGlobalMaterial(smat)
-    sphere = CK3dObject(ctx, "sphere")
-    sphere.SetCurrentMesh(sphere_mesh)
-
-    plane_mesh = CKMesh(ctx, "plane")
-    plane_mesh.SetPositions(np.array(
-        [[-6, -1, -6], [6, -1, -6], [6, -1, 6], [-6, -1, 6]], np.float32))
-    plane_mesh.SetFaces(np.array([[0, 2, 1], [0, 3, 2]], np.int32))
-    plane_mesh.SetUVs(np.array([[0, 0], [8, 0], [8, 8], [0, 8]], np.float32))
-    plane_mesh.BuildNormals()
-    tex = CKTexture(ctx, "checker")
-    img = (np.indices((16, 16)).sum(0) % 2).astype(np.float32)
-    tex.SetImage(np.stack([img, img, img, np.ones_like(img)], -1))
-    pmat = CKMaterial(ctx, "planemat")
-    pmat.SetTexture(tex)
-    plane_mesh.ApplyGlobalMaterial(pmat)
-    plane = CK3dObject(ctx, "plane")
-    plane.SetCurrentMesh(plane_mesh)
+    rng = np.random.default_rng(7)
+    spinner = CK3dObject(ctx, "spinner")   # rotating parent: animates field
+    movers = []
+    for i in range(64):
+        ball = CK3dObject(ctx, f"ball{i}")
+        ball.SetCurrentMesh(sphere_mesh)
+        ball.SetParent(spinner)
+        x, z = rng.uniform(-120, 120, 2)
+        ball.SetPosition((x, 6.0 + rng.uniform(0, 6), z + 40), ref=spinner)
+        movers.append(ball)
 
     sun = CKLight(ctx, "sun")
     sun.SetType(int(VXLIGHT.DIREC))
-    sun.SetOrientation((0.3, -1.0, 0.5))
+    sun.SetOrientation((0.4, -1.0, 0.3))
     sun.SetSpecularFlag(True)
     bulb = CKLight(ctx, "bulb")
     bulb.SetType(int(VXLIGHT.POINT))
-    bulb.SetPosition((2.0, 3.0, -2.0))
-    bulb.SetColor((0.4, 0.5, 1.0, 1.0))
+    bulb.SetPosition((0.0, 25.0, 0.0))
+    bulb.SetColor((0.5, 0.6, 1.0, 1.0))
+    bulb.SetRange(250.0)
 
-    return ctx, rc, sphere
+    return ctx, rc, spinner
 
 
 def main():
-    width, height = 640, 480
-    ctx, rc, sphere = build_scene(width, height)
+    width, height = 1024, 768
+    ctx, rc, spinner = build_scene(width, height)
     import jax
 
     # Warmup / compile.
     rc.Render()
     jax.block_until_ready(rc.fb)
 
-    n_frames = 20
+    n_frames = 60
     t0 = time.perf_counter()
     for i in range(n_frames):
-        sphere.Rotate((0, 1, 0), 0.05)
+        spinner.Rotate((0, 1, 0), 0.01)
         rc.Render()
-    jax.block_until_ready(rc.fb)
+        jax.block_until_ready(rc.fb)     # real per-frame latency, no pipelining
     dt = time.perf_counter() - t0
     fps = n_frames / dt
     tris = rc.GetStats().NbTrianglesDrawn
     result = {
-        "metric": f"fps_640x480_lit_textured_{tris}tris",
+        "metric": f"fps_1024x768_ballance_scale_{tris}tris",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 3),

@@ -264,9 +264,18 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     # --- deferred opaque: depth argmin reduce + one shade per pixel --------
     setup = df.triangle_setup(batch.xyw, batch.z, batch.state_idx, batch.valid,
                               scene.state_i, clip_rect=batch.clip_rect)
-    best_id, best_depth = df.depth_reduce(
-        setup, defer_tri, scene.clear_z, scene.viewport, height, width,
-        chunk=chunk)
+    # Visibility solve: flat reduce for small scenes, tile-binned for large
+    # (static shape decision -> part of the jit cache key).
+    if batch.valid.shape[0] > 4096:
+        from ..raster.tiled import depth_reduce_tiled
+
+        best_id, best_depth, _overflow = depth_reduce_tiled(
+            setup, defer_tri, scene.clear_z, scene.viewport, batch.xyw,
+            height, width)
+    else:
+        best_id, best_depth = df.depth_reduce(
+            setup, defer_tri, scene.clear_z, scene.viewport, height, width,
+            chunk=chunk)
     fb = df.shade_deferred(
         best_id, batch.xyw, batch.z, batch.color, batch.specular, batch.uv,
         batch.fog, batch.state_idx, scene.state_i, scene.state_f,
