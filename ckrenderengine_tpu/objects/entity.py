@@ -121,6 +121,12 @@ class CK3dEntity(CKRenderObject):
     def GetInverseWorldMatrix(self) -> np.ndarray:
         return np.linalg.inv(self.GetWorldMatrix())
 
+    def GetLastFrameMatrix(self) -> np.ndarray:
+        """World matrix saved by RenderManager.PreProcess (reference
+        SaveLastFrameMatrix, src/CKRenderManager.cpp:808)."""
+        m = getattr(self, "_last_frame_matrix", None)
+        return m.copy() if m is not None else self.GetWorldMatrix()
+
     def SetPosition(self, pos, ref: "CK3dEntity | None" = None, keep_children: bool = False):
         pos = np.asarray(pos, np.float32)
         if ref is not None:

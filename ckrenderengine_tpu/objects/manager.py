@@ -151,6 +151,22 @@ class CKRenderContext(CKObject):
         self.eye_separation = 0.06         # world units between eyes
         self.focal_length = 2.0
 
+    # -- render callbacks (reference AddPreRenderCallBack /
+    # AddPostRenderCallBack, include/RCKRenderContext.h) -------------------
+    def AddPreRenderCallBack(self, fct, arg=None, temp: bool = False):
+        self.pre_render_callbacks.append(("pre", fct, arg, temp))
+
+    def RemovePreRenderCallBack(self, fct):
+        self.pre_render_callbacks = [
+            cb for cb in self.pre_render_callbacks if cb[1] is not fct]
+
+    def AddPostRenderCallBack(self, fct, arg=None, temp: bool = False):
+        self.post_render_callbacks.append(("post", fct, arg, temp))
+
+    def RemovePostRenderCallBack(self, fct):
+        self.post_render_callbacks = [
+            cb for cb in self.post_render_callbacks if cb[1] is not fct]
+
     # -- camera -----------------------------------------------------------
     def AttachViewpointToCamera(self, camera: CKCamera):
         self.attached_camera = camera
@@ -382,6 +398,11 @@ class CKRenderContext(CKObject):
                 t = obj.texture()
                 if t is not None and t.current_image() is not None:
                     tex_slot_for(t)
+        # Background material texture (Clear draws it as a full-screen quad,
+        # reference src/CKRenderContext.cpp:465-519).
+        if (self.background_material is not None
+                and self.background_material.GetTexture(0) is not None):
+            tex_slot_for(self.background_material.GetTexture(0))
 
         if pool_count == 0:
             pool_pos = [np.zeros((1, 3), np.float32)]
@@ -516,7 +537,15 @@ class CKRenderContext(CKObject):
         return LightArray(**{k: jnp.asarray(v) for k, v in arrs.items()})
 
     def _material_banks(self, c: CompiledScene):
-        from ..raster.types import VXCULL
+        from ..raster.types import VXCULL, VXTEXTURE_FILTER
+
+        # Global render options that rewrite packed state
+        # (ApplyRenderOptionChange, reference src/CKRenderManager.cpp:639+).
+        rm = self.context.render_manager
+        opts = rm.options if rm is not None else {}
+        disable_filter = bool(int(opts.get("DisableFilter", 0)))
+        disable_persp = bool(int(opts.get("DisablePerspectiveCorrection", 0)))
+        disable_specular = bool(int(opts.get("DisableSpecular", 0)))
 
         states = []
         diffuse, ambient, specular, emissive, power = [], [], [], [], []
@@ -538,10 +567,19 @@ class CKRenderContext(CKObject):
                 specular.append(lp["specular"])
                 emissive.append(lp["emissive"])
                 power.append(lp["power"])
+            import dataclasses
+            repl = {}
             if is_sprite:
-                import dataclasses
-                st = dataclasses.replace(st, cull=int(VXCULL.NONE))
+                repl["cull"] = int(VXCULL.NONE)
+            if disable_filter:
+                repl["tex_filter"] = int(VXTEXTURE_FILTER.NEAREST)
+            if disable_persp:
+                repl["perspective"] = False
+            if repl:
+                st = dataclasses.replace(st, **repl)
             states.append(st)
+        if disable_specular:
+            specular = [[0.0, 0.0, 0.0, 1.0]] * len(specular)
         si, sf = pack_states(states)
         return (si, sf,
                 np.asarray(diffuse, np.float32),
@@ -710,6 +748,13 @@ class CKRenderContext(CKObject):
                 slot = c.tex_slot.get(id(t), -1) if t is not None else -1
                 quads += e.quad_descriptors(vw, vh, slot)
             lists.append(quads)
+        # Background material full-screen quad renders under everything
+        # (reference Clear's TRIANGLEFAN, src/CKRenderContext.cpp:465-519).
+        bm = self.background_material
+        if bm is not None and bm.GetTexture(0) is not None:
+            slot = c.tex_slot.get(id(bm.GetTexture(0)), -1)
+            lists[0].insert(0, dict(rect=(0, 0, vw, vh), uvrect=(0, 0, 1, 1),
+                                    color=(1, 1, 1, 1), tex=slot, blend=0))
         return lists[0], lists[1]
 
     def _quad_banks(self):
@@ -824,6 +869,15 @@ class CKRenderContext(CKObject):
             self._sprites_static = None
         return static
 
+    def _effective_fog_mode(self) -> int:
+        """ForceLinearFog option maps exp/exp2 fog to linear
+        (reference ApplyRenderOptionChange)."""
+        rm = self.context.render_manager
+        if rm is not None and int(rm.options.get("ForceLinearFog", 0)):
+            if self.fog_mode in (int(VXFOG.EXP), int(VXFOG.EXP2)):
+                return int(VXFOG.LINEAR)
+        return self.fog_mode
+
     def _camera_np(self):
         cam = self.attached_camera
         if cam is not None:
@@ -877,7 +931,7 @@ class CKRenderContext(CKObject):
             lt_cos_theta=lt["cos_theta"], lt_cos_phi=lt["cos_phi"],
             global_ambient=self.ambient_light, view=view, proj=proj,
             cam_pos=cam_pos, viewport=np.asarray(self.viewport, np.float32),
-            fog_mode=self.fog_mode, fog_start=self.fog_start,
+            fog_mode=self._effective_fog_mode(), fog_start=self.fog_start,
             fog_end=self.fog_end, fog_density=self.fog_density,
             fog_color=self.fog_color, clear_color=self.background_color,
             clear_z=self.clear_z,
@@ -914,13 +968,17 @@ class CKRenderContext(CKObject):
             vals[f"{prefix}_valid"] = valid
 
         fill(self._buf_f, self._buf_i, self._layout, vals)
+        rm = ctx.render_manager
+        sort_t = bool(int(rm.options.get("SortTransparentObjects", 1))) \
+            if rm is not None else True
         # Fresh copies: the staging buffers are reused next frame while this
         # frame's host->device transfer may still be in flight (async tunnel).
         return fr.render_frame_packed(
             static, self._buf_f.copy(), self._buf_i.copy(), self._layout,
             self._compiled.levels, self.height, self.width,
             skin=c.skin_bank, sprites_static=self._sprites_static,
-            lines=c.line_bank, ordered_cap=c.ordered_cap)
+            lines=c.line_bank, ordered_cap=c.ordered_cap,
+            sort_transparent=sort_t)
 
     # -- render -----------------------------------------------------------
     def Render(self, flags: int = 0):
@@ -934,6 +992,12 @@ class CKRenderContext(CKObject):
         with PhaseTimer(ph, "CallbacksTime"):
             for kind, fct, arg, _t in self.pre_render_callbacks:
                 fct(self, arg)
+            # Per-object pre-render callbacks (reference RCK3dEntity::Render
+            # callback hooks; here they run before the one-frame program).
+            for obj in list(self.context._objects.values()):
+                for kind, fct, arg, _t in getattr(obj, "callbacks", ()):
+                    if kind == "pre":
+                        fct(self, obj, arg)
         # Dirty curves regenerate their line meshes before compilation
         # (RCKCurve::Render = update-if-dirty then render).
         from .curve import CKCurve
@@ -968,6 +1032,10 @@ class CKRenderContext(CKObject):
         with PhaseTimer(ph, "CallbacksTime"):
             for kind, fct, arg, _t in self.post_render_callbacks:
                 fct(self, arg)
+            for obj in list(self.context._objects.values()):
+                for kind, fct, arg, _t in getattr(obj, "callbacks", ()):
+                    if kind == "post":
+                        fct(self, obj, arg)
         # stats + FPS EMA over >=1s windows (reference :898-908)
         self.stats.NbTrianglesDrawn = int(self._compiled.tri_valid.sum())
         self.stats.NbVerticesProcessed = int(self._compiled.src_idx.shape[0])
@@ -1245,10 +1313,44 @@ class CKRenderManager(CKObject):
             rc.Render()
 
     def PreProcess(self):
+        """Save last-frame matrices + clear the moved list (reference
+        RCKRenderManager::PreProcess, src/CKRenderManager.cpp:311-335 and
+        SaveLastFrameMatrix :808)."""
+        self.SaveLastFrameMatrix()
         self._moved_entities.clear()
 
     def PostProcess(self):
-        pass
+        self.CleanMovedEntities()
+        self.CleanTemporaryCallbacks()
+
+    def SaveLastFrameMatrix(self):
+        from .entity import CK3dEntity
+
+        for obj in self.context._objects.values():
+            if isinstance(obj, CK3dEntity):
+                obj._last_frame_matrix = obj.GetWorldMatrix()
+
+    def CleanMovedEntities(self):
+        """Clear HASMOVED flags (reference CleanMovedEntities :825)."""
+        tbl = self.context.entity_table
+        tbl.flags[: tbl.count] &= ~np.uint32(et.VX_MOVEABLE_HASMOVED)
+
+    def GetMovedEntities(self) -> list:
+        return [self.context.GetObject(i) for i in self._moved_entities]
+
+    def CleanTemporaryCallbacks(self):
+        """Drop temp callbacks after the frame (reference manager temp
+        callback cleanup)."""
+        from .entity import CKRenderObject
+
+        for obj in self.context._objects.values():
+            if isinstance(obj, CKRenderObject) and obj.callbacks:
+                obj.callbacks = [cb for cb in obj.callbacks if not cb[3]]
+        for rc in self.render_contexts:
+            rc.pre_render_callbacks = [
+                cb for cb in rc.pre_render_callbacks if not cb[3]]
+            rc.post_render_callbacks = [
+                cb for cb in rc.post_render_callbacks if not cb[3]]
 
     def SetRenderOptions(self, name: str, value):
         self.options[name] = value

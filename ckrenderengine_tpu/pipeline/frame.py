@@ -232,7 +232,8 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
 
 def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int,
                       ordered_cap: int | None = None, chunk: int = 64,
-                      world=None, background=None):
+                      world=None, background=None,
+                      sort_transparent: bool = True):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
     Equivalent of RCKRenderContext::Render's device work
@@ -287,6 +288,10 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     if ordered_cap is None:
         ordered_cap = batch.valid.shape[0]
     if ordered_cap > 0:
+        if not sort_transparent:
+            # SortTransparentObjects=0: transparent draws keep stream order
+            # (reference option, src/CKRenderManager.cpp options table).
+            transparent = jnp.zeros_like(transparent)
         obatch = ordered_subset(batch, defer_tri, transparent, ordered_cap)
         fb, zb = rb.render_pass(
             fb, zb, obatch, scene.state_i, scene.state_f,
@@ -306,7 +311,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            anim_b=None, anim_b_t=0.0, blend=0.0,
                            sprites=None, quads_bg=None, quads_fg=None,
                            lines=None,
-                           ordered_cap: int | None = None, chunk: int = 64):
+                           ordered_cap: int | None = None, chunk: int = 64,
+                           sort_transparent: bool = True):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
@@ -348,7 +354,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
         background = composite_quads(background, quads_bg, scene.tex_planes,
                                      scene.tex_hw, height, width)
     fb, zb = render_frame_impl(scene, levels, height, width, ordered_cap,
-                               chunk, world=world, background=background)
+                               chunk, world=world, background=background,
+                               sort_transparent=sort_transparent)
     if lines is not None:
         from .lines import draw_lines
 
@@ -360,18 +367,20 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
 
 
 render_frame_full = functools.partial(
-    jax.jit, static_argnames=("levels", "height", "width", "ordered_cap", "chunk")
+    jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
+                              "chunk", "sort_transparent")
 )(render_frame_full_impl)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
-                     "chunk"))
+                     "chunk", "sort_transparent"))
 def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
                         levels: tuple, height: int, width: int,
                         skin=None, sprites_static=None, lines=None,
-                        ordered_cap: int | None = None, chunk: int = 64):
+                        ordered_cap: int | None = None, chunk: int = 64,
+                        sort_transparent: bool = True):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -427,7 +436,8 @@ def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
     return render_frame_full_impl(
         scene, levels, height, width, skin=skin, sprites=sprites,
         quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
-        ordered_cap=ordered_cap, chunk=chunk)
+        ordered_cap=ordered_cap, chunk=chunk,
+        sort_transparent=sort_transparent)
 
 
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):

@@ -1,0 +1,119 @@
+"""Render-option appliers, background material quad, moved-entity tracking,
+last-frame matrices, per-object callbacks (reference SetRenderOptions /
+ApplyRenderOptionChange, src/CKRenderManager.cpp:602-637)."""
+
+import numpy as np
+import pytest
+
+from ckrenderengine_tpu.objects import (
+    CK3dObject, CKCamera, CKContext, CKMaterial, CKMesh, CKTexture,
+)
+
+
+def _scene(ctx):
+    mesh = CKMesh(ctx, "t")
+    mesh.SetPositions(np.array([[-1, -1, 0], [0, 1, 0], [1, -1, 0]], np.float32))
+    mesh.SetFaces(np.array([[0, 1, 2]], np.int32))
+    mesh.SetUVs(np.array([[0, 1], [0.5, 0], [1, 1]], np.float32))
+    mesh.BuildNormals()
+    mat = CKMaterial(ctx, "m")
+    mat.SetEmissive((1, 0, 0, 1))
+    mat.SetTwoSided(True)
+    mesh.ApplyGlobalMaterial(mat)
+    obj = CK3dObject(ctx, "tri")
+    obj.SetCurrentMesh(mesh)
+    rm = ctx.GetRenderManager()
+    rc = rm.CreateRenderContext(64, 64)
+    cam = CKCamera(ctx, "cam")
+    cam.SetPosition((0, 0, -4))
+    rc.AttachViewpointToCamera(cam)
+    return rm, rc, obj, mat, mesh
+
+
+class TestOptions:
+    def test_force_linear_fog(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        rc.SetFogMode(1)    # EXP
+        rm.SetRenderOptions("ForceLinearFog", 1)
+        assert rc._effective_fog_mode() == 3
+        rm.SetRenderOptions("ForceLinearFog", 0)
+        assert rc._effective_fog_mode() == 1
+
+    def test_disable_specular_changes_pixels(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        from ckrenderengine_tpu.objects import CKLight
+        from ckrenderengine_tpu.raster.types import VXLIGHT
+
+        mat.SetEmissive((0, 0, 0, 1))
+        mat.SetDiffuse((0.8, 0.1, 0.1, 1))
+        mat.SetSpecular((1, 1, 1, 1))
+        mat.SetPower(10.0)
+        sun = CKLight(ctx, "sun")
+        sun.SetType(int(VXLIGHT.DIREC))
+        sun.SetOrientation((0, 0, 1))
+        sun.SetSpecularFlag(True)
+        rc.Render()
+        fb_spec = rc.framebuffer().copy()
+        rm.SetRenderOptions("DisableSpecular", 1)
+        rc.Render()
+        fb_nospec = rc.framebuffer()
+        assert fb_spec.sum() > fb_nospec.sum()
+
+    def test_background_material_fullscreen_quad(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        obj.Show(False)
+        tex = CKTexture(ctx, "bg")
+        img = np.zeros((8, 8, 4), np.float32)
+        img[..., 2] = 1.0
+        img[..., 3] = 1.0
+        tex.SetImage(img)
+        bgmat = CKMaterial(ctx, "bgmat")
+        bgmat.SetTexture(tex)
+        rc.SetBackgroundMaterial(bgmat)
+        rc.Render()
+        fb = rc.framebuffer()
+        assert fb[2, 2, 2] == pytest.approx(1.0, abs=1e-4)   # blue everywhere
+        assert fb[60, 60, 2] == pytest.approx(1.0, abs=1e-4)
+
+
+class TestProcessBookkeeping:
+    def test_moved_entities_and_cleanup(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        import ckrenderengine_tpu.scene.entity_table as et
+
+        rm.PreProcess()
+        obj.SetPosition((1, 0, 0))
+        assert obj.id in rm._moved_entities
+        assert ctx.entity_table.flags[obj.row] & et.VX_MOVEABLE_HASMOVED
+        rm.PostProcess()
+        assert not (ctx.entity_table.flags[obj.row] & et.VX_MOVEABLE_HASMOVED)
+
+    def test_last_frame_matrix(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        rm.PreProcess()
+        before = obj.GetWorldMatrix()
+        obj.SetPosition((5, 0, 0))
+        np.testing.assert_allclose(obj.GetLastFrameMatrix(), before)
+        rm.PreProcess()
+        np.testing.assert_allclose(obj.GetLastFrameMatrix()[3, :3], [5, 0, 0])
+
+    def test_object_callbacks_fire_and_temp_cleanup(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        calls = []
+        obj.AddPreRenderCallBack(
+            lambda dev, o, arg: calls.append(("pre", o)), temp=False)
+        obj.AddPostRenderCallBack(
+            lambda dev, o, arg: calls.append(("post", o)), temp=True)
+        rc.Render()
+        assert ("pre", obj) in calls and ("post", obj) in calls
+        rm.PostProcess()         # temp callbacks dropped
+        calls.clear()
+        rc.Render()
+        assert ("pre", obj) in calls
+        assert ("post", obj) not in calls
