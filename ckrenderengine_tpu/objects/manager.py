@@ -286,14 +286,15 @@ class CKRenderContext(CKObject):
                 c.textures.append(tex)
             return tex_to_slot[tkey]
 
-        def bucket_for(mat: CKMaterial | None, sprite: bool = False) -> int:
-            key = (id(mat), sprite)
+        def bucket_for(mat: CKMaterial | None, kind: str = "mesh",
+                       blends=None) -> int:
+            key = (id(mat), kind, blends)
             if key in mat_to_bucket:
                 return mat_to_bucket[key]
             if mat is not None and mat.GetTexture(0) is not None:
                 tex_slot_for(mat.GetTexture(0))
             mat_to_bucket[key] = len(c.materials)
-            c.materials.append((mat, sprite))
+            c.materials.append((mat, kind, blends))
             return mat_to_bucket[key]
 
         pool_pos, pool_nrm, pool_uv, pool_col, pool_spec = [], [], [], [], []
@@ -315,7 +316,7 @@ class CKRenderContext(CKObject):
             mesh_key = (id(mesh), ent.row if ent.skin is not None else -1)
             if mesh_key not in mesh_offset:
                 mesh_offset[mesh_key] = pool_count
-                c.pool_sources.append(mesh)
+                c.pool_sources.append((mesh, -1))
                 pool_pos.append(mesh.positions)
                 pool_nrm.append(mesh.normals)
                 pool_uv.append(mesh.uvs)
@@ -336,6 +337,35 @@ class CKRenderContext(CKObject):
                 vlit.append(np.full(nv, lit, bool))
                 tidx.append(iv + grp.local_faces)
                 tstate.append(np.full(grp.local_faces.shape[0], b, np.int32))
+                iv += nv
+            # Material channels: extra UV sets re-drawing the mesh triangles
+            # blended over the base pass (RCKMesh::RenderChannels, reference
+            # src/CKMesh.cpp:4390+; multi-pass path). Each channel gets a
+            # private pool block carrying its own UVs.
+            for ci, chan in enumerate(mesh.channels):
+                if not chan["active"] or chan["material"] is None:
+                    continue
+                ckey = (id(mesh), f"chan{ci}",
+                        ent.row if ent.skin is not None else -1)
+                if ckey not in mesh_offset:
+                    mesh_offset[ckey] = pool_count
+                    c.pool_sources.append((mesh, ci))
+                    pool_pos.append(mesh.positions)
+                    pool_nrm.append(mesh.normals)
+                    pool_uv.append(chan["uvs"])
+                    pool_col.append(mesh.colors)
+                    pool_spec.append(mesh.specular_colors)
+                    pool_count += mesh.positions.shape[0]
+                coff = mesh_offset[ckey]
+                b = bucket_for(chan["material"], kind="channel",
+                               blends=(chan["src_blend"], chan["dst_blend"]))
+                nv = mesh.positions.shape[0]
+                src.append(coff + np.arange(nv, dtype=np.int32))
+                vent.append(np.full(nv, ent.row, np.int32))
+                vstate.append(np.full(nv, b, np.int32))
+                vlit.append(np.full(nv, lit, bool))
+                tidx.append(iv + mesh.faces.astype(np.int32))
+                tstate.append(np.full(mesh.faces.shape[0], b, np.int32))
                 iv += nv
             # Mesh line list -> device line pass (RCKMesh line pass,
             # reference src/CKMesh.cpp:4168-4192). Endpoints get their own
@@ -368,7 +398,7 @@ class CKRenderContext(CKObject):
             if not isinstance(ent, CKSprite3D):
                 continue
             mat = ent.material if ent.material is not None else default_mat
-            b = bucket_for(mat, sprite=True)
+            b = bucket_for(mat, kind="sprite")
             pool_base = pool_count
             c.sprite3d_list.append((ent, pool_base, b))
             u0, v0, u1, v1 = ent.uv_rect
@@ -418,7 +448,7 @@ class CKRenderContext(CKObject):
         c.prelit_spec = np.concatenate(pool_spec).astype(np.float32)
         c._mesh_pool_count = pool_count - c.extra_pool
         c._pool_version = sum(getattr(m, "data_version", 0)
-                              for m in c.pool_sources)
+                              for m, _ci in c.pool_sources)
 
         if not c.materials:
             bucket_for(default_mat)
@@ -457,8 +487,8 @@ class CKRenderContext(CKObject):
                     or not mat.ZWriteEnabled()
                     or mat.z_func not in (int(VXCMP.LESS), int(VXCMP.LESSEQUAL)))
 
-        ordered_buckets = {i for i, (m, _sprite) in enumerate(c.materials)
-                           if needs_ordered(m)}
+        ordered_buckets = {i for i, (m, kind, _b) in enumerate(c.materials)
+                           if kind == "channel" or needs_ordered(m)}
         if ordered_buckets and it:
             n_ordered = int(np.isin(c.tri_state[:it], list(ordered_buckets)).sum())
         else:
@@ -550,7 +580,8 @@ class CKRenderContext(CKObject):
         states = []
         diffuse, ambient, specular, emissive, power = [], [], [], [], []
         fog_on = self.fog_mode != int(VXFOG.NONE)
-        for mat, is_sprite in c.materials:
+        for mat, kind, blends in c.materials:
+            is_sprite = kind == "sprite"
             if mat is None:
                 st = RasterState(fog=fog_on)
                 diffuse.append([0.7, 0.7, 0.7, 1.0])
@@ -571,6 +602,18 @@ class CKRenderContext(CKObject):
             repl = {}
             if is_sprite:
                 repl["cull"] = int(VXCULL.NONE)
+            if kind == "channel":
+                # Channel passes blend over the base geometry and never
+                # write Z (reference RenderChannels draw flags).
+                from ..raster.types import VXBLEND
+                repl["alpha_blend"] = True
+                repl["z_write"] = False
+                src_b = blends[0] if blends and blends[0] is not None \
+                    else int(VXBLEND.SRCALPHA)
+                dst_b = blends[1] if blends and blends[1] is not None \
+                    else int(VXBLEND.INVSRCALPHA)
+                repl["src_blend"] = src_b
+                repl["dst_blend"] = dst_b
             if disable_filter:
                 repl["tex_filter"] = int(VXTEXTURE_FILTER.NEAREST)
             if disable_persp:
@@ -594,19 +637,24 @@ class CKRenderContext(CKObject):
         updates re-upload arrays without recompiling the frame program."""
         if not c.pool_sources:
             return
-        v = sum(getattr(m, "data_version", 0) for m in c.pool_sources)
+        v = sum(getattr(m, "data_version", 0) for m, _ci in c.pool_sources)
         if v == c._pool_version:
             return
         mc = c._mesh_pool_count
 
-        def regather(attr, old):
-            parts = [getattr(m, attr) for m in c.pool_sources]
+        def regather(attr, old, chan_key=None):
+            parts = []
+            for m, ci in c.pool_sources:
+                if chan_key is not None and ci >= 0:
+                    parts.append(m.channels[ci][chan_key])
+                else:
+                    parts.append(getattr(m, attr))
             parts.append(old[mc:])        # static tail (billboard rows)
             return np.concatenate(parts).astype(np.float32)
 
         c.positions = regather("positions", c.positions)
         c.normals = regather("normals", c.normals)
-        c.uv = regather("uvs", c.uv)
+        c.uv = regather("uvs", c.uv, chan_key="uvs")
         c.prelit = regather("colors", c.prelit)
         c.prelit_spec = regather("specular_colors", c.prelit_spec)
         c._pool_version = v

@@ -241,6 +241,28 @@ class CKMesh(CKObject):
     def IsChannelActive(self, idx: int) -> bool:
         return self.channels[idx]["active"]
 
+    def GetChannelMaterial(self, idx: int):
+        return self.channels[idx]["material"]
+
+    def SetChannelMaterial(self, idx: int, material):
+        self.channels[idx]["material"] = material
+        self._dirty()
+
+    def SetChannelSourceBlend(self, idx: int, mode: int):
+        """(reference RCKMesh::SetChannelSourceBlend)"""
+        self.channels[idx]["src_blend"] = int(mode)
+        self._dirty()
+
+    def SetChannelDestBlend(self, idx: int, mode: int):
+        self.channels[idx]["dst_blend"] = int(mode)
+        self._dirty()
+
+    def GetChannelSourceBlend(self, idx: int):
+        return self.channels[idx]["src_blend"]
+
+    def GetChannelDestBlend(self, idx: int):
+        return self.channels[idx]["dst_blend"]
+
     # -- normals ----------------------------------------------------------
     def BuildFaceNormals(self):
         """Per-face unit normals (reference g_BuildFaceNormals,

@@ -75,6 +75,11 @@ def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None):
     zplane = (adj0 * z[:, 0:1] + adj1 * z[:, 1:2] + adj2 * z[:, 2:3]) * inv_det[:, None]
     # esum(p) = det / w(p) — also affine; its sign (vs s) rejects behind-eye px.
     esum_plane = adj0 + adj1 + adj2
+    # For bit-exact agreement with the ordered pass (jax_backend._one_triangle
+    # computes depth as (e0*z0+e1*z1+e2*z2)*inv_det per pixel), the reduce
+    # must use the SAME arithmetic; with signed e's the factor s cancels:
+    # depth = (e0s*z0 + e1s*z1 + e2s*z2) * (s*inv_det).
+    inv_det_s = jnp.where(det >= 0, 1.0, -1.0) * inv_det
 
     # Signed edge coeffs and top-left flags (fill convention of the oracle).
     e_coef = jnp.stack([adj0, adj1, adj2], axis=1) * s[:, None, None]   # (T,3,3)
@@ -89,7 +94,7 @@ def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None):
                              (xyw.shape[0], 1))
     return dict(e_coef=e_coef, top_left=top_left, zplane=zplane,
                 esum_plane=esum_plane, s=s, det=det, inv_det=inv_det,
-                valid=tvalid, clip_rect=clip_rect)
+                inv_det_s=inv_det_s, z=z, valid=tvalid, clip_rect=clip_rect)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk"))
@@ -121,7 +126,8 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
 
     e_coef = prep(setup["e_coef"])
     top_left = prep(setup["top_left"])
-    zplane = prep(setup["zplane"])
+    zvert = prep(setup["z"])
+    inv_det_s = prep(setup["inv_det_s"])
     esum_plane = prep(setup["esum_plane"])
     s_sign = prep(setup["s"])
     tvalid = prep(setup["valid"] & defer_tri, False)
@@ -135,7 +141,7 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
 
     def body(carry, xs):
         best_d, best_i = carry
-        ec, tl, zp, ep, ss, tv, ids, rect = xs  # leading dim = chunk C
+        ec, tl, zv, ivs, ep, ss, tv, ids, rect = xs  # leading dim = chunk C
 
         def plane(coef):                       # coef (C,3) -> (C,H,W)
             return (coef[:, 0, None, None] * px + coef[:, 1, None, None] * py
@@ -150,7 +156,11 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
             & ((e2 > 0) | ((e2 == 0) & tl[:, 2, None, None]))
         )
         esum = plane(ep) * ss[:, None, None]
-        depth = plane(zp)
+        # Per-pixel depth with EXACTLY the ordered pass's arithmetic
+        # (bit-equality on shared edges keeps LESSEQUAL multi-pass draws
+        # like material channels working).
+        depth = (e0 * zv[:, 0, None, None] + e1 * zv[:, 1, None, None]
+                 + e2 * zv[:, 2, None, None]) * ivs[:, None, None]
         cov &= ((esum > 0) & (depth >= 0.0) & (depth <= 1.0)
                 & tv[:, None, None] & scissor[None])
         # Per-triangle scissor (Place viewport clips).
@@ -170,7 +180,8 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
 
     (best_d, best_i), _ = jax.lax.scan(
         body, (init_depth, init_id),
-        (e_coef, top_left, zplane, esum_plane, s_sign, tvalid, tri_ids, trect))
+        (e_coef, top_left, zvert, inv_det_s, esum_plane, s_sign, tvalid,
+         tri_ids, trect))
     return best_i, best_d
 
 

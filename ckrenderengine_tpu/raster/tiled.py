@@ -126,7 +126,8 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
 
     e_coef = padrow(setup["e_coef"])               # (T+1,3,3)
     top_left = padrow(setup["top_left"], False)
-    zplane = padrow(setup["zplane"])
+    zvert = padrow(setup["z"])
+    inv_det_s = padrow(setup["inv_det_s"])
     esum_plane = padrow(setup["esum_plane"])
     s_sign = padrow(setup["s"])
     clip_rect = padrow(setup["clip_rect"])
@@ -163,7 +164,8 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
         best_d, best_i = carry
         ec = jnp.take(e_coef, ids, axis=0)      # (TILES,C,3,3)
         tl = jnp.take(top_left, ids, axis=0)    # (TILES,C,3)
-        zp = jnp.take(zplane, ids, axis=0)      # (TILES,C,3)
+        zv = jnp.take(zvert, ids, axis=0)       # (TILES,C,3)
+        ivs = jnp.take(inv_det_s, ids, axis=0)  # (TILES,C)
         ep = jnp.take(esum_plane, ids, axis=0)  # (TILES,C,3)
         ss = jnp.take(s_sign, ids, axis=0)      # (TILES,C)
         tv = jnp.take(v_all, ids, axis=0)       # (TILES,C)
@@ -184,7 +186,9 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
                & ((e1 > 0) | ((e1 == 0) & tl[:, :, 1, None, None]))
                & ((e2 > 0) | ((e2 == 0) & tl[:, :, 2, None, None])))
         esum = plane(ep) * ss[..., None, None]
-        depth = plane(zp)
+        # Bit-exact with the ordered pass (see deferred.py depth note).
+        depth = (e0 * zv[..., 0, None, None] + e1 * zv[..., 1, None, None]
+                 + e2 * zv[..., 2, None, None]) * ivs[..., None, None]
         cov &= ((esum > 0) & (depth >= 0.0) & (depth <= 1.0)
                 & tv[..., None, None] & scissor[:, None])
         cov &= ((pxc >= rect[..., 0, None, None])
