@@ -512,16 +512,46 @@ class CKRenderContext(CKObject):
         if not force and v == c._tex_version:
             return
         c._tex_version = v
+        rm = self.context.render_manager
+        mips_off = bool(int(rm.options.get("DisableMipmap", 0))) \
+            if rm is not None else False
         if c.textures:
             imgs = [t.current_image() for t in c.textures]
             imgs = [i if i is not None else np.zeros((1, 1, 4), np.float32) for i in imgs]
             th = max(i.shape[0] for i in imgs)
             tw = max(i.shape[1] for i in imgs)
-            planes = np.zeros((len(imgs), 4, th, tw), np.float32)
-            hw = np.zeros((len(imgs), 2), np.int32)
-            for i, img in enumerate(imgs):
-                planes[i, :, : img.shape[0], : img.shape[1]] = np.moveaxis(img, -1, 0)
-                hw[i] = (img.shape[0], img.shape[1])
+            want_mips = (not mips_off) and any(
+                t.mipmap and t.current_image() is not None
+                and min(t.current_image().shape[:2]) >= 2 for t in c.textures)
+            atlas_w = tw + (tw // 2 if want_mips else 0)
+            planes = np.zeros((len(imgs), 4, th, atlas_w), np.float32)
+            # 3 columns (h, w, n_levels) statically signals a mip atlas.
+            hw = np.zeros((len(imgs), 3 if want_mips else 2), np.int32)
+            for i, (t, img) in enumerate(zip(c.textures, imgs)):
+                h, w = img.shape[0], img.shape[1]
+                planes[i, :, :h, :w] = np.moveaxis(img, -1, 0)
+                levels = 1
+                if want_mips and t.mipmap and min(h, w) >= 2:
+                    # Mip atlas: level L at cols [tw, tw + w>>L), rows
+                    # [h - (h >> (L-1)), ...). Box-filtered chain (or user
+                    # mip levels when provided, reference user mips).
+                    cur = img
+                    lh, lw = h, w
+                    while min(lh, lw) >= 2:
+                        user = (t.user_mip_levels[levels - 1]
+                                if len(t.user_mip_levels) >= levels else None)
+                        nh, nw = max(lh // 2, 1), max(lw // 2, 1)
+                        if user is not None and user.shape[:2] == (nh, nw):
+                            cur = np.asarray(user, np.float32)
+                        else:
+                            cur = cur[: nh * 2, : nw * 2].reshape(
+                                nh, 2, nw, 2, 4).mean(axis=(1, 3))
+                        y_off = 0 if levels == 1 else h - (h >> (levels - 1))
+                        planes[i, :, y_off:y_off + nh, tw:tw + nw] = \
+                            np.moveaxis(cur, -1, 0)
+                        lh, lw = nh, nw
+                        levels += 1
+                hw[i] = (h, w, levels) if want_mips else (h, w)
             self._tex_planes = jnp.asarray(planes)
             self._tex_hw = jnp.asarray(hw)
         else:

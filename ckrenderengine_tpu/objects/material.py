@@ -260,7 +260,20 @@ class CKMaterial(CKObject):
             perspective=self.PerspectiveCorrectionEnabled(),
             cull=int(VXCULL.NONE) if self.IsTwoSided() else int(VXCULL.CCW),
             border_color=tuple(float(c) for c in self.texture_border_color),
+            texgen=self._effect_texgen(),
         )
+
+    def _effect_texgen(self) -> int:
+        """Map the material effect to a vertex TexGen mode (reference
+        TexGenEffect, src/CKMaterial.cpp:1456+). VX_EFFECT: 1=TexGen
+        (planar), 2=TexGenRef (reflection), chrome via effect 3+."""
+        from ..raster.types import (
+            TEXGEN_CHROME, TEXGEN_NONE, TEXGEN_PLANAR, TEXGEN_REFLECT,
+        )
+
+        eff = self.GetEffect()
+        return {1: TEXGEN_PLANAR, 2: TEXGEN_REFLECT, 3: TEXGEN_CHROME}.get(
+            eff, TEXGEN_NONE)
 
     def lighting_params(self):
         return dict(

@@ -263,6 +263,69 @@ class CKMesh(CKObject):
     def GetChannelDestBlend(self, idx: int):
         return self.channels[idx]["dst_blend"]
 
+    # -- progressive mesh (reference RCKMesh::CreatePM src/CKMesh.cpp:3579+,
+    # BuildRenderMesh LOD + geomorph :2580-2720) ---------------------------
+    def CreatePM(self):
+        """Compute the edge-collapse sequence (cost = distance x curvature)."""
+        from ..utils.progressive import compute_collapse_order
+
+        self._pm_full_positions = self.positions.copy()
+        self._pm_full_faces = self.faces.copy()
+        self._pm_full_face_materials = self.face_materials.copy()
+        self._pm_rank, self._pm_collapse = compute_collapse_order(
+            self.positions, self.faces)
+        self._pm_vertex_count = self.positions.shape[0]
+        self._pm_geomorph = 0.0
+        return True
+
+    def DestroyPM(self):
+        if not self.IsPM():
+            return
+        self.SetPositions(self._pm_full_positions)
+        self.SetFaces(self._pm_full_faces)
+        self.face_materials = self._pm_full_face_materials.copy()
+        self._pm_rank = None
+        self._dirty()
+
+    def IsPM(self) -> bool:
+        return getattr(self, "_pm_rank", None) is not None
+
+    def SetPMVertexCount(self, n: int):
+        """Rebuild the render mesh at an n-vertex budget."""
+        from ..utils.progressive import faces_at_lod, lod_remap
+
+        if not self.IsPM():
+            return
+        self._pm_vertex_count = int(n)
+        remap = lod_remap(self._pm_rank, self._pm_collapse, n)
+        full_faces = self._pm_full_faces
+        f = remap[full_faces]
+        keep = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+        self.faces = f[keep].astype(np.int32)
+        self.face_materials = self._pm_full_face_materials[keep]
+        self.face_normals = np.zeros((self.faces.shape[0], 3), np.float32)
+        self.face_channel_mask = np.zeros(self.faces.shape[0], np.uint32)
+        self._dirty()
+
+    def GetPMVertexCount(self) -> int:
+        return getattr(self, "_pm_vertex_count", self.positions.shape[0])
+
+    def SetPMGeoMorphStep(self, step: float):
+        """Geomorph lerp toward the collapsed representatives (dynamic-only:
+        no recompile)."""
+        from ..utils.progressive import geomorph_positions
+
+        if not self.IsPM():
+            return
+        self._pm_geomorph = float(np.clip(step, 0.0, 1.0))
+        self.positions = geomorph_positions(
+            self._pm_full_positions, self._pm_rank, self._pm_collapse,
+            self._pm_vertex_count, self._pm_geomorph)
+        self._dirty_dynamic()
+
+    def GetPMGeoMorphStep(self) -> float:
+        return getattr(self, "_pm_geomorph", 0.0)
+
     # -- normals ----------------------------------------------------------
     def BuildFaceNormals(self):
         """Per-face unit normals (reference g_BuildFaceNormals,

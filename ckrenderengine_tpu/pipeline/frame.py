@@ -140,10 +140,39 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None):
     spec = jnp.where(lit, lit_spec, jnp.take(scene.prelit_spec, scene.src_idx, axis=0))
     fog = fog_factor(cam_z, scene.fog_mode, scene.fog_start, scene.fog_end,
                      scene.fog_density)
-    return clip, color, spec, fog, world
+
+    # TexGen UV generation (material effects; reference TexGenEffect,
+    # src/CKMaterial.cpp:1456+): planar from view-space position, sphere-env
+    # from view-space reflection vector / normal.
+    from ..raster.types import (
+        SI_TEXGEN, TEXGEN_CHROME, TEXGEN_PLANAR, TEXGEN_REFLECT,
+    )
+
+    uv = jnp.take(scene.uv, scene.src_idx, axis=0)               # (IV,2)
+    texgen = jnp.take(scene.state_i[:, SI_TEXGEN], scene.vert_state, axis=0)
+    if True:  # cheap when no texgen (XLA removes unused branches via select)
+        pos_v = vx.transform_points(posw, scene.view)            # view space
+        nrm_v = vx.transform_vectors(nrmw, scene.view)
+        nrm_v = nrm_v / jnp.maximum(
+            jnp.linalg.norm(nrm_v, axis=-1, keepdims=True), 1e-12)
+        # reflection of the view ray about the normal
+        d = pos_v / jnp.maximum(jnp.linalg.norm(pos_v, axis=-1, keepdims=True),
+                                1e-12)
+        r = d - 2.0 * jnp.sum(d * nrm_v, -1, keepdims=True) * nrm_v
+        m = 2.0 * jnp.sqrt(jnp.maximum(
+            r[..., 0] ** 2 + r[..., 1] ** 2 + (r[..., 2] + 1.0) ** 2, 1e-12))
+        uv_reflect = jnp.stack([r[..., 0] / m + 0.5, -r[..., 1] / m + 0.5], -1)
+        uv_chrome = jnp.stack([nrm_v[..., 0] * 0.5 + 0.5,
+                               -nrm_v[..., 1] * 0.5 + 0.5], -1)
+        uv_planar = pos_v[..., :2]
+        tg = texgen[:, None]
+        uv = jnp.where(tg == TEXGEN_PLANAR, uv_planar, uv)
+        uv = jnp.where(tg == TEXGEN_REFLECT, uv_reflect, uv)
+        uv = jnp.where(tg == TEXGEN_CHROME, uv_chrome, uv)
+    return clip, color, spec, fog, world, uv
 
 
-def assemble_triangles(scene: SceneDevice, clip, color, spec, fog):
+def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None):
     """Triangle stage: gather per-corner attrs + cull. Returns the FULL
     DeviceBatch in stream (priority) order — no permutation: the deferred
     opaque reduce is order-independent (later draw index wins exact-depth
@@ -184,9 +213,11 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog):
     clip_ext = jnp.concatenate([scene.entity_clip, open_rect], axis=0)
     tri_rect = jnp.take(clip_ext, jnp.take(scene.vert_entity, i0), axis=0)
 
+    if uv is None:
+        uv = jnp.take(scene.uv, scene.src_idx, axis=0)
     return rb.DeviceBatch(
         xyw=g3(xyw_v), z=g3(z), color=g3(color), specular=g3(spec),
-        uv=g3(jnp.take(scene.uv, scene.src_idx, axis=0)), fog=g3(fog),
+        uv=g3(uv), fog=g3(fog),
         state_idx=scene.tri_state, valid=valid, clip_rect=tri_rect,
     )
 
@@ -255,8 +286,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             scene.clear_color[:, None, None].astype(jnp.float32),
             (4, height, width))
 
-    clip, color, spec, fog, _world = transform_and_light(scene, levels, world)
-    batch = assemble_triangles(scene, clip, color, spec, fog)
+    clip, color, spec, fog, _world, uv = transform_and_light(scene, levels, world)
+    batch = assemble_triangles(scene, clip, color, spec, fog, uv)
 
     defer_bucket = df.deferred_mask(scene.state_i)               # (S,)
     defer_tri = jnp.take(defer_bucket, batch.state_idx) & batch.valid

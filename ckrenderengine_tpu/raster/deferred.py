@@ -198,28 +198,28 @@ def _address_pp(coord, fsize, mode):
         [wrap, mirror, mirror_once], default=clamp)
 
 
-def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba):
-    """Per-pixel texture sampling with per-pixel texture ids.
+def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
+                      lod=None):
+    """Per-pixel texture sampling with per-pixel texture ids + optional mips.
 
-    tex_planes (NT,4,TH,TW); tid/u/v/mode/filt: (H,W) arrays.
+    tex_planes (NT,4,TH,AW) — AW may include the mip atlas (level L at cols
+    [TW, TW + w>>L), rows [h - (h >> (L-1)), ...) of each texture's own h/w;
+    see CKRenderContext._refresh_textures). tex_hw (NT,2|3): (h, w[, levels]).
+    tid/u/v/mode/filt: (H,W) arrays; lod: (H,W) f32 or None (level 0).
     Returns 4 (H,W) planes.
     """
-    nt, _, th, tw = tex_planes.shape
-    flat = tex_planes.transpose(0, 2, 3, 1).reshape(nt * th * tw, 4)
+    nt, _, th, taw = tex_planes.shape
+    flat = tex_planes.transpose(0, 2, 3, 1).reshape(nt * th * taw, 4)
     tid_c = jnp.clip(tid, 0, nt - 1)
-    h = tex_hw[tid_c, 0].astype(jnp.float32)
-    w = tex_hw[tid_c, 1].astype(jnp.float32)
-    tu = u * w
-    tv = v * h
+    h0 = tex_hw[tid_c, 0].astype(jnp.float32)
+    w0 = tex_hw[tid_c, 1].astype(jnp.float32)
+    n_levels = (tex_hw[tid_c, 2] if tex_hw.shape[1] > 2
+                else jnp.ones_like(tid_c)).astype(jnp.int32)
+    # Column offset of the mip block = the max base width (atlas layout:
+    # AW = TW + TW//2, so TW = (AW*2)//3; static shape -> static offset).
+    # A 3-column tex_hw statically signals the mip atlas is present.
+    base_tw = jnp.float32((taw * 2) // 3 if tex_hw.shape[1] > 2 else 0.0)
     border = mode == VXTEXTURE_ADDRESS.BORDER
-    oob = (tu < 0) | (tu >= w) | (tv < 0) | (tv >= h)
-
-    def fetch(cu, cv):
-        iu = jnp.clip(_address_pp(cu, w, mode), 0, w - 1).astype(jnp.int32)
-        iv = jnp.clip(_address_pp(cv, h, mode), 0, h - 1).astype(jnp.int32)
-        idx = tid_c * (th * tw) + iv * tw + iu
-        texel = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (4,))
-        return [texel[..., c] for c in range(4)]
 
     linear = (
         (filt == VXTEXTURE_FILTER.LINEAR)
@@ -227,22 +227,66 @@ def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba):
         | (filt == VXTEXTURE_FILTER.LINEARMIPLINEAR)
         | (filt == VXTEXTURE_FILTER.ANISOTROPIC)
     )
-    near = fetch(tu, tv)
-    fu = tu - 0.5
-    fv = tv - 0.5
-    u0 = jnp.floor(fu)
-    v0 = jnp.floor(fv)
-    du = fu - u0
-    dv = fv - v0
-    c00 = fetch(u0, v0)
-    c10 = fetch(u0 + 1.0, v0)
-    c01 = fetch(u0, v0 + 1.0)
-    c11 = fetch(u0 + 1.0, v0 + 1.0)
-    lin = [c00[c] * (1 - du) * (1 - dv) + c10[c] * du * (1 - dv)
-           + c01[c] * (1 - du) * dv + c11[c] * du * dv for c in range(4)]
-    out = [jnp.where(linear, lin[c], near[c]) for c in range(4)]
-    out = [jnp.where(border & oob, border_rgba[c], out[c]) for c in range(4)]
-    return out
+
+    def sample_level(level):
+        """level: (H,W) int32. Returns list of 4 (H,W) planes."""
+        lf = level.astype(jnp.float32)
+        scale = jnp.exp2(-lf)
+        w = jnp.maximum(jnp.floor(w0 * scale), 1.0)
+        h = jnp.maximum(jnp.floor(h0 * scale), 1.0)
+        x_off = jnp.where(level == 0, 0.0, base_tw)
+        y_off = jnp.where(level <= 1, 0.0,
+                          h0 - jnp.floor(h0 * jnp.exp2(-(lf - 1.0))))
+        tu = u * w
+        tv = v * h
+
+        def fetch(cu, cv):
+            iu = jnp.clip(_address_pp(cu, w, mode), 0, w - 1) + x_off
+            iv = jnp.clip(_address_pp(cv, h, mode), 0, h - 1) + y_off
+            idx = (tid_c * (th * taw) + iv.astype(jnp.int32) * taw
+                   + iu.astype(jnp.int32))
+            texel = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+                idx.shape + (4,))
+            return [texel[..., c] for c in range(4)]
+
+        near = fetch(tu, tv)
+        fu = tu - 0.5
+        fv = tv - 0.5
+        u0_ = jnp.floor(fu)
+        v0_ = jnp.floor(fv)
+        du = fu - u0_
+        dv = fv - v0_
+        c00 = fetch(u0_, v0_)
+        c10 = fetch(u0_ + 1.0, v0_)
+        c01 = fetch(u0_, v0_ + 1.0)
+        c11 = fetch(u0_ + 1.0, v0_ + 1.0)
+        lin = [c00[c] * (1 - du) * (1 - dv) + c10[c] * du * (1 - dv)
+               + c01[c] * (1 - du) * dv + c11[c] * du * dv for c in range(4)]
+        out = [jnp.where(linear, lin[c], near[c]) for c in range(4)]
+        oob = (tu < 0) | (tu >= w) | (tv < 0) | (tv >= h)
+        return [jnp.where(border & oob, border_rgba[c], out[c])
+                for c in range(4)]
+
+    if lod is None or tex_hw.shape[1] <= 2:
+        return sample_level(jnp.zeros_like(tid_c))
+
+    mip_near = ((filt == VXTEXTURE_FILTER.MIPNEAREST)
+                | (filt == VXTEXTURE_FILTER.LINEARMIPNEAREST))
+    mip_lin = ((filt == VXTEXTURE_FILTER.MIPLINEAR)
+               | (filt == VXTEXTURE_FILTER.LINEARMIPLINEAR)
+               | (filt == VXTEXTURE_FILTER.ANISOTROPIC))
+    use_mip = mip_near | mip_lin
+    lod_c = jnp.clip(jnp.where(use_mip, lod, 0.0), 0.0,
+                     (n_levels - 1).astype(jnp.float32))
+    l0 = jnp.floor(lod_c).astype(jnp.int32)
+    frac = lod_c - l0.astype(jnp.float32)
+    l0 = jnp.where(mip_near, jnp.round(lod_c).astype(jnp.int32), l0)
+    l1 = jnp.clip(l0 + 1, 0, n_levels - 1)
+    s0 = sample_level(l0)
+    s1 = sample_level(l1)
+    tri = mip_lin
+    return [jnp.where(tri, s0[c] * (1 - frac) + s1[c] * frac, s0[c])
+            for c in range(4)]
 
 
 def tex_blend_pp(mode, tex, diff):
@@ -328,9 +372,37 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
     has_tex = si_all[..., SI_TEX] >= 0
     uvi = interp3(batch_uv)                                # (H,W,2)
     border = [sf_all[..., SF_BORDER_R + c] for c in range(4)]
+
+    # Per-pixel mip LOD from screen-space UV gradients: edge functions are
+    # affine (slope a per +x, b per +y), so re-weighting at the neighbor
+    # pixels gives exact footprints.
+    lod = None
+    if tex_hw.shape[1] > 2:
+        ws = xyw[..., 2]
+
+        def uv_at(de0, de1, de2):
+            e0n, e1n, e2n = e0 + de0, e1 + de1, e2 + de2
+            esum_n = e0n + e1n + e2n
+            inv_n = 1.0 / jnp.where(jnp.abs(esum_n) < 1e-30, 1e-30, esum_n)
+            w0n = jnp.where(persp, e0n * inv_n, e0n * ws[..., 0] * inv_det)
+            w1n = jnp.where(persp, e1n * inv_n, e1n * ws[..., 1] * inv_det)
+            w2n = jnp.where(persp, e2n * inv_n, e2n * ws[..., 2] * inv_det)
+            a = jnp.take(batch_uv, tid, axis=0)
+            return (w0n[..., None] * a[..., 0, :] + w1n[..., None] * a[..., 1, :]
+                    + w2n[..., None] * a[..., 2, :])
+
+        uv_dx = uv_at(adj0[..., 0], adj1[..., 0], adj2[..., 0]) - uvi
+        uv_dy = uv_at(adj0[..., 1], adj1[..., 1], adj2[..., 1]) - uvi
+        tidc = jnp.clip(si_all[..., SI_TEX], 0, tex_hw.shape[0] - 1)
+        tsize = jnp.stack([tex_hw[tidc, 1], tex_hw[tidc, 0]], -1).astype(
+            jnp.float32)                                    # (H,W,2) (w,h)
+        rho = jnp.maximum(jnp.linalg.norm(uv_dx * tsize, axis=-1),
+                          jnp.linalg.norm(uv_dy * tsize, axis=-1))
+        lod = jnp.log2(jnp.maximum(rho, 1.0))
+
     texel = sample_texture_pp(
         tex_planes, tex_hw, si_all[..., SI_TEX], uvi[..., 0], uvi[..., 1],
-        si_all[..., SI_TEXADDR], si_all[..., SI_TEXFILTER], border)
+        si_all[..., SI_TEXADDR], si_all[..., SI_TEXFILTER], border, lod=lod)
     blended = tex_blend_pp(si_all[..., SI_TEXBLEND], texel, colorp)
     colorp = [jnp.where(has_tex, blended[c], colorp[c]) for c in range(4)]
 

@@ -140,7 +140,15 @@ SI_PERSPECTIVE = 12 # perspective-correct interpolation (default on)
 SI_WRAP_U = 13      # D3D wrap-mode interpolation (VXRENDERSTATE_WRAP0 bit 0)
 SI_WRAP_V = 14
 SI_CULL = 15        # VXCULL; det(M) > 0 = front face (screen CW with y down)
-NUM_SI = 16
+SI_TEXGEN = 16      # TEXGEN_* vertex UV generation (material effects)
+NUM_SI = 17
+
+# TexGen modes (material effects: TexGen/TexGenRef planar/reflection/chrome,
+# reference src/CKMaterial.cpp:1302-1362, 1456+)
+TEXGEN_NONE = 0
+TEXGEN_PLANAR = 1     # uv from view-space position xy
+TEXGEN_REFLECT = 2    # sphere-env uv from view-space reflection vector
+TEXGEN_CHROME = 3     # sphere-env uv from view-space normal
 
 # Float field indices in state_f
 SF_ALPHAREF = 0     # 0..1
@@ -172,6 +180,7 @@ class RasterState:
     perspective: bool = True
     cull: int = int(VXCULL.CCW)
     border_color: tuple = (0.0, 0.0, 0.0, 0.0)
+    texgen: int = 0
 
     def pack(self):
         si = np.zeros(NUM_SI, np.int32)
@@ -190,6 +199,7 @@ class RasterState:
         si[SI_FOG] = int(self.fog)
         si[SI_PERSPECTIVE] = int(self.perspective)
         si[SI_CULL] = self.cull
+        si[SI_TEXGEN] = self.texgen
         sf[SF_ALPHAREF] = self.alpha_ref
         sf[SF_BORDER_R:SF_BORDER_A + 1] = np.asarray(self.border_color, np.float32)
         return si, sf
