@@ -235,9 +235,17 @@ class CK3dEntity(CKRenderObject):
         return bool(self.context.entity_table.flags[self.row] & et.VX_MOVEABLE_VISIBLE)
 
     def SetMoveableFlags(self, flags: int):
+        old = int(self.context.entity_table.flags[self.row])
         self.moveable_flags = int(flags)
         self.context.entity_table.flags[self.row] = np.uint32(flags)
-        self.context._bump_dynamic()
+        # Draw-kind bits reshape the compiled buckets (z-only / stencil-only /
+        # channels) -> recompile; plain visibility-ish bits stay dynamic.
+        kind_bits = (et.VX_MOVEABLE_ZBUFONLY | et.VX_MOVEABLE_STENCILONLY
+                     | et.VX_MOVEABLE_RENDERCHANNELS)
+        if (old ^ int(flags)) & kind_bits:
+            self.context._bump_topology()
+        else:
+            self.context._bump_dynamic()
 
     def GetMoveableFlags(self) -> int:
         return int(self.context.entity_table.flags[self.row])

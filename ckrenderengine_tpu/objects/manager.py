@@ -80,6 +80,8 @@ class CompiledScene:
         self._dev_pool_version = -2
         # Extra pool rows appended after mesh sources (billboard corners).
         self.extra_pool = 0
+        # Any stencil-only buckets? (drives the optional stencil pass)
+        self.has_stencil = False
 
 
 class VxStats:
@@ -123,6 +125,7 @@ class CKRenderContext(CKObject):
         # Output
         self.fb = jnp.zeros((4, self.height, self.width), jnp.float32)
         self.zb = jnp.ones((self.height, self.width), jnp.float32)
+        self.sb = jnp.zeros((self.height, self.width), jnp.uint8)
         # Compile cache
         self._compiled = CompiledScene()
         self._tex_planes = jnp.zeros((1, 4, 1, 1), jnp.float32)
@@ -327,9 +330,41 @@ class CKRenderContext(CKObject):
                 pool_count += mesh.positions.shape[0]
             moff = mesh_offset[mesh_key]
             lit = not mesh.IsPreLitMode()
+            # Z-only / stencil-only entities draw through dedicated buckets
+            # (VX_MOVEABLE_ZBUFONLY / STENCILONLY, reference draw-flag
+            # assembly src/CKMesh.cpp:3938-3974).
+            eflags = int(table.flags[ent.row])
+            draw_kind = "mesh"
+            if eflags & et.VX_MOVEABLE_STENCILONLY:
+                draw_kind = "stencil"
+            elif eflags & et.VX_MOVEABLE_ZBUFONLY:
+                draw_kind = "zbufonly"
             for grp in mesh.GetRenderGroups():
                 mat = grp.material if grp.material is not None else default_mat
-                b = bucket_for(mat)
+                # Wireframe fill mode draws the triangle edges through the
+                # line pass (reference VXFILL_WIREFRAME / wireframe overlay,
+                # src/CKMesh.cpp:4134-4153).
+                from ..raster.types import VXFILL
+                if mat is not None and mat.GetFillMode() == int(VXFILL.WIREFRAME):
+                    nv = grp.vertex_map.shape[0]
+                    base_iv = iv
+                    src.append(moff + grp.vertex_map)
+                    vent.append(np.full(nv, ent.row, np.int32))
+                    vstate.append(np.zeros(nv, np.int32))
+                    vlit.append(np.zeros(nv, bool))
+                    col = tuple(np.asarray(mat.GetDiffuse()).tolist())
+                    edges = set()
+                    for (a, b_, cc) in grp.local_faces:
+                        for e0, e1 in ((a, b_), (b_, cc), (cc, a)):
+                            key = (min(e0, e1), max(e0, e1))
+                            if key not in edges:
+                                edges.add(key)
+                                c.line_segments.append(dict(
+                                    i0=base_iv + int(key[0]),
+                                    i1=base_iv + int(key[1]), color=col))
+                    iv += nv
+                    continue
+                b = bucket_for(mat, kind=draw_kind)
                 nv = grp.vertex_map.shape[0]
                 src.append(moff + grp.vertex_map)
                 vent.append(np.full(nv, ent.row, np.int32))
@@ -495,6 +530,8 @@ class CKRenderContext(CKObject):
             n_ordered = 0
         c.ordered_cap = 0 if n_ordered == 0 else _pad_to(n_ordered, 64)
 
+        c.has_stencil = any(kind == "stencil" for _m, kind, _b in c.materials)
+
         from ..pipeline.skinning import build_skin_bank
         c.skin_bank = build_skin_bank(skin_descs)
         from ..pipeline.lines import build_line_bank
@@ -632,6 +669,12 @@ class CKRenderContext(CKObject):
             repl = {}
             if is_sprite:
                 repl["cull"] = int(VXCULL.NONE)
+            if kind == "zbufonly":
+                repl["color_write"] = False
+            if kind == "stencil":
+                repl["color_write"] = False
+                repl["z_write"] = False
+                repl["stencil"] = True
             if kind == "channel":
                 # Channel passes blend over the base geometry and never
                 # write Z (reference RenderChannels draw flags).
@@ -1051,12 +1094,16 @@ class CKRenderContext(CKObject):
             if rm is not None else True
         # Fresh copies: the staging buffers are reused next frame while this
         # frame's host->device transfer may still be in flight (async tunnel).
-        return fr.render_frame_packed(
+        out = fr.render_frame_packed(
             static, self._buf_f.copy(), self._buf_i.copy(), self._layout,
             self._compiled.levels, self.height, self.width,
             skin=c.skin_bank, sprites_static=self._sprites_static,
             lines=c.line_bank, ordered_cap=c.ordered_cap,
-            sort_transparent=sort_t)
+            sort_transparent=sort_t, want_stencil=c.has_stencil)
+        if c.has_stencil:
+            fb, zb, self.sb = out
+            return fb, zb
+        return out
 
     # -- render -----------------------------------------------------------
     def Render(self, flags: int = 0):
@@ -1214,6 +1261,10 @@ class CKRenderContext(CKObject):
 
     def zbuffer(self) -> np.ndarray:
         return np.asarray(self.zb)
+
+    def stencilbuffer(self) -> np.ndarray:
+        """Stencil mask from STENCILONLY draws (uint8 0/1)."""
+        return np.asarray(self.sb)
 
     def GetStats(self) -> VxStats:
         return self.stats
@@ -1435,3 +1486,57 @@ class CKRenderManager(CKObject):
 
     def GetRenderOptions(self, name: str):
         return self.options.get(name)
+
+    # -- driver enumeration (reference driver table, HW first then SW,
+    # src/CKRenderManager.cpp:190-226) -------------------------------------
+    def GetRenderDriverCount(self) -> int:
+        from ..raster.caps import enumerate_drivers
+        return len(enumerate_drivers())
+
+    def GetRenderDriverDescription(self, i: int):
+        from ..raster.caps import enumerate_drivers
+        return enumerate_drivers()[i]
+
+    def GetDriverCaps(self, i: int = 0):
+        return self.GetRenderDriverDescription(i).caps
+
+
+class CKRenderedScene:
+    """Per-context scene-state facade (reference CKRenderedScene,
+    include/CKRenderedScene.h:13-49 — camera/light/fog state + the per-frame
+    Draw). The TPU build folds the per-frame Draw into the render context's
+    one-program frame; this facade exposes the same state surface for API
+    parity."""
+
+    def __init__(self, rc: CKRenderContext):
+        self.rc = rc
+
+    def GetBackgroundColor(self):
+        return self.rc.GetBackgroundColor()
+
+    def SetBackgroundColor(self, rgba):
+        self.rc.SetBackgroundColor(rgba)
+
+    def GetAmbientLight(self):
+        return self.rc.GetAmbientLight()
+
+    def SetAmbientLight(self, rgba):
+        self.rc.SetAmbientLight(rgba)
+
+    def GetFogMode(self):
+        return self.rc.GetFogMode()
+
+    def GetAttachedCamera(self):
+        return self.rc.GetAttachedCamera()
+
+    def GetLights(self) -> list:
+        from .light import CKLight
+        return [o for o in self.rc.context._objects.values()
+                if isinstance(o, CKLight)]
+
+    def Get3dEntities(self) -> list:
+        return self.rc._scene_entities()
+
+    def Draw(self, flags: int = 0):
+        """One frame (delegates to the fused frame program)."""
+        return self.rc.Render(flags)

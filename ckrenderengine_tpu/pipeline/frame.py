@@ -264,7 +264,8 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
 def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int,
                       ordered_cap: int | None = None, chunk: int = 64,
                       world=None, background=None,
-                      sort_transparent: bool = True):
+                      sort_transparent: bool = True,
+                      want_stencil: bool = False):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
     Equivalent of RCKRenderContext::Render's device work
@@ -292,6 +293,9 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     defer_bucket = df.deferred_mask(scene.state_i)               # (S,)
     defer_tri = jnp.take(defer_bucket, batch.state_idx) & batch.valid
     transparent = jnp.take(scene.state_i[:, SI_ALPHABLEND], batch.state_idx) != 0
+    from ..raster.types import SI_STENCIL
+    stencil_tri = (jnp.take(scene.state_i[:, SI_STENCIL], batch.state_idx)
+                   != 0) & batch.valid
 
     # --- deferred opaque: depth argmin reduce + one shade per pixel --------
     setup = df.triangle_setup(batch.xyw, batch.z, batch.state_idx, batch.valid,
@@ -323,12 +327,22 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             # SortTransparentObjects=0: transparent draws keep stream order
             # (reference option, src/CKRenderManager.cpp options table).
             transparent = jnp.zeros_like(transparent)
-        obatch = ordered_subset(batch, defer_tri, transparent, ordered_cap)
+        # Stencil-only triangles are consumed by the stencil pass alone.
+        obatch = ordered_subset(batch, defer_tri | stencil_tri, transparent,
+                                ordered_cap)
         fb, zb = rb.render_pass(
             fb, zb, obatch, scene.state_i, scene.state_f,
             scene.tex_planes, scene.tex_hw, scene.fog_color, scene.viewport,
             chunk=1,
         )
+    if want_stencil:
+        # Stencil mask: z-tested coverage of stencil-only draws
+        # (VX_MOVEABLE_STENCILONLY, reference src/CKMesh.cpp:3938-3974).
+        s_id, s_depth = df.depth_reduce(
+            setup, stencil_tri, 1.0, scene.viewport, height, width,
+            chunk=chunk)
+        sb = ((s_id >= 0) & (s_depth <= zb + 1e-6)).astype(jnp.uint8)
+        return fb, zb, sb
     return fb, zb
 
 
@@ -343,7 +357,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            sprites=None, quads_bg=None, quads_fg=None,
                            lines=None,
                            ordered_cap: int | None = None, chunk: int = 64,
-                           sort_transparent: bool = True):
+                           sort_transparent: bool = True,
+                           want_stencil: bool = False):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
@@ -384,9 +399,15 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
             (4, height, width))
         background = composite_quads(background, quads_bg, scene.tex_planes,
                                      scene.tex_hw, height, width)
-    fb, zb = render_frame_impl(scene, levels, height, width, ordered_cap,
-                               chunk, world=world, background=background,
-                               sort_transparent=sort_transparent)
+    out = render_frame_impl(scene, levels, height, width, ordered_cap,
+                            chunk, world=world, background=background,
+                            sort_transparent=sort_transparent,
+                            want_stencil=want_stencil)
+    if want_stencil:
+        fb, zb, sb = out
+    else:
+        fb, zb = out
+        sb = None
     if lines is not None:
         from .lines import draw_lines
 
@@ -394,24 +415,27 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
     if quads_fg is not None:
         fb = composite_quads(fb, quads_fg, scene.tex_planes, scene.tex_hw,
                              height, width)
+    if want_stencil:
+        return fb, zb, sb
     return fb, zb
 
 
 render_frame_full = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
-                              "chunk", "sort_transparent")
+                              "chunk", "sort_transparent", "want_stencil")
 )(render_frame_full_impl)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
-                     "chunk", "sort_transparent"))
+                     "chunk", "sort_transparent", "want_stencil"))
 def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
                         levels: tuple, height: int, width: int,
                         skin=None, sprites_static=None, lines=None,
                         ordered_cap: int | None = None, chunk: int = 64,
-                        sort_transparent: bool = True):
+                        sort_transparent: bool = True,
+                        want_stencil: bool = False):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -468,7 +492,7 @@ def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
         scene, levels, height, width, skin=skin, sprites=sprites,
         quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
         ordered_cap=ordered_cap, chunk=chunk,
-        sort_transparent=sort_transparent)
+        sort_transparent=sort_transparent, want_stencil=want_stencil)
 
 
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):

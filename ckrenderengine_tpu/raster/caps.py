@@ -1,0 +1,59 @@
+"""Device capability descriptions: the TPU backend's Vx3DCapsDesc analogue.
+
+The reference enumerates adapters and fills Vx3DCapsDesc from D3DCAPS9
+(CKDX9RasterizerDriver::InitializeCaps,
+/root/reference/src/CKRasterizer/CKDX9Rasterizer/CKDX9RasterizerDriver.cpp)
+plus a driver-problem database for buggy drivers (CKDriverProblems,
+include/CKRasterizerTypes.h:29-58). On TPU the capability set is static per
+backend: formats are dtypes, limits come from HBM/VMEM geometry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Vx3DCapsDesc:
+    """Driver capability set (reference Vx3DCapsDesc fields that consumers
+    actually read)."""
+
+    driver_name: str = "tpu-xla"
+    description: str = "JAX/XLA tile-binned software rasterizer"
+    is_hardware: bool = True            # device-accelerated (TPU)
+    max_texture_width: int = 8192
+    max_texture_height: int = 8192
+    max_clip_planes: int = 6
+    max_active_lights: int = 128        # light bank is padded, not fixed-8
+    max_primitive_count: int = 1 << 30  # 32-bit indices internally
+    max_vertex_index: int = 1 << 30
+    texture_formats: tuple = ("float32_rgba",)
+    zbuffer_formats: tuple = ("float32",)
+    supports_mipmaps: bool = True
+    supports_cube_maps: bool = False
+    supports_stencil: bool = True
+    supports_render_to_texture: bool = True
+    supports_user_clip_planes: bool = True   # per-entity scissor rects
+    vertex_shader_version: int = 0      # fixed-function model only
+    pixel_shader_version: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class DriverDesc:
+    """One enumerated render driver (reference CKRenderManager driver table:
+    HW drivers first, then SW — src/CKRenderManager.cpp:190-226)."""
+
+    index: int
+    caps: Vx3DCapsDesc
+    is_hardware: bool
+
+
+def enumerate_drivers() -> list[DriverDesc]:
+    """TPU/XLA device first (hardware), numpy NULL oracle second (software)."""
+    hw = Vx3DCapsDesc()
+    sw = Vx3DCapsDesc(
+        driver_name="null-numpy",
+        description="numpy reference rasterizer (NULL device, test oracle)",
+        is_hardware=False, max_texture_width=4096, max_texture_height=4096,
+        supports_mipmaps=False, supports_stencil=False)
+    return [DriverDesc(0, hw, True), DriverDesc(1, sw, False)]

@@ -417,5 +417,10 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
                               colorp[c])
     colorp = [jnp.clip(c, 0.0, 1.0) for c in colorp]
 
+    # Z-only draws occlude but leave the background color
+    # (VX_MOVEABLE_ZBUFONLY, reference src/CKMesh.cpp:3938-3974).
+    from .types import SI_COLORWRITE
+
+    hit &= si_all[..., SI_COLORWRITE] != 0
     fb = jnp.stack([jnp.where(hit, colorp[c], clear_fb[c]) for c in range(4)])
     return fb

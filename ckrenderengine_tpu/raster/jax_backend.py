@@ -327,7 +327,12 @@ def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog
         blended_c = jnp.clip(src_c * sfac + dst_c * dfac, 0.0, 1.0)
         out.append(jnp.where(blend_on, blended_c, src_c))
 
-    new_fb = jnp.stack([jnp.where(inside, out[c], fb[c]) for c in range(4)])
+    # Z-only / stencil-only draws never touch color
+    # (VX_MOVEABLE_ZBUFONLY / STENCILONLY, reference src/CKMesh.cpp:3938-3974).
+    from .types import SI_COLORWRITE
+
+    cwrite = inside & (si[SI_COLORWRITE] != 0)
+    new_fb = jnp.stack([jnp.where(cwrite, out[c], fb[c]) for c in range(4)])
     zwrite = (si[SI_ZWRITE] != 0) & inside
     new_zb = jnp.where(zwrite, depth, zb)
     return new_fb, new_zb

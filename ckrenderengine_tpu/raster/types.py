@@ -141,7 +141,9 @@ SI_WRAP_U = 13      # D3D wrap-mode interpolation (VXRENDERSTATE_WRAP0 bit 0)
 SI_WRAP_V = 14
 SI_CULL = 15        # VXCULL; det(M) > 0 = front face (screen CW with y down)
 SI_TEXGEN = 16      # TEXGEN_* vertex UV generation (material effects)
-NUM_SI = 17
+SI_COLORWRITE = 17  # 0 = z-only draw (VX_MOVEABLE_ZBUFONLY)
+SI_STENCIL = 18     # 1 = stencil-mask draw (VX_MOVEABLE_STENCILONLY)
+NUM_SI = 19
 
 # TexGen modes (material effects: TexGen/TexGenRef planar/reflection/chrome,
 # reference src/CKMaterial.cpp:1302-1362, 1456+)
@@ -181,6 +183,8 @@ class RasterState:
     cull: int = int(VXCULL.CCW)
     border_color: tuple = (0.0, 0.0, 0.0, 0.0)
     texgen: int = 0
+    color_write: bool = True
+    stencil: bool = False
 
     def pack(self):
         si = np.zeros(NUM_SI, np.int32)
@@ -200,6 +204,8 @@ class RasterState:
         si[SI_PERSPECTIVE] = int(self.perspective)
         si[SI_CULL] = self.cull
         si[SI_TEXGEN] = self.texgen
+        si[SI_COLORWRITE] = int(self.color_write)
+        si[SI_STENCIL] = int(self.stencil)
         sf[SF_ALPHAREF] = self.alpha_ref
         sf[SF_BORDER_R:SF_BORDER_A + 1] = np.asarray(self.border_color, np.float32)
         return si, sf
