@@ -122,6 +122,7 @@ class CKRenderContext(CKObject):
         self.fog_density = 1.0
         self.fog_color = np.zeros(3, np.float32)
         self.clear_z = 1.0
+        self.clip_rect = None      # context-level scissor (SetClipRect)
         # Output
         self.fb = jnp.zeros((4, self.height, self.width), jnp.float32)
         self.zb = jnp.ones((self.height, self.width), jnp.float32)
@@ -797,6 +798,7 @@ class CKRenderContext(CKObject):
             parent=jnp.asarray(table.parent[:n]),
             entity_visible=jnp.asarray(visible),
             entity_clip=jnp.asarray(entity_clip),
+            entity_priority=jnp.asarray(self._entity_priority_np(n)),
             **c._dev_pool,
             **c._dev_static,
             state_i=si, state_f=sf,
@@ -896,7 +898,23 @@ class CKRenderContext(CKObject):
                 for d in obj.descendants():
                     if d.row < n:
                         entity_clip[d.row] = rect
+        # Context-level clip rect (RCKRenderContext::SetClipRect, reference
+        # src/CKRenderContext.cpp:2743-2781) intersects every entity rect.
+        if self.clip_rect is not None:
+            r = np.asarray(self.clip_rect, np.float32)
+            entity_clip[:, 0] = np.maximum(entity_clip[:, 0], r[0])
+            entity_clip[:, 1] = np.maximum(entity_clip[:, 1], r[1])
+            entity_clip[:, 2] = np.minimum(entity_clip[:, 2], r[2])
+            entity_clip[:, 3] = np.minimum(entity_clip[:, 3], r[3])
         return entity_clip
+
+    def SetClipRect(self, rect=None):
+        """Pixel clip rect applied to the whole 3D scene (None clears)."""
+        self.clip_rect = None if rect is None else tuple(float(v) for v in rect)
+        self.context._bump_dynamic()
+
+    def GetClipRect(self):
+        return self.clip_rect
 
     def _ensure_packed_layout(self, n, s, l, sp, qb, qf):
         from ..pipeline.packing import DynLayout
@@ -909,6 +927,7 @@ class CKRenderContext(CKObject):
         lay.add_f("local", (n, 4, 4))
         lay.add_i("entity_visible", (n,))
         lay.add_f("entity_clip", (n, 4))
+        lay.add_f("entity_priority", (n,))
         lay.add_f("state_f", (s, NUM_SF))
         lay.add_i("state_i", (s, NUM_SI))
         for name in ("mat_diffuse", "mat_ambient", "mat_specular",
@@ -990,6 +1009,14 @@ class CKRenderContext(CKObject):
             self._sprites_static = None
         return static
 
+    def _entity_priority_np(self, n: int) -> np.ndarray:
+        out = np.zeros(n, np.float32)
+        from .entity import CK3dEntity
+        for obj in self.context._objects.values():
+            if isinstance(obj, CK3dEntity) and obj.row < n:
+                out[obj.row] = float(obj.render_priority)
+        return out
+
     def _effective_fog_mode(self) -> int:
         """ForceLinearFog option maps exp/exp2 fog to linear
         (reference ApplyRenderOptionChange)."""
@@ -1042,6 +1069,7 @@ class CKRenderContext(CKObject):
             local=table.local[:n],
             entity_visible=(table.flags[:n] & et.VX_MOVEABLE_VISIBLE) != 0,
             entity_clip=self._entity_clip_np(n),
+            entity_priority=self._entity_priority_np(n),
             state_f=sf, state_i=si, mat_diffuse=md, mat_ambient=ma,
             mat_specular=ms, mat_emissive=me, mat_power=mp,
             lt_type=lt["type"], lt_active=lt["active"],
@@ -1440,6 +1468,48 @@ class CKRenderManager(CKObject):
         """Render every context (reference src/CKRenderManager.cpp:521-527)."""
         for rc in self.render_contexts:
             rc.Render()
+
+    def ProcessBatched(self, mesh=None):
+        """Render every same-shape context as ONE vmapped (optionally
+        mesh-sharded) device program — the TPU scale story for BASELINE
+        config 5's '64 contexts across a slice' (SURVEY §5: contexts map to
+        a batch axis; zero collectives).
+
+        Contexts must share framebuffer size and scene topology signature
+        (same compiled stream shapes); falls back to sequential Render for
+        non-conforming contexts. ``mesh``: optional jax.sharding.Mesh with a
+        'ctx' axis; None = single-device vmap.
+        """
+        from ..parallel.context_batch import (
+            render_frames_batched, render_frames_sharded, stack_scenes,
+        )
+
+        if not self.render_contexts:
+            return
+        groups: dict[tuple, list] = {}
+        for rc in self.render_contexts:
+            if rc._compiled.topology_version != rc.context._topology_version:
+                rc._compile()
+            rc._refresh_textures()
+            sig = (rc.width, rc.height, rc._compiled.levels,
+                   rc._compiled.ordered_cap,
+                   rc._compiled.src_idx.shape, rc._compiled.tri_idx.shape)
+            groups.setdefault(sig, []).append(rc)
+        for sig, rcs in groups.items():
+            if len(rcs) == 1:
+                rcs[0].Render()
+                continue
+            scenes = stack_scenes([rc._build_scene_device() for rc in rcs])
+            w, h = sig[0], sig[1]
+            if mesh is not None:
+                fb, zb = render_frames_sharded(
+                    scenes, mesh, sig[2], h, w, ordered_cap=sig[3])
+            else:
+                fb, zb = render_frames_batched(
+                    scenes, sig[2], h, w, ordered_cap=sig[3])
+            for i, rc in enumerate(rcs):
+                rc.fb = fb[i]
+                rc.zb = zb[i]
 
     def PreProcess(self):
         """Save last-frame matrices + clear the moved list (reference

@@ -46,6 +46,7 @@ class SceneDevice(NamedTuple):
     parent: jnp.ndarray       # (N,) int32
     entity_visible: jnp.ndarray  # (N,) bool
     entity_clip: jnp.ndarray  # (N,4) per-entity scissor rect (Place clips)
+    entity_priority: jnp.ndarray  # (N,) f32 render priority (transparent sort)
 
     # Mesh vertex pool (shared, unique geometry)
     positions: jnp.ndarray    # (V,3)
@@ -223,14 +224,19 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None):
 
 
 def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
-                   transparent: jnp.ndarray, ordered_cap: int) -> rb.DeviceBatch:
+                   transparent: jnp.ndarray, ordered_cap: int,
+                   tri_priority=None) -> rb.DeviceBatch:
     """Compact the non-deferred triangles into a (static) ordered_cap-sized
     stream: cutouts/z-overrides first in stream (priority) order, then
-    transparent back-to-front by mean projected depth — the device analogue
-    of CKSceneGraphRootNode::SortTransparentObjects
-    (/root/reference/src/CKSceneGraph.cpp:618-752).
+    transparent back-to-front — higher scene-graph priority renders first,
+    and within a priority band farther triangles render first — the device
+    analogue of CKSceneGraphRootNode::SortTransparentObjects
+    (/root/reference/src/CKSceneGraph.cpp:618-752: priority primary, then
+    projected-Z extents; per-triangle depth subsumes the reference's
+    per-object Z-overlap plane-classification tie-breakers).
 
     ``transparent``: (IT,) bool, true alpha-blend triangles (need depth sort).
+    ``tri_priority``: optional (IT,) f32 entity render priority.
     """
     it = batch.valid.shape[0]
     ordered = batch.valid & jnp.logical_not(defer_tri)
@@ -241,7 +247,13 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
     big = jnp.float32(3.0e38)
     o_key = jnp.where(ordered & ~transparent, arange.astype(jnp.float32), big)
     o_perm = jnp.argsort(o_key, stable=True).astype(jnp.int32)
-    t_key = jnp.where(ordered & transparent, -depth_mean, big)   # far first
+    depth01 = jnp.clip(depth_mean, 0.0, 1.0)
+    # Composite key: priority bands (integers, scaled past the [0,1] depth
+    # term) primary, back-to-front depth secondary.
+    sort_val = -depth01
+    if tri_priority is not None:
+        sort_val = -tri_priority * 4.0 - depth01
+    t_key = jnp.where(ordered & transparent, sort_val, big)
     t_perm = jnp.argsort(t_key, stable=True).astype(jnp.int32)
     n_first = jnp.sum((ordered & ~transparent).astype(jnp.int32))
     slot = jnp.arange(ordered_cap, dtype=jnp.int32)
@@ -328,8 +340,12 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             # (reference option, src/CKRenderManager.cpp options table).
             transparent = jnp.zeros_like(transparent)
         # Stencil-only triangles are consumed by the stencil pass alone.
+        prio_ext = jnp.concatenate(
+            [scene.entity_priority, jnp.zeros((1,), jnp.float32)], axis=0)
+        tri_prio = jnp.take(
+            prio_ext, jnp.take(scene.vert_entity, scene.tri_idx[:, 0]), axis=0)
         obatch = ordered_subset(batch, defer_tri | stencil_tri, transparent,
-                                ordered_cap)
+                                ordered_cap, tri_priority=tri_prio)
         fb, zb = rb.render_pass(
             fb, zb, obatch, scene.state_i, scene.state_f,
             scene.tex_planes, scene.tex_hw, scene.fog_color, scene.viewport,
@@ -455,6 +471,7 @@ def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
         local=d["local"], parent=static["parent"],
         entity_visible=d["entity_visible"] != 0,
         entity_clip=d["entity_clip"],
+        entity_priority=d["entity_priority"],
         positions=static["positions"], normals=static["normals"],
         uv=static["uv"], prelit=static["prelit"],
         prelit_spec=static["prelit_spec"], src_idx=static["src_idx"],

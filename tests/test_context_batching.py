@@ -1,0 +1,60 @@
+"""Multi-context batching: ProcessBatched vmaps same-topology contexts and
+matches sequential Render; sharded variant runs over the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+
+from ckrenderengine_tpu.objects import (
+    CK3dObject, CKCamera, CKContext, CKMaterial, CKMesh,
+)
+from ckrenderengine_tpu.parallel.context_batch import make_context_mesh
+
+
+def _scene(n_contexts=3, size=48):
+    ctx = CKContext()
+    rm = ctx.GetRenderManager()
+    mesh = CKMesh(ctx, "t")
+    mesh.SetPositions(np.array([[-1, -1, 0], [0, 1, 0], [1, -1, 0]], np.float32))
+    mesh.SetFaces(np.array([[0, 1, 2]], np.int32))
+    mesh.BuildNormals()
+    mat = CKMaterial(ctx, "m")
+    mat.SetEmissive((1, 0, 0, 1))
+    mat.SetTwoSided(True)
+    mesh.ApplyGlobalMaterial(mat)
+    obj = CK3dObject(ctx, "tri")
+    obj.SetCurrentMesh(mesh)
+    rcs = []
+    for i in range(n_contexts):
+        rc = rm.CreateRenderContext(size, size)
+        cam = CKCamera(ctx, f"cam{i}")
+        cam.SetPosition((0, 0, -3 - i))       # different view per context
+        rc.AttachViewpointToCamera(cam)
+        rcs.append(rc)
+    return ctx, rm, rcs
+
+
+class TestProcessBatched:
+    def test_matches_sequential_render(self):
+        ctx, rm, rcs = _scene()
+        for rc in rcs:
+            rc.Render()
+        seq = [rc.framebuffer().copy() for rc in rcs]
+        for rc in rcs:
+            rc.Clear()
+        rm.ProcessBatched()
+        for rc, ref in zip(rcs, seq):
+            np.testing.assert_allclose(rc.framebuffer(), ref, atol=2e-5)
+
+    def test_sharded_over_cpu_mesh(self):
+        n = min(4, len(jax.devices()))
+        ctx, rm, rcs = _scene(n_contexts=n)
+        mesh = make_context_mesh(n)
+        rm.ProcessBatched(mesh=mesh)
+        for i, rc in enumerate(rcs):
+            fb = rc.framebuffer()
+            assert fb[..., 0].max() > 0.9      # triangle visible per context
+        # nearer camera covers more pixels than the farthest
+        c0 = (rcs[0].framebuffer()[..., 3] > 0).sum()
+        cl = (rcs[-1].framebuffer()[..., 3] > 0).sum()
+        assert c0 > cl
