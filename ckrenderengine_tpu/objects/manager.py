@@ -123,6 +123,7 @@ class CKRenderContext(CKObject):
         self.fog_color = np.zeros(3, np.float32)
         self.clear_z = 1.0
         self.clip_rect = None      # context-level scissor (SetClipRect)
+        self.vertex_shader = None  # user vertex-stage hook (jax fn)
         # Output
         self.fb = jnp.zeros((4, self.height, self.width), jnp.float32)
         self.zb = jnp.ones((self.height, self.width), jnp.float32)
@@ -908,6 +909,16 @@ class CKRenderContext(CKObject):
             entity_clip[:, 3] = np.minimum(entity_clip[:, 3], r[3])
         return entity_clip
 
+    def SetVertexShader(self, fn):
+        """User vertex shader: traced JAX fn(posw, nrmw, scene) ->
+        (posw', nrmw') fused into the frame program (the TPU analogue of
+        the reference's CreateVertexShader path). None clears."""
+        self.vertex_shader = fn
+        self.context._bump_dynamic()
+
+    def GetVertexShader(self):
+        return self.vertex_shader
+
     def SetClipRect(self, rect=None):
         """Pixel clip rect applied to the whole 3D scene (None clears)."""
         self.clip_rect = None if rect is None else tuple(float(v) for v in rect)
@@ -1127,7 +1138,8 @@ class CKRenderContext(CKObject):
             self._compiled.levels, self.height, self.width,
             skin=c.skin_bank, sprites_static=self._sprites_static,
             lines=c.line_bank, ordered_cap=c.ordered_cap,
-            sort_transparent=sort_t, want_stencil=c.has_stencil)
+            sort_transparent=sort_t, want_stencil=c.has_stencil,
+            vertex_shader=self.vertex_shader)
         if c.has_stencil:
             fb, zb, self.sb = out
             return fb, zb
@@ -1189,6 +1201,21 @@ class CKRenderContext(CKObject):
                 for kind, fct, arg, _t in getattr(obj, "callbacks", ()):
                     if kind == "post":
                         fct(self, obj, arg)
+        # Debug mode: validate frame output + compiled-stream invariants
+        # (reference EnableDebugMode option; jit purity + NaN checks stand in
+        # for the interactive object-stepping debugger, SURVEY §5).
+        rm_opts = (self.context.render_manager.options
+                   if self.context.render_manager else {})
+        if int(rm_opts.get("EnableDebugMode", 0)):
+            fbnp = np.asarray(self.fb)
+            if not np.isfinite(fbnp).all():
+                raise FloatingPointError(
+                    "render produced non-finite framebuffer values")
+            c = self._compiled
+            v = c.positions.shape[0]
+            assert c.src_idx.max(initial=0) < v, "stream index out of pool"
+            assert c.tri_idx.max(initial=0) < c.src_idx.shape[0], \
+                "triangle index out of stream"
         # stats + FPS EMA over >=1s windows (reference :898-908)
         self.stats.NbTrianglesDrawn = int(self._compiled.tri_valid.sum())
         self.stats.NbVerticesProcessed = int(self._compiled.src_idx.shape[0])

@@ -101,12 +101,19 @@ class SceneDevice(NamedTuple):
     clear_z: jnp.ndarray      # ()
 
 
-def transform_and_light(scene: SceneDevice, levels: tuple, world=None):
+def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
+                        vertex_shader=None):
     """Vertex stage: world compose -> gather -> transform -> light -> project.
 
     Returns (clip (IV,4), color (IV,4), spec (IV,3), fog (IV,), world (N,4,4)).
     ``world``: optional precomputed world matrices (skin/anim stage already
     composed them).
+    ``vertex_shader``: optional user callable — the TPU-native analogue of
+    the reference's vertex shaders (CreateVertexShader,
+    CKDX9RasterizerContext.cpp:1445-1553): a traced JAX function
+    ``fn(posw, nrmw, scene) -> (posw', nrmw')`` over world-space vertex
+    arrays, fused into the frame program (it becomes part of the jit cache
+    key, so swapping shaders recompiles — like swapping shader objects).
     """
     if world is None:
         world = compose_world(scene.local, scene.parent, levels)
@@ -119,6 +126,8 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None):
 
     posw = vx.transform_points(pos, wm)
     nrmw = vx.transform_vectors(nrm, wm)
+    if vertex_shader is not None:
+        posw, nrmw = vertex_shader(posw, nrmw, scene)
     nrmw = nrmw / jnp.maximum(jnp.linalg.norm(nrmw, axis=-1, keepdims=True), 1e-12)
 
     viewproj = jnp.matmul(scene.view, scene.proj)
@@ -277,7 +286,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       ordered_cap: int | None = None, chunk: int = 64,
                       world=None, background=None,
                       sort_transparent: bool = True,
-                      want_stencil: bool = False):
+                      want_stencil: bool = False,
+                      vertex_shader=None):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
     Equivalent of RCKRenderContext::Render's device work
@@ -299,7 +309,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             scene.clear_color[:, None, None].astype(jnp.float32),
             (4, height, width))
 
-    clip, color, spec, fog, _world, uv = transform_and_light(scene, levels, world)
+    clip, color, spec, fog, _world, uv = transform_and_light(
+        scene, levels, world, vertex_shader=vertex_shader)
     batch = assemble_triangles(scene, clip, color, spec, fog, uv)
 
     defer_bucket = df.deferred_mask(scene.state_i)               # (S,)
@@ -374,7 +385,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            lines=None,
                            ordered_cap: int | None = None, chunk: int = 64,
                            sort_transparent: bool = True,
-                           want_stencil: bool = False):
+                           want_stencil: bool = False,
+                           vertex_shader=None):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
@@ -418,7 +430,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
     out = render_frame_impl(scene, levels, height, width, ordered_cap,
                             chunk, world=world, background=background,
                             sort_transparent=sort_transparent,
-                            want_stencil=want_stencil)
+                            want_stencil=want_stencil,
+                            vertex_shader=vertex_shader)
     if want_stencil:
         fb, zb, sb = out
     else:
@@ -438,20 +451,23 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
 
 render_frame_full = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
-                              "chunk", "sort_transparent", "want_stencil")
+                              "chunk", "sort_transparent", "want_stencil",
+                              "vertex_shader")
 )(render_frame_full_impl)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
-                     "chunk", "sort_transparent", "want_stencil"))
+                     "chunk", "sort_transparent", "want_stencil",
+                     "vertex_shader"))
 def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
                         levels: tuple, height: int, width: int,
                         skin=None, sprites_static=None, lines=None,
                         ordered_cap: int | None = None, chunk: int = 64,
                         sort_transparent: bool = True,
-                        want_stencil: bool = False):
+                        want_stencil: bool = False,
+                        vertex_shader=None):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -509,7 +525,8 @@ def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
         scene, levels, height, width, skin=skin, sprites=sprites,
         quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
         ordered_cap=ordered_cap, chunk=chunk,
-        sort_transparent=sort_transparent, want_stencil=want_stencil)
+        sort_transparent=sort_transparent, want_stencil=want_stencil,
+        vertex_shader=vertex_shader)
 
 
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):
