@@ -295,6 +295,33 @@ class CK3dEntity(CKRenderObject):
         self.skin.UpdateMesh()
         return True
 
+    # -- frustum visibility (RCK3dEntity::IsInViewFrustrum,
+    # reference src/CK3dEntity.cpp:3196-3295) ------------------------------
+    def IsInViewFrustrum(self, rc) -> bool:
+        """World-bbox visibility against the context camera's frustum
+        (ComputeBoxVisibility semantics: OFFSCREEN -> False)."""
+        import jax.numpy as jnp
+        from ..math.frustum import box_visibility
+
+        cam = rc.GetAttachedCamera()
+        if cam is None or self.GetCurrentMesh() is None:
+            return self.IsVisible()
+        bmin, bmax = self.GetCurrentMesh().GetLocalBox()
+        aspect = rc.viewport[2] / max(rc.viewport[3], 1)
+        mvp = (self.GetWorldMatrix() @ cam.view_matrix()
+               @ cam.projection_matrix(aspect))
+        vis = int(box_visibility(jnp.asarray(mvp, jnp.float32),
+                                 jnp.asarray(bmin), jnp.asarray(bmax)))
+        return vis != 0     # CBV_OFFSCREEN = 0
+
+    def IsInViewFrustrumHierarchic(self, rc) -> bool:
+        """Visibility of this entity or any descendant (hierarchical bbox,
+        reference :3297-3318)."""
+        if self.IsInViewFrustrum(rc):
+            return True
+        return any(self.GetChild(i).IsInViewFrustrumHierarchic(rc)
+                   for i in range(self.GetChildrenCount()))
+
     # -- picking ----------------------------------------------------------
     def RayIntersection(self, origin, direction, ref: "CK3dEntity | None" = None):
         """Nearest triangle hit in local space; mirrors g_RayIntersection

@@ -98,6 +98,12 @@ class VxStats:
         self.RenderStateCacheMiss = 0
         self.SmoothedFps = 0.0
         self.FrameTime = 0.0
+        self.SceneTraversalTime = 0.0
+        self.ObjectsRenderTime = 0.0
+        self.ObjectsCallbacksTime = 0.0
+        self.SkinTime = 0.0
+        self.SpriteTime = 0.0
+        self.TransparentObjectsSortTime = 0.0
 
 
 class CKRenderContext(CKObject):
@@ -1223,6 +1229,11 @@ class CKRenderContext(CKObject):
         self.stats.NbLinesDrawn = len(self._compiled.line_segments)
         self.stats.FrameTime = (time.monotonic() - t0) * 1000.0
         ph.ObjectsRenderTime = self.stats.FrameTime - ph.CallbacksTime
+        # Mirror phase timers into VxStats fields (reference per-phase times,
+        # include/RCKRenderContext.h:269-280 accumulated into VxStats).
+        self.stats.SceneTraversalTime = ph.SceneBuildTime + ph.BankBuildTime
+        self.stats.ObjectsRenderTime = ph.DeviceTime
+        self.stats.ObjectsCallbacksTime = ph.CallbacksTime
         self._fps_frames += 1
         now = time.monotonic()
         win = now - self._fps_window_start

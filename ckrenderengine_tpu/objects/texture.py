@@ -92,6 +92,12 @@ class CKTexture(CKObject):
             return 1
         return int(np.log2(max(img.shape[0], img.shape[1]))) + 1
 
+    def CopyContext(self, rc, slot: int = 0):
+        """Copy a render context's framebuffer into this texture
+        (reference RCKTexture::CopyContext render-target copy)."""
+        self.SetImage(rc.framebuffer(), slot=slot)
+        return True
+
     def SetTransparentColor(self, rgba):
         """Color-key transparency: matching texels get alpha 0 (reference
         CKBitmapData transparency semantics)."""
