@@ -1332,6 +1332,37 @@ class CKRenderContext(CKObject):
         """Stencil mask from STENCILONLY draws (uint8 0/1)."""
         return np.asarray(self.sb)
 
+    # -- framebuffer blits (reference CopyTo/FromMemoryBuffer,
+    # CKDX9RasterizerContext.cpp:~2900-3400) --------------------------------
+    def CopyToMemoryBuffer(self, rect=None) -> np.ndarray:
+        """(h,w,4) f32 copy of the framebuffer region (None = full)."""
+        fb = self.framebuffer()
+        if rect is None:
+            return fb.copy()
+        x0, y0, x1, y1 = (int(v) for v in rect)
+        return fb[y0:y1, x0:x1].copy()
+
+    def CopyFromMemoryBuffer(self, image, rect=None) -> bool:
+        """Blit a host image into the framebuffer (uint8 or f32 RGB/RGBA)."""
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        if img.shape[-1] == 3:
+            img = np.concatenate(
+                [img, np.ones(img.shape[:-1] + (1,), np.float32)], -1)
+        fb = np.moveaxis(np.asarray(self.fb), 0, -1).copy()
+        if rect is None:
+            x0, y0 = 0, 0
+        else:
+            x0, y0 = int(rect[0]), int(rect[1])
+        h = min(img.shape[0], fb.shape[0] - y0)
+        w = min(img.shape[1], fb.shape[1] - x0)
+        if h <= 0 or w <= 0:
+            return False
+        fb[y0:y0 + h, x0:x0 + w] = img[:h, :w]
+        self.fb = jnp.asarray(np.moveaxis(fb, -1, 0))
+        return True
+
     def GetStats(self) -> VxStats:
         return self.stats
 
