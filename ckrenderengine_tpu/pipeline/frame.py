@@ -331,6 +331,13 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         best_id, best_depth, _overflow = depth_reduce_tiled(
             setup, defer_tri, scene.clear_z, scene.viewport, batch.xyw,
             height, width)
+    elif jax.default_backend() == "tpu" and width % 128 == 0:
+        # Flat reduce as a Pallas kernel: the (H,W) carry stays in VMEM
+        # across triangle chunks instead of round-tripping HBM per scan step.
+        from ..raster.pallas_reduce import depth_reduce_pallas
+
+        best_id, best_depth = depth_reduce_pallas(
+            setup, defer_tri, scene.clear_z, scene.viewport, height, width)
     else:
         best_id, best_depth = df.depth_reduce(
             setup, defer_tri, scene.clear_z, scene.viewport, height, width,
