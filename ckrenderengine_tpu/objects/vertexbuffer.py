@@ -71,12 +71,30 @@ class CKVertexBuffer(CKObject):
         screen/clip path of the reference); the raster pass runs now.
         """
         count = count if count is not None else self._count - start
-        if count < 3:
+        if prim_type == int(VXPRIMITIVE.POINTLIST):
+            if count < 1:
+                return False
+        elif count < 3:
             return False
         v = slice(start, start + count)
         pos = self.positions[v]
         col = self.colors[v]
         uv = self.uvs[v]
+        if prim_type == int(VXPRIMITIVE.POINTLIST):
+            # Points draw as pixel-sized right triangles around each vertex
+            # (the reference's DrawPrimitive(VX_POINTLIST) path).
+            vxp, vyp, vw, vh = rc.viewport
+            dx = 2.0 / max(vw, 1) * 1.5
+            dy = 2.0 / max(vh, 1) * 1.5
+            p = np.repeat(pos, 3, axis=0).reshape(count, 3, 4)
+            w_ = np.maximum(p[..., 3:4], 1e-6)
+            p[:, 1, 0] += dx * w_[:, 1, 0]
+            p[:, 2, 1] -= dy * w_[:, 2, 0]
+            pos = p.reshape(-1, 4)
+            col = np.repeat(col, 3, axis=0)
+            uv = np.repeat(uv, 3, axis=0)
+            count = count * 3
+            prim_type = int(VXPRIMITIVE.TRIANGLELIST)
         if prim_type == int(VXPRIMITIVE.TRIANGLESTRIP):
             t = count - 2
             idx = np.stack([

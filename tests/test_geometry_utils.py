@@ -244,3 +244,20 @@ class TestVertexBuffer:
         vb = CKVertexBuffer(ctx, "vb", max_vertices=4)
         vb.Check(100)
         assert vb.max_vertices >= 100
+
+
+class TestPointList:
+    def test_points_draw(self):
+        from ckrenderengine_tpu.raster.types import VXPRIMITIVE
+
+        ctx = CKContext()
+        rm = ctx.GetRenderManager()
+        rc = rm.CreateRenderContext(32, 32)
+        vb = CKVertexBuffer(ctx, "pts", max_vertices=4)
+        pos, col, uv = vb.Lock(0, 2)
+        pos[:] = [[0, 0, 0.5, 1], [-0.5, 0.5, 0.5, 1]]
+        col[:] = (0, 1, 0, 1)
+        vb.Unlock()
+        assert vb.Draw(rc, prim_type=int(VXPRIMITIVE.POINTLIST))
+        fb = np.moveaxis(np.asarray(rc.fb), 0, -1)
+        assert (fb[..., 1] > 0.9).sum() >= 2   # both points hit pixels
