@@ -277,6 +277,13 @@ class CKSprite(CK2dEntity):
     def SetTransparentColor(self, rgba):
         self._store.SetTransparentColor(rgba)
 
+    def LoadMovie(self, path: str) -> bool:
+        """Movie sprites: load frames into slots. Video decode is not
+        bundled; pre-decoded frame stacks load via SetImage per slot and
+        cycle with SetCurrentSlot (the reference's AVI path is a Windows
+        codec dependency, not engine behavior)."""
+        return False
+
     def texture(self):
         return self._store if self._store.current_image() is not None \
             else super().texture()

@@ -656,6 +656,12 @@ class CKRenderContext(CKObject):
         diffuse, ambient, specular, emissive, power = [], [], [], [], []
         fog_on = self.fog_mode != int(VXFOG.NONE)
         for mat, kind, blends in c.materials:
+            # Material callbacks fire when the material is lowered for the
+            # frame (the SetAsCurrent hook, reference src/CKMaterial.cpp
+            # material callback).
+            if mat is not None and mat.callback is not None:
+                fct, arg = mat.callback
+                fct(self, mat, arg)
             is_sprite = kind == "sprite"
             if mat is None:
                 st = RasterState(fog=fog_on)
@@ -1172,9 +1178,15 @@ class CKRenderContext(CKObject):
         # Dirty curves regenerate their line meshes before compilation
         # (RCKCurve::Render = update-if-dirty then render).
         from .curve import CKCurve
+        from .mesh import CKMesh as _CKMesh
         for obj in list(self.context._objects.values()):
             if isinstance(obj, CKCurve) and obj.IsDirty():
                 obj.Update()
+            # Mesh pre-render callbacks (reference RCKMesh render callbacks;
+            # patch meshes hook BuildRenderMesh here).
+            if isinstance(obj, _CKMesh):
+                for cb in list(obj.pre_render_callbacks):
+                    cb(self, obj)
         if self._compiled.topology_version != self.context._topology_version:
             self._compile()
         # Quad banks first: lazy sprite-text rasters bump texture versions,
@@ -1365,6 +1377,11 @@ class CKRenderContext(CKObject):
 
     def GetStats(self) -> VxStats:
         return self.stats
+
+    def GetFps(self) -> float:
+        """Smoothed FPS (0.9/0.1 EMA over >=1s windows, reference
+        src/CKRenderContext.cpp:898-908)."""
+        return self.stats.SmoothedFps
 
     # -- picking (RCKRenderContext::Pick, src/CKRenderContext.cpp:1661-1900)
     def _pick_ray(self, x: float, y: float):

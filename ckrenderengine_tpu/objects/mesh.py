@@ -490,6 +490,15 @@ class CKMesh(CKObject):
             return True
         return any(m is not None and m.IsAlphaTransparent() for m in self.materials)
 
+    # -- render callbacks (reference RCKMesh::AddPreRenderCallBack /
+    # SetRenderCallBack) ----------------------------------------------------
+    def AddPreRenderCallBack(self, fct, arg=None):
+        self.pre_render_callbacks.append(
+            fct if arg is None else (lambda dev, mesh: fct(dev, mesh, arg)))
+
+    def RemovePreRenderCallBacks(self):
+        self.pre_render_callbacks.clear()
+
     # -- dirty ------------------------------------------------------------
     def _dirty(self):
         self._groups = None
