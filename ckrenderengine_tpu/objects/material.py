@@ -268,12 +268,13 @@ class CKMaterial(CKObject):
         TexGenEffect, src/CKMaterial.cpp:1456+). VX_EFFECT: 1=TexGen
         (planar), 2=TexGenRef (reflection), chrome via effect 3+."""
         from ..raster.types import (
-            TEXGEN_CHROME, TEXGEN_NONE, TEXGEN_PLANAR, TEXGEN_REFLECT,
+            TEXGEN_CHROME, TEXGEN_CUBE, TEXGEN_NONE, TEXGEN_PLANAR,
+            TEXGEN_REFLECT,
         )
 
         eff = self.GetEffect()
-        return {1: TEXGEN_PLANAR, 2: TEXGEN_REFLECT, 3: TEXGEN_CHROME}.get(
-            eff, TEXGEN_NONE)
+        return {1: TEXGEN_PLANAR, 2: TEXGEN_REFLECT, 3: TEXGEN_CHROME,
+                4: TEXGEN_CUBE}.get(eff, TEXGEN_NONE)
 
     def lighting_params(self):
         return dict(

@@ -92,6 +92,67 @@ class CKTexture(CKObject):
             return 1
         return int(np.log2(max(img.shape[0], img.shape[1]))) + 1
 
+    def SetCubeMapFaces(self, faces, size: int = 128, slot: int = 0):
+        """Bake 6 cube faces into an octahedral environment map.
+
+        ``faces``: [+x, -x, +y, -y, +z, -z], each (S,S,3|4) float/uint8 —
+        the reference's cube maps (CKDX9RasterizerContext cube-map path,
+        CKDX9RasterizerContext.cpp:3418). TEXGEN_CUBE materials (effect 4)
+        sample the baked map with octahedral-encoded reflection vectors, so
+        per-pixel face selection needs no cube sampler.
+        """
+        prepped = []
+        for f in faces:
+            img = np.asarray(f)
+            if img.dtype == np.uint8:
+                img = img.astype(np.float32) / 255.0
+            if img.shape[-1] == 3:
+                img = np.concatenate(
+                    [img, np.ones(img.shape[:-1] + (1,), np.float32)], -1)
+            prepped.append(img.astype(np.float32))
+
+        # Octahedral decode per output texel -> direction -> face sample.
+        t = (np.arange(size, dtype=np.float32) + 0.5) / size * 2.0 - 1.0
+        oy, ox = np.meshgrid(t, t, indexing="ij")
+        oz = 1.0 - np.abs(ox) - np.abs(oy)
+        lower = oz < 0
+        fx = (1.0 - np.abs(oy)) * np.sign(ox)
+        fy = (1.0 - np.abs(ox)) * np.sign(oy)
+        dx = np.where(lower, fx, ox)
+        dy = np.where(lower, fy, oy)
+        dz = oz
+        n = np.sqrt(dx * dx + dy * dy + dz * dz) + 1e-12
+        dx, dy, dz = dx / n, dy / n, dz / n
+
+        ax, ay, az = np.abs(dx), np.abs(dy), np.abs(dz)
+        # face ids: 0:+x 1:-x 2:+y 3:-y 4:+z 5:-z (D3D cube order)
+        face = np.where(
+            (ax >= ay) & (ax >= az), np.where(dx >= 0, 0, 1),
+            np.where(ay >= az, np.where(dy >= 0, 2, 3),
+                     np.where(dz >= 0, 4, 5)))
+        # D3D face (u,v) conventions
+        safe = lambda a: np.where(np.abs(a) < 1e-12, 1e-12, a)
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [-dz / safe(ax), dz / safe(ax), dx / safe(ay), dx / safe(ay),
+             dx / safe(az)],
+            default=-dx / safe(az))
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [-dy / safe(ax), -dy / safe(ax), dz / safe(ay), -dz / safe(ay),
+             -dy / safe(az)],
+            default=-dy / safe(az))
+        out = np.zeros((size, size, 4), np.float32)
+        for fi in range(6):
+            img = prepped[fi]
+            s = img.shape[0]
+            m = face == fi
+            iu = np.clip(((u * 0.5 + 0.5) * s), 0, s - 1).astype(np.int32)
+            iv = np.clip(((v * 0.5 + 0.5) * s), 0, s - 1).astype(np.int32)
+            out[m] = img[iv[m], iu[m]]
+        self.SetImage(out, slot=slot)
+        return True
+
     def CopyContext(self, rc, slot: int = 0):
         """Copy a render context's framebuffer into this texture
         (reference RCKTexture::CopyContext render-target copy)."""

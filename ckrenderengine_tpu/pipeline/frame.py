@@ -155,7 +155,7 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
     # src/CKMaterial.cpp:1456+): planar from view-space position, sphere-env
     # from view-space reflection vector / normal.
     from ..raster.types import (
-        SI_TEXGEN, TEXGEN_CHROME, TEXGEN_PLANAR, TEXGEN_REFLECT,
+        SI_TEXGEN, TEXGEN_CHROME, TEXGEN_CUBE, TEXGEN_PLANAR, TEXGEN_REFLECT,
     )
 
     uv = jnp.take(scene.uv, scene.src_idx, axis=0)               # (IV,2)
@@ -175,10 +175,33 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
         uv_chrome = jnp.stack([nrm_v[..., 0] * 0.5 + 0.5,
                                -nrm_v[..., 1] * 0.5 + 0.5], -1)
         uv_planar = pos_v[..., :2]
+        # Cube-environment mapping via octahedral parameterization: the
+        # WORLD-space reflection vector encodes to a single 2D map (the
+        # cube's 6 faces are baked into an octahedral atlas by
+        # CKTexture.SetCubeMapFaces) — per-pixel face selection without a
+        # cube sampler.
+        dw = posw - scene.cam_pos[None, :]
+        dw = dw / jnp.maximum(jnp.linalg.norm(dw, axis=-1, keepdims=True),
+                              1e-12)
+        rw = dw - 2.0 * jnp.sum(dw * nrmw, -1, keepdims=True) * nrmw
+        denom = jnp.maximum(jnp.sum(jnp.abs(rw), axis=-1, keepdims=True), 1e-12)
+        oct_p = rw / denom
+        # sign-not-zero keeps the fold well-defined on the axes (sign(0)=0
+        # would collapse (0,0,-1) onto the +z center)
+        snz = lambda a: jnp.where(a >= 0, 1.0, -1.0)
+        flip = jnp.stack([
+            (1.0 - jnp.abs(oct_p[..., 1])) * snz(oct_p[..., 0]),
+            (1.0 - jnp.abs(oct_p[..., 0])) * snz(oct_p[..., 1]),
+        ], -1)
+        oct_xy = jnp.where((oct_p[..., 2] < 0)[..., None],
+                           flip, oct_p[..., :2])
+        uv_cube = oct_xy * 0.5 + 0.5
+
         tg = texgen[:, None]
         uv = jnp.where(tg == TEXGEN_PLANAR, uv_planar, uv)
         uv = jnp.where(tg == TEXGEN_REFLECT, uv_reflect, uv)
         uv = jnp.where(tg == TEXGEN_CHROME, uv_chrome, uv)
+        uv = jnp.where(tg == TEXGEN_CUBE, uv_cube, uv)
     return clip, color, spec, fog, world, uv
 
 

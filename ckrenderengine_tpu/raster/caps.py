@@ -30,7 +30,7 @@ class Vx3DCapsDesc:
     texture_formats: tuple = ("float32_rgba",)
     zbuffer_formats: tuple = ("float32",)
     supports_mipmaps: bool = True
-    supports_cube_maps: bool = False
+    supports_cube_maps: bool = True   # octahedral env maps
     supports_stencil: bool = True
     supports_render_to_texture: bool = True
     supports_user_clip_planes: bool = True   # per-entity scissor rects

@@ -151,6 +151,7 @@ TEXGEN_NONE = 0
 TEXGEN_PLANAR = 1     # uv from view-space position xy
 TEXGEN_REFLECT = 2    # sphere-env uv from view-space reflection vector
 TEXGEN_CHROME = 3     # sphere-env uv from view-space normal
+TEXGEN_CUBE = 4       # octahedral-env uv from WORLD-space reflection vector
 
 # Float field indices in state_f
 SF_ALPHAREF = 0     # 0..1
