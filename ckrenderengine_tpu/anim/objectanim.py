@@ -197,6 +197,15 @@ class CKObjectAnimation(CKObject):
             p, r, s = self.evaluate_prs(step)
         if ent is not None:
             m = vx.np_compose_prs(p, r, s)
+            # Scale-axis track: scale applies in a rotated frame
+            # (S' = R_sa^-1 diag(s) R_sa, reference scaleAxis controllers).
+            if self.scale_axis_controller is not None \
+                    and self.scale_axis_controller.GetKeyCount() > 0:
+                q_sa = self.scale_axis_controller.Evaluate(step)
+                r_sa = vx.np_quat_to_matrix3(q_sa)
+                s_axis = r_sa.T @ np.diag(np.asarray(s, np.float32)) @ r_sa
+                rot3 = vx.np_quat_to_matrix3(r)
+                m[:3, :3] = s_axis @ rot3      # row-vector: scale then rotate
             ent.SetLocalMatrix(m)
             if self.morph_controller is not None and ent.GetCurrentMesh() is not None:
                 v, n = self.morph_controller.Evaluate(step)

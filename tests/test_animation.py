@@ -431,3 +431,25 @@ class TestFusedFrame:
             ordered_cap=rc._compiled.ordered_cap)
         assert np.asarray(fb_t0).sum() > 0       # cube visible at t=0
         assert np.asarray(fb_t10).sum() == pytest.approx(0.0, abs=1e-6)
+
+
+class TestScaleAxis:
+    def test_scale_axis_rotated_frame(self):
+        from ckrenderengine_tpu.anim import (
+            CKANIMATION_LINEAR_SCL, CKANIMATION_LINEAR_SCLAXIS,
+        )
+
+        ctx = CKContext()
+        ent = CK3dObject(ctx, "e")
+        oa = CKObjectAnimation(ctx)
+        oa.Set3dEntity(ent)
+        sc = oa.CreateController(CKANIMATION_LINEAR_SCL)
+        sc.AddKey(0.0, (2.0, 1.0, 1.0))      # stretch along the scale axis x
+        sa = oa.CreateController(CKANIMATION_LINEAR_SCLAXIS)
+        # scale axis rotated 90 deg about z: the stretch lands on world y
+        sa.AddKey(0.0, _quat_axis_angle((0, 0, 1), np.pi / 2))
+        oa.SetStep(0.0)
+        m = ent.GetLocalMatrix()
+        # row norms: y row stretched, x row unit
+        np.testing.assert_allclose(np.linalg.norm(m[1, :3]), 2.0, atol=1e-4)
+        np.testing.assert_allclose(np.linalg.norm(m[0, :3]), 1.0, atol=1e-4)
