@@ -242,18 +242,41 @@ class AnimController:
         self._tan_in[index] = np.asarray(cp_in, np.float32)
         self._tan_out[index] = np.asarray(cp_out, np.float32)
 
-    # -- evaluation -------------------------------------------------------
+    # -- evaluation (numpy: host-path ticks must not dispatch to device) ---
+    def _segment_np(self, t: float):
+        k = self.GetKeyCount()
+        last = k - 1
+        idx = int(np.searchsorted(self.times, t, side="right")) - 1
+        idx = int(np.clip(idx, 0, max(last - 1, 0)))
+        t0 = float(self.times[idx])
+        t1 = float(self.times[min(idx + 1, last)])
+        dt = t1 - t0
+        u = (t - t0) / dt if dt > 1e-12 else 0.0
+        u = float(np.clip(u, 0.0, 1.0))
+        if t <= self.times[0] or k <= 1:
+            u = 0.0
+        return idx, u
+
     def Evaluate(self, t: float) -> np.ndarray:
         if self.GetKeyCount() == 0:
             return np.zeros(self.DIM, np.float32)
         tin, tout = self._coeffs()
-        out = eval_vector_track(
-            jnp.asarray(self.times), jnp.asarray(self.values),
-            jnp.asarray(tin), jnp.asarray(tout),
-            jnp.asarray(self.MODE, jnp.int32),
-            jnp.asarray(self.GetKeyCount(), jnp.int32),
-            jnp.asarray(t, jnp.float32))
-        return np.asarray(out)
+        idx, u = self._segment_np(float(t))
+        i1 = min(idx + 1, self.GetKeyCount() - 1)
+        v0, v1 = self.values[idx], self.values[i1]
+        if self.MODE == INTERP_LINEAR:
+            return (v0 + (v1 - v0) * u).astype(np.float32)
+        u2, u3 = u * u, u * u * u
+        if self.MODE == INTERP_TCB:
+            h1 = 2 * u3 - 3 * u2 + 1
+            h2 = -2 * u3 + 3 * u2
+            h3 = u3 - 2 * u2 + u
+            h4 = u3 - u2
+            return (h1 * v0 + h2 * v1 + h3 * tout[idx]
+                    + h4 * tin[i1]).astype(np.float32)
+        iu = 1.0 - u
+        return (iu ** 3 * v0 + 3 * iu * iu * u * tout[idx]
+                + 3 * iu * u2 * tin[i1] + u3 * v1).astype(np.float32)
 
     # -- padded bank row --------------------------------------------------
     def bank_row(self, pad_keys: int):
@@ -306,11 +329,11 @@ class RotationController(AnimController):
     def Evaluate(self, t: float) -> np.ndarray:
         if self.GetKeyCount() == 0:
             return np.array([0, 0, 0, 1], np.float32)
-        out = eval_quat_track(
-            jnp.asarray(self.times), jnp.asarray(self.values),
-            jnp.asarray(self.GetKeyCount(), jnp.int32),
-            jnp.asarray(t, jnp.float32))
-        return np.asarray(out)
+        from ..math.vxmath import np_quat_slerp
+
+        idx, u = self._segment_np(float(t))
+        i1 = min(idx + 1, self.GetKeyCount() - 1)
+        return np_quat_slerp(self.values[idx], self.values[i1], u)
 
     def bank_row(self, pad_keys: int):
         k = self.GetKeyCount()
@@ -364,9 +387,17 @@ class MorphController:
     def Evaluate(self, t: float):
         if self.GetKeyCount() == 0:
             return None, None
-        v, n = eval_morph(
-            jnp.asarray(self.times), jnp.asarray(self.vertex_keys),
-            jnp.asarray(self.normal_keys),
-            jnp.asarray(self.GetKeyCount(), jnp.int32),
-            jnp.asarray(t, jnp.float32))
-        return np.asarray(v), np.asarray(n)
+        k = self.GetKeyCount()
+        idx = int(np.clip(np.searchsorted(self.times, t, side="right") - 1,
+                          0, max(k - 2, 0)))
+        i1 = min(idx + 1, k - 1)
+        t0, t1 = float(self.times[idx]), float(self.times[i1])
+        u = (t - t0) / (t1 - t0) if t1 - t0 > 1e-12 else 0.0
+        u = float(np.clip(u, 0.0, 1.0))
+        if t <= self.times[0] or k <= 1:
+            u = 0.0
+        v = self.vertex_keys[idx] * (1 - u) + self.vertex_keys[i1] * u
+        n = self.normal_keys[idx] * (1 - u) + self.normal_keys[i1] * u
+        ln = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / np.maximum(ln, 1e-12)
+        return v.astype(np.float32), n.astype(np.float32)
