@@ -63,6 +63,7 @@ class CK3dEntity(CKRenderObject):
             c.SetParent(None)
         if self._parent is not None:
             self._parent._children.remove(self)
+        self.context.entity_table.free(self.row)
         self.context._bump_topology()
 
     # -- hierarchy --------------------------------------------------------

@@ -171,18 +171,31 @@ class EntityTable:
         self.bbox_max = np.zeros((self.capacity, 3), np.float32)
         self._levels: list[np.ndarray] | None = None
         self._topology_version = 0
+        self._free: list[int] = []
 
     # -- allocation -------------------------------------------------------
     def allocate(self) -> int:
-        if self.count >= self.capacity:
-            self._grow(max(2 * self.capacity, 64))
-        i = self.count
-        self.count += 1
+        if self._free:
+            i = self._free.pop()
+        else:
+            if self.count >= self.capacity:
+                self._grow(max(2 * self.capacity, 64))
+            i = self.count
+            self.count += 1
         self.local[i] = np.eye(4, dtype=np.float32)
         self.parent[i] = -1
         self.flags[i] = VX_MOVEABLE_VISIBLE | VX_MOVEABLE_PICKABLE
         self._invalidate_topology()
         return i
+
+    def free(self, row: int):
+        """Recycle a destroyed entity's row (destroy bumps topology, so no
+        compiled scene can still reference it)."""
+        self.local[row] = np.eye(4, dtype=np.float32)
+        self.parent[row] = -1
+        self.flags[row] = 0        # invisible until reallocated
+        self._free.append(row)
+        self._invalidate_topology()
 
     def _grow(self, new_cap: int):
         def grow(a, fill=0):

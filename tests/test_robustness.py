@@ -146,3 +146,32 @@ class TestStatsAndCopy:
         img = tex.current_image()
         assert img.shape == (48, 48, 4)
         assert img[24, 24, 0] > 0.9
+
+
+class TestRowRecycling:
+    def test_destroyed_rows_are_reused(self):
+        ctx = CKContext()
+        objs = [CK3dObject(ctx, f"o{i}") for i in range(5)]
+        count_before = ctx.entity_table.count
+        rows = [o.row for o in objs]
+        for o in objs:
+            ctx.DestroyObject(o)
+        news = [CK3dObject(ctx, f"n{i}") for i in range(5)]
+        assert ctx.entity_table.count == count_before   # no growth
+        assert sorted(o.row for o in news) == sorted(rows)
+
+    def test_create_destroy_churn_renders_fine(self):
+        ctx = CKContext()
+        rc = _rc(ctx)
+        keeper = CK3dObject(ctx, "keep")
+        keeper.SetCurrentMesh(_tri_mesh(ctx, "keep"))
+        for i in range(4):
+            tmp = CK3dObject(ctx, f"tmp{i}")
+            tmp.SetCurrentMesh(_tri_mesh(ctx, f"tmp{i}", (0, 0, 1, 1)))
+            tmp.SetPosition((10, 0, 0))     # offscreen
+            rc.Render()
+            ctx.DestroyObject(tmp)
+        rc.Render()
+        fb = rc.framebuffer()
+        assert fb[24, 24, 0] > 0.9          # keeper still renders red
+        assert fb[..., 2].max() < 0.1       # no blue ghosts
