@@ -251,3 +251,70 @@ def test_empty_batch_noop():
     a, b = _run_both(batch, [T.RasterState()])
     assert np.allclose(a.fb[..., :3], [0.1, 0.2, 0.3])
     _assert_parity(a, b)
+
+
+class TestPerspectiveCorrectness:
+    def test_uv_interpolation_is_perspective_correct(self):
+        """A quad receding in depth: the screen-midpoint UV must match the
+        analytic perspective-correct value, not the affine one (SURVEY hard
+        part: DX9 raster rules at far/near extremes)."""
+        import jax.numpy as jnp
+        from ckrenderengine_tpu.objects import (
+            CK3dObject, CKCamera, CKContext, CKMaterial, CKMesh, CKTexture,
+        )
+
+        ctx = CKContext()
+        mesh = CKMesh(ctx, "q")
+        # near edge at z=0, far edge at z=8 (camera at -2: w ratio 1:5)
+        mesh.SetPositions(np.array(
+            [[-4, -1, 0], [4, -1, 0], [4, 1, 8], [-4, 1, 8]], np.float32))
+        mesh.SetFaces(np.array([[0, 2, 1], [0, 3, 2]], np.int32))
+        mesh.SetUVs(np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32))
+        mesh.BuildNormals()
+        # v-ramp texture: sampled v is directly readable from the red channel
+        tex = CKTexture(ctx, "ramp")
+        ramp = np.linspace(0, 1, 256, dtype=np.float32)
+        img = np.stack([np.tile(ramp[:, None], (1, 4))] * 3
+                       + [np.ones((256, 4), np.float32)], -1)
+        tex.SetImage(img)
+        mat = CKMaterial(ctx, "m")
+        mat.SetEmissive((1, 1, 1, 1))
+        mat.SetTexture(tex)
+        mat.SetTwoSided(True)
+        mesh.ApplyGlobalMaterial(mat)
+        obj = CK3dObject(ctx, "o")
+        obj.SetCurrentMesh(mesh)
+        rm = ctx.GetRenderManager()
+        rc = rm.CreateRenderContext(128, 128)
+        cam = CKCamera(ctx, "cam")
+        cam.SetPosition((0, 0, -2))
+        cam.SetFrontPlane(0.5)
+        cam.SetBackPlane(100.0)
+        rc.AttachViewpointToCamera(cam)
+        rc.Render()
+        fb = rc.framebuffer()
+
+        # Oracle: exact ray/plane intersection through the sampled pixel.
+        cov = fb[..., 3] > 0
+        rows = np.where(cov.any(axis=1))[0]
+        mid_row = int((rows.min() + rows.max()) // 2)
+        px, py = 64.5, mid_row + 0.5
+        aspect = 1.0
+        proj = cam.projection_matrix(aspect)
+        ndc_x = px / 128 * 2 - 1
+        ndc_y = 1 - py / 128 * 2
+        d = np.array([ndc_x / proj[0, 0], ndc_y / proj[1, 1], 1.0], np.float32)
+        origin = np.array([0, 0, -2], np.float32)
+        # quad plane through (0,-1,0) with normal from the mesh
+        n = mesh.normals[0]
+        p0 = np.array([0, -1, 0], np.float32)
+        tt = np.dot(p0 - origin, n) / np.dot(d, n)
+        hit = origin + tt * d
+        v_exact = 1.0 - hit[2] / 8.0            # v is linear in world z
+        # affine screen interpolation would give a different value
+        t_scr = (py - rows.min()) / max(rows.max() - rows.min(), 1)
+        v_affine = 0.0 + t_scr * 1.0            # far(top)=0 .. near(bottom)=1
+        sampled_v = fb[mid_row, 64, 0]          # red = ramp(v)
+        assert sampled_v == pytest.approx(v_exact, abs=0.05)
+        assert abs(v_exact - v_affine) > 0.1    # the distinction is real
+        assert abs(sampled_v - v_affine) > 0.05
