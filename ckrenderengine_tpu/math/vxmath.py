@@ -68,10 +68,12 @@ def np_rotation_axis_angle(axis, angle) -> np.ndarray:
 
 
 def np_perspective(fov: float, aspect: float, near: float, far: float) -> np.ndarray:
+    """Engine convention (matches :func:`perspective`): fov is the
+    HORIZONTAL field of view, aspect scales y (Virtools SetFov semantics)."""
     m = np.zeros((4, 4), np.float32)
     f = 1.0 / np.tan(fov * 0.5)
-    m[0, 0] = f / aspect
-    m[1, 1] = f
+    m[0, 0] = f
+    m[1, 1] = f * aspect
     m[2, 2] = far / (far - near)
     m[2, 3] = 1.0
     m[3, 2] = -near * far / (far - near)
@@ -79,9 +81,10 @@ def np_perspective(fov: float, aspect: float, near: float, far: float) -> np.nda
 
 
 def np_orthographic(zoom: float, aspect: float, near: float, far: float) -> np.ndarray:
+    """Engine convention (matches :func:`orthographic`)."""
     m = np.zeros((4, 4), np.float32)
-    m[0, 0] = zoom / aspect
-    m[1, 1] = zoom
+    m[0, 0] = zoom
+    m[1, 1] = zoom * aspect
     m[2, 2] = 1.0 / (far - near)
     m[3, 2] = -near / (far - near)
     m[3, 3] = 1.0

@@ -155,3 +155,74 @@ def test_look_at():
     m = vx.look_at(jnp.array([0.0, 0.0, -10.0]), jnp.zeros(3))
     np.testing.assert_allclose(np.asarray(m)[3, :3], [0, 0, -10], atol=1e-6)
     np.testing.assert_allclose(np.asarray(m)[2, :3], [0, 0, 1], atol=1e-6)  # +Z forward
+
+
+class TestNumpyTwins:
+    """Host-side np_* math must match the traced jnp versions exactly —
+    host queries and device programs disagree otherwise."""
+
+    def test_rotation_axis_angle(self):
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            axis = rng.normal(size=3)
+            ang = rng.uniform(-np.pi, np.pi)
+            a = vx.np_rotation_axis_angle(axis, ang)
+            b = np.asarray(vx.rotation_axis_angle(
+                jnp.asarray(axis / np.linalg.norm(axis), jnp.float32),
+                jnp.asarray(ang, jnp.float32)))
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_perspective_orthographic(self):
+        a = vx.np_perspective(0.6, 1.5, 0.5, 500.0)
+        b = np.asarray(vx.perspective(0.6, 1.5, 0.5, 500.0))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        a = vx.np_orthographic(2.0, 1.25, 1.0, 100.0)
+        b = np.asarray(vx.orthographic(2.0, 1.25, 1.0, 100.0))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_compose_decompose_prs(self):
+        rng = np.random.default_rng(1)
+        for _ in range(5):
+            p = rng.normal(size=3).astype(np.float32)
+            q = rng.normal(size=4).astype(np.float32)
+            q /= np.linalg.norm(q)
+            s = rng.uniform(0.5, 2.0, 3).astype(np.float32)
+            a = vx.np_compose_prs(p, q, s)
+            b = np.asarray(vx.compose_prs(jnp.asarray(p), jnp.asarray(q),
+                                          jnp.asarray(s)))
+            np.testing.assert_allclose(a, b, atol=1e-5)
+            # decompose round-trip
+            p2, q2, s2 = vx.np_decompose_prs(a)
+            m2 = vx.np_compose_prs(p2, q2, s2)
+            np.testing.assert_allclose(m2, a, atol=1e-4)
+
+    def test_quat_slerp(self):
+        rng = np.random.default_rng(2)
+        for _ in range(5):
+            qa = rng.normal(size=4).astype(np.float32)
+            qa /= np.linalg.norm(qa)
+            qb = rng.normal(size=4).astype(np.float32)
+            qb /= np.linalg.norm(qb)
+            t = float(rng.uniform())
+            a = vx.np_quat_slerp(qa, qb, t)
+            b = np.asarray(vx.quat_slerp(jnp.asarray(qa), jnp.asarray(qb), t))
+            assert min(np.linalg.norm(a - b), np.linalg.norm(a + b)) < 1e-4
+
+    def test_doubling_compose_matches_levels(self):
+        from ckrenderengine_tpu.scene.entity_table import (
+            compose_world, compose_world_doubling, compute_levels,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 20
+        parent = np.full(n, -1, np.int32)
+        for i in range(1, n):
+            parent[i] = rng.integers(0, i)
+        local = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        local[:, 3, :3] = rng.normal(size=(n, 3))
+        levels = tuple(tuple(int(x) for x in l) for l in compute_levels(parent))
+        a = np.asarray(compose_world(jnp.asarray(local), jnp.asarray(parent),
+                                     levels))
+        b = np.asarray(compose_world_doubling(jnp.asarray(local),
+                                              jnp.asarray(parent), n))
+        np.testing.assert_allclose(a, b, atol=1e-5)
