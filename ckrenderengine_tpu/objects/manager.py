@@ -806,32 +806,38 @@ class CKRenderContext(CKObject):
             )
             c._dev_pool_version = c._pool_version
 
+        # Dynamic leaves stay NUMPY: jit converts them in one bulk transfer
+        # per call, and batched paths (ProcessBatched) can np.stack them
+        # host-side before a single upload per field. Static leaves (pools,
+        # streams, textures) are cached device arrays.
+        lights_np = self._light_rows_np()
+        lights = LightArray(**lights_np)
         return fr.SceneDevice(
-            local=jnp.asarray(table.local[:n]),
+            local=table.local[:n].copy(),
             parent=jnp.asarray(table.parent[:n]),
-            entity_visible=jnp.asarray(visible),
-            entity_clip=jnp.asarray(entity_clip),
-            entity_priority=jnp.asarray(self._entity_priority_np(n)),
+            entity_visible=visible,
+            entity_clip=entity_clip,
+            entity_priority=self._entity_priority_np(n),
             **c._dev_pool,
             **c._dev_static,
             state_i=si, state_f=sf,
             mat_diffuse=md, mat_ambient=ma, mat_specular=ms, mat_emissive=me,
             mat_power=mp,
-            lights=self._light_bank(),
-            global_ambient=jnp.asarray(self.ambient_light),
-            view=jnp.asarray(view, jnp.float32),
-            proj=jnp.asarray(proj, jnp.float32),
-            cam_pos=jnp.asarray(cam_pos, jnp.float32),
-            viewport=jnp.asarray(self.viewport, jnp.float32),
-            fog_mode=jnp.asarray(self.fog_mode, jnp.int32),
-            fog_start=jnp.asarray(self.fog_start, jnp.float32),
-            fog_end=jnp.asarray(self.fog_end, jnp.float32),
-            fog_density=jnp.asarray(self.fog_density, jnp.float32),
-            fog_color=jnp.asarray(self.fog_color, jnp.float32),
+            lights=lights,
+            global_ambient=np.asarray(self.ambient_light, np.float32),
+            view=np.asarray(view, np.float32),
+            proj=np.asarray(proj, np.float32),
+            cam_pos=np.asarray(cam_pos, np.float32),
+            viewport=np.asarray(self.viewport, np.float32),
+            fog_mode=np.int32(self._effective_fog_mode()),
+            fog_start=np.float32(self.fog_start),
+            fog_end=np.float32(self.fog_end),
+            fog_density=np.float32(self.fog_density),
+            fog_color=np.asarray(self.fog_color, np.float32),
             tex_planes=self._tex_planes,
             tex_hw=self._tex_hw,
-            clear_color=jnp.asarray(self.background_color, jnp.float32),
-            clear_z=jnp.asarray(self.clear_z, jnp.float32),
+            clear_color=np.asarray(self.background_color, np.float32),
+            clear_z=np.float32(self.clear_z),
         )
 
     # -- per-frame overlay/billboard banks ---------------------------------

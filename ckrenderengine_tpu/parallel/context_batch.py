@@ -24,8 +24,17 @@ from ..pipeline.frame import SceneDevice, render_frame_full_impl, render_frame_i
 
 
 def stack_scenes(scenes: list[SceneDevice]) -> SceneDevice:
-    """Stack same-topology SceneDevice pytrees on a leading context axis."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *scenes)
+    """Stack same-topology SceneDevice pytrees on a leading context axis.
+
+    Numpy leaves (per-frame dynamic state) stack HOST-side so the batch
+    uploads once per field; device leaves (cached pools/streams) stack on
+    device with no host round trip."""
+    def stack(*xs):
+        if all(isinstance(x, np.ndarray) or np.isscalar(x)
+               or type(x).__module__ == "numpy" for x in xs):
+            return np.stack([np.asarray(x) for x in xs], axis=0)
+        return jnp.stack([jnp.asarray(x) for x in xs], axis=0)
+    return jax.tree_util.tree_map(stack, *scenes)
 
 
 def replicate_scene(scene: SceneDevice, n: int) -> SceneDevice:
@@ -39,8 +48,11 @@ def render_frames_batched(scenes: SceneDevice, levels: tuple, height: int,
                           width: int, ordered_cap: int | None = None,
                           chunk: int = 64):
     """(B,...) SceneDevice -> (B,4,H,W) fb, (B,H,W) zb."""
+    # Pallas kernels cannot be vmapped over the ctx axis; the XLA reduce
+    # handles the batched path.
     fn = functools.partial(render_frame_impl, levels=levels, height=height,
-                           width=width, ordered_cap=ordered_cap, chunk=chunk)
+                           width=width, ordered_cap=ordered_cap, chunk=chunk,
+                           allow_pallas=False)
     return jax.vmap(fn)(scenes)
 
 
@@ -59,7 +71,7 @@ def render_frames_full_batched(scenes: SceneDevice, levels: tuple, height: int,
     def fn(scene, t):
         return render_frame_full_impl(
             scene, levels, height, width, skin=skin, anim=anim, anim_t=t,
-            ordered_cap=ordered_cap, chunk=chunk)
+            ordered_cap=ordered_cap, chunk=chunk, allow_pallas=False)
 
     if anim_t is None:
         anim_t = jnp.zeros(jax.tree_util.tree_leaves(scenes)[0].shape[0])

@@ -310,7 +310,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       world=None, background=None,
                       sort_transparent: bool = True,
                       want_stencil: bool = False,
-                      vertex_shader=None):
+                      vertex_shader=None,
+                      allow_pallas: bool = True):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
     Equivalent of RCKRenderContext::Render's device work
@@ -354,7 +355,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         best_id, best_depth, _overflow = depth_reduce_tiled(
             setup, defer_tri, scene.clear_z, scene.viewport, batch.xyw,
             height, width)
-    elif jax.default_backend() == "tpu" and width % 128 == 0:
+    elif allow_pallas and jax.default_backend() == "tpu" and width % 128 == 0:
         # Flat reduce as a Pallas kernel: the (H,W) carry stays in VMEM
         # across triangle chunks instead of round-tripping HBM per scan step.
         from ..raster.pallas_reduce import depth_reduce_pallas
@@ -416,7 +417,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            ordered_cap: int | None = None, chunk: int = 64,
                            sort_transparent: bool = True,
                            want_stencil: bool = False,
-                           vertex_shader=None):
+                           vertex_shader=None,
+                           allow_pallas: bool = True):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
@@ -461,7 +463,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                             chunk, world=world, background=background,
                             sort_transparent=sort_transparent,
                             want_stencil=want_stencil,
-                            vertex_shader=vertex_shader)
+                            vertex_shader=vertex_shader,
+                            allow_pallas=allow_pallas)
     if want_stencil:
         fb, zb, sb = out
     else:
