@@ -211,3 +211,49 @@ class TestSprite3D:
         # top half of billboard = top of image (red), bottom = green
         assert fb[24, 32, 0] > 0.4 and fb[24, 32, 1] < 0.4
         assert fb[40, 32, 1] > 0.4 and fb[40, 32, 0] < 0.4
+
+
+class TestSprite3DModes:
+    def _axis_scene(self, mode):
+        ctx = CKContext()
+        rm = ctx.GetRenderManager()
+        rc = rm.CreateRenderContext(64, 64)
+        cam = CKCamera(ctx, "cam")
+        cam.SetPosition((0, 0, -5))
+        rc.AttachViewpointToCamera(cam)
+        sp = CKSprite3D(ctx, "b")
+        mat = CKMaterial(ctx, "m")
+        mat.SetEmissive((1, 0, 1, 1))
+        sp.SetMaterial(mat)
+        sp.SetSize((2.0, 2.0))
+        sp.SetMode(mode)
+        return ctx, rc, sp, cam
+
+    def test_orientable_uses_entity_axes(self):
+        ctx, rc, sp, cam = self._axis_scene(CKSprite3D.MODE_ORIENTABLE)
+        rc.Render()
+        face_on = (rc.framebuffer()[..., 3] > 0).sum()
+        sp.Rotate((0, 1, 0), np.pi / 2 - 0.05)   # nearly edge-on
+        rc.Render()
+        edge_on = (rc.framebuffer()[..., 3] > 0).sum()
+        assert face_on > 200
+        assert edge_on < face_on * 0.3     # orientable thins out when rotated
+
+    def test_billboard_ignores_entity_rotation(self):
+        ctx, rc, sp, cam = self._axis_scene(CKSprite3D.MODE_BILLBOARD)
+        rc.Render()
+        before = (rc.framebuffer()[..., 3] > 0).sum()
+        sp.Rotate((0, 1, 0), 1.2)
+        rc.Render()
+        after = (rc.framebuffer()[..., 3] > 0).sum()
+        assert abs(int(before) - int(after)) <= 4   # always faces the camera
+
+    def test_yrotate_locks_entity_right_axis(self):
+        ctx, rc, sp, cam = self._axis_scene(CKSprite3D.MODE_YROTATE)
+        sp.Rotate((0, 1, 0), np.pi / 2 - 0.05)     # right axis toward camera
+        rc.Render()
+        narrow = (rc.framebuffer()[..., 3] > 0).sum()
+        sp.SetMode(CKSprite3D.MODE_BILLBOARD)
+        rc.Render()
+        wide = (rc.framebuffer()[..., 3] > 0).sum()
+        assert narrow < wide * 0.5         # width axis follows the entity
