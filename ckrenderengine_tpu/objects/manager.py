@@ -130,6 +130,7 @@ class CKRenderContext(CKObject):
         self.clear_z = 1.0
         self.clip_rect = None      # context-level scissor (SetClipRect)
         self.vertex_shader = None  # user vertex-stage hook (jax fn)
+        self.portal_traversal = False
         # Output
         self.fb = jnp.zeros((4, self.height, self.width), jnp.float32)
         self.zb = jnp.ones((self.height, self.width), jnp.float32)
@@ -906,6 +907,64 @@ class CKRenderContext(CKObject):
         return build_quad_bank(bg), build_quad_bank(fg)
 
     # -- packed-transfer frame path -----------------------------------------
+    def EnablePortalTraversal(self, on: bool = True):
+        """Automatic portal culling: the camera's place renders fully,
+        neighbor places clip to their portals' projected screen rects, and
+        unconnected places hide (the reference's Place/portal traversal,
+        src/CKSceneGraph.cpp:113-128,569-584)."""
+        self.portal_traversal = bool(on)
+        self.context._bump_dynamic()
+
+    def _portal_place_rects(self):
+        """place -> pixel rect (or None=hidden) for the current camera."""
+        from .place import CKPlace
+
+        places = [o for o in self.context._objects.values()
+                  if isinstance(o, CKPlace)]
+        if not places:
+            return {}
+        cam = self.attached_camera
+        cam_place = None
+        if cam is not None:
+            for p in places:
+                if p.Contains(cam):
+                    cam_place = p
+                    break
+            if cam_place is None:
+                cam_pos = cam.GetWorldMatrix()[3, :3]
+                for p in places:
+                    if p.ContainsPoint(cam_pos):
+                        cam_place = p
+                        break
+        if cam_place is None:
+            return {}                      # camera outside: no portal culling
+        big = 1.0e9
+        full = (-big, -big, big, big)
+        rects = {p: None for p in places}  # None = hidden
+        rects[cam_place] = full
+        # breadth-first through portals, intersecting rects along the path
+        frontier = [(cam_place, full)]
+        for _depth in range(4):
+            nxt = []
+            for place, rect in frontier:
+                for entry in place.portals:
+                    dst = entry.place
+                    if dst is None:
+                        continue
+                    prect = place.portal_screen_rect(entry.portal, self)
+                    if prect is None:
+                        continue
+                    r = (max(rect[0], prect[0]), max(rect[1], prect[1]),
+                         min(rect[2], prect[2]), min(rect[3], prect[3]))
+                    if r[2] <= r[0] or r[3] <= r[1]:
+                        continue
+                    old = rects.get(dst)
+                    if old is None:
+                        rects[dst] = r
+                        nxt.append((dst, r))
+            frontier = nxt
+        return rects
+
     def _entity_clip_np(self, n: int) -> np.ndarray:
         big = 1.0e9
         entity_clip = np.tile(np.array([-big, -big, big, big], np.float32),
@@ -917,6 +976,17 @@ class CKRenderContext(CKObject):
                 for d in obj.descendants():
                     if d.row < n:
                         entity_clip[d.row] = rect
+        if getattr(self, "portal_traversal", False):
+            hidden = np.array([0, 0, 0, 0], np.float32)   # empty rect
+            for place, rect in self._portal_place_rects().items():
+                r = hidden if rect is None else np.asarray(rect, np.float32)
+                for d in place.descendants():
+                    if d.row < n:
+                        # intersect with any manual place clip
+                        e = entity_clip[d.row]
+                        entity_clip[d.row] = (
+                            max(e[0], r[0]), max(e[1], r[1]),
+                            min(e[2], r[2]), min(e[3], r[3]))
         # Context-level clip rect (RCKRenderContext::SetClipRect, reference
         # src/CKRenderContext.cpp:2743-2781) intersects every entity rect.
         if self.clip_rect is not None:

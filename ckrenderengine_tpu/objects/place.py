@@ -96,3 +96,70 @@ class CKPlace(CK3dEntity):
 
         rec(self)
         return out
+
+    def Contains(self, entity) -> bool:
+        """Is the entity parented (transitively) under this place?"""
+        p = entity
+        while p is not None:
+            if p is self:
+                return True
+            p = p.GetParent()
+        return False
+
+    def ContainsPoint(self, world_pos) -> bool:
+        """Is a world point inside the place's hierarchical bbox?
+        (the reference tracks camera place membership; bbox containment is
+        the geometric fallback)."""
+        import numpy as np
+
+        boxes = []
+        for d in self.descendants():
+            if d.GetCurrentMesh() is not None:
+                bmin, bmax = d.GetBoundingBox()
+                boxes.append((bmin, bmax))
+        if not boxes:
+            return False
+        bmin = np.min([b[0] for b in boxes], axis=0)
+        bmax = np.max([b[1] for b in boxes], axis=0)
+        p = np.asarray(world_pos)
+        return bool(np.all(p >= bmin - 1e-5) and np.all(p <= bmax + 1e-5))
+
+    def portal_screen_rect(self, portal_entity, rc):
+        """Projected pixel bbox of a portal's geometry through rc's camera
+        (the source of the reference's viewport clip,
+        src/CKRenderContext.cpp:2743-2781). None = portal not visible."""
+        import numpy as np
+
+        cam = rc.GetAttachedCamera()
+        if cam is None or portal_entity is None:
+            return None
+        if portal_entity.GetCurrentMesh() is not None:
+            bmin, bmax = portal_entity.GetCurrentMesh().GetLocalBox()
+        else:
+            bmin = np.full(3, -0.5, np.float32)
+            bmax = np.full(3, 0.5, np.float32)
+        vxp, vyp, vw, vh = rc.viewport
+        aspect = vw / max(vh, 1)
+        mvp = (portal_entity.GetWorldMatrix() @ cam.view_matrix()
+               @ cam.projection_matrix(aspect))
+        corners = np.array([[x, y, z, 1.0] for x in (bmin[0], bmax[0])
+                            for y in (bmin[1], bmax[1])
+                            for z in (bmin[2], bmax[2])], np.float32)
+        clip = corners @ mvp
+        w = clip[:, 3]
+        front = w > 1e-6
+        if not front.any():
+            return None
+        sx = vxp + vw * 0.5 + clip[front, 0] / w[front] * vw * 0.5
+        sy = vyp + vh * 0.5 - clip[front, 1] / w[front] * vh * 0.5
+        if not front.all():
+            # portal crosses the near plane: clamp open toward the screen
+            sx = np.concatenate([sx, [vxp, vxp + vw]])
+            sy = np.concatenate([sy, [vyp, vyp + vh]])
+        x0 = max(float(sx.min()), vxp)
+        y0 = max(float(sy.min()), vyp)
+        x1 = min(float(sx.max()), vxp + vw)
+        y1 = min(float(sy.max()), vyp + vh)
+        if x1 <= x0 or y1 <= y0:
+            return None
+        return (x0, y0, x1, y1)
