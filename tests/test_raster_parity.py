@@ -318,3 +318,57 @@ class TestPerspectiveCorrectness:
         assert sampled_v == pytest.approx(v_exact, abs=0.05)
         assert abs(v_exact - v_affine) > 0.1    # the distinction is real
         assert abs(sampled_v - v_affine) > 0.05
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_randomized_state_fuzz_parity(seed):
+    """Differential fuzz: random triangle soups under random render states
+    (blends, z funcs, alpha test, culls, filters, addressing, fog) must match
+    the numpy oracle pixel-for-pixel."""
+    rng = np.random.default_rng(seed)
+    t = 24
+    # random clip triangles with varying w and z
+    pts = rng.uniform(-1.1, 1.1, (t, 3, 2)).astype(np.float32)
+    ws = rng.uniform(0.5, 3.0, (t, 3, 1)).astype(np.float32)
+    zs = rng.uniform(0.05, 0.95, (t, 3, 1)).astype(np.float32)
+    clip = np.concatenate([pts * ws, zs * ws, ws], axis=-1)
+    color = rng.uniform(0, 1, (t, 3, 4)).astype(np.float32)
+    uv = rng.uniform(-0.5, 1.5, (t, 3, 2)).astype(np.float32)
+    fog = rng.uniform(0, 1, (t, 3)).astype(np.float32)
+
+    n_states = 6
+    states = []
+    for i in range(n_states):
+        states.append(T.RasterState(
+            src_blend=int(rng.choice([T.VXBLEND.ONE, T.VXBLEND.SRCALPHA,
+                                      T.VXBLEND.SRCCOLOR])),
+            dst_blend=int(rng.choice([T.VXBLEND.ZERO, T.VXBLEND.ONE,
+                                      T.VXBLEND.INVSRCALPHA])),
+            z_func=int(rng.choice([T.VXCMP.LESSEQUAL, T.VXCMP.LESS,
+                                   T.VXCMP.ALWAYS])),
+            z_write=bool(rng.integers(2)),
+            alpha_blend=bool(rng.integers(2)),
+            alpha_test=bool(rng.integers(2)),
+            alpha_func=int(T.VXCMP.GREATER),
+            alpha_ref=float(rng.uniform(0, 1)),
+            tex=int(rng.integers(-1, 1)),     # -1 or 0
+            tex_address=int(rng.choice([T.VXTEXTURE_ADDRESS.WRAP,
+                                        T.VXTEXTURE_ADDRESS.CLAMP,
+                                        T.VXTEXTURE_ADDRESS.MIRROR])),
+            tex_filter=int(rng.choice([T.VXTEXTURE_FILTER.NEAREST,
+                                       T.VXTEXTURE_FILTER.LINEAR])),
+            tex_blend=int(rng.choice([T.VXTEXTUREBLEND.MODULATEALPHA,
+                                      T.VXTEXTUREBLEND.DECAL,
+                                      T.VXTEXTUREBLEND.ADD])),
+            fog=bool(rng.integers(2)),
+            perspective=bool(rng.integers(2)),
+            cull=int(rng.choice([T.VXCULL.NONE, T.VXCULL.CCW, T.VXCULL.CW])),
+        ))
+    state_idx = rng.integers(0, n_states, t).astype(np.int32)
+
+    texture = rng.uniform(0, 1, (8, 8, 4)).astype(np.float32)
+    batch = B.make_batch(clip, view=VIEW, color=color, uv=uv, fog=fog,
+                         state_idx=state_idx)
+    a, b = _run_both(batch, states, textures=[texture],
+                     fog_color=(0.3, 0.4, 0.5))
+    _assert_parity(a, b, atol=4e-3, max_bad_frac=0.004)
