@@ -1109,11 +1109,16 @@ class CKRenderContext(CKObject):
         return static
 
     def _entity_priority_np(self, n: int) -> np.ndarray:
+        # Cached per topology version (SetRenderPriority bumps topology).
+        cached = getattr(self, "_prio_cache", None)
+        if cached is not None and cached[0] == (self.context._topology_version, n):
+            return cached[1]
         out = np.zeros(n, np.float32)
         from .entity import CK3dEntity
         for obj in self.context._objects.values():
             if isinstance(obj, CK3dEntity) and obj.row < n:
                 out[obj.row] = float(obj.render_priority)
+        self._prio_cache = ((self.context._topology_version, n), out)
         return out
 
     def _effective_fog_mode(self) -> int:
