@@ -1625,6 +1625,12 @@ class CKRenderManager(CKObject):
             self._context_mask_free |= rc.mask
         self.context.DestroyObject(rc)
 
+    def CreateVertexBuffer(self, name: str = "", max_vertices: int = 1024):
+        """User dynamic vertex buffer (reference
+        RCKRenderManager::CreateVertexBuffer)."""
+        from .vertexbuffer import CKVertexBuffer
+        return CKVertexBuffer(self.context, name, max_vertices)
+
     def GetRenderContextCount(self) -> int:
         return len(self.render_contexts)
 

@@ -200,3 +200,28 @@ class TestSceneRoundtrip:
         clip2.SetFrame(5.0)
         np.testing.assert_allclose(arm2.GetLocalMatrix()[3, :3], [0, 1, 0],
                                    atol=1e-5)
+
+
+class TestPatchMeshRoundtrip:
+    def test_patchmesh_saves_and_retessellates(self, tmp_path):
+        from ckrenderengine_tpu.objects import CKPatchMesh
+        from tests.test_patchmesh import _flat_quad_patch
+
+        ctx = CKContext()
+        pm = CKPatchMesh(ctx, "patch")
+        _flat_quad_patch(pm)
+        pm.SetIterationCount(3)
+        pm.BuildRenderMesh()
+        faces_before = pm.GetFaceCount()
+        p = str(tmp_path / "patch.ck")
+        ctx.Save(p)
+
+        ctx2 = CKContext()
+        ctx2.Load(p)
+        pm2 = ctx2.GetObjectByName("patch")
+        assert isinstance(pm2, CKPatchMesh)
+        assert pm2.GetIterationCount() == 3
+        assert pm2.GetPatchCount() == 1
+        pm2.BuildRenderMesh()
+        assert pm2.GetFaceCount() == faces_before
+        np.testing.assert_allclose(pm2.positions[:, 2], 0.0, atol=1e-5)
