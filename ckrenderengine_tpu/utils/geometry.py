@@ -223,16 +223,36 @@ class MeshStriper:
 
 
 class NvStripifier:
-    """NVIDIA-style stripifier facade (reference src/NvStripifier.cpp). The
-    multi-experiment growth heuristic is served by the same native greedy
-    stripifier; cache-aware splitting via ``MaxStripLength``."""
+    """NVIDIA-style stripifier (reference src/NvStripifier.cpp): multiple
+    strip-growth experiments from different seed orders, keeping the result
+    with the fewest strips (ties: fewest total indices); cache-aware
+    splitting via ``MaxStripLength``."""
 
-    def __init__(self, cache_size: int = 16, max_strip_length: int = 0):
+    def __init__(self, cache_size: int = 16, max_strip_length: int = 0,
+                 experiments: int = 4):
         self.cache_size = cache_size
         self.max_strip_length = max_strip_length
+        self.experiments = max(1, int(experiments))
 
     def Stripify(self, faces) -> list[np.ndarray]:
-        strips = _stripify(faces)
+        f = np.asarray(faces, np.uint32)
+        n = f.shape[0]
+        best = None
+        rng = np.random.default_rng(0x5712)
+        for e in range(self.experiments):
+            if e == 0:
+                order = np.arange(n)
+            elif e == 1:
+                order = np.arange(n)[::-1]
+            else:
+                order = rng.permutation(n)
+            strips = _stripify(f[order])
+            score = (len(strips), sum(len(s) for s in strips))
+            if best is None or score < best[0]:
+                best = (score, strips)
+            if n < 3:
+                break
+        strips = best[1]
         if self.max_strip_length and self.max_strip_length >= 3:
             split = []
             for s in strips:
