@@ -31,6 +31,8 @@ class CKCamera(CK3dEntity):
         self.orthographic_zoom = 1.0
         self.width = 4
         self.height = 3
+        self._aspect_set = False   # explicit SetAspectRatio enables letterbox
+        self.ignore_aspect = False  # CK_3DENTITY_CAMERAIGNOREASPECT
 
     def SetFov(self, fov: float):
         self.fov = float(fov)
@@ -70,10 +72,18 @@ class CKCamera(CK3dEntity):
     def SetAspectRatio(self, width: int, height: int):
         self.width = int(width)
         self.height = int(height)
+        self._aspect_set = True
         self.context._bump_dynamic()
 
     def GetAspectRatio(self):
         return self.width, self.height
+
+    def IgnoreAspectRatio(self, ignore: bool = True):
+        """CK_3DENTITY_CAMERAIGNOREASPECT: opt this camera out of
+        CK_RENDER_USECAMERARATIO letterboxing (reference
+        src/CKRenderedScene.cpp:594-597)."""
+        self.ignore_aspect = bool(ignore)
+        self.context._bump_dynamic()
 
     def projection_matrix(self, aspect: float) -> np.ndarray:
         """aspect = viewport width / height."""

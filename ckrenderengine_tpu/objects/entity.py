@@ -128,6 +128,19 @@ class CK3dEntity(CKRenderObject):
         m = getattr(self, "_last_frame_matrix", None)
         return m.copy() if m is not None else self.GetWorldMatrix()
 
+    def GetRenderExtents(self, rc=None):
+        """Screen extents (left, top, right, bottom) at the last rendered
+        frame (reference RCK3dEntity::GetRenderExtents,
+        src/CK3dEntity.cpp:2713). Defaults to the context's first render
+        context; None when offscreen or never rendered."""
+        if rc is None:
+            rm = self.context.GetRenderManager()
+            ctxs = rm.render_contexts
+            if not ctxs:
+                return None
+            rc = ctxs[0]
+        return rc.GetObjectExtents(self)
+
     def SetPosition(self, pos, ref: "CK3dEntity | None" = None, keep_children: bool = False):
         pos = np.asarray(pos, np.float32)
         if ref is not None:

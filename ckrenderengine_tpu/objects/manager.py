@@ -28,6 +28,27 @@ from .entity import CK3dEntity
 from .light import CKLight
 from .material import CKMaterial
 
+# CK_RENDER_FLAGS (public Virtools SDK VxDefines.h values; stored on the
+# context as m_RenderFlags, reference src/CKRenderContext.cpp:2555,
+# resolved per-Render by ResolveRenderFlags :222-229).
+CK_RENDER_BACKGROUNDSPRITES = 0x0001
+CK_RENDER_FOREGROUNDSPRITES = 0x0002
+CK_RENDER_USECAMERARATIO = 0x0004
+CK_RENDER_CLEARZBUFFER = 0x0008
+CK_RENDER_CLEARBACKBUFFER = 0x0010
+CK_RENDER_CLEARSTENCILBUFFER = 0x0020
+CK_RENDER_DOBACKTOFRONT = 0x0040
+CK_RENDER_DEFAULTSETTINGS = (
+    CK_RENDER_BACKGROUNDSPRITES | CK_RENDER_FOREGROUNDSPRITES
+    | CK_RENDER_USECAMERARATIO | CK_RENDER_CLEARZBUFFER
+    | CK_RENDER_CLEARBACKBUFFER | CK_RENDER_DOBACKTOFRONT)
+CK_RENDER_CLEARVIEWPORT = 0x0100
+CK_RENDER_WAITVBL = 0x0200
+CK_RENDER_PLAYERCONTEXT = 0x0400
+CK_RENDER_DONOTUPDATEEXTENTS = 0x0800
+CK_RENDER_OPTIONSMASK = 0xFFFF
+CK_RENDER_USECURRENTSETTINGS = 0x0000
+
 
 def _pad_to(n: int, mult: int = 128) -> int:
     return max(mult, ((n + mult - 1) // mult) * mult)
@@ -129,6 +150,7 @@ class CKRenderContext(CKObject):
         self.fog_color = np.zeros(3, np.float32)
         self.clear_z = 1.0
         self.clip_rect = None      # context-level scissor (SetClipRect)
+        self.render_flags = CK_RENDER_DEFAULTSETTINGS
         self.vertex_shader = None  # user vertex-stage hook (jax fn)
         self.portal_traversal = False
         # Output
@@ -249,6 +271,47 @@ class CKRenderContext(CKObject):
 
     def GetViewRect(self):
         return self.viewport
+
+    # -- render options (reference src/CKRenderContext.cpp:1405-1456) ------
+    def SetCurrentRenderOptions(self, flags: int):
+        self.render_flags = int(flags)
+
+    def GetCurrentRenderOptions(self) -> int:
+        return self.render_flags
+
+    def AddCurrentRenderOptions(self, add: int):
+        self.render_flags |= int(add)
+
+    def RemoveCurrentRenderOptions(self, remove: int):
+        self.render_flags &= ~int(remove)
+
+    def ResolveRenderFlags(self, flags: int) -> int:
+        """No option bits in the low 16 -> use the context's stored flags
+        (reference ResolveRenderFlags, src/CKRenderContext.cpp:222-229)."""
+        return self.render_flags if (flags & CK_RENDER_OPTIONSMASK) == 0 \
+            else int(flags)
+
+    def _effective_viewport(self):
+        """Viewport after camera aspect-ratio letterboxing (reference
+        CKRenderedScene::UpdateViewportSize, src/CKRenderedScene.cpp:538-618:
+        CK_RENDER_USECAMERARATIO centers a camera-aspect rect in the window).
+        Deviation: applies only when SetAspectRatio was called explicitly —
+        the 4:3 ctor default tracks the window instead of letterboxing it."""
+        vp = self.viewport
+        cam = self.attached_camera
+        flags = getattr(self, "_frame_flags", self.render_flags)
+        if (cam is None or not (flags & CK_RENDER_USECAMERARATIO)
+                or not getattr(cam, "_aspect_set", False)
+                or getattr(cam, "ignore_aspect", False)):
+            return vp
+        x, y, w, h = vp
+        cw, ch = cam.GetAspectRatio()
+        cw, ch = max(int(cw), 1), max(int(ch), 1)
+        if w * ch >= h * cw:              # window wider than camera: pillarbox
+            vw, vh = cw * h // ch, h
+        else:                             # window taller: letterbox
+            vw, vh = w, ch * w // cw
+        return (x + (w - vw) // 2, y + (h - vh) // 2, max(vw, 1), max(vh, 1))
 
     def GetWidth(self) -> int:
         return self.width
@@ -754,19 +817,7 @@ class CKRenderContext(CKObject):
         self._refresh_pool(c)
         n = max(table.count, 1)
 
-        cam = self.attached_camera
-        if cam is not None:
-            prep = getattr(cam, "prepare", None)
-            if prep is not None:
-                prep()
-            view = cam.view_matrix()
-            aspect = self.viewport[2] / max(self.viewport[3], 1)
-            proj = cam.projection_matrix(aspect)
-            cam_pos = cam.GetWorldMatrix()[3, :3]
-        else:
-            view = np.eye(4, dtype=np.float32)
-            proj = np.eye(4, dtype=np.float32)
-            cam_pos = np.zeros(3, np.float32)
+        view, proj, cam_pos = self._camera_np()
 
         si, sf, md, ma, ms, me, mp = self._material_banks(c)
         visible = (table.flags[:n] & et.VX_MOVEABLE_VISIBLE) != 0
@@ -829,7 +880,7 @@ class CKRenderContext(CKObject):
             view=np.asarray(view, np.float32),
             proj=np.asarray(proj, np.float32),
             cam_pos=np.asarray(cam_pos, np.float32),
-            viewport=np.asarray(self.viewport, np.float32),
+            viewport=np.asarray(self._effective_viewport(), np.float32),
             fog_mode=np.int32(self._effective_fog_mode()),
             fog_start=np.float32(self.fog_start),
             fog_end=np.float32(self.fog_end),
@@ -1132,19 +1183,24 @@ class CKRenderContext(CKObject):
 
     def _camera_np(self):
         cam = self.attached_camera
+        vp = self._effective_viewport()
         if cam is not None:
             prep = getattr(cam, "prepare", None)
             if prep is not None:
                 prep()
             view = cam.view_matrix()
-            aspect = self.viewport[2] / max(self.viewport[3], 1)
+            aspect = vp[2] / max(vp[3], 1)
             proj = cam.projection_matrix(aspect)
             cam_pos = cam.GetWorldMatrix()[3, :3]
         else:
             view = np.eye(4, dtype=np.float32)
             proj = np.eye(4, dtype=np.float32)
             cam_pos = np.zeros(3, np.float32)
-        return np.asarray(view, np.float32), np.asarray(proj, np.float32), cam_pos
+        view = np.asarray(view, np.float32)
+        proj = np.asarray(proj, np.float32)
+        # Cached for lazy render-extents queries (GetObjectExtents).
+        self._last_cam = (view, proj, vp)
+        return view, proj, cam_pos
 
     def _render_packed(self, quads_bg_list, quads_fg_list):
         """One frame through the two-buffer packed path (fast path)."""
@@ -1183,7 +1239,7 @@ class CKRenderContext(CKObject):
             lt_range=lt["range"], lt_falloff=lt["falloff"],
             lt_cos_theta=lt["cos_theta"], lt_cos_phi=lt["cos_phi"],
             global_ambient=self.ambient_light, view=view, proj=proj,
-            cam_pos=cam_pos, viewport=np.asarray(self.viewport, np.float32),
+            cam_pos=cam_pos, viewport=np.asarray(self._effective_viewport(), np.float32),
             fog_mode=self._effective_fog_mode(), fog_start=self.fog_start,
             fog_end=self.fog_end, fog_density=self.fog_density,
             fog_color=self.fog_color, clear_color=self.background_color,
@@ -1243,6 +1299,8 @@ class CKRenderContext(CKObject):
         """One frame (RCKRenderContext::Render,
         /root/reference/src/CKRenderContext.cpp:767-930)."""
         from ..profiler import PhaseTimer
+
+        self._frame_flags = self.ResolveRenderFlags(int(flags))
 
         t0 = time.monotonic()
         ph = self.phases
@@ -1470,7 +1528,7 @@ class CKRenderContext(CKObject):
         cam = self.attached_camera
         if cam is None:
             return None
-        vxp, vyp, vw, vh = self.viewport
+        vxp, vyp, vw, vh = self._effective_viewport()
         ndc_x = (x - vxp) / vw * 2.0 - 1.0
         ndc_y = 1.0 - (y - vyp) / vh * 2.0
         aspect = vw / max(vh, 1)
@@ -1514,6 +1572,42 @@ class CKRenderContext(CKObject):
                 continue
             best = (ent, hit[0])
         return best
+
+    # -- render extents (reference RCK3dEntity::GetRenderExtents,
+    # src/CK3dEntity.cpp:2713; extents are updated during Render via the
+    # rasterizer's ComputeBoxVisibility screen extents. Here they are
+    # computed lazily from the camera matrices cached at the last Render,
+    # so CK_RENDER_DONOTUPDATEEXTENTS costs nothing either way.) ----------
+    def GetObjectExtents(self, ent) -> tuple | None:
+        """Screen-space (left, top, right, bottom) of `ent`'s world bbox at
+        the last rendered frame, clipped to the viewport; None when fully
+        behind the camera or no frame was rendered yet."""
+        cam = getattr(self, "_last_cam", None)
+        if cam is None or ent.GetCurrentMesh() is None:
+            return None
+        view, proj, (vxp, vyp, vw, vh) = cam
+        bmin, bmax = ent.GetBoundingBox()
+        corners = np.array([[x, y, z, 1.0] for x in (bmin[0], bmax[0])
+                            for y in (bmin[1], bmax[1])
+                            for z in (bmin[2], bmax[2])], np.float32)
+        clip = corners @ view @ proj
+        w = clip[:, 3]
+        front = w > 1e-6
+        if not front.any():
+            return None
+        ndc = clip[front, :2] / w[front, None]
+        sx = vxp + (ndc[:, 0] + 1.0) * 0.5 * vw
+        sy = vyp + (1.0 - ndc[:, 1]) * 0.5 * vh
+        # A bbox straddling the near plane extends to the viewport edge.
+        if not front.all():
+            return (float(vxp), float(vyp), float(vxp + vw), float(vyp + vh))
+        left = max(float(sx.min()), float(vxp))
+        top = max(float(sy.min()), float(vyp))
+        right = min(float(sx.max()), float(vxp + vw))
+        bottom = min(float(sy.max()), float(vyp + vh))
+        if left >= right or top >= bottom:
+            return None
+        return (left, top, right, bottom)
 
     def _alpha_rejects(self, ent, hit, origin, direction) -> bool:
         """True when the hit texel's alpha fails the material alpha test."""
@@ -1566,7 +1660,7 @@ class CKRenderContext(CKObject):
         if cam is None:
             return []
         x0, y0, x1, y1 = rect
-        vxp, vyp, vw, vh = self.viewport
+        vxp, vyp, vw, vh = self._effective_viewport()
         aspect = vw / max(vh, 1)
         view = cam.view_matrix()
         proj = cam.projection_matrix(aspect)

@@ -117,3 +117,81 @@ class TestProcessBookkeeping:
         rc.Render()
         assert ("pre", obj) in calls
         assert ("post", obj) not in calls
+
+
+class TestCameraRatioLetterbox:
+    """CK_RENDER_USECAMERARATIO letterboxing (reference
+    CKRenderedScene::UpdateViewportSize, src/CKRenderedScene.cpp:538-618)."""
+
+    def test_default_camera_tracks_window(self):
+        # Aspect never set explicitly -> no letterbox even though the flag
+        # is on by default (documented deviation; reference defaults 4:3).
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        assert rc._effective_viewport() == (0, 0, 64, 64)
+
+    def test_wide_camera_letterboxes_square_window(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        rc.attached_camera.SetAspectRatio(2, 1)
+        rc.Render()
+        assert rc._effective_viewport() == (0, 16, 64, 32)
+        fb = rc.framebuffer()
+        # Bars above/below the 32-px band keep the clear color (black).
+        assert fb[:8].sum() == 0 and fb[-8:].sum() == 0
+        assert fb[16:48].sum() > 0
+
+    def test_tall_camera_pillarboxes(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        rc.attached_camera.SetAspectRatio(1, 2)
+        assert rc._effective_viewport() == (16, 0, 32, 64)
+
+    def test_ignore_aspect_and_flag_removal(self):
+        from ckrenderengine_tpu.objects.manager import (
+            CK_RENDER_USECAMERARATIO)
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        cam = rc.attached_camera
+        cam.SetAspectRatio(2, 1)
+        cam.IgnoreAspectRatio(True)
+        assert rc._effective_viewport() == (0, 0, 64, 64)
+        cam.IgnoreAspectRatio(False)
+        assert rc._effective_viewport()[3] == 32
+        rc.RemoveCurrentRenderOptions(CK_RENDER_USECAMERARATIO)
+        rc.Render()   # refresh per-frame resolved flags
+        assert rc._effective_viewport() == (0, 0, 64, 64)
+
+    def test_resolve_render_flags(self):
+        from ckrenderengine_tpu.objects.manager import (
+            CK_RENDER_CLEARZBUFFER, CK_RENDER_DEFAULTSETTINGS)
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        assert rc.GetCurrentRenderOptions() == CK_RENDER_DEFAULTSETTINGS
+        # No option bits -> stored settings; explicit bits win.
+        assert rc.ResolveRenderFlags(0) == CK_RENDER_DEFAULTSETTINGS
+        assert rc.ResolveRenderFlags(CK_RENDER_CLEARZBUFFER) == \
+            CK_RENDER_CLEARZBUFFER
+
+
+class TestRenderExtents:
+    """Lazy screen extents (reference RCK3dEntity::GetRenderExtents,
+    src/CK3dEntity.cpp:2713)."""
+
+    def test_centered_object_extents(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        assert obj.GetRenderExtents() is None   # never rendered
+        rc.Render()
+        l, t, r, b = obj.GetRenderExtents()
+        # Unit-ish triangle at origin, camera on axis: extents centered.
+        assert 0 <= l < 32 < r <= 64
+        assert 0 <= t < 32 < b <= 64
+        assert abs((l + r) / 2 - 32) < 2
+
+    def test_offscreen_object_has_no_extents(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        rc.Render()
+        obj.SetPosition((0, 0, -10))            # behind the camera
+        assert obj.GetRenderExtents() is None
