@@ -445,6 +445,33 @@ class CKRenderContext(CKObject):
                 tidx.append(iv + grp.local_faces)
                 tstate.append(np.full(grp.local_faces.shape[0], b, np.int32))
                 iv += nv
+                # Multi-texture effects synthesize blended passes re-drawing
+                # the group over its base draw (BumpEnv/DP3/2-3Textures,
+                # reference src/CKMaterial.cpp:1668-2060).
+                if mat is None or draw_kind != "mesh":
+                    continue
+                for pi, pdesc in enumerate(mat.effect_passes()):
+                    for s in (pdesc["slot"], pdesc["bump_slot"]):
+                        if s >= 0 and mat.GetTexture(s) is not None:
+                            tex_slot_for(mat.GetTexture(s))
+                    # DP3 constants are per-entity (object-space light dir),
+                    # so DP3 buckets split by entity row.
+                    row = ent.row if pdesc["dp3"] else -1
+                    key = (id(mat), "effectpass", pi, row)
+                    if key not in mat_to_bucket:
+                        mat_to_bucket[key] = len(c.materials)
+                        c.materials.append(
+                            (mat, "effectpass",
+                             (pdesc, ent if pdesc["dp3"] else None)))
+                    b2 = mat_to_bucket[key]
+                    src.append(moff + grp.vertex_map)
+                    vent.append(np.full(nv, ent.row, np.int32))
+                    vstate.append(np.full(nv, b2, np.int32))
+                    vlit.append(np.zeros(nv, bool))
+                    tidx.append(iv + grp.local_faces)
+                    tstate.append(np.full(grp.local_faces.shape[0], b2,
+                                          np.int32))
+                    iv += nv
             # Material channels: extra UV sets re-drawing the mesh triangles
             # blended over the base pass (RCKMesh::RenderChannels, reference
             # src/CKMesh.cpp:4390+; multi-pass path). Each channel gets a
@@ -595,7 +622,8 @@ class CKRenderContext(CKObject):
                     or mat.z_func not in (int(VXCMP.LESS), int(VXCMP.LESSEQUAL)))
 
         ordered_buckets = {i for i, (m, kind, _b) in enumerate(c.materials)
-                           if kind == "channel" or needs_ordered(m)}
+                           if kind in ("channel", "effectpass")
+                           or needs_ordered(m)}
         if ordered_buckets and it:
             n_ordered = int(np.isin(c.tri_state[:it], list(ordered_buckets)).sum())
         else:
@@ -603,6 +631,10 @@ class CKRenderContext(CKObject):
         c.ordered_cap = 0 if n_ordered == 0 else _pad_to(n_ordered, 64)
 
         c.has_stencil = any(kind == "stencil" for _m, kind, _b in c.materials)
+        # Static gate for the vertex-stage EMBM fetch (BumpEnv effect).
+        c.want_bump = any(
+            kind == "effectpass" and b[0]["bump_slot"] >= 0
+            for _m, kind, b in c.materials)
 
         from ..pipeline.skinning import build_skin_bank
         c.skin_bank = build_skin_bank(skin_descs)
@@ -765,6 +797,26 @@ class CKRenderContext(CKObject):
                     else int(VXBLEND.INVSRCALPHA)
                 repl["src_blend"] = src_b
                 repl["dst_blend"] = dst_b
+            if kind == "effectpass":
+                # Synthesized multi-texture effect pass (BumpEnv/DP3/2-3TEX,
+                # reference src/CKMaterial.cpp:1668-2060): blends over the
+                # base draw; COPY/DOT3 stage math ignores vertex lighting
+                # (the reference stages chain off ARG2=CURRENT/TFACTOR).
+                pdesc, pent = blends
+                repl["tex"] = c.tex_slot.get(
+                    id(mat.GetTexture(pdesc["slot"])), -1)
+                repl["texgen"] = pdesc["texgen"]
+                repl["alpha_blend"] = True
+                repl["z_write"] = False
+                repl["src_blend"] = pdesc["src_blend"]
+                repl["dst_blend"] = pdesc["dst_blend"]
+                repl["tex_blend"] = pdesc["tex_blend"]
+                if pdesc["bump_slot"] >= 0:
+                    bt = mat.GetTexture(pdesc["bump_slot"])
+                    repl["tex2"] = c.tex_slot.get(id(bt), -1)
+                    repl["bump_scale"] = pdesc["bump_scale"]
+                if pdesc["dp3"]:
+                    repl["const_color"] = self._dp3_const(pdesc, pent)
             if disable_filter:
                 repl["tex_filter"] = int(VXTEXTURE_FILTER.NEAREST)
             if disable_persp:
@@ -781,6 +833,34 @@ class CKRenderContext(CKObject):
                 np.asarray(specular, np.float32),
                 np.asarray(emissive, np.float32),
                 np.asarray(power, np.float32))
+
+    def _dp3_const(self, pdesc, ent) -> tuple:
+        """Object-space light direction encoded as the per-draw constant
+        color (reference DP3Effect, src/CKMaterial.cpp:1838-1886: light z
+        axis for directional / obj-light vector otherwise, transformed to
+        object space, y/z swapped+negated, mapped [-1,1] -> [0,1])."""
+        light = pdesc.get("ref_entity")
+        if light is None:
+            for obj in self.context._objects.values():
+                if isinstance(obj, CKLight) and obj.GetActivity():
+                    light = obj
+                    break
+        d = np.array([0.0, 0.0, 1.0], np.float32)
+        if light is not None:
+            lw = light.GetWorldMatrix()
+            if isinstance(light, CKLight) and light.GetType() == 3:  # DIREC
+                d = lw[2, :3].astype(np.float32)
+            else:
+                ow = ent.GetWorldMatrix() if ent is not None \
+                    else np.eye(4, dtype=np.float32)
+                d = (ow[3, :3] - lw[3, :3]).astype(np.float32)
+        if ent is not None:
+            inv = ent.GetInverseWorldMatrix()
+            d = d @ inv[:3, :3]
+        d = np.array([d[0], -d[2], -d[1]], np.float32)   # swap y/z, negate
+        n = np.linalg.norm(d)
+        d = d / n if n > 1e-9 else np.array([0, 0, 1], np.float32)
+        return tuple((d * 0.5 + 0.5).tolist())
 
     def _refresh_pool(self, c: CompiledScene):
         """Re-gather vertex-pool arrays when any source mesh's data changed
@@ -1288,7 +1368,8 @@ class CKRenderContext(CKObject):
             skin=c.skin_bank, sprites_static=self._sprites_static,
             lines=c.line_bank, ordered_cap=c.ordered_cap,
             sort_transparent=sort_t, want_stencil=c.has_stencil,
-            vertex_shader=self.vertex_shader)
+            vertex_shader=self.vertex_shader,
+            want_bump=getattr(c, "want_bump", False))
         if c.has_stencil:
             fb, zb, self.sb = out
             return fb, zb
@@ -1418,7 +1499,8 @@ class CKRenderContext(CKObject):
                 skin=self._compiled.skin_bank, sprites=sprites,
                 quads_bg=quads_bg, quads_fg=quads_fg,
                 lines=self._compiled.line_bank,
-                ordered_cap=self._compiled.ordered_cap)
+                ordered_cap=self._compiled.ordered_cap,
+                want_bump=getattr(self._compiled, "want_bump", False))
             fbs.append(fb)
         half_w = self.width // 2
         left = fbs[0][:, :, ::2][:, :, :half_w]

@@ -24,6 +24,42 @@ _FLAG_ALPHABLEND = 8
 _FLAG_ALPHATEST = 0x10
 _FLAG_ZWRITE = 0x20
 
+# VX_EFFECT (public Virtools SDK; dispatched by the reference's SetAsCurrent
+# effect switch, src/CKMaterial.cpp:1302-1362).
+VXEFFECT_NONE = 0
+VXEFFECT_TEXGEN = 1       # UV generation, mode in the effect parameter
+VXEFFECT_TEXGENREF = 2    # UV generation relative to a reference entity
+VXEFFECT_BUMPENV = 3      # EMBM: textures[1] perturbs an env map (BumpMapEnvEffect :1668)
+VXEFFECT_DP3 = 4          # dot3 normal-map lighting (DP3Effect :1804)
+VXEFFECT_2TEXTURES = 5    # single-pass 2-texture blend (BlendTexturesEffect :1924)
+VXEFFECT_3TEXTURES = 6
+
+# CKRST_TOP texture-stage ops (D3DTEXTUREOP values) accepted as effect
+# blend-op parameters; lowered to framebuffer blends by effect_passes().
+CKRST_TOP_SELECTARG1 = 2
+CKRST_TOP_MODULATE = 4
+CKRST_TOP_MODULATE2X = 5
+CKRST_TOP_MODULATE4X = 6
+CKRST_TOP_ADD = 7
+CKRST_TOP_ADDSIGNED = 8
+CKRST_TOP_SUBTRACT = 10
+CKRST_TOP_BLENDTEXTUREALPHA = 13
+
+# Stage op -> (src_blend, dst_blend) multi-pass equivalent. ADDSIGNED has no
+# exact framebuffer-blend form; it degrades to ADD (documented deviation —
+# the reference itself degrades effects on caps-limited hardware).
+_OP_TO_BLENDS = {
+    CKRST_TOP_SELECTARG1: (int(VXBLEND.ONE), int(VXBLEND.ZERO)),
+    CKRST_TOP_MODULATE: (int(VXBLEND.DESTCOLOR), int(VXBLEND.ZERO)),
+    CKRST_TOP_MODULATE2X: (int(VXBLEND.DESTCOLOR), int(VXBLEND.SRCCOLOR)),
+    CKRST_TOP_MODULATE4X: (int(VXBLEND.DESTCOLOR), int(VXBLEND.SRCCOLOR)),
+    CKRST_TOP_ADD: (int(VXBLEND.ONE), int(VXBLEND.ONE)),
+    CKRST_TOP_ADDSIGNED: (int(VXBLEND.ONE), int(VXBLEND.ONE)),
+    CKRST_TOP_SUBTRACT: (int(VXBLEND.ZERO), int(VXBLEND.INVSRCCOLOR)),
+    CKRST_TOP_BLENDTEXTUREALPHA: (int(VXBLEND.SRCALPHA),
+                                  int(VXBLEND.INVSRCALPHA)),
+}
+
 
 class CKMaterial(CKObject):
     CLASS_ID = CKCID_MATERIAL
@@ -52,6 +88,7 @@ class CKMaterial(CKObject):
         self.texture_border_color = np.zeros(4, np.float32)
         self._flags = _FLAG_ZWRITE | _FLAG_PERSPECTIVE
         self.effect = 0
+        self.effect_parameter: dict = {}
         self.callback = None
 
     # -- colors -----------------------------------------------------------
@@ -223,6 +260,18 @@ class CKMaterial(CKObject):
     def GetEffect(self) -> int:
         return self.effect
 
+    def SetEffectParameter(self, **params):
+        """Effect parameters (the reference reads these from a CKParameter
+        struct, src/CKMaterial.cpp:1311-1346,1677-1713). Accepted keys:
+        texgen (TEXGEN_* mode for TEXGEN/TEXGENREF/BUMPENV), ref_entity,
+        op / op2 (CKRST_TOP_* blend op for 2/3TEXTURES), bump_scale (offset
+        added to the 2.0 default), light (CKLight or CK3dEntity for DP3)."""
+        self.effect_parameter.update(params)
+        self.context._bump_topology()
+
+    def GetEffectParameter(self) -> dict:
+        return self.effect_parameter
+
     def SetCallback(self, fct, arg=None):
         self.callback = (fct, arg) if fct else None
 
@@ -264,17 +313,74 @@ class CKMaterial(CKObject):
         )
 
     def _effect_texgen(self) -> int:
-        """Map the material effect to a vertex TexGen mode (reference
-        TexGenEffect, src/CKMaterial.cpp:1456+). VX_EFFECT: 1=TexGen
-        (planar), 2=TexGenRef (reflection), chrome via effect 3+."""
+        """Vertex TexGen mode of the BASE pass (reference TexGenEffect,
+        src/CKMaterial.cpp:1456+). VXEFFECT_TEXGEN defaults to planar,
+        VXEFFECT_TEXGENREF to reflection; the `texgen` effect parameter
+        (TEXGEN_PLANAR/REFLECT/CHROME/CUBE) overrides either."""
+        from ..raster.types import TEXGEN_NONE, TEXGEN_PLANAR, TEXGEN_REFLECT
+
+        eff = self.GetEffect()
+        if eff not in (VXEFFECT_TEXGEN, VXEFFECT_TEXGENREF):
+            return TEXGEN_NONE
+        default = TEXGEN_PLANAR if eff == VXEFFECT_TEXGEN else TEXGEN_REFLECT
+        return int(self.effect_parameter.get("texgen", default))
+
+    def effect_passes(self) -> list:
+        """Extra draw passes synthesized from multi-texture effects
+        (reference BumpMapEnvEffect/DP3Effect/BlendTexturesEffect,
+        src/CKMaterial.cpp:1668-2060 — single-pass stage setups there;
+        lowered to blended passes over the base draw here, the same
+        degradation the reference applies on single-stage hardware).
+
+        Each entry: dict(slot, texgen, src_blend, dst_blend, tex_blend,
+        dp3, bump_slot, bump_scale, ref_entity)."""
         from ..raster.types import (
-            TEXGEN_CHROME, TEXGEN_CUBE, TEXGEN_NONE, TEXGEN_PLANAR,
-            TEXGEN_REFLECT,
+            TEXBLEND_DOT3FACTOR, TEXGEN_NONE, TEXGEN_REFLECT, VXTEXTUREBLEND,
         )
 
         eff = self.GetEffect()
-        return {1: TEXGEN_PLANAR, 2: TEXGEN_REFLECT, 3: TEXGEN_CHROME,
-                4: TEXGEN_CUBE}.get(eff, TEXGEN_NONE)
+        p = self.effect_parameter
+        passes = []
+        if eff == VXEFFECT_DP3 and self.textures[1] is not None:
+            # Pass: normal map dotted with the object-space light dir
+            # (state-bank constant), modulating the base (DESTCOLOR, ZERO).
+            passes.append(dict(
+                slot=1, texgen=TEXGEN_NONE,
+                src_blend=int(VXBLEND.DESTCOLOR), dst_blend=int(VXBLEND.ZERO),
+                tex_blend=TEXBLEND_DOT3FACTOR, dp3=True,
+                bump_slot=-1, bump_scale=0.0,
+                ref_entity=p.get("light"),
+            ))
+        elif eff == VXEFFECT_BUMPENV and self.textures[2] is not None:
+            # Pass: env map (textures[2]) with EMBM perturbation from the
+            # bump map (textures[1]); added over the base (ADDSIGNED -> ADD).
+            op = int(p.get("op", CKRST_TOP_ADDSIGNED))
+            sb, db = _OP_TO_BLENDS.get(op, _OP_TO_BLENDS[CKRST_TOP_ADDSIGNED])
+            passes.append(dict(
+                slot=2, texgen=int(p.get("texgen", TEXGEN_REFLECT)),
+                src_blend=sb, dst_blend=db,
+                tex_blend=int(VXTEXTUREBLEND.COPY), dp3=False,
+                bump_slot=1, bump_scale=2.0 + float(p.get("bump_scale", 0.0)),
+                ref_entity=p.get("ref_entity"),
+            ))
+        elif eff in (VXEFFECT_2TEXTURES, VXEFFECT_3TEXTURES):
+            for slot, op_key, tg_key in ((1, "op", "texgen"),
+                                         (2, "op2", "texgen2")):
+                if self.textures[slot] is None:
+                    continue
+                if slot == 2 and eff != VXEFFECT_3TEXTURES:
+                    continue
+                op = int(p.get(op_key, CKRST_TOP_MODULATE))
+                sb, db = _OP_TO_BLENDS.get(op,
+                                           _OP_TO_BLENDS[CKRST_TOP_MODULATE])
+                passes.append(dict(
+                    slot=slot, texgen=int(p.get(tg_key, TEXGEN_NONE)),
+                    src_blend=sb, dst_blend=db,
+                    tex_blend=int(VXTEXTUREBLEND.COPY), dp3=False,
+                    bump_slot=-1, bump_scale=0.0,
+                    ref_entity=p.get("ref_entity"),
+                ))
+        return passes
 
     def lighting_params(self):
         return dict(

@@ -102,7 +102,7 @@ class SceneDevice(NamedTuple):
 
 
 def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
-                        vertex_shader=None):
+                        vertex_shader=None, want_bump: bool = False):
     """Vertex stage: world compose -> gather -> transform -> light -> project.
 
     Returns (clip (IV,4), color (IV,4), spec (IV,3), fog (IV,), world (N,4,4)).
@@ -202,6 +202,32 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
         uv = jnp.where(tg == TEXGEN_REFLECT, uv_reflect, uv)
         uv = jnp.where(tg == TEXGEN_CHROME, uv_chrome, uv)
         uv = jnp.where(tg == TEXGEN_CUBE, uv_cube, uv)
+    if want_bump and scene.tex_planes.shape[0] > 0:
+        # Per-vertex EMBM (VXEFFECT_BUMPENV, reference BumpMapEnvEffect,
+        # src/CKMaterial.cpp:1668+): the bump texture's (r,g) channels
+        # sampled at the mesh UV perturb the generated env-map UV, scaled by
+        # the bump matrix. Vertex granularity here (the D3D stage op is
+        # per-pixel); bump offsets are low-frequency, and this keeps the
+        # dependent read out of the per-pixel shade. Statically gated —
+        # scenes without BumpEnv materials never pay the gathers.
+        from ..raster.deferred import sample_texture_pp
+        from ..raster.types import (
+            SF_BUMP_SCALE, SI_TEX2, VXTEXTURE_ADDRESS, VXTEXTURE_FILTER,
+        )
+
+        tex2 = jnp.take(scene.state_i[:, SI_TEX2], scene.vert_state, axis=0)
+        bscale = jnp.take(scene.state_f[:, SF_BUMP_SCALE],
+                          scene.vert_state, axis=0)
+        base_uv = jnp.take(scene.uv, scene.src_idx, axis=0)
+        texel = sample_texture_pp(
+            scene.tex_planes, scene.tex_hw, jnp.maximum(tex2, 0),
+            base_uv[..., 0], base_uv[..., 1],
+            jnp.full(tex2.shape, int(VXTEXTURE_ADDRESS.WRAP), jnp.int32),
+            jnp.full(tex2.shape, int(VXTEXTURE_FILTER.LINEAR), jnp.int32),
+            [jnp.float32(0.0)] * 4)
+        duv = jnp.stack([(texel[0] - 0.5) * bscale,
+                         (texel[1] - 0.5) * bscale], -1)
+        uv = jnp.where((tex2 >= 0)[:, None], uv + duv, uv)
     return clip, color, spec, fog, world, uv
 
 
@@ -311,7 +337,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       sort_transparent: bool = True,
                       want_stencil: bool = False,
                       vertex_shader=None,
-                      allow_pallas: bool = True):
+                      allow_pallas: bool = True,
+                      want_bump: bool = False):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
     Equivalent of RCKRenderContext::Render's device work
@@ -334,7 +361,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             (4, height, width))
 
     clip, color, spec, fog, _world, uv = transform_and_light(
-        scene, levels, world, vertex_shader=vertex_shader)
+        scene, levels, world, vertex_shader=vertex_shader,
+        want_bump=want_bump)
     batch = assemble_triangles(scene, clip, color, spec, fog, uv)
 
     defer_bucket = df.deferred_mask(scene.state_i)               # (S,)
@@ -405,7 +433,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 
 
 render_frame = functools.partial(
-    jax.jit, static_argnames=("levels", "height", "width", "ordered_cap", "chunk")
+    jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
+                              "chunk", "want_bump")
 )(render_frame_impl)
 
 
@@ -418,7 +447,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            sort_transparent: bool = True,
                            want_stencil: bool = False,
                            vertex_shader=None,
-                           allow_pallas: bool = True):
+                           allow_pallas: bool = True,
+                           want_bump: bool = False):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
@@ -464,7 +494,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                             sort_transparent=sort_transparent,
                             want_stencil=want_stencil,
                             vertex_shader=vertex_shader,
-                            allow_pallas=allow_pallas)
+                            allow_pallas=allow_pallas,
+                            want_bump=want_bump)
     if want_stencil:
         fb, zb, sb = out
     else:
@@ -485,7 +516,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
 render_frame_full = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
                               "chunk", "sort_transparent", "want_stencil",
-                              "vertex_shader")
+                              "vertex_shader", "want_bump")
 )(render_frame_full_impl)
 
 
@@ -493,14 +524,15 @@ render_frame_full = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
-                     "vertex_shader"))
+                     "vertex_shader", "want_bump"))
 def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
                         levels: tuple, height: int, width: int,
                         skin=None, sprites_static=None, lines=None,
                         ordered_cap: int | None = None, chunk: int = 64,
                         sort_transparent: bool = True,
                         want_stencil: bool = False,
-                        vertex_shader=None):
+                        vertex_shader=None,
+                        want_bump: bool = False):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -559,7 +591,7 @@ def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
         quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
         ordered_cap=ordered_cap, chunk=chunk,
         sort_transparent=sort_transparent, want_stencil=want_stencil,
-        vertex_shader=vertex_shader)
+        vertex_shader=vertex_shader, want_bump=want_bump)
 
 
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):

@@ -289,12 +289,20 @@ def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
             for c in range(4)]
 
 
-def tex_blend_pp(mode, tex, diff):
-    """Per-pixel texture-stage blend; mode (H,W) int; tex/diff lists of planes."""
+def tex_blend_pp(mode, tex, diff, const=None):
+    """Per-pixel texture-stage blend; mode (H,W) int; tex/diff lists of
+    planes; const: optional 3 planes of the per-draw constant color
+    (TEXTUREFACTOR) for TEXBLEND_DOT3FACTOR (the DP3 effect)."""
+    from .types import TEXBLEND_DOT3FACTOR
+
     tr, ta = tex[:3], tex[3]
     dr, da = diff[:3], diff[3]
+    cr = const if const is not None else dr
     dot = ((tr[0] - 0.5) * (dr[0] - 0.5) + (tr[1] - 0.5) * (dr[1] - 0.5)
            + (tr[2] - 0.5) * (dr[2] - 0.5)) * 4.0
+    dotc = jnp.clip(((tr[0] - 0.5) * (cr[0] - 0.5)
+                     + (tr[1] - 0.5) * (cr[1] - 0.5)
+                     + (tr[2] - 0.5) * (cr[2] - 0.5)) * 4.0, 0.0, 1.0)
     out = []
     for c in range(3):
         out.append(jnp.select(
@@ -305,9 +313,10 @@ def tex_blend_pp(mode, tex, diff):
              mode == VXTEXTUREBLEND.DECALALPHA,
              mode == VXTEXTUREBLEND.ADD,
              mode == VXTEXTUREBLEND.DOTPRODUCT3,
+             mode == TEXBLEND_DOT3FACTOR,
              mode == VXTEXTUREBLEND.MAX],
             [tr[c], tr[c] * dr[c], dr[c] * (1 - ta) + tr[c] * ta, dr[c] + tr[c],
-             dot, jnp.maximum(tr[c], dr[c])],
+             dot, dotc, jnp.maximum(tr[c], dr[c])],
             default=dr[c]))
     alpha = jnp.select(
         [(mode == VXTEXTUREBLEND.DECAL) | (mode == VXTEXTUREBLEND.COPY)
@@ -403,7 +412,9 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
     texel = sample_texture_pp(
         tex_planes, tex_hw, si_all[..., SI_TEX], uvi[..., 0], uvi[..., 1],
         si_all[..., SI_TEXADDR], si_all[..., SI_TEXFILTER], border, lod=lod)
-    blended = tex_blend_pp(si_all[..., SI_TEXBLEND], texel, colorp)
+    from .types import SF_CONST_R
+    const = [sf_all[..., SF_CONST_R + c] for c in range(3)]
+    blended = tex_blend_pp(si_all[..., SI_TEXBLEND], texel, colorp, const)
     colorp = [jnp.where(has_tex, blended[c], colorp[c]) for c in range(4)]
 
     spec = interp3(batch_spec)                             # (H,W,3)

@@ -88,6 +88,28 @@ def compare_op(func, a, b):
     )
 
 
+def z_compare(func, depth, zb):
+    """Depth test with a 2-ULP tie window on equality-inclusive compares.
+
+    The deferred reduce and this ordered pass are separate XLA fusions;
+    FMA contraction can round their (textually identical) depth formulas
+    apart by a ULP, and multi-pass draws over existing geometry (material
+    channels, multi-texture effect passes) rely on LESSEQUAL ties. The tie
+    window is ULP-based (relative, scale-aware), not an absolute epsilon,
+    so far-plane depth resolution is unaffected. Depths are in [0,1], so
+    the positive-float bitcast is order-preserving."""
+    from jax import lax
+
+    dbits = lax.bitcast_convert_type(depth, jnp.int32)
+    zbits = lax.bitcast_convert_type(jnp.broadcast_to(zb, depth.shape),
+                                     jnp.int32)
+    near = jnp.abs(dbits - zbits) <= 2
+    strict = compare_op(func, depth, zb)
+    eq_incl = ((func == VXCMP.LESSEQUAL) | (func == VXCMP.EQUAL)
+               | (func == VXCMP.GREATEREQUAL))
+    return jnp.where(eq_incl, strict | near, strict)
+
+
 def blend_factor(mode, src, dst, sa, da):
     """Per-channel blend factor. src/dst are one channel; sa/da alpha planes.
     For the alpha channel pass src=sa, dst=da, is_alpha handled by caller for
@@ -186,14 +208,22 @@ def sample_texture(tex_planes, tex_hw, tex_id, u, v, si, sf):
     return out
 
 
-def tex_blend(mode, tex, diff):
-    """tex/diff: lists of 4 (H,W) planes -> blended list of 4 planes."""
+def tex_blend(mode, tex, diff, const=None):
+    """tex/diff: lists of 4 (H,W) planes -> blended list of 4 planes.
+    const: optional 3 scalars/planes (TEXTUREFACTOR) for TEXBLEND_DOT3FACTOR
+    (the DP3 effect's CKRST_TOP_DOTPRODUCT3 vs TFACTOR stage)."""
+    from .types import TEXBLEND_DOT3FACTOR
+
     tr = tex[:3]
     ta = tex[3]
     dr = diff[:3]
     da = diff[3]
+    cr = const if const is not None else dr
     dot = ((tr[0] - 0.5) * (dr[0] - 0.5) + (tr[1] - 0.5) * (dr[1] - 0.5)
            + (tr[2] - 0.5) * (dr[2] - 0.5)) * 4.0
+    dotc = jnp.clip(((tr[0] - 0.5) * (cr[0] - 0.5)
+                     + (tr[1] - 0.5) * (cr[1] - 0.5)
+                     + (tr[2] - 0.5) * (cr[2] - 0.5)) * 4.0, 0.0, 1.0)
     out = []
     for c in range(3):
         out.append(jnp.select(
@@ -204,9 +234,10 @@ def tex_blend(mode, tex, diff):
              mode == VXTEXTUREBLEND.DECALALPHA,
              mode == VXTEXTUREBLEND.ADD,
              mode == VXTEXTUREBLEND.DOTPRODUCT3,
+             mode == TEXBLEND_DOT3FACTOR,
              mode == VXTEXTUREBLEND.MAX],
             [tr[c], tr[c] * dr[c], dr[c] * (1 - ta) + tr[c] * ta, dr[c] + tr[c],
-             dot, jnp.maximum(tr[c], dr[c])],
+             dot, dotc, jnp.maximum(tr[c], dr[c])],
             default=dr[c],
         ))
     alpha = jnp.select(
@@ -292,7 +323,9 @@ def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog
         ui = interp(uv[0, 0], uv[1, 0], uv[2, 0])
         vi = interp(uv[0, 1], uv[1, 1], uv[2, 1])
         texel = sample_texture(tex_planes, tex_hw, si[SI_TEX], ui, vi, si, sf)
-        blended = tex_blend(si[SI_TEXBLEND], texel, color)
+        from .types import SF_CONST_R
+        const = [sf[SF_CONST_R + c] for c in range(3)]
+        blended = tex_blend(si[SI_TEXBLEND], texel, color, const)
         color = [jnp.where(has_tex, blended[c], color[c]) for c in range(4)]
 
     sp = [interp(spec[0, c], spec[1, c], spec[2, c]) for c in range(3)]
@@ -310,7 +343,7 @@ def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog
     at_pass = compare_op(si[SI_ALPHAFUNC], color[3], sf[SF_ALPHAREF])
     inside &= jnp.where(at_on, at_pass, True)
 
-    inside &= compare_op(si[SI_ZFUNC], depth, zb)
+    inside &= z_compare(si[SI_ZFUNC], depth, zb)
 
     blend_on = si[SI_ALPHABLEND] != 0
     sa = color[3]

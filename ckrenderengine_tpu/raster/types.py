@@ -143,7 +143,8 @@ SI_CULL = 15        # VXCULL; det(M) > 0 = front face (screen CW with y down)
 SI_TEXGEN = 16      # TEXGEN_* vertex UV generation (material effects)
 SI_COLORWRITE = 17  # 0 = z-only draw (VX_MOVEABLE_ZBUFONLY)
 SI_STENCIL = 18     # 1 = stencil-mask draw (VX_MOVEABLE_STENCILONLY)
-NUM_SI = 19
+SI_TEX2 = 19        # secondary (bump) texture for EMBM, -1 = none
+NUM_SI = 20
 
 # TexGen modes (material effects: TexGen/TexGenRef planar/reflection/chrome,
 # reference src/CKMaterial.cpp:1302-1362, 1456+)
@@ -159,7 +160,17 @@ SF_BORDER_R = 1
 SF_BORDER_G = 2
 SF_BORDER_B = 3
 SF_BORDER_A = 4
-NUM_SF = 5
+SF_CONST_R = 5      # per-draw constant color (VXRENDERSTATE_TEXTUREFACTOR;
+SF_CONST_G = 6      # DP3 effect encodes the object-space light dir here,
+SF_CONST_B = 7      # reference src/CKMaterial.cpp:1880-1886)
+SF_BUMP_SCALE = 8   # EMBM bump matrix scale (BumpMapEnvEffect default 2.0)
+NUM_SF = 9
+
+# Internal texture-blend mode (not a VXTEXTUREBLEND value): DOT3 of the
+# sampled texel against the per-draw constant color instead of the diffuse
+# (CKRST_TOP_DOTPRODUCT3 with ARG2 = TFACTOR, the DP3Effect stage setup,
+# reference src/CKMaterial.cpp:1889-1892).
+TEXBLEND_DOT3FACTOR = 64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -186,6 +197,9 @@ class RasterState:
     texgen: int = 0
     color_write: bool = True
     stencil: bool = False
+    tex2: int = -1
+    const_color: tuple = (1.0, 1.0, 1.0)
+    bump_scale: float = 0.0
 
     def pack(self):
         si = np.zeros(NUM_SI, np.int32)
@@ -207,8 +221,11 @@ class RasterState:
         si[SI_TEXGEN] = self.texgen
         si[SI_COLORWRITE] = int(self.color_write)
         si[SI_STENCIL] = int(self.stencil)
+        si[SI_TEX2] = self.tex2
         sf[SF_ALPHAREF] = self.alpha_ref
         sf[SF_BORDER_R:SF_BORDER_A + 1] = np.asarray(self.border_color, np.float32)
+        sf[SF_CONST_R:SF_CONST_B + 1] = np.asarray(self.const_color, np.float32)
+        sf[SF_BUMP_SCALE] = self.bump_scale
         return si, sf
 
 

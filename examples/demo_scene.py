@@ -105,7 +105,10 @@ def build(size):
     cmat = CKMaterial(ctx, "chromemat")
     cmat.SetTexture(env)
     cmat.SetEmissive((1, 1, 1, 1))
-    cmat.SetEffect(3)              # chrome
+    from ckrenderengine_tpu.objects.material import VXEFFECT_TEXGEN
+    from ckrenderengine_tpu.raster.types import TEXGEN_CHROME
+    cmat.SetEffect(VXEFFECT_TEXGEN)              # chrome texgen
+    cmat.SetEffectParameter(texgen=TEXGEN_CHROME)
     cmesh.ApplyGlobalMaterial(cmat)
     ball = CK3dObject(ctx, "ball")
     ball.SetCurrentMesh(cmesh)

@@ -69,7 +69,10 @@ class TestCubeTexGen:
         mat = CKMaterial(ctx, "mirror")
         mat.SetEmissive((1, 1, 1, 1))
         mat.SetTexture(tex)
-        mat.SetEffect(4)              # cube-env TexGen
+        from ckrenderengine_tpu.objects.material import VXEFFECT_TEXGEN
+        from ckrenderengine_tpu.raster.types import TEXGEN_CUBE
+        mat.SetEffect(VXEFFECT_TEXGEN)             # cube-env TexGen
+        mat.SetEffectParameter(texgen=TEXGEN_CUBE)
         mat.SetTwoSided(True)
         mesh.ApplyGlobalMaterial(mat)
         obj = CK3dObject(ctx, "o")

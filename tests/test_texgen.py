@@ -4,6 +4,9 @@
 import numpy as np
 import pytest
 
+from ckrenderengine_tpu.objects.material import VXEFFECT_TEXGEN
+from ckrenderengine_tpu.raster.types import TEXGEN_CHROME, TEXGEN_CUBE
+
 from ckrenderengine_tpu.objects import (
     CK3dObject, CKCamera, CKContext, CKMaterial, CKMesh, CKTexture,
 )
@@ -32,7 +35,11 @@ def _scene(ctx, effect):
     mat.SetEmissive((1, 1, 1, 1))
     mat.SetTwoSided(True)
     mat.SetTexture(_env_tex(ctx))
-    mat.SetEffect(effect)
+    if effect in (TEXGEN_CHROME, TEXGEN_CUBE):   # texgen mode via parameter
+        mat.SetEffect(VXEFFECT_TEXGEN)
+        mat.SetEffectParameter(texgen=effect)
+    else:
+        mat.SetEffect(effect)                    # 0/1/2 = none/planar/reflect
     mesh.ApplyGlobalMaterial(mat)
     obj = CK3dObject(ctx, "o")
     obj.SetCurrentMesh(mesh)
@@ -72,6 +79,7 @@ class TestTexGen:
         rc, mat = _scene(ctx, effect=0)
         rc.Render()
         base = rc.framebuffer().copy()
-        mat.SetEffect(3)
+        mat.SetEffect(VXEFFECT_TEXGEN)
+        mat.SetEffectParameter(texgen=TEXGEN_CHROME)
         rc.Render()
         assert np.abs(rc.framebuffer() - base).sum() > 10
