@@ -1369,7 +1369,14 @@ class CKRenderContext(CKObject):
             lines=c.line_bank, ordered_cap=c.ordered_cap,
             sort_transparent=sort_t, want_stencil=c.has_stencil,
             vertex_shader=self.vertex_shader,
-            want_bump=getattr(c, "want_bump", False))
+            want_bump=getattr(c, "want_bump", False),
+            # CLEARBACK/CLEARZ off -> accumulate over last frame's buffers
+            # (reference Clear flag handling, src/CKRenderContext.cpp:438-544;
+            # the buffers already live on device, so this costs no transfer).
+            prev_fb=None if (self._frame_flags & CK_RENDER_CLEARBACKBUFFER)
+            else self.fb,
+            prev_zb=None if (self._frame_flags & CK_RENDER_CLEARZBUFFER)
+            else self.zb)
         if c.has_stencil:
             fb, zb, self.sb = out
             return fb, zb

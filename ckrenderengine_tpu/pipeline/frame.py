@@ -338,8 +338,14 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       want_stencil: bool = False,
                       vertex_shader=None,
                       allow_pallas: bool = True,
-                      want_bump: bool = False):
+                      want_bump: bool = False,
+                      prev_fb=None, prev_zb=None):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
+
+    ``prev_fb``/``prev_zb``: last frame's buffers, passed when
+    CK_RENDER_CLEARBACKBUFFER / CK_RENDER_CLEARZBUFFER are OFF (reference
+    RCKRenderContext::Clear honors the flags, src/CKRenderContext.cpp:
+    438-544): rendering then accumulates over the previous frame.
 
     Equivalent of RCKRenderContext::Render's device work
     (/root/reference/src/CKRenderContext.cpp:767-930) as a single XLA program.
@@ -355,10 +361,13 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     """
     if background is not None:
         clear_fb = background
+    elif prev_fb is not None:
+        clear_fb = prev_fb
     else:
         clear_fb = jnp.broadcast_to(
             scene.clear_color[:, None, None].astype(jnp.float32),
             (4, height, width))
+    z_init = scene.clear_z if prev_zb is None else prev_zb
 
     clip, color, spec, fog, _world, uv = transform_and_light(
         scene, levels, world, vertex_shader=vertex_shader,
@@ -381,9 +390,10 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         from ..raster.tiled import depth_reduce_tiled
 
         best_id, best_depth, _overflow = depth_reduce_tiled(
-            setup, defer_tri, scene.clear_z, scene.viewport, batch.xyw,
+            setup, defer_tri, z_init, scene.viewport, batch.xyw,
             height, width)
-    elif allow_pallas and jax.default_backend() == "tpu" and width % 128 == 0:
+    elif (allow_pallas and prev_zb is None
+          and jax.default_backend() == "tpu" and width % 128 == 0):
         # Flat reduce as a Pallas kernel: the (H,W) carry stays in VMEM
         # across triangle chunks instead of round-tripping HBM per scan step.
         from ..raster.pallas_reduce import depth_reduce_pallas
@@ -392,7 +402,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             setup, defer_tri, scene.clear_z, scene.viewport, height, width)
     else:
         best_id, best_depth = df.depth_reduce(
-            setup, defer_tri, scene.clear_z, scene.viewport, height, width,
+            setup, defer_tri, z_init, scene.viewport, height, width,
             chunk=chunk)
     fb = df.shade_deferred(
         best_id, batch.xyw, batch.z, batch.color, batch.specular, batch.uv,
@@ -448,7 +458,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            want_stencil: bool = False,
                            vertex_shader=None,
                            allow_pallas: bool = True,
-                           want_bump: bool = False):
+                           want_bump: bool = False,
+                           prev_fb=None, prev_zb=None):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
@@ -484,7 +495,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
 
     background = None
     if quads_bg is not None:
-        background = jnp.broadcast_to(
+        background = prev_fb if prev_fb is not None else jnp.broadcast_to(
             scene.clear_color[:, None, None].astype(jnp.float32),
             (4, height, width))
         background = composite_quads(background, quads_bg, scene.tex_planes,
@@ -495,7 +506,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                             want_stencil=want_stencil,
                             vertex_shader=vertex_shader,
                             allow_pallas=allow_pallas,
-                            want_bump=want_bump)
+                            want_bump=want_bump,
+                            prev_fb=prev_fb, prev_zb=prev_zb)
     if want_stencil:
         fb, zb, sb = out
     else:
@@ -532,7 +544,8 @@ def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
                         sort_transparent: bool = True,
                         want_stencil: bool = False,
                         vertex_shader=None,
-                        want_bump: bool = False):
+                        want_bump: bool = False,
+                        prev_fb=None, prev_zb=None):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -591,7 +604,8 @@ def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
         quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
         ordered_cap=ordered_cap, chunk=chunk,
         sort_transparent=sort_transparent, want_stencil=want_stencil,
-        vertex_shader=vertex_shader, want_bump=want_bump)
+        vertex_shader=vertex_shader, want_bump=want_bump,
+        prev_fb=prev_fb, prev_zb=prev_zb)
 
 
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):

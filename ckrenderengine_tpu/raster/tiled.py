@@ -156,7 +156,15 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
             [all_ids, jnp.full((n_tiles, pad_k), t, jnp.int32)], axis=1)
     ids_chunks = all_ids.reshape(n_tiles, nchunks, chunk).transpose(1, 0, 2)
 
-    init_d = jnp.full((n_tiles, tile, tile), jnp.asarray(clear_z, jnp.float32))
+    cz = jnp.asarray(clear_z, jnp.float32)
+    if cz.ndim == 2:
+        # Kept z-buffer (CLEARZBUFFER off): tile-ify last frame's (H,W) zb.
+        zp = jnp.pad(cz, ((0, ty * tile - height), (0, tx * tile - width)),
+                     constant_values=1.0)
+        init_d = zp.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3)
+        init_d = init_d.reshape(n_tiles, tile, tile)
+    else:
+        init_d = jnp.full((n_tiles, tile, tile), cz)
     init_i = jnp.full((n_tiles, tile, tile), -1, jnp.int32)
     big = jnp.float32(3.0e38)
 

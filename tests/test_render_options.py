@@ -195,3 +195,58 @@ class TestRenderExtents:
         rc.Render()
         obj.SetPosition((0, 0, -10))            # behind the camera
         assert obj.GetRenderExtents() is None
+
+
+class TestNoClearAccumulation:
+    """CLEARBACK/CLEARZ off: rendering accumulates over the previous frame
+    (reference Clear flag handling, src/CKRenderContext.cpp:438-544)."""
+
+    def _noclear(self):
+        from ckrenderengine_tpu.objects.manager import (
+            CK_RENDER_CLEARBACKBUFFER, CK_RENDER_CLEARZBUFFER,
+            CK_RENDER_DEFAULTSETTINGS)
+        return CK_RENDER_DEFAULTSETTINGS & ~(
+            CK_RENDER_CLEARBACKBUFFER | CK_RENDER_CLEARZBUFFER)
+
+    def test_trail_persists_and_kept_z_occludes(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        obj.SetScale((0.3, 0.3, 1))
+        obj.SetPosition((-0.8, 0, 0))
+        rc.Render()
+        fb1 = np.asarray(rc.framebuffer())
+        cov1 = fb1[..., :3].sum(-1) > 0.05
+
+        obj.SetPosition((0.8, 0, 0))
+        rc.Render(self._noclear())
+        fb2 = np.asarray(rc.framebuffer())
+        cov2 = fb2[..., :3].sum(-1) > 0.05
+        # both the old and the new quad are visible (trail)
+        assert cov2.sum() > cov1.sum() * 1.7
+        assert (cov2 & cov1).sum() >= cov1.sum() * 0.95
+
+        # kept z: a green backdrop drawn BEHIND must not repaint the
+        # red quads' pixels
+        obj.SetScale((4.0, 4.0, 1))
+        obj.SetPosition((0, 0, 0.9))
+        mat.SetEmissive((0, 1, 0, 1))
+        rc.Render(self._noclear())
+        fb3 = np.asarray(rc.framebuffer())
+        old_px = fb3[cov2]
+        assert (old_px[:, 0] > 0.5).mean() > 0.95   # red quads survive
+        new_px = fb3[~cov2]
+        assert (new_px[:, 1] > 0.5).mean() > 0.9    # backdrop fills the rest
+        assert (new_px[:, 0] < 0.5).mean() > 0.9
+
+    def test_clearing_resets(self):
+        ctx = CKContext()
+        rm, rc, obj, mat, mesh = _scene(ctx)
+        obj.SetScale((0.3, 0.3, 1))
+        obj.SetPosition((-0.8, 0, 0))
+        rc.Render()
+        obj.SetPosition((0.8, 0, 0))
+        rc.Render()                      # default flags clear
+        fb = np.asarray(rc.framebuffer())
+        cov = fb[..., :3].sum(-1) > 0.05
+        ys, xs = np.nonzero(cov)
+        assert xs.min() > 32             # left quad gone
