@@ -1420,6 +1420,13 @@ class CKRenderContext(CKObject):
         # which the stack refresh below then picks up this same frame.
         with PhaseTimer(ph, "BankBuildTime"):
             quads_bg_list, quads_fg_list = self._quad_lists()
+            # CK_RENDER_BACKGROUNDSPRITES / FOREGROUNDSPRITES gate the 2D
+            # passes (reference CKRenderedScene::Draw honors the flags for
+            # the background/foreground 2D trees).
+            if not (self._frame_flags & CK_RENDER_BACKGROUNDSPRITES):
+                quads_bg_list = []
+            if not (self._frame_flags & CK_RENDER_FOREGROUNDSPRITES):
+                quads_fg_list = []
         self._refresh_textures()
         if self.stereo_enabled:
             from ..pipeline.overlay import build_quad_bank

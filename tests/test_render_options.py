@@ -250,3 +250,23 @@ class TestNoClearAccumulation:
         cov = fb[..., :3].sum(-1) > 0.05
         ys, xs = np.nonzero(cov)
         assert xs.min() > 32             # left quad gone
+
+
+def test_sprite_pass_flags_gate_2d():
+    """CK_RENDER_BACKGROUNDSPRITES/FOREGROUNDSPRITES skip the 2D passes."""
+    from ckrenderengine_tpu.objects import CK2dEntity
+    from ckrenderengine_tpu.objects.manager import (
+        CK_RENDER_DEFAULTSETTINGS, CK_RENDER_FOREGROUNDSPRITES)
+
+    ctx = CKContext()
+    rc = ctx.GetRenderManager().CreateRenderContext(32, 32)
+    hud = CK2dEntity(ctx, "hud")
+    hud.SetRect((0, 0, 32, 32))
+    hud.SetColor((0, 1, 0, 1))
+    hud.SetBackground(False)
+    rc.Render()
+    assert np.asarray(rc.framebuffer())[..., 1].sum() > 100
+    rc.Render(CK_RENDER_DEFAULTSETTINGS & ~CK_RENDER_FOREGROUNDSPRITES)
+    assert np.asarray(rc.framebuffer())[..., 1].sum() == 0
+    rc.Render()
+    assert np.asarray(rc.framebuffer())[..., 1].sum() > 100
