@@ -54,6 +54,28 @@ def _pad_to(n: int, mult: int = 128) -> int:
     return max(mult, ((n + mult - 1) // mult) * mult)
 
 
+import dataclasses as _dc
+
+
+@_dc.dataclass
+class VxEffectDescription:
+    """Effect registry entry (reference VxEffectDescription; registered via
+    RCKRenderManager::AddEffect, src/CKRenderManager.cpp:729).
+
+    ``set_callback(rc, material, stage, arg)`` runs at scene compile for
+    materials whose effect code matches this entry; it returns a list of
+    effect-pass descriptors (the dict schema of
+    CKMaterial.effect_passes) or None."""
+
+    summary: str = ""
+    description: str = ""
+    max_texture_count: int = 0
+    needed_texture_coords: int = 0
+    parameter_description: str = ""
+    set_callback: object = None
+    callback_arg: object = None
+
+
 class CompiledScene:
     """Static layout of one render context's scene (host-side product of
     compilation; the analogue of all CreateRenderGroups/CKVBuffer remaps +
@@ -450,7 +472,7 @@ class CKRenderContext(CKObject):
                 # reference src/CKMaterial.cpp:1668-2060).
                 if mat is None or draw_kind != "mesh":
                     continue
-                for pi, pdesc in enumerate(mat.effect_passes()):
+                for pi, pdesc in enumerate(self._effect_passes_for(mat)):
                     for s in (pdesc["slot"], pdesc["bump_slot"]):
                         if s >= 0 and mat.GetTexture(s) is not None:
                             tex_slot_for(mat.GetTexture(s))
@@ -833,6 +855,22 @@ class CKRenderContext(CKObject):
                 np.asarray(specular, np.float32),
                 np.asarray(emissive, np.float32),
                 np.asarray(power, np.float32))
+
+    def _effect_passes_for(self, mat) -> list:
+        """Built-in effect passes, else the registered custom effect's
+        set_callback (reference GetEffectDescription default branch,
+        src/CKMaterial.cpp:1352-1360)."""
+        passes = mat.effect_passes()
+        if passes:
+            return passes
+        eff = mat.GetEffect()
+        rm = self.context.render_manager
+        if rm is not None and 0 <= eff < len(rm.effects):
+            desc = rm.effects[eff]
+            if desc.set_callback is not None:
+                return desc.set_callback(self, mat, 0,
+                                         desc.callback_arg) or []
+        return []
 
     def _dp3_const(self, pdesc, ent) -> tuple:
         """Object-space light direction encoded as the per-draw constant
@@ -1796,6 +1834,34 @@ class CKRenderManager(CKObject):
         # The 17 legacy options (reference src/CKRenderManager.cpp:79-127).
         from ..settings import default_options
         self.options = default_options()
+        self.effects: list[VxEffectDescription] = []
+        self._register_default_effects()
+
+    # -- effects registry (reference RegisterDefaultEffects/AddEffect/
+    # GetEffectDescription, src/CKRenderManager.cpp:721-1050) -------------
+    def _register_default_effects(self):
+        for summary, max_tex in (("None", 0), ("TexGen", 0),
+                                 ("TexGen with referential", 0),
+                                 ("Bump Env Mapping", 3), ("DP3 Mapping", 2),
+                                 ("2 Textures Blend", 2),
+                                 ("3 Textures Blend", 3)):
+            self.AddEffect(VxEffectDescription(summary=summary,
+                                               max_texture_count=max_tex))
+
+    def AddEffect(self, desc: "VxEffectDescription") -> int:
+        """Register an effect; returns its VX_EFFECT code. Custom effects
+        (codes past the built-ins) supply ``set_callback`` returning pass
+        descriptors — the TPU-native form of the reference's stage-setup
+        callback (the default branch of the SetAsCurrent effect switch,
+        src/CKMaterial.cpp:1352-1360)."""
+        self.effects.append(desc)
+        return len(self.effects) - 1
+
+    def GetEffectCount(self) -> int:
+        return len(self.effects)
+
+    def GetEffectDescription(self, i: int) -> "VxEffectDescription":
+        return self.effects[i]
 
     def CreateRenderContext(self, width: int = 256, height: int = 256,
                             name: str = "RenderContext") -> CKRenderContext:

@@ -196,3 +196,48 @@ class TestEffectSerialization:
         assert m2.GetEffectParameter()["op"] == CKRST_TOP_ADD
         assert m2.GetEffectParameter()["bump_scale"] == pytest.approx(0.25)
         assert m2.GetTexture(1) is not None
+
+
+class TestEffectsRegistry:
+    """Manager effects registry (reference RegisterDefaultEffects /
+    AddEffect / GetEffectDescription, src/CKRenderManager.cpp:721-1050;
+    custom codes dispatch through the SetAsCurrent default branch,
+    src/CKMaterial.cpp:1352-1360)."""
+
+    def test_default_effects_registered(self):
+        ctx = CKContext()
+        rm = ctx.GetRenderManager()
+        assert rm.GetEffectCount() == 7
+        assert rm.GetEffectDescription(0).summary == "None"
+        assert rm.GetEffectDescription(1).summary == "TexGen"
+        assert rm.GetEffectDescription(4).summary == "DP3 Mapping"
+
+    def test_custom_effect_callback_adds_pass(self):
+        from ckrenderengine_tpu.objects.manager import VxEffectDescription
+        from ckrenderengine_tpu.raster.types import (
+            TEXGEN_CHROME, VXBLEND, VXTEXTUREBLEND)
+
+        ctx = CKContext()
+        rc, mat = _quad_scene(ctx)
+        rm = ctx.GetRenderManager()
+        calls = []
+
+        def my_effect(dev, material, stage, arg):
+            calls.append((material, arg))
+            return [dict(slot=1, texgen=TEXGEN_CHROME,
+                         src_blend=int(VXBLEND.ONE),
+                         dst_blend=int(VXBLEND.ONE),
+                         tex_blend=int(VXTEXTUREBLEND.COPY), dp3=False,
+                         bump_slot=-1, bump_scale=0.0, ref_entity=None)]
+
+        code = rm.AddEffect(VxEffectDescription(
+            summary="MyGlow", set_callback=my_effect, callback_arg=42))
+        assert code == 7
+        mat.SetTexture(_flat(ctx, (0.2, 0.2, 0.2, 1), "base"))
+        rc.Render()
+        base = np.asarray(rc.framebuffer()).copy()
+        mat.SetTexture(_checker(ctx), 1)
+        mat.SetEffect(code)
+        rc.Render()
+        assert np.abs(np.asarray(rc.framebuffer()) - base).sum() > 1.0
+        assert calls and calls[0] == (mat, 42)
