@@ -1591,6 +1591,11 @@ class CKRenderContext(CKObject):
             z8 = np.clip(z * 255.0, 0, 255).astype(np.uint8)
             Image.fromarray(z8, "L").save(
                 path if what == "z" else path.replace(".png", "_z.png"))
+        if what in ("stencil", "both") and getattr(self, "sb", None) is not None:
+            s8 = (np.asarray(self.sb) * 255).astype(np.uint8)
+            Image.fromarray(s8, "L").save(
+                path if what == "stencil"
+                else path.replace(".png", "_stencil.png"))
         return True
 
     def GetPhaseTimes(self) -> dict:
