@@ -118,3 +118,38 @@ class TestCapsAndFacade:
         assert len(scene.Get3dEntities()) >= 1
         scene.Draw()
         assert rc.framebuffer()[2, 2, 2] == pytest.approx(0.3, abs=1e-5)
+
+
+class TestDriverProblems:
+    """Buggy-driver database (reference CKDriverProblems +
+    LoadVideoCardFile, include/CKRasterizerTypes.h:29-58)."""
+
+    def test_quirks_file_clamps_caps(self, tmp_path):
+        from ckrenderengine_tpu.raster.caps import (
+            Vx3DCapsDesc, apply_driver_problems, load_video_card_file)
+
+        ini = tmp_path / "cards.ini"
+        ini.write_text("[tpu-xla]\nMaxTextureWidth = 2048\n"
+                       "MaxTextureHeight = 1024\nClampToEdgeBug = 1\n"
+                       "\n[other-driver]\nMaxTextureWidth = 64\n")
+        problems = load_video_card_file(str(ini))
+        assert len(problems) == 2
+        caps = apply_driver_problems(Vx3DCapsDesc(), problems)
+        assert caps.max_texture_width == 2048
+        assert caps.max_texture_height == 1024   # only [tpu-xla] matches
+
+    def test_version_gating(self):
+        from ckrenderengine_tpu.raster.caps import (
+            CKDriverProblems, Vx3DCapsDesc, apply_driver_problems)
+
+        p = CKDriverProblems(renderer="tpu-xla", version="1.2",
+                             version_must_be_exact=True,
+                             real_max_texture_width=512)
+        caps = apply_driver_problems(Vx3DCapsDesc(), [p], version="1.2.9")
+        assert caps.max_texture_width == 8192     # exact match required
+        caps = apply_driver_problems(Vx3DCapsDesc(), [p], version="1.2")
+        assert caps.max_texture_width == 512
+
+    def test_missing_file_is_empty(self):
+        from ckrenderengine_tpu.raster.caps import load_video_card_file
+        assert load_video_card_file("/nonexistent/cards.ini") == []
