@@ -17,11 +17,19 @@ from .sprite3d import CKSprite3D
 from .curve import CKCurve, CKCurvePoint
 from .grid import CKGrid, CKLayer
 from .place import CKPlace, CKPortalEntry
-from .material import CKMaterial
+from .material import (
+    CKMaterial, VXEFFECT_2TEXTURES, VXEFFECT_3TEXTURES, VXEFFECT_BUMPENV,
+    VXEFFECT_DP3, VXEFFECT_NONE, VXEFFECT_TEXGEN, VXEFFECT_TEXGENREF,
+)
 from .texture import CKTexture
 from .light import CKLight, CKTargetLight
 from .camera import CKCamera, CKTargetCamera
-from .manager import CKRenderManager, CKRenderContext
+from .manager import (
+    CK_RENDER_BACKGROUNDSPRITES, CK_RENDER_CLEARBACKBUFFER,
+    CK_RENDER_CLEARZBUFFER, CK_RENDER_DEFAULTSETTINGS,
+    CK_RENDER_FOREGROUNDSPRITES, CK_RENDER_USECAMERARATIO,
+    CKRenderContext, CKRenderManager, VxEffectDescription,
+)
 
 __all__ = [
     "CKContext", "CKObject", "CK3dEntity", "CK3dObject", "CKMesh",
@@ -30,4 +38,11 @@ __all__ = [
     "CKCurve", "CKCurvePoint", "CKGrid", "CKLayer", "CKPlace", "CKPortalEntry",
     "CKMaterial", "CKTexture", "CKLight", "CKTargetLight", "CKCamera",
     "CKTargetCamera", "CKRenderManager", "CKRenderContext",
+    "VxEffectDescription",
+    "VXEFFECT_NONE", "VXEFFECT_TEXGEN", "VXEFFECT_TEXGENREF",
+    "VXEFFECT_BUMPENV", "VXEFFECT_DP3", "VXEFFECT_2TEXTURES",
+    "VXEFFECT_3TEXTURES",
+    "CK_RENDER_DEFAULTSETTINGS", "CK_RENDER_USECAMERARATIO",
+    "CK_RENDER_CLEARBACKBUFFER", "CK_RENDER_CLEARZBUFFER",
+    "CK_RENDER_BACKGROUNDSPRITES", "CK_RENDER_FOREGROUNDSPRITES",
 ]
