@@ -75,3 +75,46 @@ class TestTransparentOrder:
         rc.SetClipRect(None)
         rc.Render()
         assert rc.framebuffer()[32, 50, 0] > 0.9
+
+
+def test_two_sided_alpha_back_faces_blend_first():
+    """Two-sided alpha-transparent surfaces: the reference draws back faces
+    in a CW-cull prepass before front faces (RCKMesh::RenderGroup,
+    src/CKMesh.cpp:4301-4313, per-object sort granularity). Here the
+    per-TRIANGLE back-to-front device sort makes that ordering implicit —
+    both layers of one mesh blend back-to-front."""
+    import jax  # noqa: F401  (conftest forces CPU)
+    from ckrenderengine_tpu.objects import (
+        CK3dObject, CKCamera, CKContext, CKMaterial, CKMesh)
+    from ckrenderengine_tpu.raster.types import VXBLEND
+
+    ctx = CKContext()
+    mesh = CKMesh(ctx, "m")
+    mesh.SetPositions(np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0],
+         [-1, -1, 2], [1, -1, 2], [1, 1, 2], [-1, 1, 2]], np.float32))
+    mesh.SetFaces(np.array([[0, 2, 1], [0, 3, 2],
+                            [4, 5, 6], [4, 6, 7]], np.int32))
+    mesh.BuildNormals()
+    mat = CKMaterial(ctx, "glass")
+    mat.SetDiffuse((0.8, 0.1, 0.1, 0.5))
+    mat.SetEmissive((0.8, 0.1, 0.1, 1))
+    mat.SetTwoSided(True)
+    mat.SetSourceBlend(int(VXBLEND.SRCALPHA))
+    mat.SetDestBlend(int(VXBLEND.INVSRCALPHA))
+    for name in ("SetAlphaBlendEnabled", "EnableAlphaBlend"):
+        if hasattr(mat, name):
+            getattr(mat, name)(True)
+            break
+    mesh.ApplyGlobalMaterial(mat)
+    obj = CK3dObject(ctx, "o")
+    obj.SetCurrentMesh(mesh)
+    rc = ctx.GetRenderManager().CreateRenderContext(32, 32)
+    cam = CKCamera(ctx, "cam")
+    cam.SetPosition((0, 0, -4))
+    rc.AttachViewpointToCamera(cam)
+    rc.SetBackgroundColor((0, 0, 0, 1))
+    rc.Render()
+    c = np.asarray(rc.framebuffer())[16, 16]
+    # two 0.5-alpha red layers over black: back 0.4, then front 0.6
+    assert abs(c[0] - 0.6) < 0.05, c
