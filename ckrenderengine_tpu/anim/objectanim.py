@@ -165,6 +165,21 @@ class CKObjectAnimation(CKObject):
         return (self.EvaluatePosition(t), self.EvaluateRotation(t),
                 self.EvaluateScale(t))
 
+    def GetVelocity(self, step: float):
+        """Positional velocity at ``step`` via a one-frame finite
+        difference of the position track (reference
+        RCKObjectAnimation::GetVelocity, src/CKObjectAnimation.cpp:1621+)."""
+        import numpy as np
+
+        if self.position_controller is None:
+            return np.zeros(3, np.float32)
+        length = max(float(self.GetLength()), 1.0)
+        frame = step * length            # EvaluatePosition takes frame time
+        frame2 = frame + 1.0 if frame + 1.0 < length else frame - 1.0
+        p1 = np.asarray(self.EvaluatePosition(frame), np.float32)
+        p2 = np.asarray(self.EvaluatePosition(frame2), np.float32)
+        return (p2 - p1) if frame < frame2 else (p1 - p2)
+
     def evaluate_prs(self, t: float):
         """PRS with base-matrix fallback for missing tracks."""
         base_p = base_r = base_s = None

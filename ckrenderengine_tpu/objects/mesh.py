@@ -265,6 +265,35 @@ class CKMesh(CKObject):
 
     # -- progressive mesh (reference RCKMesh::CreatePM src/CKMesh.cpp:3579+,
     # BuildRenderMesh LOD + geomorph :2580-2720) ---------------------------
+    # -- PM vertex weights (reference RCKMesh::SetVertexWeightsCount /
+    # SetVertexWeight / GetVertexWeightsPtr, include/RCKMesh.h:75-78,146:
+    # per-vertex protection weights consumed by the PM collapse cost) -----
+    def SetVertexWeightsCount(self, count: int):
+        count = int(count)
+        if count <= 0:
+            self.weights = None
+        else:
+            w = np.zeros(count, np.float32)
+            if self.weights is not None:
+                n = min(count, self.weights.shape[0])
+                w[:n] = self.weights[:n]
+            self.weights = w
+        self.data_version += 1
+
+    def GetVertexWeightsCount(self) -> int:
+        return 0 if self.weights is None else int(self.weights.shape[0])
+
+    def SetVertexWeight(self, index: int, w: float):
+        if self.weights is None:
+            self.SetVertexWeightsCount(self.positions.shape[0])
+        self.weights[index] = float(w)
+
+    def GetVertexWeight(self, index: int) -> float:
+        return 0.0 if self.weights is None else float(self.weights[index])
+
+    def GetVertexWeightsPtr(self):
+        return self.weights
+
     def CreatePM(self):
         """Compute the edge-collapse sequence (cost = distance x curvature)."""
         from ..utils.progressive import compute_collapse_order
@@ -273,7 +302,7 @@ class CKMesh(CKObject):
         self._pm_full_faces = self.faces.copy()
         self._pm_full_face_materials = self.face_materials.copy()
         self._pm_rank, self._pm_collapse = compute_collapse_order(
-            self.positions, self.faces)
+            self.positions, self.faces, weights=self.weights)
         self._pm_vertex_count = self.positions.shape[0]
         self._pm_geomorph = 0.0
         return True

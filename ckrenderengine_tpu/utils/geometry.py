@@ -315,7 +315,11 @@ class VertexCacheOptimizer:
         n = f.shape[0]
         if n == 0:
             return np.zeros(0, np.uint32)
-        nv = int(n_vertices if n_vertices is not None else f.max() + 1)
+        # The native optimizer indexes per-vertex tables by face indices;
+        # nv must cover the max referenced index even when the caller's
+        # vertex count is stale (e.g. a mesh resized under existing faces).
+        nv = int(n_vertices if n_vertices is not None else 0)
+        nv = max(nv, int(f.max()) + 1)
         order = np.zeros(n, np.uint32)
         lib = native.load()
         if lib is not None:

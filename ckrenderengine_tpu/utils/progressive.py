@@ -15,7 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def compute_collapse_order(positions: np.ndarray, faces: np.ndarray):
+def compute_collapse_order(positions: np.ndarray, faces: np.ndarray,
+                           weights: np.ndarray | None = None):
     """Edge-collapse sequence.
 
     Returns (rank, collapse_to):
@@ -49,7 +50,8 @@ def compute_collapse_order(positions: np.ndarray, faces: np.ndarray):
 
     def edge_cost(u, v):
         """cost(u->v) = |u-v| * curvature (Melax; the reference's
-        distance x curvature)."""
+        distance x curvature). Vertex weights (RCKMesh::SetVertexWeight)
+        scale the cost, protecting weighted vertices from collapse."""
         length = np.linalg.norm(pos[v] - pos[u])
         sides = [fi for fi in vert_faces[u] if v in face_verts[fi]]
         curvature = 0.0
@@ -64,7 +66,12 @@ def compute_collapse_order(positions: np.ndarray, faces: np.ndarray):
                 ns = face_normal(si)
                 mincurv = min(mincurv, (1.0 - float(nf @ ns)) / 2.0)
             curvature = max(curvature, mincurv)
-        return length * curvature
+        cost = length * curvature
+        if weights is not None and u < weights.shape[0]:
+            # additive + multiplicative protection: weighted vertices stay
+            # even when locally flat (curvature 0)
+            cost = cost * (1.0 + float(weights[u])) + float(weights[u])
+        return cost
 
     def best_collapse(u):
         if not vert_neighbors[u]:
@@ -131,7 +138,12 @@ def lod_remap(rank: np.ndarray, collapse_to: np.ndarray, n_keep: int):
     # u was removed. Keeping n vertices means the last n removed survive:
     # u survives iff rank[u] >= v - n_keep.
     cutoff = v - n_keep
-    for u in np.argsort(rank):          # in removal order
+    # Resolve collapse CHAINS to final survivors: process latest-removed
+    # first, so when u is handled its target t (always removed later, i.e.
+    # higher rank) already maps to a surviving representative. Processing
+    # in removal order left remap[u] pointing at intermediate dead
+    # vertices, which silently rendered near-full geometry at low budgets.
+    for u in np.argsort(rank)[::-1]:
         if rank[u] < cutoff:
             t = collapse_to[u]
             remap[u] = remap[t] if t >= 0 else u

@@ -453,3 +453,23 @@ class TestScaleAxis:
         # row norms: y row stretched, x row unit
         np.testing.assert_allclose(np.linalg.norm(m[1, :3]), 2.0, atol=1e-4)
         np.testing.assert_allclose(np.linalg.norm(m[0, :3]), 1.0, atol=1e-4)
+
+
+def test_object_animation_velocity():
+    """GetVelocity = one-frame finite difference of the position track
+    (reference RCKObjectAnimation::GetVelocity,
+    src/CKObjectAnimation.cpp:1621+)."""
+    from ckrenderengine_tpu.anim import (
+        CKANIMATION_LINEAR_POS, CKObjectAnimation)
+    from ckrenderengine_tpu.objects import CKContext
+
+    ctx = CKContext()
+    oa = CKObjectAnimation(ctx, "a")
+    pc = oa.CreateController(CKANIMATION_LINEAR_POS)
+    pc.AddKey(0.0, (0, 0, 0))
+    pc.AddKey(10.0, (10, 0, 0))
+    assert abs(oa.GetVelocity(0.5)[0] - 1.0) < 1e-4
+    # at the clip end the difference flips to backward — same magnitude
+    assert abs(oa.GetVelocity(1.0)[0] - 1.0) < 1e-4
+    oa2 = CKObjectAnimation(ctx, "b")
+    assert np.allclose(oa2.GetVelocity(0.3), 0.0)   # no track -> zero

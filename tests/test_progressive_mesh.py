@@ -101,3 +101,69 @@ class TestMeshPM:
         rc.Render()
         fb = rc.framebuffer()
         assert (fb[..., 2] > 0.5).sum() > 500   # still covers the screen area
+
+
+def test_vertex_weights_protect_from_collapse():
+    """PM vertex weights (reference RCKMesh::SetVertexWeight,
+    include/RCKMesh.h:75-78) scale the collapse cost: heavily weighted
+    vertices collapse LAST (highest rank)."""
+    import numpy as np
+    from ckrenderengine_tpu.utils.progressive import compute_collapse_order
+
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(-1, 1, (24, 3)).astype(np.float32)
+    # strip-like triangle topology
+    faces = np.array([[i, i + 1, i + 2] for i in range(22)], np.int32)
+    rank_plain, _ = compute_collapse_order(pos, faces)
+    w = np.zeros(24, np.float32)
+    victim = int(np.argmin(rank_plain))      # collapses first unweighted
+    w[victim] = 100.0
+    rank_w, _ = compute_collapse_order(pos, faces, weights=w)
+    assert rank_w[victim] > rank_plain[victim]
+
+
+def test_mesh_vertex_weight_api():
+    import numpy as np
+    from ckrenderengine_tpu.objects import CKContext, CKMesh
+
+    ctx = CKContext()
+    mesh = CKMesh(ctx, "m")
+    mesh.SetPositions(np.zeros((5, 3), np.float32))
+    assert mesh.GetVertexWeightsCount() == 0
+    mesh.SetVertexWeight(2, 3.5)            # auto-allocates
+    assert mesh.GetVertexWeightsCount() == 5
+    assert mesh.GetVertexWeight(2) == 3.5
+    assert mesh.GetVertexWeight(0) == 0.0
+    mesh.SetVertexWeightsCount(3)           # shrink keeps prefix
+    assert mesh.GetVertexWeightsCount() == 3
+    assert mesh.GetVertexWeight(2) == 3.5
+    assert mesh.GetVertexWeightsPtr().shape == (3,)
+
+
+def test_lod_remap_resolves_collapse_chains():
+    """Regression: remap must follow collapse chains to FINAL survivors.
+    Processing in removal order left faces referencing intermediate dead
+    vertices, so low budgets silently rendered near-full geometry."""
+    import numpy as np
+    from ckrenderengine_tpu.utils.progressive import (
+        compute_collapse_order, faces_at_lod, lod_remap)
+
+    rng = np.random.default_rng(11)
+    n = 9
+    yy, xx = np.mgrid[0:n, 0:n] / (n - 1.0)
+    pos = np.stack([xx, yy, rng.uniform(0, .2, (n, n))], -1)
+    pos = pos.reshape(-1, 3).astype(np.float32)
+    faces = []
+    for r in range(n - 1):
+        for c in range(n - 1):
+            a, b = r * n + c, r * n + c + 1
+            d, e = (r + 1) * n + c, (r + 1) * n + c + 1
+            faces += [[a, e, b], [a, d, e]]
+    faces = np.asarray(faces, np.int32)
+    rank, collapse = compute_collapse_order(pos, faces)
+    for budget in (6, 12, 30):
+        remap = lod_remap(rank, collapse, budget)
+        survivors = set(np.nonzero(rank >= rank.shape[0] - budget)[0])
+        lod_faces = faces_at_lod(faces, remap)
+        used = set(np.unique(lod_faces).tolist())
+        assert used <= survivors, (budget, sorted(used - survivors)[:5])
