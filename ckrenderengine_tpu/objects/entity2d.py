@@ -278,11 +278,54 @@ class CKSprite(CK2dEntity):
         self._store.SetTransparentColor(rgba)
 
     def LoadMovie(self, path: str) -> bool:
-        """Movie sprites: load frames into slots. Video decode is not
-        bundled; pre-decoded frame stacks load via SetImage per slot and
-        cycle with SetCurrentSlot (the reference's AVI path is a Windows
-        codec dependency, not engine behavior)."""
-        return False
+        """Movie sprites (reference RCKSprite movie load, include/RCKSprite.h):
+        decodes multi-frame image files (animated GIF / APNG / multi-frame
+        TIFF via PIL) into image slots; AVI needs a Windows codec and is out
+        of scope — pre-decoded frame stacks also load via SetImage per slot.
+        Frame durations (ms) are kept for SetMovieTime stepping."""
+        try:
+            from PIL import Image, ImageSequence
+        except ImportError:
+            return False
+        try:
+            im = Image.open(path)
+        except Exception:
+            return False
+        self._movie_durations = []
+        n = 0
+        for frame in ImageSequence.Iterator(im):
+            rgba = np.asarray(frame.convert("RGBA"), np.float32) / 255.0
+            self.SetImage(rgba, slot=n)
+            self._movie_durations.append(
+                float(frame.info.get("duration", 100.0)))
+            n += 1
+        if n == 0:
+            return False
+        self.SetCurrentSlot(0)
+        return True
+
+    def GetMovieFrameCount(self) -> int:
+        return len(getattr(self, "_movie_durations", ()))
+
+    def GetMovieLength(self) -> float:
+        """Total movie length in milliseconds."""
+        return float(sum(getattr(self, "_movie_durations", ())))
+
+    def SetMovieTime(self, t_ms: float) -> int:
+        """Select the slot covering time ``t_ms`` (wraps); returns the slot."""
+        durs = getattr(self, "_movie_durations", None)
+        if not durs:
+            return 0
+        total = sum(durs)
+        t = float(t_ms) % total if total > 0 else 0.0
+        acc = 0.0
+        for i, d in enumerate(durs):
+            acc += d
+            if t < acc:
+                self.SetCurrentSlot(i)
+                return i
+        self.SetCurrentSlot(len(durs) - 1)
+        return len(durs) - 1
 
     def texture(self):
         return self._store if self._store.current_image() is not None \

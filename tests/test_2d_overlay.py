@@ -257,3 +257,44 @@ class TestSprite3DModes:
         rc.Render()
         wide = (rc.framebuffer()[..., 3] > 0).sum()
         assert narrow < wide * 0.5         # width axis follows the entity
+
+
+class TestMovieSprite:
+    """Movie sprites decode multi-frame images into slots (reference
+    RCKSprite movie load, include/RCKSprite.h; AVI codecs replaced by
+    PIL's animated GIF/APNG/TIFF decoders)."""
+
+    def test_gif_movie_frames_render_by_time(self, tmp_path):
+        from PIL import Image
+        from ckrenderengine_tpu.objects import CKSprite
+
+        frames = []
+        for c in ((255, 0, 0), (0, 255, 0), (0, 0, 255)):
+            a = np.zeros((16, 16, 3), np.uint8)
+            a[:] = c
+            frames.append(Image.fromarray(a))
+        p = str(tmp_path / "movie.gif")
+        frames[0].save(p, save_all=True, append_images=frames[1:],
+                       duration=[40, 60, 100], loop=0)
+
+        ctx = CKContext()
+        rc = ctx.GetRenderManager().CreateRenderContext(32, 32)
+        sp = CKSprite(ctx, "movie")
+        assert sp.LoadMovie(p)
+        assert sp.GetMovieFrameCount() == 3
+        assert sp.GetMovieLength() == 200.0
+        sp.SetRect((0, 0, 32, 32))
+        sp.SetBackground(False)
+        expected = {0: (1, 0, 0), 50: (0, 1, 0), 150: (0, 0, 1),
+                    250: (0, 1, 0)}   # 250 wraps into frame 1
+        for t, rgb in expected.items():
+            sp.SetMovieTime(t)
+            rc.Render()
+            c = np.asarray(rc.framebuffer())[16, 16, :3]
+            np.testing.assert_allclose(c, rgb, atol=1e-5)
+
+    def test_missing_file_returns_false(self):
+        from ckrenderengine_tpu.objects import CKSprite
+        ctx = CKContext()
+        sp = CKSprite(ctx, "m")
+        assert not sp.LoadMovie("/nonexistent/clip.gif")
