@@ -1452,8 +1452,14 @@ class CKRenderContext(CKObject):
             if isinstance(obj, _CKMesh):
                 for cb in list(obj.pre_render_callbacks):
                     cb(self, obj)
+        # The reference's render-state cache hit/miss counters
+        # (include/CKRasterizer.h:509-510) map to the scene-compile cache
+        # here: a miss is a frame that had to recompile the draw streams.
         if self._compiled.topology_version != self.context._topology_version:
             self._compile()
+            self.stats.RenderStateCacheMiss += 1
+        else:
+            self.stats.RenderStateCacheHit += 1
         # Quad banks first: lazy sprite-text rasters bump texture versions,
         # which the stack refresh below then picks up this same frame.
         with PhaseTimer(ph, "BankBuildTime"):

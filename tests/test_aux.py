@@ -168,3 +168,40 @@ class TestStereo:
         assert left.sum() > 0 and right.sum() > 0
         # eye offset shifts the image between halves
         assert np.abs(left - right).sum() > 1.0
+
+
+def test_state_cache_hit_miss_counters():
+    """Scene-compile cache counters (the reference's render-state cache
+    hit/miss observability, include/CKRasterizer.h:509-510)."""
+    import numpy as np
+    from ckrenderengine_tpu.objects import (
+        CK3dObject, CKCamera, CKContext, CKMaterial, CKMesh)
+
+    ctx = CKContext()
+    rc = ctx.GetRenderManager().CreateRenderContext(32, 32)
+    cam = CKCamera(ctx, "cam")
+    cam.SetPosition((0, 0, -4))
+    rc.AttachViewpointToCamera(cam)
+    mesh = CKMesh(ctx, "t")
+    mesh.SetPositions(np.array([[-1, 0, 0], [0, 1, 0], [1, 0, 0]],
+                               np.float32))
+    mesh.SetFaces(np.array([[0, 1, 2]], np.int32))
+    mesh.BuildNormals()
+    mat = CKMaterial(ctx, "m")
+    mat.SetEmissive((1, 0, 0, 1))
+    mesh.ApplyGlobalMaterial(mat)
+    obj = CK3dObject(ctx, "o")
+    obj.SetCurrentMesh(mesh)
+
+    rc.Render()                       # first frame compiles
+    assert rc.GetStats().RenderStateCacheMiss == 1
+    obj.SetPosition((0.1, 0, 0))      # dynamic-only change
+    rc.Render()
+    rc.Render()
+    st = rc.GetStats()
+    assert st.RenderStateCacheMiss == 1
+    assert st.RenderStateCacheHit == 2
+    mat2 = CKMaterial(ctx, "m2")      # topology change -> miss
+    mesh.ApplyGlobalMaterial(mat2)
+    rc.Render()
+    assert rc.GetStats().RenderStateCacheMiss == 2
