@@ -1924,6 +1924,11 @@ class CKRenderManager(CKObject):
             render_frames_batched, render_frames_sharded, stack_scenes,
         )
 
+        if mesh is not None and not hasattr(mesh, "devices"):
+            raise TypeError(
+                "ProcessBatched(mesh=...) expects a jax.sharding.Mesh; it "
+                "renders this manager's own contexts (like the reference's "
+                "Process) — there is no context-list parameter")
         if not self.render_contexts:
             return
         groups: dict[tuple, list] = {}
