@@ -1320,8 +1320,10 @@ class CKRenderContext(CKObject):
         self._last_cam = (view, proj, vp)
         return view, proj, cam_pos
 
-    def _render_packed(self, quads_bg_list, quads_fg_list):
-        """One frame through the two-buffer packed path (fast path)."""
+    def _fill_packed(self, quads_bg_list, quads_fg_list):
+        """Build this frame's packed buffers; returns
+        (static, dyn_f, dyn_i, params) with params = the static-ish kwargs
+        of render_frame_packed."""
         from ..pipeline.packing import fill
 
         ctx = self.context
@@ -1398,16 +1400,23 @@ class CKRenderContext(CKObject):
         rm = ctx.render_manager
         sort_t = bool(int(rm.options.get("SortTransparentObjects", 1))) \
             if rm is not None else True
+        params = dict(
+            layout=self._layout, levels=self._compiled.levels,
+            height=self.height, width=self.width, skin=c.skin_bank,
+            sprites_static=self._sprites_static, lines=c.line_bank,
+            ordered_cap=c.ordered_cap, sort_transparent=sort_t,
+            want_stencil=c.has_stencil, vertex_shader=self.vertex_shader,
+            want_bump=getattr(c, "want_bump", False))
         # Fresh copies: the staging buffers are reused next frame while this
         # frame's host->device transfer may still be in flight (async tunnel).
+        return static, self._buf_f.copy(), self._buf_i.copy(), params
+
+    def _render_packed(self, quads_bg_list, quads_fg_list):
+        """One frame through the two-buffer packed path (fast path)."""
+        static, dyn_f, dyn_i, params = self._fill_packed(quads_bg_list,
+                                                         quads_fg_list)
         out = fr.render_frame_packed(
-            static, self._buf_f.copy(), self._buf_i.copy(), self._layout,
-            self._compiled.levels, self.height, self.width,
-            skin=c.skin_bank, sprites_static=self._sprites_static,
-            lines=c.line_bank, ordered_cap=c.ordered_cap,
-            sort_transparent=sort_t, want_stencil=c.has_stencil,
-            vertex_shader=self.vertex_shader,
-            want_bump=getattr(c, "want_bump", False),
+            static, dyn_f, dyn_i, **params,
             # CLEARBACK/CLEARZ off -> accumulate over last frame's buffers
             # (reference Clear flag handling, src/CKRenderContext.cpp:438-544;
             # the buffers already live on device, so this costs no transfer).
@@ -1415,7 +1424,7 @@ class CKRenderContext(CKObject):
             else self.fb,
             prev_zb=None if (self._frame_flags & CK_RENDER_CLEARZBUFFER)
             else self.zb)
-        if c.has_stencil:
+        if params["want_stencil"]:
             fb, zb, self.sb = out
             return fb, zb
         return out
@@ -1944,6 +1953,8 @@ class CKRenderManager(CKObject):
             if len(rcs) == 1:
                 rcs[0].Render()
                 continue
+            if mesh is None and self._batch_packed(rcs):
+                continue
             scenes = stack_scenes([rc._build_scene_device() for rc in rcs])
             w, h = sig[0], sig[1]
             if mesh is not None:
@@ -1955,6 +1966,62 @@ class CKRenderManager(CKObject):
             for i, rc in enumerate(rcs):
                 rc.fb = fb[i]
                 rc.zb = zb[i]
+
+    def _batch_packed(self, rcs) -> bool:
+        """Single-device batch fast path: ONE f32 + ONE i32 transfer for the
+        whole group via render_frames_packed_batched (the stacked-pytree
+        fallback costs a tunnel round trip per pytree leaf). Returns False
+        when the group can't share one program (different packed layouts or
+        params, stereo, no-clear flags)."""
+        def membership(rc):
+            return None if rc._objects is None else tuple(
+                sorted(id(o) for o in rc._objects))
+
+        filled = []
+        for rc in rcs:
+            if rc.stereo_enabled or rc.vertex_shader is not None \
+                    or rc.target_texture is not None \
+                    or membership(rc) != membership(rcs[0]):
+                return False
+            if rc._compiled.topology_version != rc.context._topology_version:
+                rc._compile()
+            rc._frame_flags = rc.ResolveRenderFlags(0)
+            if not (rc._frame_flags & CK_RENDER_CLEARBACKBUFFER) or \
+               not (rc._frame_flags & CK_RENDER_CLEARZBUFFER):
+                return False
+            quads_bg, quads_fg = rc._quad_lists()
+            if not (rc._frame_flags & CK_RENDER_BACKGROUNDSPRITES):
+                quads_bg = []
+            if not (rc._frame_flags & CK_RENDER_FOREGROUNDSPRITES):
+                quads_fg = []
+            rc._refresh_textures()
+            filled.append(rc._fill_packed(quads_bg, quads_fg))
+        key0 = (filled[0][3]["layout"], tuple(sorted(filled[0][3].keys())),
+                filled[0][1].shape, filled[0][2].shape)
+        for st, df, di, params in filled[1:]:
+            if (params["layout"], tuple(sorted(params.keys())),
+                    df.shape, di.shape) != key0:
+                return False
+            if params["ordered_cap"] != filled[0][3]["ordered_cap"] or \
+               params["want_stencil"] != filled[0][3]["want_stencil"] or \
+               params["want_bump"] != filled[0][3]["want_bump"] or \
+               params["sort_transparent"] != filled[0][3]["sort_transparent"]:
+                return False
+        static, _f0, _i0, params = filled[0]
+        dyn_f = np.stack([f for _s, f, _i, _p in filled])
+        dyn_i = np.stack([i for _s, _f, i, _p in filled])
+        out = fr.render_frames_packed_batched(static, dyn_f, dyn_i, **params)
+        if params["want_stencil"]:
+            fb, zb, sb = out
+        else:
+            fb, zb = out
+            sb = None
+        for i, rc in enumerate(rcs):
+            rc.fb = fb[i]
+            rc.zb = zb[i]
+            if sb is not None:
+                rc.sb = sb[i]
+        return True
 
     def PreProcess(self):
         """Save last-frame matrices + clear the moved list (reference

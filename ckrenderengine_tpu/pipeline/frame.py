@@ -532,20 +532,16 @@ render_frame_full = functools.partial(
 )(render_frame_full_impl)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("layout", "levels", "height", "width", "ordered_cap",
-                     "chunk", "sort_transparent", "want_stencil",
-                     "vertex_shader", "want_bump"))
-def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
-                        levels: tuple, height: int, width: int,
-                        skin=None, sprites_static=None, lines=None,
-                        ordered_cap: int | None = None, chunk: int = 64,
-                        sort_transparent: bool = True,
-                        want_stencil: bool = False,
-                        vertex_shader=None,
-                        want_bump: bool = False,
-                        prev_fb=None, prev_zb=None):
+def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
+                             levels: tuple, height: int, width: int,
+                             skin=None, sprites_static=None, lines=None,
+                             ordered_cap: int | None = None, chunk: int = 64,
+                             sort_transparent: bool = True,
+                             want_stencil: bool = False,
+                             vertex_shader=None,
+                             want_bump: bool = False,
+                             prev_fb=None, prev_zb=None,
+                             allow_pallas: bool = True):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -605,7 +601,47 @@ def render_frame_packed(static: dict, dyn_f, dyn_i, layout: tuple,
         ordered_cap=ordered_cap, chunk=chunk,
         sort_transparent=sort_transparent, want_stencil=want_stencil,
         vertex_shader=vertex_shader, want_bump=want_bump,
-        prev_fb=prev_fb, prev_zb=prev_zb)
+        prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas)
+
+
+render_frame_packed = functools.partial(
+    jax.jit,
+    static_argnames=("layout", "levels", "height", "width", "ordered_cap",
+                     "chunk", "sort_transparent", "want_stencil",
+                     "vertex_shader", "want_bump", "allow_pallas"))(
+    render_frame_packed_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "levels", "height", "width", "ordered_cap",
+                     "chunk", "sort_transparent", "want_stencil",
+                     "vertex_shader", "want_bump"))
+def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
+                                 levels: tuple, height: int, width: int,
+                                 skin=None, sprites_static=None, lines=None,
+                                 ordered_cap: int | None = None,
+                                 chunk: int = 64,
+                                 sort_transparent: bool = True,
+                                 want_stencil: bool = False,
+                                 vertex_shader=None,
+                                 want_bump: bool = False):
+    """Batched packed frames: ``dyn_f``/``dyn_i`` carry a leading context
+    axis; statics (streams, pools, textures, banks topology) broadcast. This
+    is the multi-context scale path with ONE f32 + ONE i32 host->device
+    transfer for the WHOLE batch — the per-leaf stacked-pytree path costs a
+    tunnel round trip per leaf instead. Pallas is disabled (vmap)."""
+
+    def one(df, di):
+        return render_frame_packed_impl(
+            static, df, di, layout, levels, height, width, skin=skin,
+            sprites_static=sprites_static, lines=lines,
+            ordered_cap=ordered_cap, chunk=chunk,
+            sort_transparent=sort_transparent, want_stencil=want_stencil,
+            vertex_shader=vertex_shader, want_bump=want_bump,
+            allow_pallas=False)
+
+    return jax.vmap(one)(dyn_f, dyn_i)
 
 
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):

@@ -58,3 +58,33 @@ class TestProcessBatched:
         c0 = (rcs[0].framebuffer()[..., 3] > 0).sum()
         cl = (rcs[-1].framebuffer()[..., 3] > 0).sum()
         assert c0 > cl
+
+
+class TestPackedBatch:
+    """Single-transfer packed batching (_batch_packed): the whole group's
+    dynamic state ships as ONE stacked f32 + i32 buffer pair."""
+
+    def test_packed_path_taken_and_matches_sequential(self):
+        ctx, rm, rcs = _scene()
+        for rc in rcs:
+            rc.Render()
+        seq = [rc.framebuffer().copy() for rc in rcs]
+        for rc in rcs:
+            rc.Clear()
+        assert rm._batch_packed(rcs)            # eligible group
+        for rc, ref in zip(rcs, seq):
+            np.testing.assert_allclose(rc.framebuffer(), ref, atol=2e-5)
+
+    def test_ineligible_group_falls_back(self):
+        ctx, rm, rcs = _scene(n_contexts=2)
+        rcs[0].EnableStereo(True) if hasattr(rcs[0], "EnableStereo") else \
+            setattr(rcs[0], "stereo_enabled", True)
+        assert not rm._batch_packed(rcs)
+        rcs[0].stereo_enabled = False
+        # vertex shader also disqualifies
+        rcs[1].vertex_shader = lambda p, n, s: (p, n)
+        assert not rm._batch_packed(rcs)
+        rcs[1].vertex_shader = None
+        rm.ProcessBatched()                      # end-to-end still works
+        for rc in rcs:
+            assert np.asarray(rc.fb).sum() > 0
