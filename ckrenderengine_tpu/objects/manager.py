@@ -1953,7 +1953,7 @@ class CKRenderManager(CKObject):
             if len(rcs) == 1:
                 rcs[0].Render()
                 continue
-            if mesh is None and self._batch_packed(rcs):
+            if self._batch_packed(rcs, mesh=mesh):
                 continue
             scenes = stack_scenes([rc._build_scene_device() for rc in rcs])
             w, h = sig[0], sig[1]
@@ -1967,12 +1967,13 @@ class CKRenderManager(CKObject):
                 rc.fb = fb[i]
                 rc.zb = zb[i]
 
-    def _batch_packed(self, rcs) -> bool:
-        """Single-device batch fast path: ONE f32 + ONE i32 transfer for the
+    def _batch_packed(self, rcs, mesh=None) -> bool:
+        """Packed batch fast path: ONE f32 + ONE i32 transfer for the
         whole group via render_frames_packed_batched (the stacked-pytree
-        fallback costs a tunnel round trip per pytree leaf). Returns False
-        when the group can't share one program (different packed layouts or
-        params, stereo, no-clear flags)."""
+        fallback costs a tunnel round trip per pytree leaf); with ``mesh``
+        the batch axis shards over the device mesh (zero collectives).
+        Returns False when the group can't share one program (different
+        packed layouts or params, stereo, no-clear flags)."""
         def membership(rc):
             return None if rc._objects is None else tuple(
                 sorted(id(o) for o in rc._objects))
@@ -2010,7 +2011,13 @@ class CKRenderManager(CKObject):
         static, _f0, _i0, params = filled[0]
         dyn_f = np.stack([f for _s, f, _i, _p in filled])
         dyn_i = np.stack([i for _s, _f, i, _p in filled])
-        out = fr.render_frames_packed_batched(static, dyn_f, dyn_i, **params)
+        if mesh is not None:
+            from ..parallel.context_batch import render_frames_packed_sharded
+            out = render_frames_packed_sharded(static, dyn_f, dyn_i, mesh,
+                                               **params)
+        else:
+            out = fr.render_frames_packed_batched(static, dyn_f, dyn_i,
+                                                  **params)
         if params["want_stencil"]:
             fb, zb, sb = out
         else:

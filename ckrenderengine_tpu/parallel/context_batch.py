@@ -126,3 +126,19 @@ def render_frames_full_sharded(scenes: SceneDevice, mesh: Mesh, levels: tuple,
     fn = jax.jit(lambda s, sk, an, t: base(s, skin=sk, anim=an, anim_t=t),
                  out_shardings=(out_spec, out_spec))
     return fn(scenes, skin, anim, anim_t)
+
+
+def render_frames_packed_sharded(static: dict, dyn_f, dyn_i, mesh: Mesh,
+                                 **params):
+    """Sharded packed batch: the (B, F) f32 / (B, I) i32 dynamic buffers
+    shard on the ``ctx`` mesh axis (still one transfer pair for the whole
+    batch); statics replicate. Each chip renders its contexts' frames with
+    zero collectives — the packed-path version of render_frames_sharded."""
+    from ..pipeline.frame import render_frames_packed_batched
+
+    shard = NamedSharding(mesh, P("ctx"))
+    rep = NamedSharding(mesh, P())
+    dyn_f = jax.device_put(np.asarray(dyn_f), shard)
+    dyn_i = jax.device_put(np.asarray(dyn_i), shard)
+    static = {k: jax.device_put(v, rep) for k, v in static.items()}
+    return render_frames_packed_batched(static, dyn_f, dyn_i, **params)

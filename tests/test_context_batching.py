@@ -88,3 +88,19 @@ class TestPackedBatch:
         rm.ProcessBatched()                      # end-to-end still works
         for rc in rcs:
             assert np.asarray(rc.fb).sum() > 0
+
+
+def test_packed_sharded_over_cpu_mesh():
+    """Packed batch path sharded over the virtual device mesh: output
+    framebuffers carry the ctx sharding and match sequential rendering."""
+    n = min(4, len(jax.devices()))
+    ctx, rm, rcs = _scene(n_contexts=n)
+    for rc in rcs:
+        rc.Render()
+    seq = [rc.framebuffer().copy() for rc in rcs]
+    for rc in rcs:
+        rc.Clear()
+    mesh = make_context_mesh(n)
+    rm.ProcessBatched(mesh=mesh)
+    for rc, ref in zip(rcs, seq):
+        np.testing.assert_allclose(rc.framebuffer(), ref, atol=2e-5)
