@@ -54,17 +54,25 @@ CBV_ALLINSIDE = 3
 # ---------------------------------------------------------------------------
 
 def np_rotation_axis_angle(axis, angle) -> np.ndarray:
-    axis = np.asarray(axis, np.float32)
-    n = np.linalg.norm(axis)
-    axis = axis / n if n > 1e-30 else np.array([0, 0, 1], np.float32)
-    x, y, z = axis
-    c, s = np.cos(angle), np.sin(angle)
+    # Scalar-math Rodrigues + one array build: this runs per Rotate() call
+    # in host animation loops (128-bone rigs = thousands of calls/s), where
+    # eye()/norm()/row-slice assembly costs ~5x the arithmetic.
+    import math
+
+    x, y, z = float(axis[0]), float(axis[1]), float(axis[2])
+    n = math.sqrt(x * x + y * y + z * z)
+    if n > 1e-30:
+        x, y, z = x / n, y / n, z / n
+    else:
+        x, y, z = 0.0, 0.0, 1.0
+    c = math.cos(angle)
+    s = math.sin(angle)
     t = 1.0 - c
-    m = np.eye(4, dtype=np.float32)
-    m[0, :3] = (t * x * x + c, t * x * y + s * z, t * x * z - s * y)
-    m[1, :3] = (t * x * y - s * z, t * y * y + c, t * y * z + s * x)
-    m[2, :3] = (t * x * z + s * y, t * y * z - s * x, t * z * z + c)
-    return m
+    return np.array([
+        [t * x * x + c, t * x * y + s * z, t * x * z - s * y, 0.0],
+        [t * x * y - s * z, t * y * y + c, t * y * z + s * x, 0.0],
+        [t * x * z + s * y, t * y * z - s * x, t * z * z + c, 0.0],
+        [0.0, 0.0, 0.0, 1.0]], np.float32)
 
 
 def np_perspective(fov: float, aspect: float, near: float, far: float) -> np.ndarray:
