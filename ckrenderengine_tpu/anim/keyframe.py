@@ -170,6 +170,7 @@ class AnimController:
         self._tcb = np.zeros((0, 3), np.float32)     # tension/continuity/bias
         self._tan_in = None
         self._tan_out = None
+        self._version = 0       # bumped on any key edit (bank staleness key)
 
     # -- key editing ------------------------------------------------------
     def AddKey(self, time: float, value, tcb=(0.0, 0.0, 0.0)):
@@ -217,6 +218,7 @@ class AnimController:
     def _dirty(self):
         self._tan_in = None
         self._tan_out = None
+        self._version += 1
 
     # -- coefficients -----------------------------------------------------
     def _coeffs(self):
@@ -241,6 +243,7 @@ class AnimController:
         self._coeffs()
         self._tan_in[index] = np.asarray(cp_in, np.float32)
         self._tan_out[index] = np.asarray(cp_out, np.float32)
+        self._version += 1
 
     # -- evaluation (numpy: host-path ticks must not dispatch to device) ---
     def _segment_np(self, t: float):

@@ -353,6 +353,7 @@ class CKKeyedAnimation(CKAnimation):
         self.root_animation: CKObjectAnimation | None = None
         self._bank = None
         self._bank_version = -1
+        self._host_bank = None
 
     def AddAnimation(self, anim: CKObjectAnimation):
         if anim not in self.animations:
@@ -390,9 +391,36 @@ class CKKeyedAnimation(CKAnimation):
 
     # -- host-path evaluation ----------------------------------------------
     def SetFrame(self, frame: float):
-        """Apply every object animation at ``frame`` (host path)."""
+        """Apply every object animation at ``frame`` (host path).
+
+        Members without merge/morph/scale-axis state evaluate in ONE
+        vectorized numpy pass (anim/host_bank.py) and write the entity table
+        in one batched assignment — the reference's per-member SetStep loop
+        (src/CKObjectAnimation.cpp:1674) is O(bones) Python overhead on a
+        128-bone character. The rest keep the exact per-animation path."""
+        from . import host_bank as hb
+        from ..scene import entity_table as et
+
         self.frame = float(frame)
-        for a in self.animations:
+        simple = [a for a in self.animations if hb.is_simple(a)]
+        if len(simple) >= 2:
+            sig = hb._signature(simple)
+            bank = self._host_bank
+            if bank is None or bank.signature != sig:
+                bank = self._host_bank = hb.build_host_bank(simple)
+            ctx = simple[0]._entity.context
+            table = ctx.entity_table
+            table.local[bank.rows] = hb.evaluate_host_bank(
+                bank, self.frame, table.local)
+            table.flags[bank.rows] |= et.VX_MOVEABLE_HASMOVED
+            rm = ctx.render_manager
+            if rm is not None:
+                rm._moved_entities.update(bank.ids)
+            ctx._bump_dynamic()
+            rest = [a for a in self.animations if not hb.is_simple(a)]
+        else:
+            rest = self.animations
+        for a in rest:
             a.SetStep(frame)
 
     # -- device bank --------------------------------------------------------

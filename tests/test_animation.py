@@ -473,3 +473,101 @@ def test_object_animation_velocity():
     assert abs(oa.GetVelocity(1.0)[0] - 1.0) < 1e-4
     oa2 = CKObjectAnimation(ctx, "b")
     assert np.allclose(oa2.GetVelocity(0.3), 0.0)   # no track -> zero
+
+
+# ---------------------------------------------------------------------------
+# Vectorized host-bank SetFrame (anim/host_bank.py)
+# ---------------------------------------------------------------------------
+
+class TestHostBankSetFrame:
+    """CKKeyedAnimation.SetFrame's batched numpy path must match the
+    per-member SetStep loop bit-for-bit in behavior."""
+
+    def _build_clip(self, ctx, n=7, seed=0):
+        from ckrenderengine_tpu.anim import (
+            CKANIMATION_BEZIER_POS, CKANIMATION_TCB_POS, CKANIMATION_TCB_SCL,
+        )
+        rng = np.random.default_rng(seed)
+        clip = CKKeyedAnimation(ctx, "clip")
+        ents = []
+        for i in range(n):
+            ent = CK3dObject(ctx, f"e{i}")
+            # varied bases so missing-track fallbacks are visible
+            ent.SetPosition(tuple(rng.normal(size=3)))
+            ent.SetScale((1.0 + 0.3 * i % 2, 1.0, 2.0 - 0.2 * (i % 3)))
+            oa = CKObjectAnimation(ctx, f"a{i}")
+            oa.Set3dEntity(ent)
+            kinds = i % 4
+            if kinds in (0, 1, 2):      # pos track (different interp modes)
+                ptype = [CKANIMATION_LINEAR_POS, CKANIMATION_TCB_POS,
+                         CKANIMATION_BEZIER_POS][kinds]
+                pc = oa.CreateController(ptype)
+                for t in (0.0, 3.0, 7.5, 12.0):
+                    pc.AddKey(t, rng.normal(size=3))
+            if kinds in (0, 1, 3):      # rot track
+                rc = oa.CreateController(CKANIMATION_LINEAR_ROT)
+                for t in (0.0, 4.0, 9.0, 12.0):
+                    rc.AddKey(t, _quat_axis_angle(rng.normal(size=3) + 0.05,
+                                                  rng.uniform(0, np.pi)))
+            if kinds in (1, 3):         # scale track
+                sc = oa.CreateController(CKANIMATION_TCB_SCL)
+                for t in (0.0, 6.0, 12.0):
+                    sc.AddKey(t, rng.uniform(0.5, 2.0, 3))
+            clip.AddAnimation(oa)
+            ents.append(ent)
+        return clip, ents
+
+    def test_matches_per_member_setstep(self):
+        for seed in range(3):
+            ctx_a, ctx_b = CKContext(), CKContext()
+            clip_a, ents_a = self._build_clip(ctx_a, seed=seed)
+            clip_b, ents_b = self._build_clip(ctx_b, seed=seed)
+            for t in (0.0, 1.3, 5.5, 7.5, 11.9, 12.0, 50.0):
+                clip_a.SetFrame(t)              # batched path (>=2 simple)
+                for a in clip_b.animations:     # reference: per-member loop
+                    a.SetStep(t)
+                for ea, eb in zip(ents_a, ents_b):
+                    np.testing.assert_allclose(
+                        ea.GetLocalMatrix(), eb.GetLocalMatrix(),
+                        atol=1e-5, err_msg=f"seed={seed} t={t}")
+
+    def test_marks_entities_moved(self):
+        ctx = CKContext()
+        rm = ctx.GetRenderManager()
+        clip, ents = self._build_clip(ctx)
+        rm.PreProcess()
+        assert len(rm._moved_entities) == 0
+        clip.SetFrame(2.0)
+        for e in ents:
+            assert e.id in rm._moved_entities
+
+    def test_key_edit_invalidates_bank(self):
+        ctx = CKContext()
+        clip, ents = self._build_clip(ctx, n=3)
+        clip.SetFrame(1.0)
+        pc = clip.animations[0].position_controller
+        if pc is None:
+            pc = clip.animations[0].CreateController(CKANIMATION_LINEAR_POS)
+        pc.AddKey(2.0, (100.0, 0.0, 0.0))
+        clip.SetFrame(2.0)
+        np.testing.assert_allclose(ents[0].GetPosition(), [100, 0, 0],
+                                   atol=1e-4)
+
+    def test_morph_member_uses_slow_path(self):
+        from ckrenderengine_tpu.anim import CKANIMATION_MORPH
+        ctx = CKContext()
+        clip, ents = self._build_clip(ctx, n=3)
+        ent = CK3dObject(ctx, "morphed")
+        mesh = CKMesh(ctx, "m")
+        base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        mesh.SetPositions(base)
+        mesh.SetFaces(np.array([[0, 1, 2]], np.int32))
+        ent.SetCurrentMesh(mesh)
+        oa = CKObjectAnimation(ctx, "morph")
+        oa.Set3dEntity(ent)
+        mc = oa.CreateMorphController(3)
+        mc.AddKey(0.0, base)
+        mc.AddKey(10.0, base + np.float32([0, 0, 2]))
+        clip.AddAnimation(oa)
+        clip.SetFrame(5.0)
+        np.testing.assert_allclose(mesh.positions[0], [0, 0, 1], atol=1e-5)
