@@ -96,6 +96,12 @@ class CKContext:
         # Version counters driving scene recompiles vs cheap updates.
         self._topology_version = 0  # geometry / parenting / material-group edits
         self._dynamic_version = 0   # matrices / colors / light params
+        # Per-frame scan registries: only objects that registered render
+        # callbacks / need a pre-render update (curves, meshes with
+        # callbacks) are visited by Render() — a full _objects scan is
+        # O(entities) host time per frame at 1000+ entities.
+        self._cb_objects: dict[int, CKObject] = {}
+        self._prerender_objects: dict[int, CKObject] = {}
 
     # -- registry ---------------------------------------------------------
     def _register(self, obj: CKObject) -> int:
@@ -124,6 +130,8 @@ class CKContext:
         if destroy is not None:
             destroy()
         self._objects.pop(obj.id, None)
+        self._cb_objects.pop(obj.id, None)
+        self._prerender_objects.pop(obj.id, None)
         self._bump_topology()
 
     # -- factory (CKContext::CreateObject equivalent) ---------------------

@@ -92,6 +92,8 @@ class CKCurve(CK3dEntity):
         self._length = 0.0
         mesh = CKMesh(context, f"{name}__curvemesh")
         self.SetCurrentMesh(mesh)
+        # curves need a dirty-check each frame (update-if-dirty render)
+        context._prerender_objects[self.id] = self
 
     # -- control points ----------------------------------------------------
     def AddControlPoint(self, pos_or_point) -> CKCurvePoint:

@@ -32,12 +32,15 @@ class CKRenderObject(CKObject):
 
     def AddPreRenderCallBack(self, fct, arg=None, temp: bool = False):
         self.callbacks.append(("pre", fct, arg, temp))
+        self.context._cb_objects[self.id] = self
 
     def AddPostRenderCallBack(self, fct, arg=None, temp: bool = False):
         self.callbacks.append(("post", fct, arg, temp))
+        self.context._cb_objects[self.id] = self
 
     def RemoveCallbacks(self):
         self.callbacks.clear()
+        self.context._cb_objects.pop(self.id, None)
 
 
 class CK3dEntity(CKRenderObject):

@@ -1445,20 +1445,20 @@ class CKRenderContext(CKObject):
                 fct(self, arg)
             # Per-object pre-render callbacks (reference RCK3dEntity::Render
             # callback hooks; here they run before the one-frame program).
-            for obj in list(self.context._objects.values()):
-                for kind, fct, arg, _t in getattr(obj, "callbacks", ()):
+            # Registry scan, not an all-objects scan (O(entities) host time).
+            for obj in list(self.context._cb_objects.values()):
+                for kind, fct, arg, _t in obj.callbacks:
                     if kind == "pre":
                         fct(self, obj, arg)
         # Dirty curves regenerate their line meshes before compilation
-        # (RCKCurve::Render = update-if-dirty then render).
+        # (RCKCurve::Render = update-if-dirty then render); mesh pre-render
+        # callbacks (patch meshes hook BuildRenderMesh here).
         from .curve import CKCurve
-        from .mesh import CKMesh as _CKMesh
-        for obj in list(self.context._objects.values()):
-            if isinstance(obj, CKCurve) and obj.IsDirty():
-                obj.Update()
-            # Mesh pre-render callbacks (reference RCKMesh render callbacks;
-            # patch meshes hook BuildRenderMesh here).
-            if isinstance(obj, _CKMesh):
+        for obj in list(self.context._prerender_objects.values()):
+            if isinstance(obj, CKCurve):
+                if obj.IsDirty():
+                    obj.Update()
+            else:
                 for cb in list(obj.pre_render_callbacks):
                     cb(self, obj)
         # The reference's render-state cache hit/miss counters
@@ -1502,8 +1502,8 @@ class CKRenderContext(CKObject):
         with PhaseTimer(ph, "CallbacksTime"):
             for kind, fct, arg, _t in self.post_render_callbacks:
                 fct(self, arg)
-            for obj in list(self.context._objects.values()):
-                for kind, fct, arg, _t in getattr(obj, "callbacks", ()):
+            for obj in list(self.context._cb_objects.values()):
+                for kind, fct, arg, _t in obj.callbacks:
                     if kind == "post":
                         fct(self, obj, arg)
         # Debug mode: validate frame output + compiled-stream invariants
@@ -2059,11 +2059,10 @@ class CKRenderManager(CKObject):
     def CleanTemporaryCallbacks(self):
         """Drop temp callbacks after the frame (reference manager temp
         callback cleanup)."""
-        from .entity import CKRenderObject
-
-        for obj in self.context._objects.values():
-            if isinstance(obj, CKRenderObject) and obj.callbacks:
-                obj.callbacks = [cb for cb in obj.callbacks if not cb[3]]
+        for oid, obj in list(self.context._cb_objects.items()):
+            obj.callbacks = [cb for cb in obj.callbacks if not cb[3]]
+            if not obj.callbacks:
+                self.context._cb_objects.pop(oid, None)
         for rc in self.render_contexts:
             rc.pre_render_callbacks = [
                 cb for cb in rc.pre_render_callbacks if not cb[3]]

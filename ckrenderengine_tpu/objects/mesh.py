@@ -524,6 +524,7 @@ class CKMesh(CKObject):
     def AddPreRenderCallBack(self, fct, arg=None):
         self.pre_render_callbacks.append(
             fct if arg is None else (lambda dev, mesh: fct(dev, mesh, arg)))
+        self.context._prerender_objects[self.id] = self
 
     def RemovePreRenderCallBacks(self):
         self.pre_render_callbacks.clear()
