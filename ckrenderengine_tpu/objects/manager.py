@@ -204,6 +204,10 @@ class CKRenderContext(CKObject):
         self.phases = FramePhases()
         self.target_texture = None         # render-to-texture target
         self.stereo_enabled = False
+        # User clip planes (reference CKRasterizerContext::SetUserClipPlane,
+        # DX9 backend CKDX9RasterizerContext.cpp:3408): index -> (plane eq,
+        # enabled). World-space a,b,c,d; kept side is dot((p,1),eq) >= 0.
+        self.user_clip_planes: dict[int, tuple] = {}
         self.eye_separation = 0.06         # world units between eyes
         self.focal_length = 2.0
 
@@ -651,6 +655,10 @@ class CKRenderContext(CKObject):
         else:
             n_ordered = 0
         c.ordered_cap = 0 if n_ordered == 0 else _pad_to(n_ordered, 64)
+        if it and self._active_clip_planes().shape[0]:
+            # Triangles straddling a user clip plane take the ordered pass;
+            # which ones straddle is dynamic, so size it conservatively.
+            c.ordered_cap = _pad_to(it, 64)
 
         c.has_stencil = any(kind == "stencil" for _m, kind, _b in c.materials)
         # Static gate for the vertex-stage EMBM fetch (BumpEnv effect).
@@ -1008,6 +1016,8 @@ class CKRenderContext(CKObject):
             tex_hw=self._tex_hw,
             clear_color=np.asarray(self.background_color, np.float32),
             clear_z=np.float32(self.clear_z),
+            clip_planes=(lambda p: p if p.shape[0] else None)(
+                self._active_clip_planes()),
         )
 
     # -- per-frame overlay/billboard banks ---------------------------------
@@ -1184,14 +1194,16 @@ class CKRenderContext(CKObject):
     def GetClipRect(self):
         return self.clip_rect
 
-    def _ensure_packed_layout(self, n, s, l, sp, qb, qf):
+    def _ensure_packed_layout(self, n, s, l, sp, qb, qf, cp=0):
         from ..pipeline.packing import DynLayout
 
-        sig = (n, s, l, sp, qb, qf)
+        sig = (n, s, l, sp, qb, qf, cp)
         if self._layout_sig == sig:
             return
         self._layout_sig = sig
         lay = DynLayout()
+        if cp:
+            lay.add_f("clip_planes", (cp, 4))
         lay.add_f("local", (n, 4, 4))
         lay.add_i("entity_visible", (n,))
         lay.add_f("entity_clip", (n, 4))
@@ -1340,8 +1352,9 @@ class CKRenderContext(CKObject):
 
         qb = pad4(len(quads_bg_list))
         qf = pad4(len(quads_fg_list))
+        planes = self._active_clip_planes()
         self._ensure_packed_layout(n, si.shape[0], lt["type"].shape[0], sp,
-                                   qb, qf)
+                                   qb, qf, planes.shape[0])
         static = self._packed_static_dict(c, n)
         view, proj, cam_pos = self._camera_np()
 
@@ -1365,6 +1378,8 @@ class CKRenderContext(CKObject):
             fog_color=self.fog_color, clear_color=self.background_color,
             clear_z=self.clear_z,
         )
+        if planes.shape[0]:
+            vals["clip_planes"] = planes
         if sp:
             vals["sp_size"] = np.asarray(
                 [e.size2d for e, _, _ in c.sprite3d_list], np.float32)
@@ -1581,6 +1596,54 @@ class CKRenderContext(CKObject):
 
     def GetTargetTexture(self):
         return self.target_texture
+
+    # -- thread warnings (reference WarnEnterThread/WarnExitThread,
+    # include/RCKRenderContext.h:149-150 — no-op hooks kept for API parity;
+    # the engine is single-threaded by design, SURVEY §5) ------------------
+    def WarnEnterThread(self):
+        return None
+
+    def WarnExitThread(self):
+        return None
+
+    # -- user clip planes (reference SetUserClipPlane/GetUserClipPlane,
+    # include/CKRasterizer.h + CKDX9RasterizerContext.cpp:3408) -------------
+    MAX_CLIP_PLANES = 6
+
+    def _active_clip_planes(self) -> np.ndarray:
+        """(P,4) enabled plane equations, index-ordered."""
+        rows = [eq for i, (eq, on) in sorted(self.user_clip_planes.items())
+                if on]
+        if not rows:
+            return np.zeros((0, 4), np.float32)
+        return np.stack(rows).astype(np.float32)
+
+    def SetUserClipPlane(self, index: int, plane) -> bool:
+        """World-space plane equation (a,b,c,d); geometry on the side where
+        a·x+b·y+c·z+d >= 0 is kept. Setting a plane enables it."""
+        index = int(index)
+        if not (0 <= index < self.MAX_CLIP_PLANES):
+            return False
+        eq = np.asarray(plane, np.float32).reshape(4)
+        prev = self._active_clip_planes().shape[0]
+        self.user_clip_planes[index] = (eq, True)
+        if self._active_clip_planes().shape[0] != prev:
+            self.context._bump_topology()   # P changes shapes/layout
+        else:
+            self.context._bump_dynamic()
+        return True
+
+    def GetUserClipPlane(self, index: int):
+        entry = self.user_clip_planes.get(int(index))
+        return None if entry is None else entry[0].copy()
+
+    def EnableUserClipPlane(self, index: int, enable: bool = True) -> bool:
+        entry = self.user_clip_planes.get(int(index))
+        if entry is None:
+            return False
+        self.user_clip_planes[int(index)] = (entry[0], bool(enable))
+        self.context._bump_topology()
+        return True
 
     # -- stereo -------------------------------------------------------------
     def SetStereoParameters(self, eye_separation: float, focal_length: float):

@@ -100,6 +100,11 @@ class SceneDevice(NamedTuple):
     clear_color: jnp.ndarray  # (4,)
     clear_z: jnp.ndarray      # ()
 
+    # User clip planes (reference SetUserClipPlane, DX9 context
+    # CKDX9RasterizerContext.cpp:3408): world-space plane equations;
+    # a point p is kept when dot((p,1), plane) >= 0. None = none active.
+    clip_planes: jnp.ndarray | None = None   # (P,4)
+
 
 def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
                         vertex_shader=None, want_bump: bool = False):
@@ -228,10 +233,17 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
         duv = jnp.stack([(texel[0] - 0.5) * bscale,
                          (texel[1] - 0.5) * bscale], -1)
         uv = jnp.where((tex2 >= 0)[:, None], uv + duv, uv)
-    return clip, color, spec, fog, world, uv
+    # User clip planes: per-vertex signed world-space distances. d is a
+    # linear functional of world position (exactly like clip z), so it
+    # interpolates with the same screen-space arithmetic as depth.
+    clipd_v = None
+    if scene.clip_planes is not None and scene.clip_planes.shape[0] > 0:
+        clipd_v = posw4 @ scene.clip_planes.T                    # (IV,P)
+    return clip, color, spec, fog, world, uv, clipd_v
 
 
-def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None):
+def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
+                       clipd_v=None):
     """Triangle stage: gather per-corner attrs + cull. Returns the FULL
     DeviceBatch in stream (priority) order — no permutation: the deferred
     opaque reduce is order-independent (later draw index wins exact-depth
@@ -249,6 +261,13 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None):
         [scene.entity_visible, jnp.ones((1,), bool)], axis=0)
     ent_vis = jnp.take(vis_ext, jnp.take(scene.vert_entity, i0), axis=0)
     valid = scene.tri_valid & jnp.logical_not(reject) & ent_vis
+    # User clip planes: cull triangles entirely outside any plane here;
+    # per-pixel tests for straddlers happen in the ordered pass.
+    if clipd_v is not None:
+        clipd = jnp.stack([clipd_v[i0], clipd_v[i1], clipd_v[i2]], axis=1)
+        valid &= jnp.logical_not(jnp.any(jnp.all(clipd < 0, axis=1), axis=1))
+    else:
+        clipd = jnp.zeros((scene.tri_idx.shape[0], 3, 0), jnp.float32)
 
     # Screen-homogeneous coords (raster/types.py convention).
     vxp, vyp, vw_, vh_ = (scene.viewport[0], scene.viewport[1],
@@ -278,6 +297,7 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None):
         xyw=g3(xyw_v), z=g3(z), color=g3(color), specular=g3(spec),
         uv=g3(uv), fog=g3(fog),
         state_idx=scene.tri_state, valid=valid, clip_rect=tri_rect,
+        clipd=clipd,
     )
 
 
@@ -327,7 +347,7 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
         xyw=take(batch.xyw), z=take(batch.z), color=take(batch.color),
         specular=take(batch.specular), uv=take(batch.uv), fog=take(batch.fog),
         state_idx=take(batch.state_idx), valid=sel_valid,
-        clip_rect=take(batch.clip_rect),
+        clip_rect=take(batch.clip_rect), clipd=take(batch.clipd),
     )
 
 
@@ -369,13 +389,18 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             (4, height, width))
     z_init = scene.clear_z if prev_zb is None else prev_zb
 
-    clip, color, spec, fog, _world, uv = transform_and_light(
+    clip, color, spec, fog, _world, uv, clipd_v = transform_and_light(
         scene, levels, world, vertex_shader=vertex_shader,
         want_bump=want_bump)
-    batch = assemble_triangles(scene, clip, color, spec, fog, uv)
+    batch = assemble_triangles(scene, clip, color, spec, fog, uv, clipd_v)
 
     defer_bucket = df.deferred_mask(scene.state_i)               # (S,)
     defer_tri = jnp.take(defer_bucket, batch.state_idx) & batch.valid
+    if batch.clipd.shape[-1] > 0:
+        # Triangles straddling a user clip plane need the per-pixel distance
+        # test — route them through the ordered pass; triangles with all
+        # corners inside every plane are unaffected and stay deferred.
+        defer_tri &= jnp.all(batch.clipd >= 0, axis=(1, 2))
     transparent = jnp.take(scene.state_i[:, SI_ALPHABLEND], batch.state_idx) != 0
     from ..raster.types import SI_STENCIL
     stencil_tri = (jnp.take(scene.state_i[:, SI_STENCIL], batch.state_idx)
@@ -578,7 +603,9 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         fog_end=d["fog_end"], fog_density=d["fog_density"],
         fog_color=d["fog_color"], tex_planes=static["tex_planes"],
         tex_hw=static["tex_hw"], clear_color=d["clear_color"],
-        clear_z=d["clear_z"])
+        clear_z=d["clear_z"],
+        clip_planes=(d["clip_planes"]
+                     if has_field(layout, "clip_planes") else None))
     sprites = None
     if sprites_static is not None:
         sprites = Sprite3DBank(

@@ -53,6 +53,8 @@ class DeviceBatch(NamedTuple):
     state_idx: jnp.ndarray
     valid: jnp.ndarray
     clip_rect: jnp.ndarray   # (T,4) per-triangle scissor [x0,y0,x1,y1] px
+    clipd: jnp.ndarray       # (T,3,P) per-corner user-clip-plane distances
+                             # (P=0 when no user clip planes are active)
 
     @staticmethod
     def from_host(b: TriangleBatch, pad_to_multiple: int = 8) -> "DeviceBatch":
@@ -66,10 +68,13 @@ class DeviceBatch(NamedTuple):
             return jnp.asarray(out)
         big = 1.0e9
         rect = np.tile(np.array([-big, -big, big, big], np.float32), (pt, 1))
+        clipd = getattr(b, "clipd", None)
         return DeviceBatch(
             xyw=pad(b.xyw), z=pad(b.z), color=pad(b.color), specular=pad(b.specular),
             uv=pad(b.uv), fog=pad(b.fog), state_idx=pad(b.state_idx),
             valid=pad(b.valid.astype(np.bool_)), clip_rect=jnp.asarray(rect),
+            clipd=(jnp.zeros((pt, 3, 0), jnp.float32) if clipd is None
+                   else pad(np.asarray(clipd, np.float32))),
         )
 
 
@@ -258,7 +263,7 @@ def tex_blend(mode, tex, diff, const=None):
 
 def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog_color, scissor):
     """Render one triangle onto (4,H,W) fb planes + (H,W) zb. Returns updated."""
-    (xyw, zv, col, spec, uv, fogv, sidx, valid, clip_rect) = tri
+    (xyw, zv, col, spec, uv, fogv, sidx, valid, clip_rect, clipd) = tri
     si = state_i[sidx]
     sf = state_f[sidx]
 
@@ -315,6 +320,13 @@ def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog
 
     def interp(a0, a1, a2):
         return w0 * a0 + w1 * a1 + w2 * a2
+
+    # User clip planes: the interpolated world-space signed distance must be
+    # >= 0 (reference SetUserClipPlane; distances are linear in world space,
+    # so interpolating the per-corner values is exact). Unrolled over the
+    # static plane count — zero planes costs nothing.
+    for k in range(clipd.shape[-1]):
+        inside &= interp(clipd[0, k], clipd[1, k], clipd[2, k]) >= 0
 
     color = [interp(col[0, c], col[1, c], col[2, c]) for c in range(4)]
 

@@ -286,6 +286,15 @@ class NullRasterizer:
             def interp(vals):  # vals (3, K)
                 return sum(wj[j][..., None] * vals[j][None, None, :] for j in range(3))
 
+            # User clip planes: interpolated world-space signed distance
+            # must be >= 0 (mirror of jax_backend._one_triangle).
+            clipd = getattr(batch, "clipd", None)
+            if clipd is not None and clipd.shape[-1] > 0:
+                dpx = interp(clipd[t].astype(np.float32))      # (h,w,P)
+                inside &= np.all(dpx >= 0.0, axis=-1)
+                if not inside.any():
+                    continue
+
             color = interp(batch.color[t].astype(np.float32))
             if si[SI_TEX] >= 0 and textures and textures[si[SI_TEX]] is not None:
                 uvi = interp(batch.uv[t].astype(np.float32))

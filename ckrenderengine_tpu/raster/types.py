@@ -258,3 +258,4 @@ class TriangleBatch:
     fog: np.ndarray      # (T,3)   f32 per-vertex fog factor (1=no fog)
     state_idx: np.ndarray  # (T,) int32 index into packed state arrays
     valid: np.ndarray    # (T,) bool
+    clipd: np.ndarray | None = None  # (T,3,P) user-clip-plane distances
