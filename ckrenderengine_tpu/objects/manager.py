@@ -208,6 +208,8 @@ class CKRenderContext(CKObject):
         # DX9 backend CKDX9RasterizerContext.cpp:3408): index -> (plane eq,
         # enabled). World-space a,b,c,d; kept side is dot((p,1),eq) >= 0.
         self.user_clip_planes: dict[int, tuple] = {}
+        # Framebuffer band sharding over a device mesh (tile_shard.py).
+        self._tile_mesh = None
         self.eye_separation = 0.06         # world units between eyes
         self.focal_length = 2.0
 
@@ -1430,6 +1432,16 @@ class CKRenderContext(CKObject):
         """One frame through the two-buffer packed path (fast path)."""
         static, dyn_f, dyn_i, params = self._fill_packed(quads_bg_list,
                                                          quads_fg_list)
+        accumulate = not (self._frame_flags & CK_RENDER_CLEARBACKBUFFER) \
+            or not (self._frame_flags & CK_RENDER_CLEARZBUFFER)
+        if (self._tile_mesh is not None and not params["want_stencil"]
+                and not accumulate):
+            from ..parallel.tile_shard import render_frame_packed_banded_jit
+
+            p = dict(params)
+            p.pop("want_stencil")
+            return render_frame_packed_banded_jit(
+                static, dyn_f, dyn_i, mesh=self._tile_mesh, **p)
         out = fr.render_frame_packed(
             static, dyn_f, dyn_i, **params,
             # CLEARBACK/CLEARZ off -> accumulate over last frame's buffers
@@ -1644,6 +1656,27 @@ class CKRenderContext(CKObject):
         self.user_clip_planes[int(index)] = (entry[0], bool(enable))
         self.context._bump_topology()
         return True
+
+    # -- framebuffer band sharding (parallel/tile_shard.py) -----------------
+    def SetTileSharding(self, n_bands: int = 0, devices=None) -> bool:
+        """Shard THIS context's framebuffer into n_bands horizontal bands,
+        one per device (0 disables). The frame height must divide evenly.
+        Falls back to single-device for stencil / accumulate frames."""
+        import jax as _jax
+
+        if n_bands <= 1:
+            self._tile_mesh = None
+            return True
+        devs = list(devices) if devices is not None else _jax.devices()
+        if len(devs) < n_bands or self.height % n_bands:
+            return False
+        from jax.sharding import Mesh
+
+        self._tile_mesh = Mesh(np.asarray(devs[:n_bands]), ("band",))
+        return True
+
+    def GetTileSharding(self) -> int:
+        return 0 if self._tile_mesh is None else self._tile_mesh.shape["band"]
 
     # -- stereo -------------------------------------------------------------
     def SetStereoParameters(self, eye_separation: float, focal_length: float):

@@ -566,15 +566,32 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              vertex_shader=None,
                              want_bump: bool = False,
                              prev_fb=None, prev_zb=None,
-                             allow_pallas: bool = True):
+                             allow_pallas: bool = True,
+                             y_shift=None):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
-    full frame program."""
+    full frame program.
+
+    ``y_shift``: traced row offset for framebuffer band sharding
+    (parallel/tile_shard.py): renders rows [y_shift, y_shift+height) of the
+    logical frame by shifting every pixel-space quantity (viewport, entity
+    scissors, 2D quad rects) — the raster math itself is unchanged."""
     from .overlay import QuadBank, Sprite3DBank
     from .packing import has_field, unpack
 
     d = unpack(dyn_f, dyn_i, layout)
+    if y_shift is not None:
+        ys = jnp.asarray(y_shift, jnp.float32)
+        d = dict(d)
+        d["viewport"] = d["viewport"] - jnp.array([0.0, 1.0, 0.0, 0.0],
+                                                  jnp.float32) * ys
+        d["entity_clip"] = d["entity_clip"] - jnp.array(
+            [0.0, 1.0, 0.0, 1.0], jnp.float32) * ys
+        for prefix in ("qbg", "qfg"):
+            if has_field(layout, f"{prefix}_rect"):
+                d[f"{prefix}_rect"] = d[f"{prefix}_rect"] - jnp.array(
+                    [0.0, 1.0, 0.0, 1.0], jnp.float32) * ys
     lights = LightArray(
         type=d["lt_type"], diffuse=d["lt_diffuse"], specular=d["lt_specular"],
         ambient=d["lt_ambient"], position=d["lt_position"],
