@@ -210,6 +210,17 @@ class CKRenderContext(CKObject):
         self.user_clip_planes: dict[int, tuple] = {}
         # Framebuffer band sharding over a device mesh (tile_shard.py).
         self._tile_mesh = None
+        # API-surface state: stencil bit allocator, global render mode,
+        # immediate-mode DrawPrimitive transforms/material/staging.
+        self._stencil_used_mask = 0
+        self._global_render_mode = (2, True, False)   # (shading, tex, wire)
+        self._dp_world = np.eye(4, dtype=np.float32)
+        self._dp_view = None
+        self._dp_proj = None
+        self._dp_material = None
+        self._dp_texture = None
+        self._dp_struct = None
+        self._driver_index = 0
         self.eye_separation = 0.06         # world units between eyes
         self.focal_length = 2.0
 
@@ -853,6 +864,11 @@ class CKRenderContext(CKObject):
                 repl["tex_filter"] = int(VXTEXTURE_FILTER.NEAREST)
             if disable_persp:
                 repl["perspective"] = False
+            if not self._global_render_mode[1]:
+                # SetGlobalRenderMode(texture=False) kills all texturing
+                # (reference SetGlobalRenderMode).
+                repl["tex"] = -1
+                repl["tex2"] = -1
             if repl:
                 st = dataclasses.replace(st, **repl)
             states.append(st)
@@ -1609,6 +1625,328 @@ class CKRenderContext(CKObject):
     def GetTargetTexture(self):
         return self.target_texture
 
+    # -- API-surface parity batch (reference include/RCKRenderContext.h) ---
+    # Fog getters (reference GetFog*, :121-131).
+    def GetFogStart(self) -> float:
+        return float(self.fog_start)
+
+    def GetFogEnd(self) -> float:
+        return float(self.fog_end)
+
+    def GetFogDensity(self) -> float:
+        return float(self.fog_density)
+
+    def GetFogColor(self):
+        return np.asarray(self.fog_color, np.float32).copy()
+
+    # Clear-flag toggles (reference SetClearBackground/SetClearZBuffer —
+    # they rewrite the context's stored render flags).
+    def SetClearBackground(self, on: bool = True):
+        if on:
+            self.render_flags |= CK_RENDER_CLEARBACKBUFFER
+        else:
+            self.render_flags &= ~CK_RENDER_CLEARBACKBUFFER
+
+    def GetClearBackground(self) -> bool:
+        return bool(self.render_flags & CK_RENDER_CLEARBACKBUFFER)
+
+    def SetClearZBuffer(self, on: bool = True):
+        if on:
+            self.render_flags |= CK_RENDER_CLEARZBUFFER
+        else:
+            self.render_flags &= ~CK_RENDER_CLEARZBUFFER
+
+    def GetClearZBuffer(self) -> bool:
+        return bool(self.render_flags & CK_RENDER_CLEARZBUFFER)
+
+    # Viewpoint management (reference AttachViewpointToCamera family).
+    def DetachViewpointFromCamera(self):
+        self.attached_camera = None
+
+    def GetViewpoint(self):
+        """The entity serving as the viewpoint — the attached camera here
+        (the reference's root entity is a camera proxy,
+        src/CKRenderedScene.cpp:36-40)."""
+        return self.attached_camera
+
+    def ForceCameraSettingsUpdate(self):
+        cam = self.attached_camera
+        if cam is not None and hasattr(cam, "prepare"):
+            cam.prepare()
+        self.context._bump_dynamic()
+
+    # Scene queries.
+    def GetBoundingBox(self):
+        """World bbox union of all 3D entities in this context
+        (reference GetBoundingBox). Returns (min (3,), max (3,)) or None."""
+        from .entity import CK3dEntity
+
+        lo, hi = None, None
+        for obj in self.context._objects.values():
+            if isinstance(obj, CK3dEntity) and obj.GetCurrentMesh() is not None:
+                bb = obj.GetBoundingBox()
+                if bb is None:
+                    continue
+                bmin, bmax = np.asarray(bb[0]), np.asarray(bb[1])
+                lo = bmin if lo is None else np.minimum(lo, bmin)
+                hi = bmax if hi is None else np.maximum(hi, bmax)
+        return None if lo is None else (lo, hi)
+
+    def Get2dRoot(self, background: bool = True) -> list:
+        """Root 2D entities of the background or foreground tree
+        (reference Get2dRoot / m_2DRootBack / m_2DRootFore)."""
+        from .entity2d import CK2dEntity
+
+        return [o for o in self.context._objects.values()
+                if isinstance(o, CK2dEntity) and o.GetParent() is None
+                and o.IsBackground() == bool(background)]
+
+    def GetBackgroundMaterial(self):
+        return getattr(self, "background_material", None)
+
+    # Transform helpers (reference Transform / TransformVertices -> the
+    # rasterizer's TransformVertices, CKRasterizerLib/
+    # CKRasterizerContext.cpp:316-392).
+    def TransformVertices(self, points, ref=None):
+        """Project local/world points to screen. Returns (screen (N,2),
+        clip_flags (N,) uint32, all_offscreen bool)."""
+        from ..math import vxmath as vx
+        import jax.numpy as jnp
+
+        pts = np.asarray(points, np.float32).reshape(-1, 3)
+        world = (np.asarray(ref.GetWorldMatrix(), np.float32)
+                 if ref is not None else np.eye(4, dtype=np.float32))
+        view, proj, _ = self._camera_np()
+        m = world @ view @ proj
+        h = np.concatenate([pts, np.ones((pts.shape[0], 1), np.float32)], -1)
+        clip = h @ m
+        flags = np.asarray(vx.clip_flags(jnp.asarray(clip)))
+        vx0, vy0, vw, vh = self._effective_viewport()
+        w = np.where(np.abs(clip[:, 3]) < 1e-12, 1e-12, clip[:, 3])
+        sx = vx0 + vw * 0.5 + clip[:, 0] / w * (vw * 0.5)
+        sy = vy0 + vh * 0.5 - clip[:, 1] / w * (vh * 0.5)
+        screen = np.stack([sx, sy], -1).astype(np.float32)
+        offscreen = bool(np.bitwise_and.reduce(flags.astype(np.uint32)) != 0) \
+            if flags.size else False
+        return screen, flags, offscreen
+
+    def Transform(self, point, ref=None):
+        """One point -> screen (reference Transform)."""
+        return self.TransformVertices([point], ref)[0][0]
+
+    # Windowing stubs (no OS window on TPU; reference fullscreen state
+    # machine is D3D9 device management).
+    def GoFullScreen(self, *a, **kw) -> bool:
+        return False
+
+    def StopFullScreen(self) -> bool:
+        return False
+
+    def IsFullScreen(self) -> bool:
+        return False
+
+    def GetWindowHandle(self):
+        return None
+
+    def GetWindowRect(self, screen_relative: bool = False):
+        return (0, 0, self.width, self.height)
+
+    def SetWindowRect(self, rect, flags: int = 0):
+        return None
+
+    def ScreenToClient(self, pt):
+        return tuple(pt)
+
+    def ClientToScreen(self, pt):
+        return tuple(pt)
+
+    # Stencil bit allocation (reference GetStencilFreeMask/UsedStencilBits/
+    # GetFirstFreeStencilBits, src/CKRenderContext.cpp:2331-2347).
+    def GetStencilFreeMask(self) -> int:
+        return self._stencil_used_mask
+
+    def UsedStencilBits(self, stencil_bits: int):
+        self._stencil_used_mask |= int(stencil_bits)
+
+    def GetFirstFreeStencilBits(self) -> int:
+        for i in range(32):
+            if not (self._stencil_used_mask >> i) & 1:
+                return i
+        return -1
+
+    # Global render mode (reference SetGlobalRenderMode: force shading /
+    # texture off / wireframe across all materials).
+    def SetGlobalRenderMode(self, shading: int = 2, texture: bool = True,
+                            wireframe: bool = False):
+        self._global_render_mode = (int(shading), bool(texture),
+                                    bool(wireframe))
+        self.context._bump_topology()
+
+    def GetGlobalRenderMode(self):
+        return self._global_render_mode
+
+    # Misc introspection.
+    def GetMemoryOccupation(self) -> int:
+        """Approximate device-state bytes held by this context."""
+        total = 0
+        c = self._compiled
+        for name in ("positions", "normals", "uv", "prelit", "src_idx",
+                     "tri_idx"):
+            a = getattr(c, name, None)
+            if a is not None:
+                total += int(np.asarray(a).nbytes)
+        for b in (self.fb, self.zb):
+            if b is not None:
+                total += int(np.prod(b.shape)) * 4
+        return total
+
+    def GetPixelFormat(self):
+        """(bpp, zbpp, stencil_bpp) — f32 RGBA planes + f32 depth here."""
+        return (32, 32, 8)
+
+    def GetDriverIndex(self) -> int:
+        return getattr(self, "_driver_index", 0)
+
+    def ChangeDriver(self, index: int) -> bool:
+        from ..raster.caps import enumerate_drivers
+
+        drivers = enumerate_drivers()
+        if not (0 <= index < len(drivers)):
+            return False
+        self._driver_index = int(index)
+        return True
+
+    def GetRasterizerContext(self):
+        """The device context IS this object (the HAL boundary is the jitted
+        frame program)."""
+        return self
+
+    def GetDirectXInfo(self):
+        return None
+
+    def SetTransparentMode(self, trans: bool):
+        self._transparent_mode = bool(trans)
+
+    def GetTransparentMode(self) -> bool:
+        return getattr(self, "_transparent_mode", False)
+
+    def DrawScene(self, flags: int = 0):
+        """Draw the scene WITHOUT clearing (reference DrawScene is the
+        middle of Render: BeginScene -> scene draw -> EndScene,
+        src/CKRenderContext.cpp:546-574); accumulates over current buffers."""
+        flags = self.ResolveRenderFlags(int(flags))
+        flags &= ~(CK_RENDER_CLEARBACKBUFFER | CK_RENDER_CLEARZBUFFER)
+        return self.Render(flags | CK_RENDER_PLAYERCONTEXT)
+
+    def RectPick(self, rect, intersect: bool = True):
+        return self.PickRect(rect, intersect)
+
+    def DumpToMemory(self, what: str = "color") -> np.ndarray:
+        """Framebuffer ('color'), depth ('z'), or stencil ('stencil') as a
+        numpy array (reference DumpToMemory)."""
+        if what == "z":
+            return np.asarray(self.zbuffer())
+        if what == "stencil":
+            return np.asarray(self.stencilbuffer())
+        return self.framebuffer()
+
+    # Immediate-mode user DrawPrimitive (reference
+    # GetDrawPrimitiveStructure src/CKRenderContext.cpp:967 + DrawPrimitive;
+    # draws composite onto the framebuffer NOW, outside the scene program).
+    def SetWorldTransformationMatrix(self, m):
+        self._dp_world = np.asarray(m, np.float32).reshape(4, 4)
+
+    def GetWorldTransformationMatrix(self):
+        return self._dp_world.copy()
+
+    def SetViewTransformationMatrix(self, m):
+        self._dp_view = np.asarray(m, np.float32).reshape(4, 4)
+
+    def GetViewTransformationMatrix(self):
+        m = self._dp_view
+        if m is not None:
+            return m.copy()
+        view, _, _ = self._camera_np()
+        return np.asarray(view, np.float32)
+
+    def SetProjectionTransformationMatrix(self, m):
+        self._dp_proj = np.asarray(m, np.float32).reshape(4, 4)
+
+    def GetProjectionTransformationMatrix(self):
+        m = self._dp_proj
+        if m is not None:
+            return m.copy()
+        _, proj, _ = self._camera_np()
+        return np.asarray(proj, np.float32)
+
+    def SetCurrentMaterial(self, material):
+        self._dp_material = material
+
+    def SetTexture(self, texture, stage: int = 0):
+        self._dp_texture = texture
+
+    def GetDrawPrimitiveStructure(self, transformed: bool = True,
+                                  vertex_count: int = 0) -> dict:
+        """Staging structure for user DrawPrimitive: numpy views the caller
+        fills (positions are clip-space xyzw when ``transformed``, local
+        xyz otherwise)."""
+        n = max(int(vertex_count), 1)
+        self._dp_struct = {
+            "transformed": bool(transformed),
+            "positions": np.zeros((n, 4 if transformed else 3), np.float32),
+            "colors": np.ones((n, 4), np.float32),
+            "uvs": np.zeros((n, 2), np.float32),
+        }
+        return self._dp_struct
+
+    def DrawPrimitive(self, prim_type, indices=None, data: dict | None = None):
+        """Composite user geometry onto the framebuffer immediately
+        (reference RCKRenderContext::DrawPrimitive). ``data`` defaults to the
+        last GetDrawPrimitiveStructure; untransformed positions go through
+        the current DP world/view/projection matrices."""
+        from ..raster.types import RasterState, VXCULL
+
+        data = data if data is not None else self._dp_struct
+        if data is None:
+            return False
+        pos = np.asarray(data["positions"], np.float32)
+        if indices is not None:
+            idx = np.asarray(indices, np.int64).reshape(-1)
+            pos = pos[idx]
+            colors = np.asarray(data["colors"], np.float32)[idx]
+            uvs = np.asarray(data["uvs"], np.float32)[idx]
+        else:
+            colors = np.asarray(data["colors"], np.float32)
+            uvs = np.asarray(data["uvs"], np.float32)
+        if not data.get("transformed", True):
+            h = np.concatenate(
+                [pos[:, :3], np.ones((pos.shape[0], 1), np.float32)], -1)
+            view, proj, _ = self._camera_np()
+            if self._dp_view is not None:
+                view = self._dp_view
+            if self._dp_proj is not None:
+                proj = self._dp_proj
+            pos = h @ (self._dp_world @ view @ proj)
+        from .vertexbuffer import CKVertexBuffer
+
+        vb = CKVertexBuffer(self.context, "__dp", max_vertices=pos.shape[0])
+        p, c, u = vb.Lock(0, pos.shape[0])
+        p[:] = pos
+        c[:] = colors
+        u[:] = uvs
+        vb.Unlock()
+        mat = self._dp_material
+        state = None
+        tex = self._dp_texture
+        if mat is not None:
+            state = mat.raster_state() if hasattr(mat, "raster_state") else None
+            tex = mat.GetTexture() if mat.GetTexture() is not None else tex
+        try:
+            return vb.Draw(self, int(prim_type), 0, pos.shape[0],
+                           state=state, texture=tex)
+        finally:
+            self.context.DestroyObject(vb)
+
     # -- thread warnings (reference WarnEnterThread/WarnExitThread,
     # include/RCKRenderContext.h:149-150 — no-op hooks kept for API parity;
     # the engine is single-threaded by design, SURVEY §5) ------------------
@@ -1946,6 +2284,10 @@ class CKRenderManager(CKObject):
         self.render_contexts: list[CKRenderContext] = []
         self._context_mask_free = 0xFFFFFFFF
         self._moved_entities: set[int] = set()
+        self._last_frame_entities: set[int] = set()
+        self._vertex_buffers: list = []
+        self._object_index_next = 1
+        self._object_index_free: list[int] = []
         self.default_material = CKMaterial(context, "DefaultMat")
         # The 17 legacy options (reference src/CKRenderManager.cpp:79-127).
         from ..settings import default_options
@@ -2001,7 +2343,114 @@ class CKRenderManager(CKObject):
         """User dynamic vertex buffer (reference
         RCKRenderManager::CreateVertexBuffer)."""
         from .vertexbuffer import CKVertexBuffer
-        return CKVertexBuffer(self.context, name, max_vertices)
+
+        vb = CKVertexBuffer(self.context, name, max_vertices)
+        self._vertex_buffers.append(vb)
+        return vb
+
+    def DestroyVertexBuffer(self, vb):
+        """(reference DestroyVertexBuffer)"""
+        if vb in self._vertex_buffers:
+            self._vertex_buffers.remove(vb)
+        self.context.DestroyObject(vb)
+
+    def DeleteAllVertexBuffers(self):
+        for vb in list(self._vertex_buffers):
+            self.DestroyVertexBuffer(vb)
+
+    # -- API-surface parity batch (reference include/RCKRenderManager.h) ---
+    def GetDefaultMaterial(self):
+        return self.default_material
+
+    def GetRenderContextMaskFree(self) -> int:
+        """Free context-mask bits (reference m_RenderContextMaskFree,
+        src/CKRenderManager.cpp:131)."""
+        return self._context_mask_free
+
+    def ReleaseRenderContextMaskFree(self, mask: int):
+        self._context_mask_free |= int(mask)
+
+    def GetDesiredTexturesVideoFormat(self):
+        return self.options.get("TextureVideoFormat", "32_ARGB8888")
+
+    def SetDesiredTexturesVideoFormat(self, fmt):
+        self.options["TextureVideoFormat"] = fmt
+
+    def GetFullscreenContext(self):
+        return None        # no OS fullscreen device on TPU
+
+    def GetRenderContextFromPoint(self, pt):
+        """Context whose viewport contains the point (reference
+        GetRenderContextFromPoint — window hit test; viewport test here)."""
+        x, y = float(pt[0]), float(pt[1])
+        for rc in self.render_contexts:
+            vx0, vy0, vw, vh = rc.viewport
+            if vx0 <= x < vx0 + vw and vy0 <= y < vy0 + vh:
+                return rc
+        return None
+
+    def GetPreferredSoftwareDriver(self) -> int:
+        """Index of the software (numpy NULL) driver in the driver table."""
+        from ..raster.caps import enumerate_drivers
+
+        for i, d in enumerate(enumerate_drivers()):
+            if not getattr(d, "hardware", True):
+                return i
+        return 0
+
+    def GetDriver(self, index: int):
+        return self.GetRenderDriverDescription(index)
+
+    def AddMovedEntity(self, ent):
+        """(reference AddMovedEntity — entities flag themselves on move;
+        public hook kept for parity)."""
+        self._moved_entities.add(ent.id)
+
+    def RegisterLastFrameEntity(self, ent):
+        self._last_frame_entities.add(ent.id)
+
+    def UnregisterLastFrameEntity(self, ent):
+        self._last_frame_entities.discard(ent.id)
+
+    def FlushTextures(self):
+        """Invalidate cached device texture stacks so the next frame
+        re-uploads (reference FlushTextures — frees video memory copies)."""
+        for rc in self.render_contexts:
+            rc._compiled._tex_version = -1
+
+    def RegisterDefaultEffects(self):
+        self._register_default_effects()
+
+    def PreClearAll(self):
+        """Reset per-level state before a level clear (reference
+        PreClearAll, src/CKRenderManager.cpp:273-309): detach objects from
+        every context and drop temp callbacks."""
+        for rc in self.render_contexts:
+            rc.DetachViewpointFromCamera()
+        self.CleanTemporaryCallbacks()
+        self._moved_entities.clear()
+
+    def OnCKEnd(self):
+        self.DeleteAllVertexBuffers()
+
+    def OnCKPause(self):
+        return None
+
+    # Shared object-index allocator (reference CKRasterizer::
+    # CreateObjectIndex/ReleaseObjectIndex — textures/sprites/VB/IB/shaders
+    # share one index space across rasterizers; handles are Python objects
+    # here, so this is a plain counter table kept for API parity).
+    def CreateObjectIndex(self, kind: int = 0) -> int:
+        idx = self._object_index_free[-1] if self._object_index_free \
+            else self._object_index_next
+        if self._object_index_free:
+            self._object_index_free.pop()
+        else:
+            self._object_index_next += 1
+        return idx
+
+    def ReleaseObjectIndex(self, index: int):
+        self._object_index_free.append(int(index))
 
     def GetRenderContextCount(self) -> int:
         return len(self.render_contexts)
