@@ -281,6 +281,53 @@ class AnimController:
         return (iu ** 3 * v0 + 3 * iu * iu * u * tout[idx]
                 + 3 * iu * u2 * tin[i1] + u3 * v1).astype(np.float32)
 
+    # -- API-surface parity batch (reference include/RCKKeyframeData.h) ---
+    def ComputeTangents(self):
+        """Force the TCB tangent (or default Bezier control-point) rebuild
+        (reference TCB/Bezier controllers' lazy ComputeTangents /
+        ComputeBezierPts)."""
+        self._dirty()
+        return self._coeffs()
+
+    def ComputeBezierPts(self):
+        return self.ComputeTangents()
+
+    def ComputeKeyDistance(self) -> float:
+        """Total polyline length through the keys (the reference uses this
+        for root-motion velocity normalization)."""
+        if self.GetKeyCount() < 2:
+            return 0.0
+        d = np.diff(self.values, axis=0)
+        return float(np.sqrt((d * d).sum(-1)).sum())
+
+    def DumpKeysTo(self) -> bytes:
+        """Serialize the key set to a byte buffer (reference DumpKeysTo —
+        the CKStateChunk memory-dump path)."""
+        import struct
+        k = self.GetKeyCount()
+        out = [struct.pack("<iii", k, self.DIM, self.MODE)]
+        out.append(self.times.astype("<f4").tobytes())
+        out.append(self.values.astype("<f4").tobytes())
+        out.append(self._tcb.astype("<f4").tobytes())
+        return b"".join(out)
+
+    def ReadKeysFrom(self, raw: bytes) -> int:
+        """Restore keys from a DumpKeysTo buffer; returns bytes consumed."""
+        import struct
+        k, dim, _mode = struct.unpack_from("<iii", raw, 0)
+        if dim != self.DIM:
+            raise ValueError(f"key dim {dim} != controller dim {self.DIM}")
+        off = 12
+        self.times = np.frombuffer(raw, "<f4", k, off).copy()
+        off += 4 * k
+        self.values = np.frombuffer(raw, "<f4", k * dim, off).reshape(
+            k, dim).copy()
+        off += 4 * k * dim
+        self._tcb = np.frombuffer(raw, "<f4", k * 3, off).reshape(k, 3).copy()
+        off += 4 * k * 3
+        self._dirty()
+        return off
+
     # -- padded bank row --------------------------------------------------
     def bank_row(self, pad_keys: int):
         """(times, values, tan_in, tan_out, mode, n_keys) padded to pad_keys."""
@@ -386,6 +433,29 @@ class MorphController:
 
     def GetKeyCount(self) -> int:
         return int(self.times.shape[0])
+
+    def GetMorphVertexCount(self) -> int:
+        return self.vertex_count
+
+    def SetMorphVertexCount(self, n: int):
+        """Resize the per-key vertex arrays (reference SetMorphVertexCount);
+        existing keys are truncated or zero-padded."""
+        n = int(n)
+        if n == self.vertex_count:
+            return
+        k = self.GetKeyCount()
+        for attr in ("vertex_keys", "normal_keys"):
+            old = getattr(self, attr)
+            new = np.zeros((k, n, 3), np.float32)
+            new[:, :min(n, self.vertex_count)] = old[:, :min(n, self.vertex_count)]
+            setattr(self, attr, new)
+        self.vertex_count = n
+
+    def HasNormalInfo(self) -> bool:
+        return bool(self.normal_keys.size and np.any(self.normal_keys))
+
+    def GetLength(self) -> float:
+        return float(self.times[-1]) if len(self.times) else 0.0
 
     def Evaluate(self, t: float):
         if self.GetKeyCount() == 0:

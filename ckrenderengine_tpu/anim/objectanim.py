@@ -129,6 +129,148 @@ class CKObjectAnimation(CKObject):
             return True
         return False
 
+    # -- API-surface parity batch (reference include/RCKObjectAnimation.h) --
+    def GetPositionController(self):
+        return self.position_controller
+
+    def GetRotationController(self):
+        return self.rotation_controller
+
+    def GetScaleController(self):
+        return self.scale_controller
+
+    def GetScaleAxisController(self):
+        return self.scale_axis_controller
+
+    def GetMorphController(self):
+        return self.morph_controller
+
+    def HasPositionInfo(self) -> bool:
+        c = self.position_controller
+        return c is not None and c.GetKeyCount() > 0
+
+    def HasRotationInfo(self) -> bool:
+        c = self.rotation_controller
+        return c is not None and c.GetKeyCount() > 0
+
+    def HasScaleInfo(self) -> bool:
+        c = self.scale_controller
+        return c is not None and c.GetKeyCount() > 0
+
+    def HasScaleAxisInfo(self) -> bool:
+        c = self.scale_axis_controller
+        return c is not None and c.GetKeyCount() > 0
+
+    def HasMorphInfo(self) -> bool:
+        c = self.morph_controller
+        return c is not None and c.GetKeyCount() > 0
+
+    def HasMorphNormalInfo(self) -> bool:
+        c = self.morph_controller
+        return c is not None and c.HasNormalInfo()
+
+    def GetMorphVertexCount(self) -> int:
+        c = self.morph_controller
+        return c.GetMorphVertexCount() if c is not None else 0
+
+    # Key-add conveniences: create the default (linear) controller on first
+    # use, exactly the type the reference's Add*Key paths target.
+    def AddPositionKey(self, time: float, pos):
+        if self.position_controller is None:
+            self.CreateController(CKANIMATION_LINEAR_POS)
+        return self.position_controller.AddKey(time, pos)
+
+    def AddRotationKey(self, time: float, quat):
+        if self.rotation_controller is None:
+            self.CreateController(CKANIMATION_LINEAR_ROT)
+        return self.rotation_controller.AddKey(time, quat)
+
+    def AddScaleKey(self, time: float, scale):
+        if self.scale_controller is None:
+            self.CreateController(CKANIMATION_LINEAR_SCL)
+        return self.scale_controller.AddKey(time, scale)
+
+    def AddScaleAxisKey(self, time: float, quat):
+        if self.scale_axis_controller is None:
+            self.CreateController(CKANIMATION_LINEAR_SCLAXIS)
+        return self.scale_axis_controller.AddKey(time, quat)
+
+    def CheckScaleKeys(self) -> int:
+        """Repair degenerate scale keys: components with |s| < 1e-6 are
+        clamped away from zero (reference CheckScaleKeys — zero scales make
+        the PRS decomposition singular). Returns the number of repaired
+        keys."""
+        c = self.scale_controller
+        if c is None or c.GetKeyCount() == 0:
+            return 0
+        v = c.values
+        bad = np.abs(v) < 1e-6
+        n_bad = int(np.any(bad, axis=1).sum())
+        if n_bad:
+            sign = np.where(v < 0, -1.0, 1.0)
+            c.values = np.where(bad, sign * 1e-6, v).astype(np.float32)
+            c._dirty()
+        return n_bad
+
+    def ClearAll(self):
+        """Drop every controller (reference ClearAll)."""
+        self.position_controller = None
+        self.rotation_controller = None
+        self.scale_controller = None
+        self.scale_axis_controller = None
+        self.morph_controller = None
+        self._shared_from = None
+
+    def ResetKeyframeData(self):
+        """Fresh, un-shared keyframe container (reference ResetKeyframeData
+        allocates a new CKKeyframeData)."""
+        self.ClearAll()
+        self.length = 0.0
+
+    def ShareDataFrom(self, other: "CKObjectAnimation"):
+        """Share the other animation's keyframe container (reference
+        ref-counted CKKeyframeData sharing): the controllers become the SAME
+        objects, so key edits are visible through both animations."""
+        self.position_controller = other.position_controller
+        self.rotation_controller = other.rotation_controller
+        self.scale_controller = other.scale_controller
+        self.scale_axis_controller = other.scale_axis_controller
+        self.morph_controller = other.morph_controller
+        self._shared_from = other
+
+    def Shared(self) -> bool:
+        return getattr(self, "_shared_from", None) is not None
+
+    def IsMerged(self) -> bool:
+        return self._merge_a is not None and self._merge_b is not None
+
+    def GetCurrentStep(self) -> float:
+        return getattr(self, "_current_step", 0.0)
+
+    def SetCurrentStep(self, step: float):
+        self.SetStep(step)
+
+    def SetKeyframeLength(self, l: float):
+        """Length of the shared keyframe data (reference SetKeyframeLength);
+        the animation reports it when no explicit anim length is set."""
+        self.length = float(l)
+
+    def GetKeyframeLength(self) -> float:
+        return self.GetLength()
+
+    def EvaluateScaleAxis(self, t: float):
+        if self.scale_axis_controller is None:
+            return None
+        return self.scale_axis_controller.Evaluate(t)
+
+    def EvaluateMorphTarget(self, t: float):
+        """Morph vertex/normal arrays at ``t`` (reference
+        EvaluateMorphTarget writes them into the mesh modifier arrays;
+        SetStep does that application here)."""
+        if self.morph_controller is None:
+            return None, None
+        return self.morph_controller.Evaluate(t)
+
     # -- length ------------------------------------------------------------
     def GetLength(self) -> float:
         if self.length > 0:
@@ -201,6 +343,7 @@ class CKObjectAnimation(CKObject):
         """Evaluate at ``step`` and write the target's local matrix
         (+morph into the mesh)."""
         ent = entity or self._entity
+        self._current_step = float(step)
         if self._merge_a is not None and self._merge_b is not None:
             pa = self._merge_a.evaluate_prs(step)
             pb = self._merge_b.evaluate_prs(step)

@@ -37,6 +37,21 @@ class CKSkinBoneData:
     def GetBoneInitialInverseMatrix(self):
         return self.initial_inverse.copy()
 
+    # reference RCKSkinBoneData accessor aliases
+    def GetInitialInverseMatrix(self):
+        return self.GetBoneInitialInverseMatrix()
+
+    def GetTransformMatrix(self, skin) -> np.ndarray:
+        """The bone's full skinning transform for ``skin``:
+        object_init @ initial_inverse @ bone_world @ inv(owner_world)
+        (reference ConstructBoneTransfoMatrices per-bone product,
+        src/CKSkin.cpp:153-181,266-271)."""
+        obj_inv = np.linalg.inv(skin.owner.GetWorldMatrix())
+        bw = (self.entity.GetWorldMatrix() if self.entity is not None
+              else np.eye(4, dtype=np.float32))
+        return (skin.object_init @ self.initial_inverse @ bw
+                @ obj_inv).astype(np.float32)
+
 
 class CKSkin:
     """Skin attached to a CK3dEntity (ent.CreateSkin())."""
@@ -102,6 +117,116 @@ class CKSkin:
 
     def GetVertexWeights(self, vertex: int):
         return list(self._vbones[vertex]), list(self._vweights[vertex])
+
+    # -- API-surface parity batch (reference include/RCKSkin.h) ------------
+    def GetObjectInitMatrix(self):
+        return self.object_init.copy()
+
+    def GetInitialPos(self, i: int):
+        return self.rest_pos[i].copy()
+
+    def SetInitialPos(self, i: int, pos):
+        self.SetVertexInitialPos(i, pos)
+
+    def GetNormalCount(self) -> int:
+        return int(self.rest_nrm.shape[0])
+
+    def SetNormalCount(self, n: int):
+        """Resize the rest-normal array independently of positions
+        (reference SetNormalCount)."""
+        n = int(n)
+        old = self.rest_nrm
+        self.rest_nrm = np.zeros((n, 3), np.float32)
+        self.rest_nrm[:min(n, old.shape[0])] = old[:min(n, old.shape[0])]
+
+    def GetNormal(self, i: int):
+        return self.rest_nrm[i].copy()
+
+    def SetNormal(self, i: int, n):
+        self.rest_nrm[i] = n
+
+    def GetWeight(self, vertex: int, idx: int) -> float:
+        return float(self._vweights[vertex][idx])
+
+    def SetWeight(self, vertex: int, idx: int, w: float):
+        self._vweights[vertex][idx] = float(w)
+
+    def GetWeightsArray(self) -> np.ndarray:
+        """Packed (V,K) normalized weight matrix (reference per-vertex
+        weight storage, flattened)."""
+        return self.packed_weights()[1]
+
+    def GetBonesArray(self) -> np.ndarray:
+        """Packed (V,K) bone-index matrix."""
+        return self.packed_weights()[0]
+
+    def GetVertexData(self, vertex: int):
+        """(initial_pos, bones, weights) for one vertex (reference
+        GetVertexData view into RCKSkinVertexData)."""
+        return (self.rest_pos[vertex].copy(), list(self._vbones[vertex]),
+                list(self._vweights[vertex]))
+
+    def ConstructBoneTransfoMatrices(self) -> np.ndarray:
+        """(B,4,4) full per-bone skinning transforms at the bones' current
+        world matrices (reference ConstructBoneTransfoMatrices)."""
+        return np.stack([bd.GetTransformMatrix(self) for bd in self.bones]) \
+            if self.bones else np.zeros((0, 4, 4), np.float32)
+
+    def BuildBonePointLists(self):
+        """Per-bone gather lists (reference RCKSkinBonePoints,
+        src/CKSkin.cpp:419+): for each bone, the (vertex_index, weight)
+        pairs it influences. The device path uses the vertex-major packed
+        arrays instead; this is the bone-major view for API parity."""
+        lists = [[] for _ in self.bones]
+        for v in range(self.vertex_count):
+            for b, w in zip(self._vbones[v], self._vweights[v]):
+                if 0 <= b < len(lists):
+                    lists[b].append((v, float(w)))
+        self._bone_point_lists = lists
+        return lists
+
+    def ClearBonePointLists(self):
+        self._bone_point_lists = None
+
+    def GetBonePointLists(self):
+        lists = getattr(self, "_bone_point_lists", None)
+        return lists if lists is not None else self.BuildBonePointLists()
+
+    def CalcPointsEx(self):
+        """Skinned positions AND rotated normals (reference CalcPointsEx,
+        src/CKSkin.cpp:183-331 — here vectorized vertex-major)."""
+        pos = self.CalcPoints()
+        bmats = self.ConstructBoneTransfoMatrices()
+        bi, w = self.packed_weights()
+        acc_n = np.zeros((self.vertex_count, 3), np.float32)
+        for j in range(bi.shape[1]):
+            r = bmats[bi[:, j]][:, :3, :3]            # rotation part
+            nj = np.einsum("vi,vij->vj", self.rest_nrm, r)
+            acc_n += nj * w[:, j:j + 1]
+        ln = np.linalg.norm(acc_n, axis=-1, keepdims=True)
+        acc_n = acc_n / np.maximum(ln, 1e-12)
+        return pos, acc_n.astype(np.float32)
+
+    def CalcLocalBBox(self):
+        """Mesh-local bbox of the current skinned points (reference
+        CalcLocalBBox)."""
+        if self.vertex_count == 0:
+            return None
+        p = self.CalcPoints()
+        return p.min(axis=0), p.max(axis=0)
+
+    def RemapVertices(self, remap):
+        """Reorder per-vertex skin data by ``remap`` (new_index = position,
+        value = old index) — the reference uses this when the progressive
+        mesh reorders vertices (src/CKSkin.cpp:345-397)."""
+        remap = np.asarray(remap, np.int64)
+        self.rest_pos = self.rest_pos[remap].copy()
+        self.rest_nrm = self.rest_nrm[remap].copy() \
+            if self.rest_nrm.shape[0] == len(remap) else self.rest_nrm
+        self._vbones = [self._vbones[i] for i in remap]
+        self._vweights = [self._vweights[i] for i in remap]
+        self.vertex_count = len(remap)
+        self.ClearBonePointLists()
 
     # -- packed arrays -----------------------------------------------------
     def packed_weights(self, k: int | None = None):

@@ -127,15 +127,22 @@ class CKStateChunk:
         return int(ident) in self._sections
 
     # -- remap (reference dependency remap on load/copy) ---------------------
-    def RemapObjectIDs(self, mapping: dict[int, int], default: int = 0):
+    def RemapObjectIDs(self, mapping: dict[int, int], default: int = 0,
+                       keep_unmapped: bool = False):
         """Remap object references after load; unmapped ids become ``default``
-        (0 = null reference) so stale ids never alias foreign objects."""
+        (0 = null reference) so stale ids never alias foreign objects.
+        ``keep_unmapped=True`` leaves unmapped ids in place instead — the
+        same-context partial remap used by dependency-aware Copy (shared
+        dependencies keep resolving to the original objects)."""
         for sec in self._sections.values():
             for i, (t, v) in enumerate(sec):
                 if t == _T_OBJID:
-                    sec[i] = (t, mapping.get(v, default) if v else 0)
+                    if keep_unmapped:
+                        sec[i] = (t, mapping.get(v, v))
+                    else:
+                        sec[i] = (t, mapping.get(v, default) if v else 0)
                 elif t == _T_SUBCHUNK:
-                    v.RemapObjectIDs(mapping, default)
+                    v.RemapObjectIDs(mapping, default, keep_unmapped)
 
     # -- binary container ----------------------------------------------------
     def to_bytes(self) -> bytes:

@@ -30,6 +30,11 @@ from .manager import (
     CK_RENDER_FOREGROUNDSPRITES, CK_RENDER_USECAMERARATIO,
     CKRenderContext, CKRenderManager, VxEffectDescription,
 )
+from .classreg import (
+    CKDEP_COPY, CKDEP_USECURRENT, CKGetClassDesc, CKGetClassIdByName,
+    CKGetClassName, CKGetParentClassID, CKIsChildClassOf,
+    DEFAULT_COPY_DEPENDENCIES, FULL_COPY_DEPENDENCIES,
+)
 
 __all__ = [
     "CKContext", "CKObject", "CK3dEntity", "CK3dObject", "CKMesh",
@@ -45,4 +50,8 @@ __all__ = [
     "CK_RENDER_DEFAULTSETTINGS", "CK_RENDER_USECAMERARATIO",
     "CK_RENDER_CLEARBACKBUFFER", "CK_RENDER_CLEARZBUFFER",
     "CK_RENDER_BACKGROUNDSPRITES", "CK_RENDER_FOREGROUNDSPRITES",
+    "CKDEP_COPY", "CKDEP_USECURRENT", "CKGetClassDesc",
+    "CKGetClassIdByName", "CKGetClassName", "CKGetParentClassID",
+    "CKIsChildClassOf", "DEFAULT_COPY_DEPENDENCIES",
+    "FULL_COPY_DEPENDENCIES",
 ]

@@ -69,6 +69,24 @@ class CKObject:
     def GetClassID(self) -> int:
         return self.CLASS_ID
 
+    def GetClassName(self) -> str:
+        """Registered class name (reference GetClassName/CKClassDesc)."""
+        from .classreg import CKGetClassName
+        return CKGetClassName(self.CLASS_ID)
+
+    def IsChildClassOf(self, parent) -> bool:
+        from .classreg import CKIsChildClassOf
+        return CKIsChildClassOf(self, parent)
+
+    def GetDependencies(self, modes=None) -> list:
+        """Direct object dependencies (reference GetDependencies)."""
+        from .classreg import get_dependencies
+        return get_dependencies(self, modes)
+
+    def Copy(self, modes=None, suffix: str = ""):
+        """Dependency-aware duplicate (reference RCK*::Copy)."""
+        return self.context.CopyObject(self, modes, suffix)
+
     def Show(self, show: bool = True):
         self._visible = bool(show)
         self.context._bump_dynamic()
@@ -136,7 +154,24 @@ class CKContext:
 
     # -- factory (CKContext::CreateObject equivalent) ---------------------
     def CreateObject(self, cls, name: str = "", **kw):
+        if isinstance(cls, int):
+            return self.CreateObjectByClassID(cls, name, **kw)
         return cls(self, name, **kw)
+
+    def CreateObjectByClassID(self, cid: int, name: str = "", **kw):
+        """Instantiate by CK class id (reference CreateInstance via the
+        registered class table, src/CK2_3D.cpp:146-175)."""
+        from .classreg import CKGetClassDesc
+        desc = CKGetClassDesc(cid)
+        if desc is None:
+            raise ValueError(f"unknown CK class id {cid}")
+        return desc.cls(self, name, **kw)
+
+    def CopyObject(self, obj: "CKObject", modes=None, suffix: str = ""):
+        """Dependency-aware object duplication (reference Copy/
+        PrepareDependencies/RemapDependencies — see objects/classreg.py)."""
+        from .classreg import copy_object
+        return copy_object(self, obj, modes, suffix)
 
     # -- dirty tracking ---------------------------------------------------
     def Save(self, path: str, objects=None) -> int:
@@ -150,11 +185,26 @@ class CKContext:
         return LoadScene(self, path)
 
     def _bump_topology(self):
+        if getattr(self, "_suspend_bumps", 0) > 0:
+            self._pending_topology = True
+            return
         self._topology_version += 1
         self._dynamic_version += 1
 
     def _bump_dynamic(self):
         self._dynamic_version += 1
+
+    def BeginAddRemoveSequence(self):
+        """Batch a burst of object adds/removes into ONE recompile
+        (reference RCKRenderContext::AddRemoveSequence(TRUE))."""
+        self._suspend_bumps = getattr(self, "_suspend_bumps", 0) + 1
+
+    def EndAddRemoveSequence(self):
+        self._suspend_bumps = max(0, getattr(self, "_suspend_bumps", 0) - 1)
+        if self._suspend_bumps == 0 and getattr(self, "_pending_topology",
+                                                False):
+            self._pending_topology = False
+            self._bump_topology()
 
     def GetRenderManager(self):
         if self.render_manager is None:

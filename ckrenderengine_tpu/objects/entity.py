@@ -271,6 +271,50 @@ class CK3dEntity(CKRenderObject):
         self.render_priority = int(p)
         self.context._bump_topology()
 
+    # -- API-surface parity batch (reference include/RCK3dEntity.h) --------
+    def SetZOrder(self, z: int):
+        """Render-order key (reference Set/GetZOrder map onto the scene-
+        graph priority here — the same sort key role)."""
+        self.SetRenderPriority(z)
+
+    def GetZOrder(self) -> int:
+        return self.render_priority
+
+    def IsToBeRendered(self) -> bool:
+        return self.IsVisible() and self.current_mesh is not None
+
+    def IsToBeRenderedLast(self) -> bool:
+        """True when this entity takes the sorted transparent pass
+        (reference IsToBeRenderedLast: transparent objects render after
+        opaques)."""
+        m = self.current_mesh
+        return bool(m is not None and m.IsTransparent())
+
+    def WorldMatrixChanged(self, invalidate_box: bool = True,
+                           dont_callbacks: bool = False):
+        """Public change notification (reference WorldMatrixChanged,
+        src/CK3dEntity.cpp:2091 — here the device recomposes all worlds per
+        frame, so this just flags movement)."""
+        self._flag_moved()
+
+    def LocalMatrixChanged(self, invalidate_box: bool = True,
+                           dont_callbacks: bool = False):
+        self._flag_moved()
+
+    def WorldPositionChanged(self):
+        self._flag_moved()
+
+    def SaveLastFrameMatrix(self):
+        self._last_frame_matrix = self.GetWorldMatrix()
+
+    def GetMemoryOccupation(self) -> int:
+        total = 64 * 4   # the SoA table row
+        if self.current_mesh is not None:
+            m = self.current_mesh
+            total += int(m.positions.nbytes + m.normals.nbytes
+                         + m.uvs.nbytes + m.faces.nbytes)
+        return total
+
     # -- bbox -------------------------------------------------------------
     def GetBoundingBox(self, local: bool = False):
         if self.current_mesh is None:

@@ -191,6 +191,7 @@ class CKRenderContext(CKObject):
         self._objects: list | None = None
         self.pre_render_callbacks: list = []
         self.post_render_callbacks: list = []
+        self.post_sprite_callbacks: list = []
         # Packed-transfer frame state (pipeline/packing.py)
         self._layout_sig = None
         self._layout = None
@@ -424,6 +425,11 @@ class CKRenderContext(CKObject):
             mesh = ent.GetCurrentMesh()
             if mesh is None or (mesh.GetFaceCount() == 0
                                 and mesh.GetLineCount() == 0):
+                continue
+            # A custom render callback REPLACES the default mesh render
+            # (reference RCKMesh::SetRenderCallBack): skip its triangles;
+            # the callback fires after the frame program (immediate draws).
+            if getattr(mesh, "render_callback", None) is not None:
                 continue
             # Skinned entities get a private pool block (their pool vertices
             # are overwritten per-frame by the device skin stage).
@@ -1543,6 +1549,20 @@ class CKRenderContext(CKObject):
         if self.target_texture is not None:
             self.target_texture.SetImage(self.framebuffer())
         with PhaseTimer(ph, "CallbacksTime"):
+            # Custom mesh render callbacks draw now (they REPLACE the
+            # default render; immediate DrawPrimitive composites onto fb),
+            # then mesh post-render callbacks, then context/object posts.
+            for obj in list(self.context._prerender_objects.values()):
+                rcb = getattr(obj, "render_callback", None)
+                if rcb is not None:
+                    rcb[0](self, obj, rcb[1])
+                for cb in list(getattr(obj, "post_render_callbacks", ())):
+                    cb(self, obj)
+            # Post-sprite callbacks fire right after the fg 2D pass
+            # (reference CKRenderedScene::Draw :331-344), i.e. before the
+            # context post-render callbacks.
+            for kind, fct, arg, _t in self.post_sprite_callbacks:
+                fct(self, arg)
             for kind, fct, arg, _t in self.post_render_callbacks:
                 fct(self, arg)
             for obj in list(self.context._cb_objects.values()):
@@ -1918,6 +1938,13 @@ class CKRenderContext(CKObject):
         else:
             colors = np.asarray(data["colors"], np.float32)
             uvs = np.asarray(data["uvs"], np.float32)
+        tm = getattr(self, "_texture_matrices", {}).get(0)
+        if tm is not None:
+            # DX9 2D texture transform: (u,v,0,1) @ M, keep xy
+            uvh = np.concatenate(
+                [uvs, np.zeros((uvs.shape[0], 1), np.float32),
+                 np.ones((uvs.shape[0], 1), np.float32)], -1)
+            uvs = (uvh @ tm)[:, :2].astype(np.float32)
         if not data.get("transformed", True):
             h = np.concatenate(
                 [pos[:, :3], np.ones((pos.shape[0], 1), np.float32)], -1)
@@ -1936,7 +1963,7 @@ class CKRenderContext(CKObject):
         u[:] = uvs
         vb.Unlock()
         mat = self._dp_material
-        state = None
+        state = getattr(self, "_dp_state", None)   # material state appliers
         tex = self._dp_texture
         if mat is not None:
             state = mat.raster_state() if hasattr(mat, "raster_state") else None
@@ -1955,6 +1982,213 @@ class CKRenderContext(CKObject):
 
     def WarnExitThread(self):
         return None
+
+    # -- API-surface parity batch (reference include/RCKRenderContext.h) ---
+    def Activate(self, active: bool = True):
+        """Active contexts render during RenderManager::Process (reference
+        Activate); Render() can still be called directly either way."""
+        self._active = bool(active)
+
+    def IsActive(self) -> bool:
+        return getattr(self, "_active", True)
+
+    def SetFullViewport(self):
+        """Reset the viewport to the whole surface (reference
+        SetFullViewport)."""
+        self.SetViewRect(0, 0, self.width, self.height)
+
+    def GetCurrentExtents(self):
+        """The running 2D extents rect accumulated this frame (reference
+        Get/SetCurrentExtents)."""
+        return getattr(self, "_current_extents",
+                       (0.0, 0.0, float(self.width), float(self.height)))
+
+    def SetCurrentExtents(self, rect):
+        self._current_extents = tuple(float(v) for v in rect)
+
+    def AddExtents2D(self, rect, obj=None):
+        """Merge a screen rect into the current extents; with ``obj``, also
+        record it for 2D picking (reference AddExtents2D)."""
+        x0, y0, x1, y1 = (float(v) for v in rect)
+        cx0, cy0, cx1, cy1 = self.GetCurrentExtents()
+        self._current_extents = (min(cx0, x0), min(cy0, y0),
+                                 max(cx1, x1), max(cy1, y1))
+        if obj is not None:
+            if not hasattr(self, "_extents_2d"):
+                self._extents_2d = []
+            self._extents_2d.append(((x0, y0, x1, y1), obj))
+
+    # Dirty rects (reference AddDirtyRect/ResetDirtyRects — partial-present
+    # hints; the TPU present is always full-frame, the list is bookkeeping
+    # for API parity and user inspection).
+    def AddDirtyRect(self, rect=None):
+        if not hasattr(self, "_dirty_rects"):
+            self._dirty_rects = []
+        self._dirty_rects.append(
+            tuple(rect) if rect is not None
+            else (0, 0, self.width, self.height))
+
+    def ResetDirtyRects(self):
+        self._dirty_rects = []
+
+    def GetDirtyRects(self) -> list:
+        return list(getattr(self, "_dirty_rects", []))
+
+    def AddPostSpriteRenderCallBack(self, fct, arg=None, temp: bool = False):
+        """Fires after the foreground 2D/sprite pass (reference
+        AddPostSpriteRenderCallBack)."""
+        self.post_sprite_callbacks.append(("postsprite", fct, arg, temp))
+
+    def RemovePostSpriteRenderCallBack(self, fct):
+        self.post_sprite_callbacks = [
+            cb for cb in self.post_sprite_callbacks if cb[1] is not fct]
+
+    def ExecutePreRenderCallbacks(self):
+        for kind, fct, arg, _t in list(self.pre_render_callbacks):
+            fct(self, arg)
+
+    def ExecutePostRenderCallbacks(self):
+        for kind, fct, arg, _t in list(self.post_render_callbacks):
+            fct(self, arg)
+
+    def ExecutePostSpriteCallbacks(self):
+        for kind, fct, arg, _t in list(self.post_sprite_callbacks):
+            fct(self, arg)
+
+    def ChangeCurrentRenderOptions(self, add: int = 0, remove: int = 0):
+        """Add/remove render-flag bits in one call (reference
+        ChangeCurrentRenderOptions)."""
+        self.render_flags = (self.render_flags | int(add)) & ~int(remove)
+        return self.render_flags
+
+    def CheckObjectExtents(self, ent) -> bool:
+        """True when the entity has valid extents recorded for this frame
+        (reference CheckObjectExtents)."""
+        return self.GetObjectExtents(ent) is not None
+
+    def Compute3dRootObjects(self) -> list:
+        """Parentless 3D entities attached to this context (reference
+        Compute3dRootObjects)."""
+        from .entity import CK3dEntity
+        return [o for o in self._scene_entities()
+                if isinstance(o, CK3dEntity) and o.GetParent() is None]
+
+    def Compute2dRootObjects(self) -> list:
+        """Parentless 2D entities, background roots first (reference
+        Compute2dRootObjects)."""
+        from .entity2d import CK2dEntity
+        roots = [o for o in self.context._objects.values()
+                 if isinstance(o, CK2dEntity) and o.GetParent() is None]
+        roots.sort(key=lambda e: (not e.IsBackground(), e.zorder, e.id))
+        return roots
+
+    def DetachAll(self):
+        """Detach every object from THIS context (reference DetachAll);
+        switches to explicit empty membership."""
+        from .entity import CKRenderObject
+        for obj in self.context._objects.values():
+            if isinstance(obj, CKRenderObject):
+                obj._in_render_context_mask &= ~self.mask
+        self._objects = []
+        self.context._bump_topology()
+
+    def AddRemoveSequence(self, begin: bool):
+        """Bracket a burst of AddObject/RemoveObject calls so the scene
+        recompiles once (reference AddRemoveSequence)."""
+        if begin:
+            self.context.BeginAddRemoveSequence()
+        else:
+            self.context.EndAddRemoveSequence()
+
+    def PrepareCameras(self, flags: int = 0):
+        """Apply target-camera/-light LookAts + refresh the projection
+        (reference PrepareCameras, src/CKRenderedScene.cpp:484-536 — the
+        frame program recomputes view/proj each Render; this forces the
+        host-side targets now)."""
+        from .camera import CKTargetCamera
+        from .light import CKTargetLight
+        for o in list(self.context._objects.values()):
+            if isinstance(o, (CKTargetCamera, CKTargetLight)):
+                o.prepare()
+        self.UpdateProjection(True)
+
+    def UpdateProjection(self, force: bool = False) -> bool:
+        """Recompute the cached projection matrix from the attached camera
+        (reference UpdateProjection, src/CKRenderContext.cpp:2783-2808)."""
+        self._proj_cache = None
+        _, proj, _ = self._camera_np()
+        return proj is not None
+
+    def SetRenderTarget(self, texture) -> bool:
+        """Alias of SetTargetTexture (reference SetRenderTarget /
+        render-to-texture)."""
+        self.SetTargetTexture(texture)
+        return True
+
+    def RestoreScreenBackup(self):
+        """Restore the pre-frame framebuffer backup (reference
+        RestoreScreenBackup — transparent-context screen restore). A backup
+        is captured by BackupScreen()."""
+        bak = getattr(self, "_screen_backup", None)
+        if bak is None:
+            return False
+        return self.CopyFromMemoryBuffer(bak)
+
+    def BackupScreen(self):
+        self._screen_backup = self.framebuffer().copy()
+
+    # Texture stage state (reference SetTextureStageState /
+    # SetTextureMatrix, CKDX9RasterizerContext.cpp:1226,975+): stored per
+    # stage; the texture matrix transforms immediate-mode UVs.
+    def SetTextureMatrix(self, m, stage: int = 0):
+        if not hasattr(self, "_texture_matrices"):
+            self._texture_matrices = {}
+        self._texture_matrices[int(stage)] = np.asarray(m, np.float32)
+        return True
+
+    def GetTextureMatrix(self, stage: int = 0):
+        return getattr(self, "_texture_matrices", {}).get(int(stage))
+
+    def SetTextureStageState(self, stage: int, state: int, value) -> bool:
+        if not hasattr(self, "_texture_stage_states"):
+            self._texture_stage_states = {}
+        self._texture_stage_states[(int(stage), int(state))] = value
+        return True
+
+    def GetTextureStageState(self, stage: int, state: int):
+        return getattr(self, "_texture_stage_states", {}).get(
+            (int(stage), int(state)))
+
+    # Debug render-state dump (reference FillStateString /
+    # AppendState*Line, src/CKRenderContext.cpp:287 — the EnableDebugMode
+    # overlay's state listing).
+    def FillStateString(self, material=None) -> str:
+        from ..raster.types import RasterState
+        st = material.raster_state() if material is not None \
+            else getattr(self, "_dp_state", None) or RasterState()
+        lines = []
+        self.AppendStateOnOffLine(lines, "AlphaBlend", st.alpha_blend)
+        self.AppendStateOnOffLine(lines, "AlphaTest", st.alpha_test)
+        self.AppendStateOnOffLine(lines, "ZWrite", st.z_write)
+        self.AppendStateOnOffLine(lines, "Fog", st.fog)
+        self.AppendStateEnumLine(lines, "SrcBlend", st.src_blend)
+        self.AppendStateEnumLine(lines, "DestBlend", st.dst_blend)
+        self.AppendStateEnumLine(lines, "ZFunc", st.z_func)
+        self.AppendStateEnumLine(lines, "Cull", st.cull)
+        self.AppendStateUIntLine(lines, "Texture", max(st.tex, 0))
+        return "\n".join(lines)
+
+    @staticmethod
+    def AppendStateOnOffLine(lines: list, name: str, value) -> None:
+        lines.append(f"{name}: {'On' if value else 'Off'}")
+
+    @staticmethod
+    def AppendStateEnumLine(lines: list, name: str, value) -> None:
+        lines.append(f"{name}: {int(value)}")
+
+    @staticmethod
+    def AppendStateUIntLine(lines: list, name: str, value) -> None:
+        lines.append(f"{name}: {int(value) & 0xFFFFFFFF}")
 
     # -- user clip planes (reference SetUserClipPlane/GetUserClipPlane,
     # include/CKRasterizer.h + CKDX9RasterizerContext.cpp:3408) -------------
@@ -2459,9 +2693,11 @@ class CKRenderManager(CKObject):
         return self.render_contexts[i]
 
     def Process(self):
-        """Render every context (reference src/CKRenderManager.cpp:521-527)."""
+        """Render every active context (reference
+        src/CKRenderManager.cpp:521-527; Activate(False) skips one)."""
         for rc in self.render_contexts:
-            rc.Render()
+            if rc.IsActive():
+                rc.Render()
 
     def ProcessBatched(self, mesh=None):
         """Render every same-shape context as ONE vmapped (optionally
@@ -2613,6 +2849,116 @@ class CKRenderManager(CKObject):
                 cb for cb in rc.pre_render_callbacks if not cb[3]]
             rc.post_render_callbacks = [
                 cb for cb in rc.post_render_callbacks if not cb[3]]
+            rc.post_sprite_callbacks = [
+                cb for cb in rc.post_sprite_callbacks if not cb[3]]
+
+    # -- API-surface parity batch (reference include/RCKRenderManager.h) ---
+    def AddTemporaryPreRenderCallback(self, fct, arg=None, rc=None):
+        """Register a pre-render callback dropped after the next frame
+        (reference AddTemporaryCallback; the manager clears temps in
+        PostProcess)."""
+        for target in ([rc] if rc is not None else self.render_contexts):
+            target.AddPreRenderCallBack(fct, arg, temp=True)
+
+    def AddTemporaryPostRenderCallback(self, fct, arg=None, rc=None):
+        for target in ([rc] if rc is not None else self.render_contexts):
+            target.AddPostRenderCallBack(fct, arg, temp=True)
+
+    # reference naming aliases
+    def AddTemporaryCallback(self, fct, arg=None, pre: bool = True):
+        if pre:
+            self.AddTemporaryPreRenderCallback(fct, arg)
+        else:
+            self.AddTemporaryPostRenderCallback(fct, arg)
+
+    def RemoveTemporaryCallback(self, fct):
+        for rc in self.render_contexts:
+            rc.RemovePreRenderCallBack(fct)
+            rc.RemovePostRenderCallBack(fct)
+
+    def RemoveAllTemporaryCallbacks(self):
+        """Drop every temp callback NOW, without waiting for PostProcess."""
+        for rc in self.render_contexts:
+            rc.pre_render_callbacks = [
+                cb for cb in rc.pre_render_callbacks if not cb[3]]
+            rc.post_render_callbacks = [
+                cb for cb in rc.post_render_callbacks if not cb[3]]
+            rc.post_sprite_callbacks = [
+                cb for cb in rc.post_sprite_callbacks if not cb[3]]
+
+    def ClearTemporaryCallbacks(self):
+        self.CleanTemporaryCallbacks()
+
+    def RemoveRenderContext(self, rc: "CKRenderContext"):
+        """Detach a context from the manager without destroying the object
+        (reference RemoveRenderContext; DestroyRenderContext also deletes)."""
+        if rc in self.render_contexts:
+            self.render_contexts.remove(rc)
+            self._context_mask_free |= rc.mask
+
+    def DetachAllObjects(self):
+        """Remove every render object from every context (reference
+        DetachAllObjects). Contexts in implicit everything-renders mode
+        (``_objects is None``) switch to an explicit empty membership."""
+        from .entity import CKRenderObject
+        for rc in self.render_contexts:
+            for obj in list(self.context._objects.values()):
+                if isinstance(obj, CKRenderObject):
+                    rc.RemoveObject(obj)
+                    obj._in_render_context_mask &= ~rc.mask
+            rc._objects = []
+            self.context._bump_topology()
+
+    def GetRootNode(self):
+        """Scene-graph root facade (reference GetRootNode —
+        CKSceneGraphRootNode; here a VIEW over the flat entity table,
+        scene/scenegraph.py)."""
+        from ..scene.scenegraph import CKSceneGraphRootNode
+        if getattr(self, "_root_node", None) is None:
+            self._root_node = CKSceneGraphRootNode(self)
+        return self._root_node
+
+    def CreateNode(self, entity=None):
+        """Node view for an entity (reference CreateNode allocated real
+        per-entity nodes; views are free)."""
+        from ..scene.scenegraph import CKSceneGraphNode
+        return CKSceneGraphNode(self, entity)
+
+    def DeleteNode(self, node):
+        """No-op: nodes are views (reference freed the allocation)."""
+
+    def DestroyingDevice(self):
+        """Device teardown notification (reference DestroyingDevice —
+        D3D lost-device path): drop compiled scenes + device textures so the
+        next Render() rebuilds from system memory."""
+        self.FlushTextures()
+        for rc in self.render_contexts:
+            rc._compiled = CompiledScene()    # stale: next Render recompiles
+
+    def GetValidFunctionsMask(self) -> int:
+        """Which manager notifications are implemented (reference
+        CKManagerImplementation mask): PreProcess | PostProcess |
+        OnCKEnd | OnCKPause | PreClearAll | SequenceToBeDeleted |
+        SequenceDeleted."""
+        return 0x7F
+
+    # CK2 sequence notifications (reference SequenceAddedToScene /
+    # SequenceRemovedFromScene / SequenceToBeDeleted / SequenceDeleted):
+    # scene membership changed or objects are dying — recompile.
+    def SequenceAddedToScene(self, obj_ids=None):
+        self.context._bump_topology()
+
+    def SequenceRemovedFromScene(self, obj_ids=None):
+        self.context._bump_topology()
+
+    def SequenceToBeDeleted(self, obj_ids=None):
+        for oid in (obj_ids or []):
+            obj = self.context.GetObject(oid)
+            if obj is not None:
+                obj._to_be_deleted = True
+
+    def SequenceDeleted(self, obj_ids=None):
+        self.context._bump_topology()
 
     def SetRenderOptions(self, name: str, value):
         self.options[name] = value

@@ -272,6 +272,95 @@ class CKMaterial(CKObject):
     def GetEffectParameter(self) -> dict:
         return self.effect_parameter
 
+    # -- API-surface parity batch (reference include/RCKMaterial.h) --------
+    def GetTextureMinMode(self) -> int:
+        return self.texture_min_mode
+
+    def GetTextureMagMode(self) -> int:
+        return self.texture_mag_mode
+
+    def GetTextureBorderColor(self):
+        return tuple(np.asarray(self.texture_border_color).tolist())
+
+    def GetCallback(self):
+        return self.callback
+
+    def SetAsCurrent(self, rc, lit: bool = True, texture_stage: int = 0):
+        """Make this material the current immediate-mode state (reference
+        RCKMaterial::SetAsCurrent, src/CKMaterial.cpp:1269 — the render-state
+        compiler; here it binds the material to the context's user
+        DrawPrimitive path)."""
+        rc.SetCurrentMaterial(self)
+        return True
+
+    # -- per-state-group appliers (reference RCKMaterial private helpers
+    # AlphaBlend/AlphaTest/AlphaFunc/ZFunc/ZWrite/TwoSided/
+    # PerspectiveCorrection — each pushes ONE state group of SetAsCurrent
+    # to the device; here they write the context's immediate-mode
+    # RasterState used by user DrawPrimitive when no material is bound) ----
+    def _dp_state_of(self, rc):
+        from ..raster.types import RasterState
+        if getattr(rc, "_dp_state", None) is None:
+            rc._dp_state = RasterState()
+        return rc._dp_state
+
+    def AlphaBlend(self, rc):
+        import dataclasses
+        rc._dp_state = dataclasses.replace(
+            self._dp_state_of(rc), alpha_blend=self.AlphaBlendEnabled(),
+            src_blend=self.GetSourceBlend(), dst_blend=self.GetDestBlend())
+
+    def AlphaTest(self, rc):
+        import dataclasses
+        rc._dp_state = dataclasses.replace(
+            self._dp_state_of(rc), alpha_test=self.AlphaTestEnabled(),
+            alpha_ref=self.GetAlphaRef() / 255.0)
+
+    def AlphaFunc(self, rc):
+        import dataclasses
+        rc._dp_state = dataclasses.replace(
+            self._dp_state_of(rc), alpha_func=self.GetAlphaFunc())
+
+    def ZFunc(self, rc):
+        import dataclasses
+        rc._dp_state = dataclasses.replace(
+            self._dp_state_of(rc), z_func=self.GetZFunc())
+
+    def ZWrite(self, rc):
+        import dataclasses
+        rc._dp_state = dataclasses.replace(
+            self._dp_state_of(rc), z_write=self.ZWriteEnabled())
+
+    def TwoSided(self, rc):
+        import dataclasses
+        from ..raster.types import VXCULL
+        rc._dp_state = dataclasses.replace(
+            self._dp_state_of(rc),
+            cull=int(VXCULL.NONE) if self.IsTwoSided() else int(VXCULL.CCW))
+
+    def PerspectiveCorrection(self, rc):
+        import dataclasses
+        rc._dp_state = dataclasses.replace(
+            self._dp_state_of(rc),
+            perspective=self.PerspectiveCorrectionEnabled())
+
+    # -- Sprite3D batch ownership (reference AddSprite3DBatch /
+    # GetSprite3DBatch / FlushSprite3DBatch, include/RCKMaterial.h — the
+    # material owns the per-frame billboard batch buffer; the TPU build
+    # expands ALL sprites in one device step, so the batch list is the
+    # host-visible staging view) ------------------------------------------
+    def AddSprite3DBatch(self, sprite) -> int:
+        if not hasattr(self, "_sprite3d_batch"):
+            self._sprite3d_batch = []
+        self._sprite3d_batch.append(sprite)
+        return len(self._sprite3d_batch)
+
+    def GetSprite3DBatch(self) -> list:
+        return list(getattr(self, "_sprite3d_batch", []))
+
+    def FlushSprite3DBatch(self):
+        self._sprite3d_batch = []
+
     def SetCallback(self, fct, arg=None):
         self.callback = (fct, arg) if fct else None
 

@@ -68,6 +68,8 @@ class CKMesh(CKObject):
         self._radius: float = 0.0
         self.weights = None                              # PM vertex weights
         self.pre_render_callbacks: list = []             # patch meshes hook here
+        self.post_render_callbacks: list = []
+        self.render_callback = None      # replaces default render when set
 
     # -- vertex API -------------------------------------------------------
     def SetVertexCount(self, n: int):
@@ -525,6 +527,276 @@ class CKMesh(CKObject):
         self.pre_render_callbacks.append(
             fct if arg is None else (lambda dev, mesh: fct(dev, mesh, arg)))
         self.context._prerender_objects[self.id] = self
+
+    # -- API-surface parity batch (reference include/RCKMesh.h) ------------
+    # Raw array access (reference Get*Ptr — live numpy views; mutations
+    # must be followed by the matching *Changed() notifications, exactly
+    # like the reference's modifier protocol).
+    def GetPositionsPtr(self) -> np.ndarray:
+        return self.positions
+
+    def GetNormalsPtr(self) -> np.ndarray:
+        return self.normals
+
+    def GetColorsPtr(self) -> np.ndarray:
+        return self.colors
+
+    def GetSpecularColorsPtr(self) -> np.ndarray:
+        return self.specular_colors
+
+    def GetTextureCoordinatesPtr(self, channel: int = -1) -> np.ndarray:
+        return self.uvs if channel < 0 else self.channels[channel]["uvs"]
+
+    def GetFacesIndices(self) -> np.ndarray:
+        return self.faces
+
+    def GetFaceVertex(self, face: int, corner: int) -> int:
+        return int(self.faces[face, corner])
+
+    def GetFaceNormal(self, face: int) -> np.ndarray:
+        a, b, c = self.faces[face]
+        n = np.cross(self.positions[b] - self.positions[a],
+                     self.positions[c] - self.positions[a])
+        ln = np.linalg.norm(n)
+        return (n / ln if ln > 1e-30 else n).astype(np.float32)
+
+    def GetFaceNormalsPtr(self) -> np.ndarray:
+        a = self.positions[self.faces[:, 0]]
+        n = np.cross(self.positions[self.faces[:, 1]] - a,
+                     self.positions[self.faces[:, 2]] - a)
+        ln = np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+        return (n / ln).astype(np.float32)
+
+    # Modifier protocol (reference GetModifierVertices/VertexMove — the
+    # mutable vertex window that skins/morphs write into; here the arrays
+    # themselves are the modifier, with explicit dirty notifications).
+    def GetModifierVertexCount(self) -> int:
+        return self.GetVertexCount()
+
+    def GetModifierVertices(self) -> np.ndarray:
+        return self.positions
+
+    def ModifierVertexMove(self, rebuild_normals: bool = True,
+                           rebuild_faces: bool = True):
+        if rebuild_normals:
+            self.BuildNormals()
+        self._dirty_dynamic()
+
+    def GetModifierUVCount(self, channel: int = -1) -> int:
+        return self.GetVertexCount()
+
+    def GetModifierUVs(self, channel: int = -1) -> np.ndarray:
+        return self.GetTextureCoordinatesPtr(channel)
+
+    def ModifierUVMove(self):
+        self._dirty_dynamic()
+
+    def VertexMove(self):
+        self._dirty_dynamic()
+
+    def NormalChanged(self):
+        self._dirty_dynamic()
+
+    def UVChanged(self):
+        self._dirty_dynamic()
+
+    def ColorChanged(self):
+        self._dirty_dynamic()
+
+    def UpdateBoundingVolumes(self):
+        self._dirty_dynamic()
+        return self.GetLocalBox()
+
+    # Bulk vertex transforms (reference TranslateVertices/RotateVertices/
+    # ScaleVertices).
+    def TranslateVertices(self, v):
+        self.positions += np.asarray(v, np.float32)
+        self._dirty_dynamic()
+
+    def RotateVertices(self, axis, angle: float):
+        from ..math.vxmath import np_rotation_axis_angle
+
+        r = np_rotation_axis_angle(axis, float(angle))[:3, :3]
+        self.positions = (self.positions @ r).astype(np.float32)
+        if self.normals.size:
+            self.normals = (self.normals @ r).astype(np.float32)
+        self._dirty_dynamic()
+
+    def ScaleVertices(self, s, pivot=None):
+        s3 = np.broadcast_to(np.asarray(s, np.float32), (3,))
+        p = (np.zeros(3, np.float32) if pivot is None
+             else np.asarray(pivot, np.float32))
+        self.positions = ((self.positions - p) * s3 + p).astype(np.float32)
+        self._dirty_dynamic()
+
+    def ScaleVertices3f(self, sx, sy, sz, pivot=None):
+        self.ScaleVertices((sx, sy, sz), pivot)
+
+    # Flags / wrap / lit mode.
+    def SetFlags(self, flags: int):
+        self.flags = int(flags)
+        self._dirty()
+
+    def GetFlags(self) -> int:
+        return self.flags
+
+    def SetWrapMode(self, mode: int):
+        self._wrap_mode = int(mode)
+
+    def GetWrapMode(self) -> int:
+        return getattr(self, "_wrap_mode", 0)
+
+    def GetLitMode(self) -> int:
+        return 0 if self.IsPreLitMode() else 1
+
+    # Lines.
+    def CreateLineStrip(self, count: int, indices=None):
+        """Append a polyline as (count-1) line segments (reference
+        CreateLineStrip)."""
+        idx = (np.arange(count, dtype=np.int32) if indices is None
+               else np.asarray(indices, np.int32))
+        segs = np.stack([idx[:-1], idx[1:]], -1)
+        base = self.lines.shape[0]
+        self.SetLineCount(base + segs.shape[0])
+        self.lines[base:] = segs
+        self._dirty()
+        return base
+
+    def GetLine(self, i: int):
+        return tuple(int(x) for x in self.lines[i])
+
+    def GetLineIndices(self) -> np.ndarray:
+        return self.lines
+
+    # Channels (extensions of the existing channel API).
+    def ActivateAllChannels(self, active: bool = True):
+        for ch in self.channels:
+            ch["active"] = bool(active)
+        self._dirty()
+
+    def GetChannelByMaterial(self, mat) -> int:
+        for i, ch in enumerate(self.channels):
+            if ch["material"] is mat:
+                return i
+        return -1
+
+    def RemoveChannelByMaterial(self, mat):
+        i = self.GetChannelByMaterial(mat)
+        if i >= 0:
+            self.RemoveChannel(i)
+
+    def LitChannel(self, idx: int, lit: bool = True):
+        self.channels[idx]["lit"] = bool(lit)
+        self._dirty()
+
+    def IsChannelLit(self, idx: int) -> bool:
+        return bool(self.channels[idx].get("lit", True))
+
+    def SetChannelFlags(self, idx: int, flags: int):
+        self.channels[idx]["flags"] = int(flags)
+        self._dirty()
+
+    def GetChannelFlags(self, idx: int) -> int:
+        return int(self.channels[idx].get("flags", 0))
+
+    def SetFaceChannelMask(self, face: int, mask: int):
+        self.face_channel_mask[face] = np.uint32(mask)
+        self._dirty()
+
+    def GetFaceChannelMask(self, face: int) -> int:
+        return int(self.face_channel_mask[face])
+
+    def ChangeFaceChannelMask(self, face: int, add_mask: int,
+                              remove_mask: int = 0):
+        m = int(self.face_channel_mask[face])
+        self.face_channel_mask[face] = np.uint32((m | int(add_mask))
+                                                 & ~int(remove_mask))
+        self._dirty()
+
+    # Material groups.
+    def GetMaterialGroupIndex(self, mat) -> int:
+        for i, m in enumerate(self.materials):
+            if m is mat:
+                return i
+        return -1
+
+    def ReplaceMaterial(self, old, new):
+        """Swap a material everywhere it appears (reference
+        ReplaceMaterial)."""
+        changed = False
+        for i, m in enumerate(self.materials):
+            if m is old:
+                self.materials[i] = new
+                changed = True
+        for ch in self.channels:
+            if ch["material"] is old:
+                ch["material"] = new
+                changed = True
+        if changed:
+            self._dirty()
+        return changed
+
+    def GetVBuffer(self, group: int = 0):
+        """Per-group remap arrays (the CKVBuffer analogue: vertex_map /
+        local_faces of the material group)."""
+        groups = self.GetRenderGroups()
+        return groups[group] if 0 <= group < len(groups) else None
+
+    # HW buffer checks: device arrays ARE the video-memory copies here.
+    def CheckHWVertexBuffer(self) -> bool:
+        return True
+
+    def CheckHWIndexBuffer(self) -> bool:
+        return True
+
+    # Render counters (reference Set/GetVerticesRendered).
+    def SetVerticesRendered(self, n: int):
+        self._vertices_rendered = int(n)
+
+    def GetVerticesRendered(self) -> int:
+        return getattr(self, "_vertices_rendered", self.GetVertexCount())
+
+    # Post-render + sub-mesh callbacks (reference AddPostRenderCallBack /
+    # AddSubMesh*RenderCallBack / SetRenderCallBack). The custom render
+    # callback REPLACES the default mesh render when set (reference
+    # SetRenderCallBack semantics) — the scene compiler skips this mesh's
+    # triangles and the callback fires instead.
+    def AddPostRenderCallBack(self, fct, arg=None):
+        self.post_render_callbacks.append(
+            fct if arg is None else (lambda dev, mesh: fct(dev, mesh, arg)))
+        self.context._prerender_objects[self.id] = self
+
+    def RemovePostRenderCallBack(self, fct):
+        if fct in self.post_render_callbacks:
+            self.post_render_callbacks.remove(fct)
+
+    def AddSubMeshPreRenderCallBack(self, fct, arg=None):
+        self.AddPreRenderCallBack(fct, arg)
+
+    def AddSubMeshPostRenderCallBack(self, fct, arg=None):
+        self.AddPostRenderCallBack(fct, arg)
+
+    def RemoveSubMeshPreRenderCallBack(self, fct):
+        if fct in self.pre_render_callbacks:
+            self.pre_render_callbacks.remove(fct)
+
+    def RemoveSubMeshPostRenderCallBack(self, fct):
+        self.RemovePostRenderCallBack(fct)
+
+    def SetRenderCallBack(self, fct, arg=None):
+        self.render_callback = (fct, arg)
+        self.context._prerender_objects[self.id] = self
+        self._dirty()
+
+    def SetDefaultRenderCallBack(self):
+        self.render_callback = None
+        self._dirty()
+
+    def RemoveAllCallbacks(self):
+        self.pre_render_callbacks.clear()
+        self.post_render_callbacks.clear()
+        self.render_callback = None
+        self._dirty()
 
     def RemovePreRenderCallBacks(self):
         self.pre_render_callbacks.clear()

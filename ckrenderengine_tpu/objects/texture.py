@@ -159,6 +159,83 @@ class CKTexture(CKObject):
         self.SetImage(rc.framebuffer(), slot=slot)
         return True
 
+    # -- API-surface parity batch (reference include/RCKTexture.h) ---------
+    def GetDesiredVideoFormat(self):
+        return self.desired_video_format
+
+    def LoadImage(self, path: str, slot: int = 0) -> bool:
+        """Load an image file into a slot via PIL (reference LoadImage —
+        CKBitmapData file readers)."""
+        try:
+            from PIL import Image
+        except ImportError:
+            return False
+        try:
+            img = Image.open(path).convert("RGBA")
+        except OSError:
+            return False
+        arr = np.asarray(img, np.float32) / 255.0
+        self.SetImage(arr, slot=slot)
+        return True
+
+    def SetUserMipMapMode(self, on: bool = True):
+        """User-provided mip levels instead of auto-generation (reference
+        SetUserMipMapMode); levels go in via SetUserMipMapLevel."""
+        self._user_mip_mode = bool(on)
+        self.context._bump_topology()
+
+    def GetUserMipMapLevel(self, level: int):
+        if 0 <= level < len(self.user_mip_levels):
+            return self.user_mip_levels[level]
+        return None
+
+    # Video-memory lifecycle: device texture stacks are rebuilt from system
+    # slots by the context's texture refresh; these model the reference's
+    # upload-state API (SystemToVideoMemory/FreeVideoMemory/Restore/
+    # IsInVideoMemory, include/RCKTexture.h) on top of that.
+    def SystemToVideoMemory(self, rc=None) -> bool:
+        self._in_video_memory = True
+        self.data_version += 1
+        self.context._bump_dynamic()
+        return True
+
+    def FreeVideoMemory(self) -> bool:
+        self._in_video_memory = False
+        return True
+
+    def Restore(self, clamp: bool = False) -> bool:
+        return self.SystemToVideoMemory()
+
+    def IsInVideoMemory(self) -> bool:
+        return getattr(self, "_in_video_memory", True)
+
+    def SetAsCurrent(self, rc, clamp: bool = False, stage: int = 0) -> bool:
+        """Bind as the immediate-mode texture (reference SetAsCurrent ->
+        lazy SystemToVideoMemory upload)."""
+        self.SystemToVideoMemory(rc)
+        rc.SetTexture(self, stage)
+        return True
+
+    def GetVideoPixelFormat(self):
+        return self.desired_video_format or "32_ARGB8888"
+
+    def GetSystemTextureDesc(self) -> dict:
+        img = self.slots[self.current_slot]
+        return {"width": self.GetWidth(), "height": self.GetHeight(),
+                "bpp": 32, "mip_levels": self.GetMipmapCount(),
+                "slot_count": self.GetSlotCount(),
+                "has_image": img is not None}
+
+    def GetVideoTextureDesc(self) -> dict:
+        d = self.GetSystemTextureDesc()
+        d["in_video_memory"] = self.IsInVideoMemory()
+        return d
+
+    def GetRstTextureIndex(self) -> int:
+        """The rasterizer object index — the texture's id doubles as the
+        handle here (no shared index table, PARITY §2.2)."""
+        return self.id
+
     def SetTransparentColor(self, rgba):
         """Color-key transparency: matching texels get alpha 0 (reference
         CKBitmapData transparency semantics)."""

@@ -115,6 +115,9 @@ class CKVertexBuffer(CKObject):
         # Immediate draws default to no culling (user geometry has no
         # guaranteed winding; matches the reference's 2D/DP paths).
         st = state or RasterState(cull=int(VXCULL.NONE))
+        if texture is not None and st.tex < 0:
+            import dataclasses
+            st = dataclasses.replace(st, tex=0)
         si, sf = pack_states([st])
         db = rb.DeviceBatch.from_host(tb)
         if texture is not None:

@@ -201,3 +201,248 @@ class TestManagerSurface:
         assert rc.GetViewpoint() is None
         rm.OnCKPause()
         rm.OnCKEnd()
+
+
+class TestMeshSurface:
+    def test_array_ptrs_and_face_queries(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        assert mesh.GetPositionsPtr().shape == (3, 3)
+        assert mesh.GetFacesIndices().shape == (1, 3)
+        assert mesh.GetFaceVertex(0, 1) == 1
+        n = mesh.GetFaceNormal(0)
+        np.testing.assert_allclose(np.abs(n), [0, 0, 1], atol=1e-5)
+        assert mesh.GetFaceNormalsPtr().shape == (1, 3)
+        assert mesh.GetModifierVertexCount() == 3
+
+    def test_bulk_vertex_transforms(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        p0 = mesh.GetPositionsPtr().copy()
+        mesh.TranslateVertices((1, 0, 0))
+        np.testing.assert_allclose(mesh.GetPositionsPtr(), p0 + [1, 0, 0],
+                                   atol=1e-6)
+        mesh.ScaleVertices(2.0)
+        mesh.RotateVertices((0, 0, 1), np.pi)
+        assert np.isfinite(mesh.GetPositionsPtr()).all()
+
+    def test_modifier_protocol_redraws(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        rc.Render()
+        fb0 = rc.framebuffer().copy()
+        verts = mesh.GetModifierVertices()
+        verts[:, 0] += 0.8
+        mesh.ModifierVertexMove()
+        rc.Render()
+        assert np.abs(rc.framebuffer() - fb0).sum() > 1.0
+
+    def test_line_strip(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        mesh.CreateLineStrip(3)
+        assert mesh.GetLineCount() == 2
+        assert mesh.GetLine(1) == (1, 2)
+
+    def test_channel_extensions(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        m2 = CKMaterial(ctx, "ch")
+        i = mesh.AddChannel(m2)
+        assert mesh.GetChannelByMaterial(m2) == i
+        mesh.SetChannelFlags(i, 5)
+        assert mesh.GetChannelFlags(i) == 5
+        mesh.LitChannel(i, False)
+        assert not mesh.IsChannelLit(i)
+        mesh.ActivateAllChannels(False)
+        assert not mesh.IsChannelActive(i)
+        mesh.SetFaceChannelMask(0, 0b10)
+        mesh.ChangeFaceChannelMask(0, 0b1, 0b10)
+        assert mesh.GetFaceChannelMask(0) == 0b1
+        mesh.RemoveChannelByMaterial(m2)
+        assert mesh.GetChannelCount() == 0
+
+    def test_replace_material(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        new = CKMaterial(ctx, "new")
+        new.SetDiffuse((0, 0, 1, 1))
+        assert mesh.ReplaceMaterial(mat, new)
+        assert mesh.GetMaterial(mesh.GetMaterialGroupIndex(new)) is new
+
+    def test_render_callback_replaces_default(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        rc.Render()
+        lit_default = (rc.framebuffer()[..., :3].sum(-1) > 0.05).sum()
+        assert lit_default > 0
+        calls = []
+        mesh.SetRenderCallBack(lambda dev, m, arg: calls.append(arg), "x")
+        rc.Render()
+        assert calls == ["x"]
+        lit_cb = (rc.framebuffer()[..., :3].sum(-1) > 0.05).sum()
+        assert lit_cb == 0              # default render suppressed
+        mesh.SetDefaultRenderCallBack()
+        rc.Render()
+        assert (rc.framebuffer()[..., :3].sum(-1) > 0.05).sum() == lit_default
+
+    def test_post_render_callback_fires(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        seen = []
+        mesh.AddPostRenderCallBack(lambda dev, m: seen.append(m))
+        rc.Render()
+        assert seen == [mesh]
+        mesh.RemoveAllCallbacks()
+        rc.Render()
+        assert len(seen) == 1
+
+
+class TestManagerLongTail:
+    def test_temporary_callbacks(self):
+        ctx, rc, cam = _ctx()
+        rm = ctx.GetRenderManager()
+        calls = []
+        rm.AddTemporaryCallback(lambda dev, arg: calls.append("pre"))
+        rm.AddTemporaryPostRenderCallback(lambda dev, arg: calls.append("post"))
+        rm.Process()
+        rm.PostProcess()
+        rm.Process()
+        assert calls == ["pre", "post"]        # dropped after one frame
+        rm.AddTemporaryCallback(lambda dev, arg: calls.append("x"))
+        rm.RemoveAllTemporaryCallbacks()
+        rm.Process()
+        assert calls == ["pre", "post"]
+
+    def test_remove_render_context_keeps_object(self):
+        ctx, rc, cam = _ctx()
+        rm = ctx.GetRenderManager()
+        mask = rc.mask
+        rm.RemoveRenderContext(rc)
+        assert rm.GetRenderContextCount() == 0
+        assert ctx.GetObject(rc.id) is rc      # not destroyed
+        assert rm._context_mask_free & mask
+
+    def test_detach_all_objects(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        rc.AddObject(obj)
+        assert obj.IsInRenderContext(rc)
+        rc.Render()
+        assert (rc.framebuffer()[..., :3].sum(-1) > 0.05).sum() > 0
+        ctx.GetRenderManager().DetachAllObjects()
+        assert not obj.IsInRenderContext(rc)
+        rc.Render()                        # explicit empty membership
+        assert (rc.framebuffer()[..., :3].sum(-1) > 0.05).sum() == 0
+
+    def test_device_teardown_recovers(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        rc.Render()
+        fb0 = rc.framebuffer().copy()
+        rm = ctx.GetRenderManager()
+        rm.DestroyingDevice()
+        assert rc._compiled.topology_version == -1
+        rc.Render()                            # rebuilds from system memory
+        np.testing.assert_allclose(rc.framebuffer(), fb0, atol=1e-5)
+        assert rm.GetValidFunctionsMask() != 0
+        rm.SequenceAddedToScene()
+        rm.SequenceToBeDeleted([obj.id])
+        assert obj._to_be_deleted
+        rm.SequenceDeleted([obj.id])
+
+
+class TestSceneGraphFacade:
+    def test_root_children_priority_order(self):
+        ctx, rc, cam = _ctx()
+        a, _, _ = _tri(ctx)
+        b, _, _ = _tri(ctx)
+        a.SetName("a")
+        b.SetName("b")
+        b.SetRenderPriority(10)
+        root = ctx.GetRenderManager().GetRootNode()
+        kids = [root.GetChild(i).GetEntity()
+                for i in range(root.GetChildrenCount())]
+        assert kids.index(b) < kids.index(a)   # high priority first
+        assert root.IsToBeParsed()
+
+    def test_node_view(self):
+        ctx, rc, cam = _ctx()
+        a, _, _ = _tri(ctx)
+        child, _, _ = _tri(ctx)
+        child.SetParent(a)
+        rm = ctx.GetRenderManager()
+        node = rm.CreateNode(a)
+        assert node.GetEntity() is a
+        assert node.GetChildrenCount() == 1
+        assert node.GetChild(0).GetEntity() is child
+        node.SetPriority(5)
+        assert a.render_priority == 5 and node.GetPriority() == 5
+        node.SetRenderContextMask(3)
+        assert node.GetRenderContextMask() == 3
+        rm.DeleteNode(node)
+
+    def test_hierarchical_box(self):
+        ctx, rc, cam = _ctx()
+        a, _, _ = _tri(ctx)
+        child, _, _ = _tri(ctx)
+        child.SetParent(a)
+        child.SetPosition((10, 0, 0))
+        rm = ctx.GetRenderManager()
+        lo, hi = rm.CreateNode(a).ComputeHierarchicalBox()
+        assert hi[0] >= 11.0 - 1e-4            # child tri at x=10±1
+        rlo, rhi = rm.GetRootNode().ComputeHierarchicalBox()
+        assert rhi[0] >= hi[0] - 1e-6
+
+
+class TestMaterialTextureEntitySurface:
+    def test_material_getters_and_set_as_current(self):
+        ctx, rc, cam = _ctx()
+        mat = CKMaterial(ctx, "m")
+        mat.SetTextureBorderColor((1, 0, 0, 1))
+        assert mat.GetTextureBorderColor()[0] == 1.0
+        assert mat.GetTextureMinMode() == mat.texture_min_mode
+        assert mat.GetCallback() is None
+        assert mat.SetAsCurrent(rc)
+
+    def test_texture_surface(self, tmp_path):
+        ctx, rc, cam = _ctx()
+        tex = CKTexture(ctx, "t")
+        img = np.random.default_rng(0).uniform(size=(8, 8, 4)).astype(np.float32)
+        tex.SetImage(img)
+        # LoadImage round-trip through a PNG on disk
+        from PIL import Image
+        p = str(tmp_path / "x.png")
+        Image.fromarray((img * 255).astype(np.uint8)).save(p)
+        assert tex.LoadImage(p, slot=0)
+        assert not tex.LoadImage(str(tmp_path / "missing.png"))
+        assert tex.GetSystemTextureDesc()["width"] == 8
+        assert tex.IsInVideoMemory() in (True, False)
+        assert tex.FreeVideoMemory()
+        assert not tex.IsInVideoMemory()
+        assert tex.Restore()
+        assert tex.IsInVideoMemory()
+        assert tex.SetAsCurrent(rc)
+        assert tex.GetRstTextureIndex() == tex.id
+        assert tex.GetVideoTextureDesc()["in_video_memory"]
+
+    def test_entity_surface(self):
+        ctx, rc, cam = _ctx()
+        obj, mesh, mat = _tri(ctx)
+        obj.SetZOrder(7)
+        assert obj.GetZOrder() == 7
+        assert obj.IsToBeRendered()
+        assert not obj.IsToBeRenderedLast()
+        from ckrenderengine_tpu.raster.types import VXBLEND
+        mat.EnableAlphaBlend(True)
+        mat.SetSourceBlend(int(VXBLEND.SRCALPHA))
+        mat.SetDestBlend(int(VXBLEND.INVSRCALPHA))
+        assert obj.IsToBeRenderedLast()
+        obj.SetPosition((1, 2, 3))
+        obj.SaveLastFrameMatrix()
+        np.testing.assert_allclose(obj.GetLastFrameMatrix()[3, :3], [1, 2, 3],
+                                   atol=1e-6)
+        obj.WorldMatrixChanged()
+        obj.LocalMatrixChanged()
+        obj.WorldPositionChanged()
+        assert obj.GetMemoryOccupation() > 0
