@@ -321,6 +321,61 @@ class CKCharacter(CK3dObject):
         return local
 
     # -- misc ----------------------------------------------------------------
+    # -- API-surface parity batch (reference include/RCKCharacter.h) -------
+    def GetStartingFrame(self) -> float:
+        """Frame the active animation starts from after a transition
+        (reference Get/SetStartingFrame)."""
+        return getattr(self, "_starting_frame", 0.0)
+
+    def SetStartingFrame(self, frame: float):
+        self._starting_frame = float(frame)
+        if self.active_animation is not None:
+            self.active_animation.SetFrame(float(frame))
+
+    def RemoveSecondaryAnimationAt(self, i: int) -> bool:
+        if 0 <= i < len(self.secondary):
+            self.secondary.pop(i)
+            return True
+        return False
+
+    def PreDeleteBodyPartsForAnimation(self, anim):
+        """Drop body-part exclusive-animation links that point at ``anim``
+        before it is destroyed (reference PreDeleteBodyPartsForAnimation)."""
+        for part in self.body_parts:
+            if part.GetExclusiveAnimation() is anim:
+                part.SetExclusiveAnimation(None)
+
+    def FindFloorReference(self):
+        """Nearest non-body-part entity under the character via a downward
+        ray (reference FindFloorReference — floor detection for root
+        realignment). Sets and returns the floor reference object."""
+        import numpy as np
+        origin = self.GetWorldMatrix()[3, :3] + np.array([0, 1e-3, 0],
+                                                         np.float32)
+        direction = np.array([0.0, -1.0, 0.0], np.float32)
+        own = set(self.body_parts) | {self}
+        best, best_t = None, np.inf
+        from ..objects.entity import CK3dEntity
+        for o in self.context._objects.values():
+            if not isinstance(o, CK3dEntity) or o in own:
+                continue
+            if o.GetCurrentMesh() is None or self.Contains_(o):
+                continue
+            hit = o.RayIntersection(origin, direction)
+            if hit is not None and hit[0] < best_t:
+                best, best_t = o, hit[0]
+        if best is not None:
+            self.SetFloorReferenceObject(best)
+        return best
+
+    def Contains_(self, ent) -> bool:
+        p = ent
+        while p is not None:
+            if p is self:
+                return True
+            p = p.GetParent()
+        return False
+
     def SetAutomaticProcess(self, on: bool = True):
         self.automatic_process = bool(on)
 

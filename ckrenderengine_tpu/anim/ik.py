@@ -87,6 +87,38 @@ class CKKinematicChain(CKObject):
             if getattr(part, "rotation_joint", None) is None:
                 part.rotation_joint = IKJointData()
 
+    def GetEffector(self, start: bool = True):
+        """Chain endpoint accessor (reference GetEffector)."""
+        return self.start if start else self.end
+
+    def IKRotateToward(self, part, target_world, max_angle: float = 3.14159):
+        """Rotate ONE joint so its end-effector direction moves toward the
+        target, clamped to the joint limits (reference IKRotateToward)."""
+        import numpy as np
+        if self.end is None or part not in self._chain:
+            return False
+        jpos = part.GetWorldMatrix()[3, :3]
+        epos = self.end.GetWorldMatrix()[3, :3]
+        t = np.asarray(target_world, np.float32)
+        v1 = epos - jpos
+        v2 = t - jpos
+        n1, n2 = np.linalg.norm(v1), np.linalg.norm(v2)
+        if n1 < 1e-9 or n2 < 1e-9:
+            return False
+        v1, v2 = v1 / n1, v2 / n2
+        axis = np.cross(v1, v2)
+        na = np.linalg.norm(axis)
+        if na < 1e-9:
+            return True
+        angle = float(np.clip(np.arccos(np.clip(v1 @ v2, -1, 1)),
+                              -max_angle, max_angle))
+        self._rotate_joint(part, axis / na, angle)
+        jd = getattr(part, "rotation_joint", None)
+        if jd is not None:
+            m = part.GetLocalMatrix()
+            part.SetLocalMatrix(self._clamp_limits(m, jd))
+        return True
+
     def GetChainLength(self) -> float:
         """Sum of segment lengths."""
         total = 0.0
@@ -198,3 +230,22 @@ class CKKinematicChain(CKObject):
             cx * cy * cz + sx * sy * sz,
         ], np.float32)
         return vx.np_compose_prs(p, q2, s)
+
+
+def SVDDecompose(m):
+    """U, s, Vt of an arbitrary matrix (reference RCKKinematicChain::
+    SVDDecompose — the Jacobian factorization step)."""
+    import numpy as np
+    return np.linalg.svd(np.asarray(m, np.float64), full_matrices=False)
+
+
+def SVDSolve(m, b, damping: float = 0.0):
+    """Least-squares solve m @ x = b via the SVD with optional damped
+    singular values (reference SVDSolve; damping is the DLS stabilizer)."""
+    import numpy as np
+    u, s, vt = SVDDecompose(m)
+    if damping > 0.0:
+        inv_s = s / (s * s + damping * damping)
+    else:
+        inv_s = np.where(s > 1e-12, 1.0 / np.maximum(s, 1e-12), 0.0)
+    return (vt.T * inv_s) @ (u.T @ np.asarray(b, np.float64))

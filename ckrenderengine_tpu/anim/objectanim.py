@@ -476,6 +476,59 @@ class CKAnimation(CKObject):
     def IsLinkedToFrameRate(self) -> bool:
         return self.framerate_linked
 
+    # -- API-surface parity batch (reference include/RCKAnimation.h) -------
+    def SetCanBeInterrupt(self, can: bool = True):
+        """Whether a SetNextActiveAnimation may cut this clip mid-play
+        (reference CanBeInterrupt flag)."""
+        self._can_interrupt = bool(can)
+
+    def CanBeInterrupt(self) -> bool:
+        return getattr(self, "_can_interrupt", True)
+
+    def SetCharacterOrientation(self, takes: bool = True):
+        """Whether the character adopts this animation's root orientation
+        (reference DoesCharacterTakeOrientation)."""
+        self._takes_orientation = bool(takes)
+
+    def DoesCharacterTakeOrientation(self) -> bool:
+        return getattr(self, "_takes_orientation", True)
+
+    def SetLinkedFrameRate(self, link: bool = True, fps: float = 30.0):
+        self._framerate_link = bool(link)
+        self._linked_fps = float(fps)
+
+    def GetLinkedFrameRate(self) -> float:
+        return getattr(self, "_linked_fps", 30.0)
+
+    def GetNextFrame(self, delta_frames: float) -> float:
+        """Frame after stepping by ``delta_frames`` with loop wraparound
+        (reference GetNextFrame — the ProcessAnimation stepping rule)."""
+        length = max(self.GetLength(), 1e-6)
+        f = self.frame + float(delta_frames)
+        while f >= length:
+            f -= length
+        while f < 0:
+            f += length
+        return f
+
+    def GetRootEntity(self):
+        """The entity the root animation drives (reference GetRootEntity)."""
+        root = getattr(self, "root_animation", None)
+        return root.Get3dEntity() if root is not None else None
+
+    def SetSecondaryAnimationMode(self, mode: int):
+        self._secondary_mode = int(mode)
+
+    def GetSecondaryAnimationMode(self) -> int:
+        return getattr(self, "_secondary_mode", 0)
+
+    def SetCurrentStep(self, step: float):
+        """Position by normalized step in [0,1] (reference SetCurrentStep)."""
+        self.SetFrame(float(step) * max(self.GetLength(), 1e-6))
+
+    def GetCurrentStep(self) -> float:
+        return self.frame / max(self.GetLength(), 1e-6)
+
     def SetTransitionMode(self, mode: int):
         self.transition_mode = int(mode)
 
@@ -579,6 +632,46 @@ class CKKeyedAnimation(CKAnimation):
 
     def invalidate_bank(self):
         self._bank = None
+
+    # -- API-surface parity batch (reference include/RCKKeyedAnimation.h) --
+    def GetRootAnimationInternal(self):
+        """The stored root animation without entity-derived fallbacks
+        (reference GetRootAnimationInternal)."""
+        return self.root_animation
+
+    def GetRootVectorInternal(self):
+        """Accumulated root-motion vector (reference GetRootVectorInternal)."""
+        import numpy as np
+        return getattr(self, "_root_vector", np.zeros(3, np.float32)).copy()
+
+    def SetParentKeyedAnimation(self, parent: "CKKeyedAnimation | None"):
+        """Merged-animation back-pointer (reference SetParentKeyedAnimation)."""
+        self._parent_keyed = parent
+
+    def GetParentKeyedAnimation(self):
+        return getattr(self, "_parent_keyed", None)
+
+    def UpdateRootEntity(self) -> bool:
+        """Re-derive which object animation drives the hierarchy root
+        (reference UpdateRootEntity): the animation whose entity has no
+        animated parent becomes the root animation."""
+        animated = {a.Get3dEntity() for a in self.animations
+                    if a.Get3dEntity() is not None}
+        for a in self.animations:
+            ent = a.Get3dEntity()
+            if ent is None:
+                continue
+            p = ent.GetParent()
+            has_animated_parent = False
+            while p is not None:
+                if p in animated:
+                    has_animated_parent = True
+                    break
+                p = p.GetParent()
+            if not has_animated_parent:
+                self.root_animation = a
+                return True
+        return False
 
     def EvaluateRootPosition(self, frame: float):
         """Root body-part position at ``frame`` (root-motion source,

@@ -32,6 +32,37 @@ class CKCurvePoint(CK3dEntity):
     def GetCurve(self):
         return self.curve
 
+    # -- API-surface parity batch (reference include/RCKCurvePoint.h) ------
+    def SetCurve(self, curve):
+        """Re-bind to a curve (reference SetCurve)."""
+        if self.curve is curve:
+            return
+        if self.curve is not None and self in self.curve.points:
+            self.curve.points.remove(self)
+            self.curve._curve_dirty = True
+        self.curve = curve
+        if curve is not None and self not in curve.points:
+            curve.points.append(self)
+            curve._curve_dirty = True
+
+    def SetFittedVector(self, v):
+        """Precomputed spline tangent at this point (reference
+        Get/SetFittedVector — the fitting pass caches these)."""
+        import numpy as np
+        self._fitted = np.asarray(v, np.float32)[:3].copy()
+
+    def GetFittedVector(self):
+        import numpy as np
+        return getattr(self, "_fitted", np.zeros(3, np.float32)).copy()
+
+    def SetReservedVector(self, v):
+        import numpy as np
+        self._reserved = np.asarray(v, np.float32)[:3].copy()
+
+    def GetReservedVector(self):
+        import numpy as np
+        return getattr(self, "_reserved", np.zeros(3, np.float32)).copy()
+
     def GetTension(self) -> float:
         return self.tension
 

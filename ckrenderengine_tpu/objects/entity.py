@@ -42,6 +42,38 @@ class CKRenderObject(CKObject):
         self.callbacks.clear()
         self.context._cb_objects.pop(self.id, None)
 
+    # -- API-surface parity batch (reference include/RCKRenderObject.h) ----
+    def AddToRenderContext(self, rc):
+        """Attach to a context's explicit membership (reference
+        AddToRenderContext sets the context-mask bit)."""
+        rc.AddObject(self)
+
+    def RemoveFromRenderContext(self, rc):
+        rc.RemoveObject(self)
+
+    def GetInRenderContextMask(self) -> int:
+        return self._in_render_context_mask
+
+    def IsRootObject(self) -> bool:
+        return getattr(self, "_parent", None) is None
+
+    def CanBeHide(self) -> bool:
+        """Render objects honor Show/Hide (reference CanBeHide)."""
+        return True
+
+    def RemoveRenderCallBack(self, fct):
+        self.callbacks = [cb for cb in self.callbacks if cb[1] is not fct]
+        if not self.callbacks:
+            self.context._cb_objects.pop(self.id, None)
+
+    # CK2 scene-membership notifications (reference CKSceneObject
+    # AddToScene/RemoveFromScene — scene recompile triggers here).
+    def AddToScene(self, scene=None, dependencies: bool = True):
+        self.context._bump_topology()
+
+    def RemoveFromScene(self, scene=None, dependencies: bool = True):
+        self.context._bump_topology()
+
 
 class CK3dEntity(CKRenderObject):
     CLASS_ID = CKCID_3DENTITY
@@ -314,6 +346,61 @@ class CK3dEntity(CKRenderObject):
             total += int(m.positions.nbytes + m.normals.nbytes
                          + m.uvs.nbytes + m.faces.nbytes)
         return total
+
+    # Matrix construction from PRS parts (reference ConstructWorldMatrix(Ex)/
+    # ConstructLocalMatrix(Ex) — CurvePoints and animations build matrices
+    # this way; Ex adds the scale-axis rotated frame).
+    def ConstructWorldMatrix(self, pos, quat, scale):
+        from ..math import vxmath as vx
+        self.SetWorldMatrix(vx.np_compose_prs(
+            np.asarray(pos, np.float32), np.asarray(quat, np.float32),
+            np.asarray(scale, np.float32)))
+
+    def ConstructWorldMatrixEx(self, pos, quat, scale, scale_axis_quat):
+        from ..math import vxmath as vx
+        m = vx.np_compose_prs(np.asarray(pos, np.float32),
+                              np.asarray(quat, np.float32),
+                              np.asarray(scale, np.float32))
+        r_sa = vx.np_quat_to_matrix3(np.asarray(scale_axis_quat, np.float32))
+        s_axis = r_sa.T @ np.diag(np.asarray(scale, np.float32)) @ r_sa
+        rot3 = vx.np_quat_to_matrix3(np.asarray(quat, np.float32))
+        m[:3, :3] = s_axis @ rot3
+        self.SetWorldMatrix(m)
+
+    def ConstructLocalMatrix(self, pos, quat, scale):
+        from ..math import vxmath as vx
+        self.SetLocalMatrix(vx.np_compose_prs(
+            np.asarray(pos, np.float32), np.asarray(quat, np.float32),
+            np.asarray(scale, np.float32)))
+
+    def ConstructLocalMatrixEx(self, pos, quat, scale, scale_axis_quat):
+        from ..math import vxmath as vx
+        m = vx.np_compose_prs(np.asarray(pos, np.float32),
+                              np.asarray(quat, np.float32),
+                              np.asarray(scale, np.float32))
+        r_sa = vx.np_quat_to_matrix3(np.asarray(scale_axis_quat, np.float32))
+        s_axis = r_sa.T @ np.diag(np.asarray(scale, np.float32)) @ r_sa
+        rot3 = vx.np_quat_to_matrix3(np.asarray(quat, np.float32))
+        m[:3, :3] = s_axis @ rot3
+        self.SetLocalMatrix(m)
+
+    def UpdatePlace(self):
+        """Recompute which Place contains this entity (reference
+        RCK3dEntity::UpdatePlace — place membership from spatial
+        containment). Returns the Place or None."""
+        from .place import CKPlace
+        pos = self.GetWorldMatrix()[3, :3]
+        found = None
+        for o in self.context._objects.values():
+            if isinstance(o, CKPlace) and o is not self \
+                    and o.ContainsPoint(pos):
+                found = o
+                break
+        self._place = found
+        return found
+
+    def GetPlace(self):
+        return getattr(self, "_place", None)
 
     # -- bbox -------------------------------------------------------------
     def GetBoundingBox(self, local: bool = False):

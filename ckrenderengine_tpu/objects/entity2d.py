@@ -158,6 +158,46 @@ class CK2dEntity(CKRenderObject):
     def GetSourceRect(self) -> np.ndarray:
         return self.src_rect.copy()
 
+    # -- API-surface parity batch (reference include/RCK2dEntity.h) --------
+    def GetHomogeneousRelativeRect(self, vw: int = 256,
+                                   vh: int = 256) -> np.ndarray:
+        """This entity's rect in [0..1] coordinates of its parent rect
+        (reference GetHomogeneousRelativeRect); parentless entities are
+        relative to the viewport."""
+        sx0, sy0, sx1, sy1 = self.screen_rect(vw, vh)
+        if self._parent is not None:
+            px0, py0, px1, py1 = self._parent.screen_rect(vw, vh)
+        else:
+            px0, py0, px1, py1 = 0.0, 0.0, float(vw), float(vh)
+        pw = max(px1 - px0, 1e-9)
+        ph = max(py1 - py0, 1e-9)
+        return np.array([(sx0 - px0) / pw, (sy0 - py0) / ph,
+                         (sx1 - px0) / pw, (sy1 - py0) / ph], np.float32)
+
+    def HierarchySetBackground(self, back: bool = True):
+        """Move this entity AND its whole 2D subtree between background and
+        foreground (reference HierarchySetBackground)."""
+        self.SetBackground(back)
+        for c in self._children:
+            c.HierarchySetBackground(back)
+
+    def UpdateExtents(self, rc=None) -> tuple:
+        """Recompute + record the screen-space extents rect (reference
+        UpdateExtents — fills the context's 2D picking extents)."""
+        if rc is None:
+            rm = self.context.render_manager
+            rc = rm.render_contexts[0] if rm and rm.render_contexts else None
+        vw = rc.width if rc is not None else 256
+        vh = rc.height if rc is not None else 256
+        rect = self.screen_rect(vw, vh)
+        self._extents = tuple(float(v) for v in rect)
+        if rc is not None:
+            rc.AddExtents2D(self._extents, self)
+        return self._extents
+
+    def GetExtents(self) -> tuple | None:
+        return getattr(self, "_extents", None)
+
     def SetColor(self, rgba):
         self.color = np.asarray(rgba, np.float32)[:4]
         self.context._bump_dynamic()
@@ -277,6 +317,26 @@ class CKSprite(CK2dEntity):
     def SetTransparentColor(self, rgba):
         self._store.SetTransparentColor(rgba)
 
+    def RestoreInitialSize(self):
+        """Reset the on-screen size to the image's pixel size (reference
+        RestoreInitialSize)."""
+        img = self.GetImage()
+        if img is not None:
+            self.SetSize((img.shape[1], img.shape[0]))
+
+    def CopySpriteData(self, src: "CKSprite") -> bool:
+        """Copy every image slot + transparency from another sprite
+        (reference RCKSprite::CopySpriteData, src/CKSprite.cpp:279)."""
+        if src is self:
+            return True
+        for i in range(src.GetSlotCount()):
+            img = src.GetImage(i)
+            if img is not None:
+                self.SetImage(img.copy(), slot=i)
+        self.SetCurrentSlot(src.GetCurrentSlot())
+        self.transparent_color = src.transparent_color
+        return True
+
     def LoadMovie(self, path: str) -> bool:
         """Movie sprites (reference RCKSprite movie load, include/RCKSprite.h):
         decodes multi-frame image files (animated GIF / APNG / multi-frame
@@ -382,6 +442,22 @@ class CKSpriteText(CKSprite):
 
     def GetAlign(self) -> int:
         return self.align
+
+    def ClearFont(self):
+        """Drop the font handle -> default font (reference ClearFont)."""
+        self.font_name = None
+        self._raster_dirty = True
+
+    def IsUpToDate(self) -> bool:
+        """False when the bitmap needs re-rasterizing (reference
+        IsUpToDate)."""
+        return not self._raster_dirty
+
+    def Redraw(self):
+        """Force the text raster NOW (reference Redraw — the reference
+        redraws into the bitmap on demand)."""
+        self._rasterize()
+        return self._store
 
     def _rasterize(self):
         from PIL import Image, ImageDraw, ImageFont

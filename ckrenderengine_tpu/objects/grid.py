@@ -75,6 +75,41 @@ class CKLayer(CKObject):
     def GetGrid(self):
         return self.grid
 
+    # -- API-surface parity batch (reference include/RCKLayer.h) -----------
+    def SetValue2(self, x: int, y: int, value) -> bool:
+        """Bounds-checked SetValue returning success (reference
+        RCKLayer::SetValue2, src/CKLayer.cpp)."""
+        if not (0 <= x < self.squares.shape[1]
+                and 0 <= y < self.squares.shape[0]):
+            return False
+        self.squares[y, x] = value
+        return True
+
+    def GetValue2(self, x: int, y: int):
+        """Bounds-checked GetValue; None when outside (reference
+        GetValue2)."""
+        if not (0 <= x < self.squares.shape[1]
+                and 0 <= y < self.squares.shape[0]):
+            return None
+        return self.squares[y, x]
+
+    def SetVisible(self, visible: bool = True):
+        self.visible = bool(visible)
+
+    def IsVisible(self) -> bool:
+        return self.visible
+
+    def InitOwner(self, owner):
+        """First owner binding (reference InitOwner — the grid that created
+        the layer)."""
+        self.grid = owner
+
+    def SetOwner(self, owner):
+        self.grid = owner
+
+    def GetOwner(self):
+        return self.grid
+
     def InitValue(self, value):
         self.squares[:] = value
 

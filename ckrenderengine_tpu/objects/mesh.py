@@ -801,6 +801,176 @@ class CKMesh(CKObject):
     def RemovePreRenderCallBacks(self):
         self.pre_render_callbacks.clear()
 
+    # -- API-surface parity batch 2 (reference include/RCKMesh.h) ----------
+    def GetVertexSpecularColor(self, i: int):
+        return tuple(float(v) for v in self.specular_colors[i])
+
+    def SetFaceMaterialEx(self, face_indices, material):
+        """Set one material on a list of faces in one call (reference
+        SetFaceMaterialEx) — vectorized write into the face-material
+        column."""
+        slot = self._material_slot(material)
+        idx = np.asarray(face_indices, np.int64).reshape(-1)
+        self.face_materials[idx] = slot
+        self._dirty()
+
+    def DissociateAllFaces(self):
+        """Unshare every vertex: each face corner gets its own vertex
+        (reference DissociateAllFaces, src/CKMesh.cpp — gather by the
+        flattened index list, faces become 0..3F-1)."""
+        flat = self.faces.reshape(-1).astype(np.int64)
+        n = flat.shape[0]
+        if n == 0:
+            return
+        self.positions = self.positions[flat].copy()
+        self.normals = self.normals[flat].copy() \
+            if self.normals.shape[0] else self.normals
+        self.uvs = self.uvs[flat].copy() if self.uvs.shape[0] else self.uvs
+        self.colors = self.colors[flat].copy() \
+            if self.colors.shape[0] else self.colors
+        self.specular_colors = self.specular_colors[flat].copy() \
+            if self.specular_colors.shape[0] else self.specular_colors
+        if self.weights is not None and len(self.weights):
+            self.weights = np.asarray(self.weights,
+                                      np.float32)[flat].copy()
+        for ch in self.channels:
+            if ch["uvs"].shape[0]:
+                ch["uvs"] = ch["uvs"][flat].copy()
+        self.faces = np.arange(n, dtype=np.int32).reshape(-1, 3)
+        self._dirty()
+
+    def EnablePMGeoMorph(self, enable: bool = True):
+        """Gate the progressive-mesh geomorph lerp (reference
+        EnablePMGeoMorph); disabled = hard LOD pops."""
+        self._pm_geomorph = bool(enable)
+        self._dirty_dynamic()
+
+    def IsPMGeoMorphEnabled(self) -> bool:
+        return getattr(self, "_pm_geomorph", True)
+
+    def SetSaveFlags(self, flags: int):
+        """Which streams Save() persists (reference Get/SetSaveFlags)."""
+        self._save_flags = int(flags)
+
+    def GetSaveFlags(self) -> int:
+        return getattr(self, "_save_flags", 0xFFFFFFFF)
+
+    def LoadVertices(self, chunk) -> bool:
+        """Read the vertex streams back from an ID_MESH statechunk
+        (reference LoadVertices/ILoadVertices, include/RCKMesh.h:183-188)."""
+        from ..io.serialize import ID_MESH
+        if not chunk.SeekIdentifier(ID_MESH):
+            return False
+        self.SetPositions(chunk.ReadArray())
+        self.normals = chunk.ReadArray()
+        self.uvs = chunk.ReadArray()
+        self.colors = chunk.ReadArray()
+        self.specular_colors = chunk.ReadArray()
+        self._dirty()
+        return True
+
+    def UpdateChannelIndices(self):
+        """Resize channel UV arrays after a vertex-count change (reference
+        UpdateChannelIndices keeps channel data in step with topology)."""
+        n = self.GetVertexCount()
+        for ch in self.channels:
+            uvs = ch["uvs"]
+            if uvs.shape[0] != n:
+                out = np.zeros((n, 2), np.float32)
+                out[:min(n, uvs.shape[0])] = uvs[:min(n, uvs.shape[0])]
+                ch["uvs"] = out
+        self._dirty()
+
+    def UpdateHasValidPrimitives(self, group=None) -> bool:
+        """True when the group (or any group) has triangles to draw
+        (reference UpdateHasValidPrimitives)."""
+        if group is not None:
+            return group.local_faces.shape[0] > 0
+        return any(g.local_faces.shape[0] > 0 for g in self.GetRenderGroups())
+
+    # CK2 scene-membership notifications (reference AddToScene/
+    # RemoveFromScene on CKSceneObject).
+    def AddToScene(self, scene=None, dependencies: bool = True):
+        self.context._bump_topology()
+
+    def RemoveFromScene(self, scene=None, dependencies: bool = True):
+        self.context._bump_topology()
+
+    # -- immediate-mode render entry points (reference RCKMesh::Render ->
+    # DefaultRender -> RenderGroup/RenderChannels, src/CKMesh.cpp:3256,
+    # 3857, 4210, 4390). The engine's per-frame path compiles the mesh into
+    # the frame program; these draw NOW onto rc's framebuffer — the default
+    # behavior a custom render callback can invoke. ------------------------
+    def Render(self, rc, entity=None) -> bool:
+        for cb in list(self.pre_render_callbacks):
+            cb(rc, self)
+        ok = self.DefaultRender(rc, entity)
+        for cb in list(self.post_render_callbacks):
+            cb(rc, self)
+        return ok
+
+    def DefaultRender(self, rc, entity=None) -> bool:
+        if self.GetFaceCount() == 0:
+            return False
+        world = (entity.GetWorldMatrix() if entity is not None
+                 else np.eye(4, dtype=np.float32))
+        rc.SetWorldTransformationMatrix(world)
+        ok = True
+        groups = self.GetRenderGroups()
+        # opaque groups first, then transparent (reference :4092-4123)
+        order = ([g for g in groups if g.material is None
+                  or not g.material.IsAlphaTransparent()]
+                 + [g for g in groups if g.material is not None
+                    and g.material.IsAlphaTransparent()])
+        for g in order:
+            ok = self.RenderGroup(rc, g, entity) and ok
+        if self.channels:
+            ok = self.RenderChannels(rc, entity) and ok
+        return ok
+
+    def RenderGroup(self, rc, group, entity=None) -> bool:
+        """Draw one material group immediately (reference RenderGroup)."""
+        vm = group.vertex_map
+        n = vm.shape[0]
+        if n == 0 or group.local_faces.shape[0] == 0:
+            return True
+        s = rc.GetDrawPrimitiveStructure(transformed=False, vertex_count=n)
+        s["positions"][:] = self.positions[vm]
+        s["uvs"][:] = self.uvs[vm] if self.uvs.shape[0] else 0.0
+        mat = group.material
+        if self.IsPreLitMode() and self.colors.shape[0]:
+            s["colors"][:] = self.colors[vm]
+        elif mat is not None:
+            s["colors"][:] = np.asarray(mat.GetDiffuse(), np.float32)
+        if mat is not None:
+            rc.SetCurrentMaterial(mat)
+        try:
+            return rc.DrawPrimitive(2, group.local_faces.reshape(-1), s)
+        finally:
+            rc.SetCurrentMaterial(None)
+
+    def RenderChannels(self, rc, entity=None) -> bool:
+        """Draw the active material channels as extra blended passes
+        (reference RenderChannels, src/CKMesh.cpp:4390+)."""
+        ok = True
+        for ch in self.channels:
+            if not ch.get("active", True):
+                continue
+            mat = ch.get("material")
+            n = self.GetVertexCount()
+            s = rc.GetDrawPrimitiveStructure(transformed=False,
+                                             vertex_count=n)
+            s["positions"][:] = self.positions
+            s["uvs"][:] = ch["uvs"] if ch["uvs"].shape[0] else 0.0
+            if mat is not None:
+                s["colors"][:] = np.asarray(mat.GetDiffuse(), np.float32)
+                rc.SetCurrentMaterial(mat)
+            try:
+                ok = rc.DrawPrimitive(2, self.faces.reshape(-1), s) and ok
+            finally:
+                rc.SetCurrentMaterial(None)
+        return ok
+
     # -- dirty ------------------------------------------------------------
     def _dirty(self):
         self._groups = None

@@ -367,8 +367,192 @@ class CKPatchMesh(CKMesh):
         # Remap every vertex to the first occurrence of its quantized position
         # (positions stay un-compacted; duplicates become unreferenced).
         remap = first[inverse].astype(np.int32)
+        # Hard edges stay un-welded: their tessellated edge vertices keep
+        # their own identity, so the two sides get separate (hard) normals
+        # (reference CKPatchEdge hard flag / smooth-vs-hard edge normals).
+        for key in getattr(self, "_hard_edges", set()):
+            a, b = tuple(key)
+            for pi, e in self._patches_sharing_edge(a, b):
+                for vi in self._edge_vertex_indices(pi, e):
+                    if vi >= 0:
+                        remap[vi] = vi
         self._weld_map = remap
         self.faces = remap[np.asarray(self.faces)]
+
+    def _edge_vertex_indices(self, patch_index: int, local_edge: int) -> list:
+        """Tessellated render-mesh vertex indices along one patch edge."""
+        level = self.iteration_count
+        n = level + 1
+        p = self.patches[patch_index]
+        if p.is_quad:
+            coords = {0: [(i, 0) for i in range(n)],
+                      1: [(n - 1, j) for j in range(n)],
+                      2: [(i, n - 1) for i in range(n)],
+                      3: [(0, j) for j in range(n)]}[local_edge]
+            return [self.ComputeQuadVertexIndex(patch_index, i, j)
+                    for i, j in coords]
+        coords = {0: [(0, c) for c in range(level + 1)],
+                  1: [(r, level - r) for r in range(level + 1)],
+                  2: [(r, 0) for r in range(level + 1)]}[local_edge]
+        return [self.ComputeTriVertexIndex(patch_index, r, c)
+                for r, c in coords]
+
+    # -- API-surface parity batch (reference include/RCKPatchMesh.h:79-88;
+    # the reference's index helpers address its edge-shared tessellation
+    # tables — here they address this class's per-patch grid layout:
+    # quad patches first, each (n+1)^2 row-major, then tri patches, each
+    # (n+1)(n+2)/2 in barycentric-row order) -------------------------------
+    def _patch_vertex_base(self, patch_index: int) -> int:
+        level = self.iteration_count
+        n = level + 1
+        quad_count = n * n
+        tri_count = (level + 1) * (level + 2) // 2
+        quads = [i for i, p in enumerate(self.patches) if p.is_quad]
+        tris = [i for i, p in enumerate(self.patches) if not p.is_quad]
+        if patch_index in quads:
+            return quads.index(patch_index) * quad_count
+        return (len(quads) * quad_count
+                + tris.index(patch_index) * tri_count)
+
+    def ComputeQuadVertexIndex(self, patch_index: int, i: int,
+                               j: int) -> int:
+        """Render-mesh vertex index of quad-grid coordinate (i, j)
+        (reference ComputeQuadVertexIndex)."""
+        if not (0 <= patch_index < len(self.patches))                 or not self.patches[patch_index].is_quad:
+            return -1
+        n = self.iteration_count + 1
+        if not (0 <= i < n and 0 <= j < n):
+            return -1
+        return self._patch_vertex_base(patch_index) + i * n + j
+
+    def TriInteriorOffset(self, row: int, col: int) -> int:
+        """Offset of barycentric grid cell (row, col) within a tri patch
+        (reference TriInteriorOffset — row-major over shrinking rows)."""
+        level = self.iteration_count
+        off = 0
+        for r in range(row):
+            off += level + 1 - r
+        return off + col
+
+    def ComputeTriVertexIndex(self, patch_index: int, row: int,
+                              col: int) -> int:
+        if not (0 <= patch_index < len(self.patches))                 or self.patches[patch_index].is_quad:
+            return -1
+        level = self.iteration_count
+        if not (0 <= row <= level and 0 <= col <= level - row):
+            return -1
+        return self._patch_vertex_base(patch_index)             + self.TriInteriorOffset(row, col)
+
+    def EnsureCornerVertexMapAllocated(self, patch_count: int | None = None):
+        """Corner -> tessellated-vertex-index map (reference
+        EnsureCornerVertexMapAllocated fills m_CornerVertexMap)."""
+        self.BuildRenderMesh()
+        level = self.iteration_count
+        n = level + 1
+        cmap = []
+        for pi, p in enumerate(self.patches):
+            if p.is_quad:
+                corners = [self.ComputeQuadVertexIndex(pi, 0, 0),
+                           self.ComputeQuadVertexIndex(pi, n - 1, 0),
+                           self.ComputeQuadVertexIndex(pi, n - 1, n - 1),
+                           self.ComputeQuadVertexIndex(pi, 0, n - 1)]
+            else:
+                corners = [self.ComputeTriVertexIndex(pi, 0, 0),
+                           self.ComputeTriVertexIndex(pi, 0, level),
+                           self.ComputeTriVertexIndex(pi, level, 0), -1]
+            cmap.append(corners)
+        self._corner_vertex_map = cmap
+        return cmap
+
+    def GetPatchCornerForVertex(self, patch_index: int,
+                                vertex_index: int) -> int:
+        """Which patch corner a tessellated vertex is, or -1 (reference
+        GetPatchCornerForVertex)."""
+        cmap = getattr(self, "_corner_vertex_map", None)
+        if cmap is None:
+            cmap = self.EnsureCornerVertexMapAllocated()
+        if not (0 <= patch_index < len(cmap)):
+            return -1
+        corners = cmap[patch_index]
+        return corners.index(vertex_index) if vertex_index in corners else -1
+
+    # Hard edges: an edge is the unordered pair of patch-corner indices it
+    # spans (reference CKPatchEdge hard flag drives split tessellation —
+    # here it marks the edge excluded from normal welding).
+    def SetEdgeHard(self, corner_a: int, corner_b: int, hard: bool = True):
+        if not hasattr(self, "_hard_edges"):
+            self._hard_edges = set()
+        key = frozenset((int(corner_a), int(corner_b)))
+        (self._hard_edges.add if hard
+         else self._hard_edges.discard)(key)
+        self._tess_dirty = True
+
+    def IsEdgeHard(self, corner_a: int, corner_b: int) -> bool:
+        return frozenset((int(corner_a), int(corner_b))) in             getattr(self, "_hard_edges", set())
+
+    def _patches_sharing_edge(self, corner_a: int, corner_b: int) -> list:
+        key = {int(corner_a), int(corner_b)}
+        out = []
+        for pi, p in enumerate(self.patches):
+            cs = p.corners
+            k = len(cs)
+            for e in range(k):
+                if {cs[e], cs[(e + 1) % k]} == key:
+                    out.append((pi, e))
+                    break
+        return out
+
+    def DoPatchesShareUVOnEdge(self, corner_a: int, corner_b: int) -> bool:
+        """True when the (<=2) patches on this edge carry the same UVs at
+        both endpoints (reference DoPatchesShareUVOnEdge — decides whether
+        tessellated edge vertices can be shared)."""
+        shared = self._patches_sharing_edge(corner_a, corner_b)
+        if len(shared) < 2:
+            return True
+        uvs = []
+        for pi, e in shared[:2]:
+            p = self.patches[pi]
+            k = len(p.corners)
+            cu = self._patch_corner_uvs(p, k)
+            a_local = p.corners.index(corner_a)
+            b_local = p.corners.index(corner_b)
+            uvs.append((tuple(cu[a_local]), tuple(cu[b_local])))
+        return uvs[0] == uvs[1]
+
+    def GetCornerTextureCoordinate(self, patch_index: int, corner: int,
+                                   channel: int = -1):
+        """(u, v) at a patch corner (reference GetCornerTextureCoordinate)."""
+        if not (0 <= patch_index < len(self.patches)):
+            return None
+        p = self.patches[patch_index]
+        cu = self._patch_corner_uvs(p, len(p.corners))
+        if not (0 <= corner < len(p.corners)):
+            return None
+        return float(cu[corner][0]), float(cu[corner][1])
+
+    def GetTextureChannelPtr(self, channel: int = -1):
+        """The live UV array for a channel (reference GetTextureChannelPtr
+        returned base+stride; numpy views carry their own stride)."""
+        self.BuildRenderMesh()
+        return self.GetTextureCoordinatesPtr(channel)
+
+    def WriteTextureCoordinate(self, vertex_index: int, u: float, v: float,
+                               channel: int = -1):
+        arr = self.GetTextureChannelPtr(channel)
+        arr[vertex_index] = (u, v)
+        self._dirty_dynamic()
+
+    def LoadVertices(self, chunk) -> bool:
+        """Restore control verts/vecs from a statechunk (reference
+        RCKPatchMesh::LoadVertices)."""
+        from ..io.serialize import ID_PATCHMESH
+        if not chunk.SeekIdentifier(ID_PATCHMESH):
+            return False
+        self.SetVerts(chunk.ReadArray())
+        self.SetVecs(chunk.ReadArray())
+        self.iteration_count = chunk.ReadInt()
+        self._tess_dirty = True
+        return True
 
     def FromMesh(self, mesh: CKMesh):
         """Approximate: adopt the mesh's triangles as flat tri patches

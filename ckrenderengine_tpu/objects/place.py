@@ -113,7 +113,7 @@ class CKPlace(CK3dEntity):
         import numpy as np
 
         boxes = []
-        for d in self.descendants():
+        for d in [self] + self.descendants():
             if d.GetCurrentMesh() is not None:
                 bmin, bmax = d.GetBoundingBox()
                 boxes.append((bmin, bmax))

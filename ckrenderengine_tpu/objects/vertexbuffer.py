@@ -134,3 +134,12 @@ class CKVertexBuffer(CKObject):
             jnp.asarray(rc.viewport, jnp.float32))
         rc.fb, rc.zb = fb, zb
         return True
+
+    def Destroy(self):
+        """Release the buffer storage (reference RCKVertexBuffer::Destroy);
+        the object stays and can be re-Checked into a new allocation."""
+        self.positions = self.positions[:0]
+        self.colors = self.colors[:0]
+        self.uvs = self.uvs[:0]
+        self._count = 0
+        self.max_vertices = 0
