@@ -87,6 +87,98 @@ class CKObject:
         """Dependency-aware duplicate (reference RCK*::Copy)."""
         return self.context.CopyObject(self, modes, suffix)
 
+    # -- CK2 SDK object lifecycle protocol (every RCK* class implements
+    # these virtuals — CreateInstance/Register via the class registry,
+    # dependency enumeration/remap via objects/classreg.py, and the
+    # save/load/delete hooks) ----------------------------------------------
+    @classmethod
+    def CreateInstance(cls, context: "CKContext", name: str = ""):
+        """Factory the class registry dispatches to (reference
+        CreateInstance)."""
+        return cls(context, name)
+
+    @classmethod
+    def Register(cls) -> int:
+        """Ensure the class is registered; returns its class id (reference
+        Register — registration happens at import here, so this is a
+        lookup + assertion)."""
+        from .classreg import class_table
+        table = class_table()
+        if cls.CLASS_ID not in table:
+            raise ValueError(f"class id {cls.CLASS_ID} not in the registry")
+        return cls.CLASS_ID
+
+    def GetDependenciesCount(self, modes=None) -> int:
+        return len(self.GetDependencies(modes))
+
+    def PrepareDependencies(self, dep_set: set, modes=None) -> set:
+        """Accumulate this object + its to-be-processed dependency closure
+        into ``dep_set`` (reference PrepareDependencies fills a
+        CKDependenciesContext)."""
+        if self.id in dep_set:
+            return dep_set
+        dep_set.add(self.id)
+        for dep in self.GetDependencies(modes):
+            dep.PrepareDependencies(dep_set, modes)
+        return dep_set
+
+    def RemapDependencies(self, id_map: dict) -> bool:
+        """Rewrite object references according to ``id_map`` {old_id:
+        new_id} (reference RemapDependencies) — implemented by a statechunk
+        round-trip with the partial remap the Copy path uses."""
+        from ..io.serialize import load_object, registry, save_object
+        if self.CLASS_ID not in registry():
+            return False
+        chunk = save_object(self)
+        if chunk is None:
+            return False
+        chunk.RemapObjectIDs({int(k): int(v) for k, v in id_map.items()},
+                             keep_unmapped=True)
+        # Loaders append to membership lists; clear them so the reload
+        # rebuilds rather than duplicates.
+        for attr in ("meshes", "points", "body_parts", "animations"):
+            val = getattr(self, attr, None)
+            if isinstance(val, list):
+                val.clear()
+        # Loaders assign scalar refs only when resolvable; clear them so a
+        # ref remapped to 0 actually drops.
+        for attr in ("current_mesh", "root_animation", "active_animation",
+                     "root_body_part"):
+            if hasattr(self, attr):
+                setattr(self, attr, None)
+        if hasattr(self, "textures") and isinstance(self.textures, list):
+            self.textures = [None] * len(self.textures)
+        load_object(self, chunk, self.context)
+        return True
+
+    def IsObjectUsed(self, obj, cid: int = 0) -> bool:
+        """Does this object reference ``obj`` (reference IsObjectUsed)?"""
+        return obj in self.GetDependencies()
+
+    # Save/load/delete hooks (reference PreSave/PostLoad/PreDelete/
+    # CheckPreDeletion/CheckPostDeletion). PreSave declares dependencies;
+    # PostLoad finalizes; CheckPreDeletion drops references to dying
+    # objects before they go away.
+    def PreSave(self, file=None, flags: int = 0):
+        return None
+
+    def PostLoad(self):
+        self.context._bump_topology()
+
+    def PreDelete(self):
+        return None
+
+    def CheckPreDeletion(self):
+        """Null out references to objects marked to-be-deleted (the
+        generic form of the reference's per-class CheckPreDeletion)."""
+        dying = {d.id for d in self.GetDependencies()
+                 if getattr(d, "_to_be_deleted", False)}
+        if dying:
+            self.RemapDependencies({oid: 0 for oid in dying})
+
+    def CheckPostDeletion(self):
+        return None
+
     def Show(self, show: bool = True):
         self._visible = bool(show)
         self.context._bump_dynamic()

@@ -45,6 +45,14 @@ class CKCurvePoint(CK3dEntity):
             curve.points.append(self)
             curve._curve_dirty = True
 
+    def SetCurveLength(self, length: float):
+        """Arc-length position bookkeeping for the owner curve (reference
+        SetCurveLength — the fitting pass stores per-point arc lengths)."""
+        self._curve_length = float(length)
+
+    def GetCurveLength(self) -> float:
+        return getattr(self, "_curve_length", 0.0)
+
     def SetFittedVector(self, v):
         """Precomputed spline tangent at this point (reference
         Get/SetFittedVector — the fitting pass caches these)."""

@@ -384,6 +384,26 @@ class CK3dEntity(CKRenderObject):
         m[:3, :3] = s_axis @ rot3
         self.SetLocalMatrix(m)
 
+    def SetQuaternion(self, quat, ref=None, keep_children: bool = False,
+                      keep_scale: bool = True):
+        """Set the rotation part from a quaternion, preserving position
+        (and scale when keep_scale) — reference SetQuaternion."""
+        p, r, sc = vx.np_decompose_prs(self.GetLocalMatrix())
+        q = np.asarray(quat, np.float32)
+        self.SetLocalMatrix(vx.np_compose_prs(
+            p, q, sc if keep_scale else np.ones(3, np.float32)))
+
+    def GetQuaternion(self) -> np.ndarray:
+        return vx.np_decompose_prs(self.GetLocalMatrix())[1]
+
+    def AddScale(self, scale, keep_children: bool = False,
+                 local: bool = True):
+        """Multiply the local scale (reference AddScale)."""
+        sc = np.broadcast_to(np.asarray(scale, np.float32), (3,))
+        m = self.GetLocalMatrix().copy()
+        m[:3, :3] = np.diag(sc) @ m[:3, :3]
+        self.SetLocalMatrix(m)
+
     def UpdatePlace(self):
         """Recompute which Place contains this entity (reference
         RCK3dEntity::UpdatePlace — place membership from spatial

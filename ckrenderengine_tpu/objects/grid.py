@@ -154,6 +154,17 @@ class CKGrid(CK3dEntity):
     def GetOrientationMode(self) -> int:
         return self.orientation_mode
 
+    def UpdateBox(self):
+        """Recompute the grid's local bbox from its dimensions (reference
+        RCKGrid::UpdateBox); returns (bmin, bmax)."""
+        import numpy as np
+        w = self.GetWidth() * self._size[0]
+        l = self.GetLength() * self._size[1]
+        bmin = np.array([-w * 0.5, 0.0, -l * 0.5], np.float32)
+        bmax = np.array([w * 0.5, 0.0, l * 0.5], np.float32)
+        self._local_box = (bmin, bmax)
+        return bmin, bmax
+
     def SetGridPriority(self, p: int):
         self.grid_priority = int(p)
 

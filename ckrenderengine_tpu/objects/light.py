@@ -115,6 +115,34 @@ class CKLight(CK3dEntity):
     def GetFallOff(self) -> float:
         return float(self.falloff_shape)
 
+    def Setup(self, rst_ctx, index: int = 0) -> bool:
+        """Push this light into a rasterizer HAL context's light table
+        (reference RCKLight::Setup, src/CKLight.cpp:592-656 — activity flag
+        gating, specular = diffuse scaled by light power)."""
+        if not self.GetActivity():
+            rst_ctx.EnableLight(index, False)
+            return False
+        w = self.GetWorldMatrix()
+        color = np.asarray(self.GetColor(), np.float32)
+        power = max(float(getattr(self, "light_power", 1.0)), 0.0)
+        data = {
+            "type": self.GetType(),
+            "diffuse": (color * power).tolist(),
+            "specular": (color * power).tolist()
+            if self.GetSpecularFlag() else [0.0, 0.0, 0.0, 0.0],
+            "position": w[3, :3].tolist(),
+            "direction": w[2, :3].tolist(),
+            "range": self.GetRange(),
+            "attenuation": [self.GetConstantAttenuation(),
+                            self.GetLinearAttenuation(),
+                            self.GetQuadraticAttenuation()],
+            "inner_angle": self.GetHotSpot(),
+            "outer_angle": self.GetFallOff(),
+        }
+        rst_ctx.SetLight(index, data)
+        rst_ctx.EnableLight(index, True)
+        return True
+
     def SetFallOffShape(self, f: float):
         self.falloff = float(f)
         self.context._bump_dynamic()

@@ -499,6 +499,8 @@ class CKRenderContext(CKObject):
                     for s in (pdesc["slot"], pdesc["bump_slot"]):
                         if s >= 0 and mat.GetTexture(s) is not None:
                             tex_slot_for(mat.GetTexture(s))
+                    if pdesc.get("bias_tex") is not None:
+                        tex_slot_for(pdesc["bias_tex"])
                     # DP3 constants are per-entity (object-space light dir),
                     # so DP3 buckets split by entity row.
                     row = ent.row if pdesc["dp3"] else -1
@@ -852,13 +854,19 @@ class CKRenderContext(CKObject):
                 # base draw; COPY/DOT3 stage math ignores vertex lighting
                 # (the reference stages chain off ARG2=CURRENT/TFACTOR).
                 pdesc, pent = blends
-                repl["tex"] = c.tex_slot.get(
-                    id(mat.GetTexture(pdesc["slot"])), -1)
+                if pdesc.get("bias_tex") is not None:
+                    repl["tex"] = c.tex_slot.get(id(pdesc["bias_tex"]), -1)
+                elif pdesc["slot"] >= 0:
+                    repl["tex"] = c.tex_slot.get(
+                        id(mat.GetTexture(pdesc["slot"])), -1)
+                else:
+                    repl["tex"] = -1
                 repl["texgen"] = pdesc["texgen"]
                 repl["alpha_blend"] = True
                 repl["z_write"] = False
                 repl["src_blend"] = pdesc["src_blend"]
                 repl["dst_blend"] = pdesc["dst_blend"]
+                repl["blend_op"] = pdesc.get("blend_op", 1)
                 repl["tex_blend"] = pdesc["tex_blend"]
                 if pdesc["bump_slot"] >= 0:
                     bt = mat.GetTexture(pdesc["bump_slot"])
@@ -2189,6 +2197,254 @@ class CKRenderContext(CKObject):
     @staticmethod
     def AppendStateUIntLine(lines: list, name: str, value) -> None:
         lines.append(f"{name}: {int(value) & 0xFFFFFFFF}")
+
+    # -- DrawPrimitive staging helpers (reference AllocateStructure /
+    # ClearStructure / GetStructure / GetDrawPrimitiveIndices /
+    # LockCurrentVB / ReleaseCurrentVB, include/RCKRenderContext.h) --------
+    def AllocateStructure(self, vertex_count: int = 0,
+                          transformed: bool = True) -> dict:
+        return self.GetDrawPrimitiveStructure(transformed, vertex_count)
+
+    def GetStructure(self) -> dict | None:
+        return self._dp_struct
+
+    def ClearStructure(self):
+        self._dp_struct = None
+
+    def GetDrawPrimitiveIndices(self, count: int) -> np.ndarray:
+        """Shared sequential index buffer (reference GetDrawPrimitiveIndices
+        — the dynamic 16-bit index buffer; 32-bit here, no 65k cap)."""
+        cached = getattr(self, "_dp_indices", None)
+        if cached is None or cached.shape[0] < count:
+            self._dp_indices = np.arange(max(count, 128), dtype=np.int32)
+        return self._dp_indices[:count]
+
+    def LockCurrentVB(self, vertex_count: int):
+        """Lock a pooled staging VB (reference LockCurrentVB); returns
+        (positions, colors, uvs) views. Draw with ReleaseCurrentVB."""
+        from .vertexbuffer import CKVertexBuffer
+        vb = getattr(self, "_current_vb", None)
+        if vb is None:
+            vb = CKVertexBuffer(self.context, "__rc_vb",
+                                max_vertices=max(vertex_count, 256))
+            self._current_vb = vb
+        views = vb.Lock(0, vertex_count)
+        self._current_vb_count = vertex_count
+        return views
+
+    def ReleaseCurrentVB(self, prim_type: int | None = None) -> bool:
+        """Unlock the staging VB; with ``prim_type``, draw it immediately."""
+        vb = getattr(self, "_current_vb", None)
+        if vb is None:
+            return False
+        vb.Unlock()
+        if prim_type is not None:
+            mat = self._dp_material
+            state = (mat.raster_state() if mat is not None
+                     else getattr(self, "_dp_state", None))
+            tex = (mat.GetTexture() if mat is not None
+                   and mat.GetTexture() is not None else self._dp_texture)
+            return vb.Draw(self, int(prim_type), 0,
+                           self._current_vb_count, state=state, texture=tex)
+        return True
+
+    # -- Sprite3D immediate batches (reference AddSprite3DBatch /
+    # CallSprite3DBatches / FlushSprite3DBatchesIfNeeded,
+    # src/CKRenderContext.cpp:2821-2921; the frame program expands all
+    # sprites on device — these drive the immediate path) ------------------
+    def AddSprite3DBatch(self, sprite3d) -> bool:
+        mat = sprite3d.GetMaterial()
+        if mat is None:
+            return False
+        mat.AddSprite3DBatch(sprite3d)
+        if not hasattr(self, "_sprite3d_mats"):
+            self._sprite3d_mats = []
+        if mat not in self._sprite3d_mats:
+            self._sprite3d_mats.append(mat)
+        return True
+
+    def CallSprite3DBatches(self) -> int:
+        """Draw every pending material batch NOW (camera-space billboard
+        fill + one DrawPrimitive per material). Returns sprites drawn."""
+        mats = getattr(self, "_sprite3d_mats", [])
+        total = 0
+        view, proj, _ = self._camera_np()
+        for mat in mats:
+            sprites = mat.GetSprite3DBatch()
+            if not sprites:
+                continue
+            pos_l, uv_l, idx_l = [], [], []
+            base = 0
+            cam_world = np.linalg.inv(np.asarray(view, np.float32))
+            for sp in sprites:
+                verts, uvs, indices = sp.FillBatch(cam_world)
+                pos_l.append(verts)
+                uv_l.append(uvs)
+                idx_l.append(indices + base)
+                base += 4
+            verts = np.concatenate(pos_l)
+            h = np.concatenate([verts, np.ones((verts.shape[0], 1),
+                                               np.float32)], -1)
+            clip = h @ (np.asarray(view, np.float32)
+                        @ np.asarray(proj, np.float32))
+            s = self.GetDrawPrimitiveStructure(transformed=True,
+                                               vertex_count=clip.shape[0])
+            s["positions"][:] = clip
+            s["uvs"][:] = np.concatenate(uv_l)
+            s["colors"][:] = np.asarray(mat.GetDiffuse(), np.float32)
+            # Sprites never cull (the reference's sprite batches draw with
+            # culling off — billboard winding depends on the view).
+            import dataclasses
+            from ..raster.types import VXCULL
+            saved_state = getattr(self, "_dp_state", None)
+            saved_tex = self._dp_texture
+            self._dp_state = dataclasses.replace(
+                mat.raster_state(), cull=int(VXCULL.NONE))
+            self._dp_texture = mat.GetTexture() or saved_tex
+            try:
+                self.DrawPrimitive(2, np.concatenate(idx_l), s)
+            finally:
+                self._dp_state = saved_state
+                self._dp_texture = saved_tex
+            total += len(sprites)
+            mat.FlushSprite3DBatch()
+        self._sprite3d_mats = []
+        return total
+
+    def FlushSprite3DBatchesIfNeeded(self, mat=None) -> int:
+        """Flush when a state change would interleave wrongly (reference
+        FlushSprite3DBatchesIfNeeded); flushes everything here."""
+        if getattr(self, "_sprite3d_mats", []):
+            return self.CallSprite3DBatches()
+        return 0
+
+    def ClassifyTransparentOrder(self, ent_a, ent_b) -> int:
+        """Plane-classification tie-breaker for transparent objects with
+        overlapping Z extents (reference ClassifyTransparentOrder,
+        src/CKSceneGraph.cpp:49-80): when one box lies entirely on one side
+        of the other's nearest face plane, the box on the camera's side
+        draws LAST. Returns -1 (a first), +1 (b first), 0 (no decision)."""
+        cam = self.GetAttachedCamera()
+        if cam is None:
+            return 0
+        cam_pos = cam.GetWorldMatrix()[3, :3]
+        amin, amax = ent_a.GetBoundingBox()
+        bmin, bmax = ent_b.GetBoundingBox()
+
+        def classify(outer_min, outer_max, inner_min, inner_max):
+            # separating axis-plane of the OUTER box that the INNER box is
+            # fully beyond; returns draw order or 0
+            for axis in range(3):
+                if inner_min[axis] >= outer_max[axis]:     # inner on + side
+                    cam_side = cam_pos[axis] >= outer_max[axis]
+                    return +1 if cam_side else -1          # inner last/first
+                if inner_max[axis] <= outer_min[axis]:
+                    cam_side = cam_pos[axis] <= outer_min[axis]
+                    return +1 if cam_side else -1
+            return 0
+
+        r = classify(amin, amax, bmin, bmax)   # +1: b draws after a
+        if r:
+            return -1 if r > 0 else +1         # convert to "who first"
+        r = classify(bmin, bmax, amin, amax)   # +1: a draws after b
+        if r:
+            return +1 if r > 0 else -1
+        return 0
+
+    def RenderTransparents(self, flags: int = 0) -> int:
+        """Immediate back-to-front draw of all transparent entities
+        (reference RenderTransparents; the frame program performs this
+        per-triangle on device — this is the host path for callbacks)."""
+        cam = self.GetAttachedCamera()
+        view = (cam.view_matrix() if cam is not None
+                else np.eye(4, dtype=np.float32))
+        ents = [e for e in self._scene_entities()
+                if e.IsVisible() and e.GetCurrentMesh() is not None
+                and e.GetCurrentMesh().IsTransparent()]
+
+        def depth(e):
+            p = e.GetWorldMatrix()[3, :3]
+            return float((np.append(p, 1.0) @ view)[2])
+
+        ents.sort(key=depth, reverse=True)      # far first
+        n = 0
+        for e in ents:
+            if e.GetCurrentMesh().Render(self, e):
+                n += 1
+        return n
+
+    # -- misc lifecycle ----------------------------------------------------
+    def GetState(self) -> int:
+        """Context state word (reference GetState/SetState)."""
+        return getattr(self, "_state", 0)
+
+    def SetState(self, state: int):
+        self._state = int(state)
+
+    def DestroyDevice(self) -> bool:
+        """Tear down device-side arrays (reference DestroyDevice); the next
+        Render() recreates them."""
+        self._compiled = CompiledScene()
+        return True
+
+    def OnClearAll(self):
+        """CKContext ClearAll notification (reference OnClearAll): drop
+        per-frame registries and callbacks."""
+        self.ClearCallbacks()
+        self._objects = None
+        self._compiled = CompiledScene()
+        self.context._bump_topology()
+
+    def ClearCallbacks(self):
+        self.pre_render_callbacks = []
+        self.post_render_callbacks = []
+        self.post_sprite_callbacks = []
+
+    def IsObjectAttached(self, obj) -> bool:
+        """Explicit-membership test (reference IsObjectAttached)."""
+        if self._objects is None:
+            from .entity import CKRenderObject
+            return isinstance(obj, CKRenderObject)
+        return obj in self._objects
+
+    def CopyToVideo(self) -> np.ndarray:
+        """System -> video copy (reference CopyToVideo); the framebuffer IS
+        device memory here, so this is the present view."""
+        return self.framebuffer()
+
+    def RestoreStereoRenderState(self):
+        """Drop any per-eye overrides installed by a stereo pass (reference
+        RestoreStereoRenderState)."""
+        self._stereo_eye = None
+        self._dp_view = None
+        self._dp_proj = None
+
+    # -- PV information watermark (reference LoadPVInformationTexture /
+    # DrawPVInformationWatermark — the player-version overlay) -------------
+    def LoadPVInformationTexture(self) -> bool:
+        from .texture import CKTexture
+        tex = getattr(self, "_pv_texture", None)
+        if tex is None:
+            tex = CKTexture(self.context, "__pv_watermark")
+            img = np.zeros((8, 32, 4), np.float32)
+            img[1:7, 1:31] = (1.0, 1.0, 1.0, 0.35)   # translucent bar
+            img[3:5, 2:30, :3] = 0.1                 # dark stripe = "text"
+            tex.SetImage(img)
+            self._pv_texture = tex
+        return True
+
+    def DrawPVInformationWatermark(self) -> bool:
+        if not self.LoadPVInformationTexture():
+            return False
+        img = self._pv_texture.GetImage()
+        fb = self.framebuffer().copy()
+        h, w = img.shape[0], img.shape[1]
+        y0 = self.height - h - 2
+        x0 = 2
+        a = img[..., 3:4]
+        fb[y0:y0 + h, x0:x0 + w, :3] = (
+            fb[y0:y0 + h, x0:x0 + w, :3] * (1 - a) + img[..., :3] * a)
+        return self.CopyFromMemoryBuffer(fb)
 
     # -- user clip planes (reference SetUserClipPlane/GetUserClipPlane,
     # include/CKRasterizer.h + CKDX9RasterizerContext.cpp:3408) -------------

@@ -45,19 +45,25 @@ CKRST_TOP_ADDSIGNED = 8
 CKRST_TOP_SUBTRACT = 10
 CKRST_TOP_BLENDTEXTUREALPHA = 13
 
-# Stage op -> (src_blend, dst_blend) multi-pass equivalent. ADDSIGNED has no
-# exact framebuffer-blend form; it degrades to ADD (documented deviation —
-# the reference itself degrades effects on caps-limited hardware).
+# Stage op -> (src_blend, dst_blend, blend_op) multi-pass equivalent.
+# SUBTRACT is exact via the REVSUBTRACT framebuffer op (dst - src);
+# ADDSIGNED (dst + tex - 0.5) is exact as ADD plus a flat -0.5 bias pass
+# (REVSUBTRACT of constant gray) appended by effect_passes().
+from ..raster.types import VXBLENDOP as _VXBLENDOP
+_OP_ADD = int(_VXBLENDOP.ADD)
 _OP_TO_BLENDS = {
-    CKRST_TOP_SELECTARG1: (int(VXBLEND.ONE), int(VXBLEND.ZERO)),
-    CKRST_TOP_MODULATE: (int(VXBLEND.DESTCOLOR), int(VXBLEND.ZERO)),
-    CKRST_TOP_MODULATE2X: (int(VXBLEND.DESTCOLOR), int(VXBLEND.SRCCOLOR)),
-    CKRST_TOP_MODULATE4X: (int(VXBLEND.DESTCOLOR), int(VXBLEND.SRCCOLOR)),
-    CKRST_TOP_ADD: (int(VXBLEND.ONE), int(VXBLEND.ONE)),
-    CKRST_TOP_ADDSIGNED: (int(VXBLEND.ONE), int(VXBLEND.ONE)),
-    CKRST_TOP_SUBTRACT: (int(VXBLEND.ZERO), int(VXBLEND.INVSRCCOLOR)),
+    CKRST_TOP_SELECTARG1: (int(VXBLEND.ONE), int(VXBLEND.ZERO), _OP_ADD),
+    CKRST_TOP_MODULATE: (int(VXBLEND.DESTCOLOR), int(VXBLEND.ZERO), _OP_ADD),
+    CKRST_TOP_MODULATE2X: (int(VXBLEND.DESTCOLOR), int(VXBLEND.SRCCOLOR),
+                           _OP_ADD),
+    CKRST_TOP_MODULATE4X: (int(VXBLEND.DESTCOLOR), int(VXBLEND.SRCCOLOR),
+                           _OP_ADD),
+    CKRST_TOP_ADD: (int(VXBLEND.ONE), int(VXBLEND.ONE), _OP_ADD),
+    CKRST_TOP_ADDSIGNED: (int(VXBLEND.ONE), int(VXBLEND.ONE), _OP_ADD),
+    CKRST_TOP_SUBTRACT: (int(VXBLEND.ONE), int(VXBLEND.ONE),
+                         int(_VXBLENDOP.SUBTRACT)),
     CKRST_TOP_BLENDTEXTUREALPHA: (int(VXBLEND.SRCALPHA),
-                                  int(VXBLEND.INVSRCALPHA)),
+                                  int(VXBLEND.INVSRCALPHA), _OP_ADD),
 }
 
 
@@ -430,28 +436,46 @@ class CKMaterial(CKObject):
         eff = self.GetEffect()
         p = self.effect_parameter
         passes = []
+
+        def bias_pass():
+            # flat  -0.5  pass completing an exact ADDSIGNED
+            # (dst + tex - 0.5): constant gray via a 1x1 texture,
+            # REVSUBTRACT framebuffer op.
+            return dict(
+                slot=-1, texgen=TEXGEN_NONE,
+                src_blend=int(VXBLEND.ONE), dst_blend=int(VXBLEND.ONE),
+                blend_op=int(_VXBLENDOP.REVSUBTRACT),
+                tex_blend=int(VXTEXTUREBLEND.COPY), dp3=False,
+                bump_slot=-1, bump_scale=0.0, ref_entity=None,
+                bias_tex=self._bias_texture(),
+            )
+
         if eff == VXEFFECT_DP3 and self.textures[1] is not None:
             # Pass: normal map dotted with the object-space light dir
             # (state-bank constant), modulating the base (DESTCOLOR, ZERO).
             passes.append(dict(
                 slot=1, texgen=TEXGEN_NONE,
                 src_blend=int(VXBLEND.DESTCOLOR), dst_blend=int(VXBLEND.ZERO),
+                blend_op=_OP_ADD,
                 tex_blend=TEXBLEND_DOT3FACTOR, dp3=True,
                 bump_slot=-1, bump_scale=0.0,
-                ref_entity=p.get("light"),
+                ref_entity=p.get("light"), bias_tex=None,
             ))
         elif eff == VXEFFECT_BUMPENV and self.textures[2] is not None:
             # Pass: env map (textures[2]) with EMBM perturbation from the
-            # bump map (textures[1]); added over the base (ADDSIGNED -> ADD).
+            # bump map (textures[1]); ADDSIGNED over the base by default.
             op = int(p.get("op", CKRST_TOP_ADDSIGNED))
-            sb, db = _OP_TO_BLENDS.get(op, _OP_TO_BLENDS[CKRST_TOP_ADDSIGNED])
+            sb, db, bop = _OP_TO_BLENDS.get(
+                op, _OP_TO_BLENDS[CKRST_TOP_ADDSIGNED])
             passes.append(dict(
                 slot=2, texgen=int(p.get("texgen", TEXGEN_REFLECT)),
-                src_blend=sb, dst_blend=db,
+                src_blend=sb, dst_blend=db, blend_op=bop,
                 tex_blend=int(VXTEXTUREBLEND.COPY), dp3=False,
                 bump_slot=1, bump_scale=2.0 + float(p.get("bump_scale", 0.0)),
-                ref_entity=p.get("ref_entity"),
+                ref_entity=p.get("ref_entity"), bias_tex=None,
             ))
+            if op == CKRST_TOP_ADDSIGNED:
+                passes.append(bias_pass())
         elif eff in (VXEFFECT_2TEXTURES, VXEFFECT_3TEXTURES):
             for slot, op_key, tg_key in ((1, "op", "texgen"),
                                          (2, "op2", "texgen2")):
@@ -460,16 +484,76 @@ class CKMaterial(CKObject):
                 if slot == 2 and eff != VXEFFECT_3TEXTURES:
                     continue
                 op = int(p.get(op_key, CKRST_TOP_MODULATE))
-                sb, db = _OP_TO_BLENDS.get(op,
-                                           _OP_TO_BLENDS[CKRST_TOP_MODULATE])
+                sb, db, bop = _OP_TO_BLENDS.get(
+                    op, _OP_TO_BLENDS[CKRST_TOP_MODULATE])
                 passes.append(dict(
                     slot=slot, texgen=int(p.get(tg_key, TEXGEN_NONE)),
-                    src_blend=sb, dst_blend=db,
+                    src_blend=sb, dst_blend=db, blend_op=bop,
                     tex_blend=int(VXTEXTUREBLEND.COPY), dp3=False,
                     bump_slot=-1, bump_scale=0.0,
-                    ref_entity=p.get("ref_entity"),
+                    ref_entity=p.get("ref_entity"), bias_tex=None,
                 ))
+                if op == CKRST_TOP_ADDSIGNED:
+                    passes.append(bias_pass())
         return passes
+
+    def _bias_texture(self):
+        """Lazily created 1x1 mid-gray texture powering the ADDSIGNED bias
+        pass."""
+        tex = getattr(self, "_addsigned_bias_tex", None)
+        if tex is None:
+            from .texture import CKTexture
+            tex = CKTexture(self.context, f"{self.name}__addsigned_bias")
+            img = np.full((1, 1, 4), 0.5, np.float32)
+            img[..., 3] = 0.0               # leave fb alpha untouched
+            tex.SetImage(img)
+            self._addsigned_bias_tex = tex
+        return tex
+
+    # -- reference-named effect entry points (reference TexGenEffect /
+    # DP3Effect / BumpMapEnvEffect / BlendTexturesEffect,
+    # src/CKMaterial.cpp:1456-2060 — stage setups there; pass descriptors
+    # here, consumed by the scene compiler's effect-pass lowering) ---------
+    def Effect(self) -> int:
+        return self.GetEffect()
+
+    def TexGenEffect(self) -> int:
+        """The base pass's vertex TexGen mode."""
+        return self._effect_texgen()
+
+    def DP3Effect(self):
+        """The DOT3 pass descriptor, or None when not a DP3 material."""
+        return next((d for d in self.effect_passes() if d["dp3"]), None)
+
+    def BumpMapEnvEffect(self):
+        """The EMBM env pass descriptor, or None."""
+        return next((d for d in self.effect_passes()
+                     if d["bump_slot"] >= 0), None)
+
+    def BlendTexturesEffect(self) -> list:
+        """The 2/3-texture blend pass descriptors."""
+        if self.GetEffect() not in (VXEFFECT_2TEXTURES, VXEFFECT_3TEXTURES):
+            return []
+        return self.effect_passes()
+
+    # -- channel-render state patching (reference PatchForChannelRender /
+    # RestoreAfterChannelRender: when drawn as a mesh CHANNEL the
+    # material's blends are overridden by the channel blends) --------------
+    def PatchForChannelRender(self, src_blend: int, dst_blend: int):
+        self._channel_saved = (self.GetSourceBlend(), self.GetDestBlend(),
+                               self.AlphaBlendEnabled())
+        self.SetSourceBlend(int(src_blend))
+        self.SetDestBlend(int(dst_blend))
+        self.EnableAlphaBlend(True)
+
+    def RestoreAfterChannelRender(self):
+        saved = getattr(self, "_channel_saved", None)
+        if saved is None:
+            return
+        self.SetSourceBlend(saved[0])
+        self.SetDestBlend(saved[1])
+        self.EnableAlphaBlend(saved[2])
+        self._channel_saved = None
 
     def lighting_params(self):
         return dict(

@@ -888,6 +888,40 @@ class CKMesh(CKObject):
             return group.local_faces.shape[0] > 0
         return any(g.local_faces.shape[0] > 0 for g in self.GetRenderGroups())
 
+    def CreateNewMaterialGroup(self, material) -> int:
+        """Ensure a material slot exists and rebuild groups (reference
+        CreateNewMaterialGroup); returns the slot index."""
+        slot = self._material_slot(material)
+        self._dirty()
+        return slot
+
+    def DeleteRenderGroup(self, i: int) -> bool:
+        """Drop one material's group: its faces move to slot 0 (reference
+        DeleteRenderGroup)."""
+        if not (0 <= i < len(self.materials)) or len(self.materials) <= 1:
+            return False
+        self.face_materials[self.face_materials == i] = 0
+        self.face_materials[self.face_materials > i] -= 1
+        self.materials.pop(i)
+        self._dirty()
+        return True
+
+    def ResetMaterialGroup(self):
+        """Collapse every face back to the first material (reference
+        ResetMaterialGroup)."""
+        self.face_materials[:] = 0
+        del self.materials[1:]
+        self._dirty()
+
+    def DeleteVBuffer(self):
+        """Drop the cached render groups (the CKVBuffer remaps; reference
+        DeleteVBuffer) — rebuilt on next use."""
+        self._groups = None
+        self._dirty()
+
+    def ILoadVertices(self, chunk) -> bool:
+        return self.LoadVertices(chunk)
+
     # CK2 scene-membership notifications (reference AddToScene/
     # RemoveFromScene on CKSceneObject).
     def AddToScene(self, scene=None, dependencies: bool = True):
@@ -983,3 +1017,27 @@ class CKMesh(CKObject):
         self._bbox = None
         self.data_version = getattr(self, "data_version", 0) + 1
         self.context._bump_dynamic()
+
+
+# -- mesh math dispatch (reference SetProcessorSpecific_FunctionsPtr /
+# g_BuildNormals / g_BuildFaceNormals / g_Normalize / g_RayIntersection,
+# src/CKMeshUtils.cpp:9-27 — SSE dispatch is a CPU-era detail; these are
+# the generic entry points, vectorized numpy) --------------------------------
+
+def BuildNormalsGenericFunc(mesh: "CKMesh"):
+    mesh.BuildNormals()
+
+
+def BuildFaceNormalsGenericFunc(mesh: "CKMesh") -> np.ndarray:
+    return mesh.BuildFaceNormals()
+
+
+def NormalizeGenericFunc(vectors) -> np.ndarray:
+    v = np.asarray(vectors, np.float32)
+    ln = np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return (v / ln).astype(np.float32)
+
+
+def RayIntersectionGenericFunc(origin, direction, entity):
+    """Nearest triangle hit (reference g_RayIntersection dispatch)."""
+    return entity.RayIntersection(origin, direction)

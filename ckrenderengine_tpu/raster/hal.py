@@ -157,6 +157,24 @@ class CKRasterizer:
                 other.ReleaseObjectIndex(index, kind, False)
         return True
 
+    def FindDriverProblems(self, vendor: str = "", renderer: str = "",
+                           version: str = "", device_desc: str = "",
+                           bpp: int = 32):
+        """First quirks-database entry matching the driver identification
+        (reference FindDriverProblems, include/CKRasterizer.h:96)."""
+        for p in self.driver_problems:
+            if p.renderer and p.renderer not in (renderer + device_desc):
+                continue
+            if p.vendor and p.vendor not in vendor:
+                continue
+            if p.version:
+                if p.version_must_be_exact and version != p.version:
+                    continue
+                if not p.version_must_be_exact and p.version not in version:
+                    continue
+            return p
+        return None
+
     def LinkRasterizer(self, other: "CKRasterizer"):
         if other is not self and other not in self._linked:
             self._linked.append(other)
@@ -525,6 +543,13 @@ class CKRasterizerContext:
     def UpdateObjectArrays(self, rasterizer: CKRasterizer):
         """Index space grew (reference UpdateObjectArrays) — dict-backed
         tables need no resize; hook kept for allocator parity."""
+        return self.AllocateObjects(rasterizer._objects_index.shape[0])
+
+    def AllocateObjects(self, capacity: int) -> bool:
+        """Reserve object-table capacity (reference AllocateObjects — the
+        guard-byte test hook overrides this); dicts grow on demand."""
+        self._object_capacity = int(capacity)
+        return True
 
     # -- textures ----------------------------------------------------------
     def LoadTexture(self, index: int, image, level: int = 0) -> bool:
@@ -996,3 +1021,24 @@ def CKNULLRasterizerStart(window=None) -> CKRasterizer:
         _NULL = CKRasterizer()
         _NULL.Start(window)
     return _NULL
+
+
+def InitNULLRasterizerCaps() -> Vx3DCapsDesc:
+    """Default caps of the NULL/software device (reference
+    InitNULLRasterizerCaps — safe, generous software caps)."""
+    return Vx3DCapsDesc()
+
+
+def ConvertAttenuationModelFromDX5(a0: float, a1: float, a2: float,
+                                   range_: float) -> tuple:
+    """DX5 normalized attenuation triplet -> DX9 distance coefficients
+    (reference ConvertAttenuationModelFromDX5,
+    CKRasterizerLib/CKRasterizer.cpp:339-352): DX5 weights are fractions of
+    the light range; DX9 wants absolute 1/(a0 + a1 d + a2 d^2) terms."""
+    total = a0 + a1 + a2
+    if range_ <= 0.0 or total <= 0.0:
+        return 1.0, 0.0, 0.0
+    c0 = 1.0 / total
+    c1 = (2.0 * a2 + a1) * (c0 / range_) * c0
+    c2 = c0 * a2 * c0 / (range_ * range_) + c1 * c1 / c0
+    return c0, c1, c2

@@ -369,7 +369,20 @@ def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog
         if c == 3:  # SRCALPHASAT uses factor 1 on alpha
             sfac = jnp.where(si[SI_SRCBLEND] == VXBLEND.SRCALPHASAT, jnp.ones_like(sfac), sfac)
             dfac = jnp.where(si[SI_DSTBLEND] == VXBLEND.SRCALPHASAT, jnp.ones_like(dfac), dfac)
-        blended_c = jnp.clip(src_c * sfac + dst_c * dfac, 0.0, 1.0)
+        # Blend op (VXBLENDOP / D3DRS_BLENDOP): ADD is the fixed-function
+        # default; SUBTRACT/REVSUBTRACT make the ADDSIGNED/SUBTRACT stage
+        # ops exact in the multi-pass lowering (objects/material.py).
+        from .types import SI_BLENDOP, VXBLENDOP
+        op = si[SI_BLENDOP]
+        s_term = src_c * sfac
+        d_term = dst_c * dfac
+        blended_c = jnp.select(
+            [op == VXBLENDOP.SUBTRACT, op == VXBLENDOP.REVSUBTRACT,
+             op == VXBLENDOP.MIN, op == VXBLENDOP.MAX],
+            [s_term - d_term, d_term - s_term,
+             jnp.minimum(src_c, dst_c), jnp.maximum(src_c, dst_c)],
+            default=s_term + d_term)
+        blended_c = jnp.clip(blended_c, 0.0, 1.0)
         out.append(jnp.where(blend_on, blended_c, src_c))
 
     # Z-only / stencil-only draws never touch color

@@ -321,7 +321,19 @@ class NullRasterizer:
             if si[SI_ALPHABLEND]:
                 sfactor = _blend_factor(int(si[SI_SRCBLEND]), color, fbslice)
                 dfactor = _blend_factor(int(si[SI_DSTBLEND]), color, fbslice)
-                out = np.clip(color * sfactor + fbslice * dfactor, 0.0, 1.0)
+                from .types import SI_BLENDOP, VXBLENDOP
+                op = int(si[SI_BLENDOP])
+                if op == VXBLENDOP.SUBTRACT:
+                    out = color * sfactor - fbslice * dfactor
+                elif op == VXBLENDOP.REVSUBTRACT:
+                    out = fbslice * dfactor - color * sfactor
+                elif op == VXBLENDOP.MIN:
+                    out = np.minimum(color, fbslice)
+                elif op == VXBLENDOP.MAX:
+                    out = np.maximum(color, fbslice)
+                else:
+                    out = color * sfactor + fbslice * dfactor
+                out = np.clip(out, 0.0, 1.0)
             else:
                 out = color
             fbslice[inside] = out[inside].astype(np.float32)

@@ -47,6 +47,16 @@ class VXBLEND(enum.IntEnum):
     SRCALPHASAT = 11
 
 
+class VXBLENDOP(enum.IntEnum):
+    """Framebuffer blend op (D3DBLENDOP values; VXRENDERSTATE_BLENDOP in
+    the reference's render-state table)."""
+    ADD = 1
+    SUBTRACT = 2          # src*sf - dst*df
+    REVSUBTRACT = 3       # dst*df - src*sf
+    MIN = 4
+    MAX = 5
+
+
 class VXCULL(enum.IntEnum):
     NONE = 1
     CW = 2
@@ -144,7 +154,8 @@ SI_TEXGEN = 16      # TEXGEN_* vertex UV generation (material effects)
 SI_COLORWRITE = 17  # 0 = z-only draw (VX_MOVEABLE_ZBUFONLY)
 SI_STENCIL = 18     # 1 = stencil-mask draw (VX_MOVEABLE_STENCILONLY)
 SI_TEX2 = 19        # secondary (bump) texture for EMBM, -1 = none
-NUM_SI = 20
+SI_BLENDOP = 20     # VXBLENDOP framebuffer blend op (default ADD)
+NUM_SI = 21
 
 # TexGen modes (material effects: TexGen/TexGenRef planar/reflection/chrome,
 # reference src/CKMaterial.cpp:1302-1362, 1456+)
@@ -200,6 +211,7 @@ class RasterState:
     tex2: int = -1
     const_color: tuple = (1.0, 1.0, 1.0)
     bump_scale: float = 0.0
+    blend_op: int = 1              # VXBLENDOP.ADD
 
     def pack(self):
         si = np.zeros(NUM_SI, np.int32)
@@ -222,6 +234,7 @@ class RasterState:
         si[SI_COLORWRITE] = int(self.color_write)
         si[SI_STENCIL] = int(self.stencil)
         si[SI_TEX2] = self.tex2
+        si[SI_BLENDOP] = self.blend_op
         sf[SF_ALPHAREF] = self.alpha_ref
         sf[SF_BORDER_R:SF_BORDER_A + 1] = np.asarray(self.border_color, np.float32)
         sf[SF_CONST_R:SF_CONST_B + 1] = np.asarray(self.const_color, np.float32)

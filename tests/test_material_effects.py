@@ -241,3 +241,49 @@ class TestEffectsRegistry:
         rc.Render()
         assert np.abs(np.asarray(rc.framebuffer()) - base).sum() > 1.0
         assert calls and calls[0] == (mat, 42)
+
+
+class TestExactStageOps:
+    """SUBTRACT and ADDSIGNED stage ops are EXACT multi-pass lowerings
+    (VXBLENDOP.SUBTRACT / the flat -0.5 bias pass) — not approximations."""
+
+    def _flat_tex(self, ctx, value):
+        t = CKTexture(ctx, f"flat{value}")
+        img = np.full((4, 4, 4), value, np.float32)
+        img[..., 3] = 1.0
+        t.SetImage(img)
+        return t
+
+    def test_subtract_is_exact(self):
+        from ckrenderengine_tpu.objects.material import CKRST_TOP_SUBTRACT
+        ctx = CKContext()
+        rc, mat = _quad_scene(ctx)        # emissive white: base = texel
+        mat.SetDiffuse((0, 0, 0, 1))
+        base = self._flat_tex(ctx, 0.25)
+        top = self._flat_tex(ctx, 0.75)
+        mat.SetTexture(base, 0)
+        mat.SetTexture(top, 1)
+        mat.SetEffect(VXEFFECT_2TEXTURES)
+        mat.SetEffectParameter(op=CKRST_TOP_SUBTRACT)
+        rc.Render()
+        center = rc.framebuffer()[24, 24, :3]
+        # fb' = tex1 - base = 0.75 - 0.25
+        np.testing.assert_allclose(center, 0.5, atol=0.03)
+
+    def test_addsigned_is_exact(self):
+        from ckrenderengine_tpu.objects.material import CKRST_TOP_ADDSIGNED
+        ctx = CKContext()
+        rc, mat = _quad_scene(ctx)        # emissive white: base = texel
+        mat.SetDiffuse((0, 0, 0, 1))
+        base = self._flat_tex(ctx, 0.6)
+        top = self._flat_tex(ctx, 0.4)
+        mat.SetTexture(base, 0)
+        mat.SetTexture(top, 1)
+        mat.SetEffect(VXEFFECT_2TEXTURES)
+        mat.SetEffectParameter(op=CKRST_TOP_ADDSIGNED)
+        passes = mat.effect_passes()
+        assert len(passes) == 2 and passes[1]["bias_tex"] is not None
+        rc.Render()
+        center = rc.framebuffer()[24, 24, :3]
+        # fb' = base + tex1 - 0.5 = 0.6 + 0.4 - 0.5
+        np.testing.assert_allclose(center, 0.5, atol=0.03)
