@@ -212,6 +212,10 @@ class CKContext:
         # O(entities) host time per frame at 1000+ entities.
         self._cb_objects: dict[int, CKObject] = {}
         self._prerender_objects: dict[int, CKObject] = {}
+        self._lights: dict[int, CKObject] = {}   # live CKLight registry
+        # Appearance version: material/light PARAMETER changes (not entity
+        # motion) — lets the per-frame material-bank lowering cache.
+        self._appearance_version = 0
 
     # -- registry ---------------------------------------------------------
     def _register(self, obj: CKObject) -> int:
@@ -242,6 +246,7 @@ class CKContext:
         self._objects.pop(obj.id, None)
         self._cb_objects.pop(obj.id, None)
         self._prerender_objects.pop(obj.id, None)
+        self._lights.pop(obj.id, None)
         self._bump_topology()
 
     # -- factory (CKContext::CreateObject equivalent) ---------------------
@@ -284,6 +289,10 @@ class CKContext:
         self._dynamic_version += 1
 
     def _bump_dynamic(self):
+        self._dynamic_version += 1
+
+    def _bump_appearance(self):
+        self._appearance_version += 1
         self._dynamic_version += 1
 
     def BeginAddRemoveSequence(self):

@@ -26,6 +26,7 @@ class CKLight(CK3dEntity):
 
     def __init__(self, context: CKContext, name: str = ""):
         super().__init__(context, name)
+        context._lights[self.id] = self
         self.type = int(VXLIGHT.POINT)
         self.color = np.array([1.0, 1.0, 1.0, 1.0], np.float32)   # diffuse
         self.ambient_color = np.zeros(4, np.float32)
@@ -40,14 +41,14 @@ class CKLight(CK3dEntity):
     # -- type / colors ----------------------------------------------------
     def SetType(self, t: int):
         self.type = int(t)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetType(self) -> int:
         return self.type
 
     def SetColor(self, rgba):
         self.color = np.asarray(rgba, np.float32)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetColor(self):
         return self.color.copy()
@@ -57,7 +58,7 @@ class CKLight(CK3dEntity):
             self.light_flags |= _FLAG_SPECULAR
         else:
             self.light_flags &= ~_FLAG_SPECULAR
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetSpecularFlag(self) -> bool:
         return bool(self.light_flags & _FLAG_SPECULAR)
@@ -67,7 +68,7 @@ class CKLight(CK3dEntity):
             self.light_flags |= _FLAG_ACTIVE
         else:
             self.light_flags &= ~_FLAG_ACTIVE
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetActivity(self) -> bool:
         return bool(self.light_flags & _FLAG_ACTIVE)
@@ -75,15 +76,15 @@ class CKLight(CK3dEntity):
     # -- attenuation / cones ---------------------------------------------
     def SetConstantAttenuation(self, a: float):
         self.attenuation[0] = a
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def SetLinearAttenuation(self, a: float):
         self.attenuation[1] = a
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def SetQuadraticAttenuation(self, a: float):
         self.attenuation[2] = a
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetConstantAttenuation(self) -> float:
         return float(self.attenuation[0])
@@ -96,21 +97,21 @@ class CKLight(CK3dEntity):
 
     def SetRange(self, r: float):
         self.range = float(r)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetRange(self) -> float:
         return self.range
 
     def SetHotSpot(self, angle: float):
         self.hot_spot = float(angle)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetHotSpot(self) -> float:
         return float(self.hot_spot)
 
     def SetFallOff(self, angle: float):
         self.falloff_shape = float(angle)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetFallOff(self) -> float:
         return float(self.falloff_shape)
@@ -145,14 +146,14 @@ class CKLight(CK3dEntity):
 
     def SetFallOffShape(self, f: float):
         self.falloff = float(f)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetFallOffShape(self) -> float:
         return self.falloff
 
     def SetLightPower(self, p: float):
         self.light_power = float(p)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetLightPower(self) -> float:
         return self.light_power
@@ -198,7 +199,7 @@ class CKTargetLight(CKLight):
 
     def SetTarget(self, target: CK3dEntity | None):
         self.target = target
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetTarget(self):
         return self.target

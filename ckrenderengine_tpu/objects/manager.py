@@ -656,6 +656,7 @@ class CKRenderContext(CKObject):
         valid = np.zeros(it_pad, bool)
         valid[:it] = True
         c.tri_valid = valid
+        c.n_valid_tris = int(valid.sum())   # cached: stats read per frame
 
         # Static ordered-path cap: triangles of materials that cannot take the
         # deferred opaque reduce (mirror of raster/deferred.deferred_mask).
@@ -753,8 +754,7 @@ class CKRenderContext(CKObject):
     # -- per-frame dynamic state -----------------------------------------
     def _light_rows_np(self) -> dict:
         """Numpy light bank (padded to 8; packed per frame)."""
-        lights = [o for o in self.context._objects.values()
-                  if isinstance(o, CKLight)]
+        lights = list(self.context._lights.values())
         rows = []
         for l in lights:
             prep = getattr(l, "prepare", None)
@@ -790,6 +790,20 @@ class CKRenderContext(CKObject):
 
     def _material_banks(self, c: CompiledScene):
         from ..raster.types import VXCULL, VXTEXTURE_FILTER
+
+        # Cache: the lowering only depends on scene topology + material/
+        # light PARAMETERS (appearance version) + options — not on entity
+        # motion. Materials with callbacks disable the cache (the callback
+        # fires at lowering time each frame, reference SetAsCurrent hook).
+        rm_ = self.context.render_manager
+        key = (id(c), c.topology_version,
+               self.context._appearance_version,
+               self._global_render_mode,
+               tuple(sorted(rm_.options.items())) if rm_ is not None else (),
+               self.fog_mode)
+        cached = getattr(self, "_matbank_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
 
         # Global render options that rewrite packed state
         # (ApplyRenderOptionChange, reference src/CKRenderManager.cpp:639+).
@@ -889,12 +903,20 @@ class CKRenderContext(CKObject):
         if disable_specular:
             specular = [[0.0, 0.0, 0.0, 1.0]] * len(specular)
         si, sf = pack_states(states)
-        return (si, sf,
-                np.asarray(diffuse, np.float32),
-                np.asarray(ambient, np.float32),
-                np.asarray(specular, np.float32),
-                np.asarray(emissive, np.float32),
-                np.asarray(power, np.float32))
+        out = (si, sf,
+               np.asarray(diffuse, np.float32),
+               np.asarray(ambient, np.float32),
+               np.asarray(specular, np.float32),
+               np.asarray(emissive, np.float32),
+               np.asarray(power, np.float32))
+        cacheable = not any(
+            (m is not None and m.callback is not None)
+            # DP3 const_color tracks a moving light/entity pair per frame
+            or (k == "effectpass" and b[0].get("dp3"))
+            for m, k, b in c.materials)
+        if cacheable:
+            self._matbank_cache = (key, out)
+        return out
 
     def _effect_passes_for(self, mat) -> list:
         """Built-in effect passes, else the registered custom effect's
@@ -1593,7 +1615,8 @@ class CKRenderContext(CKObject):
             assert c.tri_idx.max(initial=0) < c.src_idx.shape[0], \
                 "triangle index out of stream"
         # stats + FPS EMA over >=1s windows (reference :898-908)
-        self.stats.NbTrianglesDrawn = int(self._compiled.tri_valid.sum())
+        self.stats.NbTrianglesDrawn = getattr(
+            self._compiled, 'n_valid_tris', int(self._compiled.tri_valid.sum()))
         self.stats.NbVerticesProcessed = int(self._compiled.src_idx.shape[0])
         self.stats.NbObjectDrawn = self._compiled.n_entities
         self.stats.NbLinesDrawn = len(self._compiled.line_segments)

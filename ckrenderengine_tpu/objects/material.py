@@ -100,35 +100,35 @@ class CKMaterial(CKObject):
     # -- colors -----------------------------------------------------------
     def SetDiffuse(self, rgba):
         self.diffuse = np.asarray(rgba, np.float32)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetDiffuse(self):
         return self.diffuse.copy()
 
     def SetAmbient(self, rgba):
         self.ambient = np.asarray(rgba, np.float32)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetAmbient(self):
         return self.ambient.copy()
 
     def SetSpecular(self, rgba):
         self.specular = np.asarray(rgba, np.float32)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetSpecular(self):
         return self.specular.copy()
 
     def SetEmissive(self, rgba):
         self.emissive = np.asarray(rgba, np.float32)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetEmissive(self):
         return self.emissive.copy()
 
     def SetPower(self, p: float):
         self.power = float(p)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetPower(self) -> float:
         return self.power
@@ -174,14 +174,14 @@ class CKMaterial(CKObject):
     # -- blend / compare --------------------------------------------------
     def SetSourceBlend(self, mode: int):
         self.src_blend = int(mode)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetSourceBlend(self) -> int:
         return self.src_blend
 
     def SetDestBlend(self, mode: int):
         self.dst_blend = int(mode)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetDestBlend(self) -> int:
         return self.dst_blend
@@ -196,28 +196,28 @@ class CKMaterial(CKObject):
 
     def SetAlphaFunc(self, func: int):
         self.alpha_func = int(func)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetAlphaFunc(self) -> int:
         return self.alpha_func
 
     def SetAlphaRef(self, ref: int):
         self.alpha_ref = int(ref)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetAlphaRef(self) -> int:
         return self.alpha_ref
 
     def SetShadeMode(self, mode: int):
         self.shade_mode = int(mode)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetShadeMode(self) -> int:
         return self.shade_mode
 
     def SetFillMode(self, mode: int):
         self.fill_mode = int(mode)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetFillMode(self) -> int:
         return self.fill_mode
@@ -235,29 +235,29 @@ class CKMaterial(CKObject):
 
     def SetTextureBlendMode(self, mode: int):
         self.texture_blend_mode = int(mode)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetTextureBlendMode(self) -> int:
         return self.texture_blend_mode
 
     def SetTextureAddressMode(self, mode: int):
         self.texture_address_mode = int(mode)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def GetTextureAddressMode(self) -> int:
         return self.texture_address_mode
 
     def SetTextureMinMode(self, mode: int):
         self.texture_min_mode = int(mode)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def SetTextureMagMode(self, mode: int):
         self.texture_mag_mode = int(mode)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def SetTextureBorderColor(self, rgba):
         self.texture_border_color = np.asarray(rgba, np.float32)
-        self.context._bump_dynamic()
+        self.context._bump_appearance()
 
     def SetEffect(self, effect: int):
         self.effect = int(effect)
