@@ -513,3 +513,18 @@ def decompose_prs(m: jnp.ndarray):
     scale = jnp.linalg.norm(m[..., :3, :3], axis=-1)
     rot = quat_from_matrix(m)
     return pos, rot, scale
+
+
+def oct_encode(r: "jnp.ndarray") -> "jnp.ndarray":
+    """Octahedral encode of (..., 3) unit direction vectors to (..., 2)
+    UVs in [0,1] — the cube-environment atlas parameterization
+    (CKTexture.SetCubeMapFaces bakes the 6 faces into this layout)."""
+    denom = jnp.maximum(jnp.sum(jnp.abs(r), axis=-1, keepdims=True), 1e-12)
+    p = r / denom
+    snz = lambda a: jnp.where(a >= 0, 1.0, -1.0)
+    flip = jnp.stack([
+        (1.0 - jnp.abs(p[..., 1])) * snz(p[..., 0]),
+        (1.0 - jnp.abs(p[..., 0])) * snz(p[..., 1]),
+    ], -1)
+    xy = jnp.where((p[..., 2] < 0)[..., None], flip, p[..., :2])
+    return xy * 0.5 + 0.5

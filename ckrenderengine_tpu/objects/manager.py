@@ -687,6 +687,15 @@ class CKRenderContext(CKObject):
         c.want_bump = any(
             kind == "effectpass" and b[0]["bump_slot"] >= 0
             for _m, kind, b in c.materials)
+        # Static gate for the per-pixel cube-env reflection path.
+        from ..raster.types import TEXGEN_CUBE
+
+        def _tg(m, kind, b):
+            if kind == "effectpass":
+                return b[0]["texgen"]
+            return m._effect_texgen() if m is not None else 0
+        c.want_cube = any(_tg(m, kind, b) == TEXGEN_CUBE
+                          for m, kind, b in c.materials)
 
         from ..pipeline.skinning import build_skin_bank
         c.skin_bank = build_skin_bank(skin_descs)
@@ -1475,7 +1484,8 @@ class CKRenderContext(CKObject):
             sprites_static=self._sprites_static, lines=c.line_bank,
             ordered_cap=c.ordered_cap, sort_transparent=sort_t,
             want_stencil=c.has_stencil, vertex_shader=self.vertex_shader,
-            want_bump=getattr(c, "want_bump", False))
+            want_bump=getattr(c, "want_bump", False),
+            want_cube=getattr(c, "want_cube", False))
         # Fresh copies: the staging buffers are reused next frame while this
         # frame's host->device transfer may still be in flight (async tunnel).
         return static, self._buf_f.copy(), self._buf_i.copy(), params
@@ -1661,7 +1671,8 @@ class CKRenderContext(CKObject):
                 quads_bg=quads_bg, quads_fg=quads_fg,
                 lines=self._compiled.line_bank,
                 ordered_cap=self._compiled.ordered_cap,
-                want_bump=getattr(self._compiled, "want_bump", False))
+                want_bump=getattr(self._compiled, "want_bump", False),
+                want_cube=getattr(self._compiled, "want_cube", False))
             fbs.append(fb)
         half_w = self.width // 2
         left = fbs[0][:, :, ::2][:, :, :half_w]
@@ -3066,6 +3077,7 @@ class CKRenderManager(CKObject):
             if params["ordered_cap"] != filled[0][3]["ordered_cap"] or \
                params["want_stencil"] != filled[0][3]["want_stencil"] or \
                params["want_bump"] != filled[0][3]["want_bump"] or \
+               params["want_cube"] != filled[0][3]["want_cube"] or \
                params["sort_transparent"] != filled[0][3]["sort_transparent"]:
                 return False
         static, _f0, _i0, params = filled[0]

@@ -47,7 +47,8 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
                                chunk: int = 64,
                                sort_transparent: bool = True,
                                vertex_shader=None,
-                               want_bump: bool = False):
+                               want_bump: bool = False,
+                               want_cube: bool = False):
     """One logical frame of ``height`` rows rendered as ``mesh.shape[axis]``
     horizontal bands, one per device. Returns (fb (4,H,W), zb (H,W)) sharded
     over H. ``height`` must divide evenly by the band count.
@@ -69,6 +70,7 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
             ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=False,
             vertex_shader=vertex_shader, want_bump=want_bump,
+            want_cube=want_cube,
             allow_pallas=False, y_shift=y0)
         fb, zb = out
         return fb, zb
@@ -90,5 +92,5 @@ render_frame_packed_banded_jit = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "mesh", "axis",
                      "ordered_cap", "chunk", "sort_transparent",
-                     "vertex_shader", "want_bump"))(
+                     "vertex_shader", "want_bump", "want_cube"))(
     render_frame_packed_banded)

@@ -107,7 +107,8 @@ class SceneDevice(NamedTuple):
 
 
 def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
-                        vertex_shader=None, want_bump: bool = False):
+                        vertex_shader=None, want_bump: bool = False,
+                        want_cube: bool = False):
     """Vertex stage: world compose -> gather -> transform -> light -> project.
 
     Returns (clip (IV,4), color (IV,4), spec (IV,3), fog (IV,), world (N,4,4)).
@@ -189,18 +190,7 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
         dw = dw / jnp.maximum(jnp.linalg.norm(dw, axis=-1, keepdims=True),
                               1e-12)
         rw = dw - 2.0 * jnp.sum(dw * nrmw, -1, keepdims=True) * nrmw
-        denom = jnp.maximum(jnp.sum(jnp.abs(rw), axis=-1, keepdims=True), 1e-12)
-        oct_p = rw / denom
-        # sign-not-zero keeps the fold well-defined on the axes (sign(0)=0
-        # would collapse (0,0,-1) onto the +z center)
-        snz = lambda a: jnp.where(a >= 0, 1.0, -1.0)
-        flip = jnp.stack([
-            (1.0 - jnp.abs(oct_p[..., 1])) * snz(oct_p[..., 0]),
-            (1.0 - jnp.abs(oct_p[..., 0])) * snz(oct_p[..., 1]),
-        ], -1)
-        oct_xy = jnp.where((oct_p[..., 2] < 0)[..., None],
-                           flip, oct_p[..., :2])
-        uv_cube = oct_xy * 0.5 + 0.5
+        uv_cube = vx.oct_encode(rw)
 
         tg = texgen[:, None]
         uv = jnp.where(tg == TEXGEN_PLANAR, uv_planar, uv)
@@ -239,11 +229,19 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
     clipd_v = None
     if scene.clip_planes is not None and scene.clip_planes.shape[0] > 0:
         clipd_v = posw4 @ scene.clip_planes.T                    # (IV,P)
-    return clip, color, spec, fog, world, uv, clipd_v
+    # Cube-env per-PIXEL path (statically gated): export the per-vertex
+    # WORLD reflection vector; the shade stages interpolate IT and
+    # oct-encode per pixel — reflection vectors interpolate continuously
+    # across the octahedral fold, so the atlas seam disappears.
+    refl_v = None
+    if want_cube:
+        refl_v = jnp.where((texgen == TEXGEN_CUBE)[:, None], rw,
+                           jnp.zeros_like(rw))
+    return clip, color, spec, fog, world, uv, clipd_v, refl_v
 
 
 def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
-                       clipd_v=None):
+                       clipd_v=None, refl_v=None):
     """Triangle stage: gather per-corner attrs + cull. Returns the FULL
     DeviceBatch in stream (priority) order — no permutation: the deferred
     opaque reduce is order-independent (later draw index wins exact-depth
@@ -293,11 +291,13 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
 
     if uv is None:
         uv = jnp.take(scene.uv, scene.src_idx, axis=0)
+    refl = (g3(refl_v) if refl_v is not None
+            else jnp.zeros((scene.tri_idx.shape[0], 3, 0), jnp.float32))
     return rb.DeviceBatch(
         xyw=g3(xyw_v), z=g3(z), color=g3(color), specular=g3(spec),
         uv=g3(uv), fog=g3(fog),
         state_idx=scene.tri_state, valid=valid, clip_rect=tri_rect,
-        clipd=clipd,
+        clipd=clipd, refl=refl,
     )
 
 
@@ -348,6 +348,7 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
         specular=take(batch.specular), uv=take(batch.uv), fog=take(batch.fog),
         state_idx=take(batch.state_idx), valid=sel_valid,
         clip_rect=take(batch.clip_rect), clipd=take(batch.clipd),
+        refl=take(batch.refl),
     )
 
 
@@ -359,6 +360,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       vertex_shader=None,
                       allow_pallas: bool = True,
                       want_bump: bool = False,
+                      want_cube: bool = False,
                       prev_fb=None, prev_zb=None):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
@@ -389,10 +391,11 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             (4, height, width))
     z_init = scene.clear_z if prev_zb is None else prev_zb
 
-    clip, color, spec, fog, _world, uv, clipd_v = transform_and_light(
+    clip, color, spec, fog, _world, uv, clipd_v, refl_v = transform_and_light(
         scene, levels, world, vertex_shader=vertex_shader,
-        want_bump=want_bump)
-    batch = assemble_triangles(scene, clip, color, spec, fog, uv, clipd_v)
+        want_bump=want_bump, want_cube=want_cube)
+    batch = assemble_triangles(scene, clip, color, spec, fog, uv, clipd_v,
+                               refl_v)
 
     defer_bucket = df.deferred_mask(scene.state_i)               # (S,)
     defer_tri = jnp.take(defer_bucket, batch.state_idx) & batch.valid
@@ -433,7 +436,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         best_id, batch.xyw, batch.z, batch.color, batch.specular, batch.uv,
         batch.fog, batch.state_idx, scene.state_i, scene.state_f,
         scene.tex_planes, scene.tex_hw, scene.fog_color, clear_fb,
-        height, width)
+        height, width, batch_refl=batch.refl)
     zb = best_depth
 
     # --- ordered remainder: cutouts, z-overrides, transparent (sorted) -----
@@ -469,7 +472,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 
 render_frame = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
-                              "chunk", "want_bump")
+                              "chunk", "want_bump", "want_cube")
 )(render_frame_impl)
 
 
@@ -484,6 +487,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            vertex_shader=None,
                            allow_pallas: bool = True,
                            want_bump: bool = False,
+                           want_cube: bool = False,
                            prev_fb=None, prev_zb=None):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
@@ -532,6 +536,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                             vertex_shader=vertex_shader,
                             allow_pallas=allow_pallas,
                             want_bump=want_bump,
+                            want_cube=want_cube,
                             prev_fb=prev_fb, prev_zb=prev_zb)
     if want_stencil:
         fb, zb, sb = out
@@ -553,7 +558,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
 render_frame_full = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
                               "chunk", "sort_transparent", "want_stencil",
-                              "vertex_shader", "want_bump")
+                              "vertex_shader", "want_bump",
+                              "want_cube")
 )(render_frame_full_impl)
 
 
@@ -565,6 +571,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              want_stencil: bool = False,
                              vertex_shader=None,
                              want_bump: bool = False,
+                             want_cube: bool = False,
                              prev_fb=None, prev_zb=None,
                              allow_pallas: bool = True,
                              y_shift=None):
@@ -645,6 +652,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         ordered_cap=ordered_cap, chunk=chunk,
         sort_transparent=sort_transparent, want_stencil=want_stencil,
         vertex_shader=vertex_shader, want_bump=want_bump,
+        want_cube=want_cube,
         prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas)
 
 
@@ -652,7 +660,7 @@ render_frame_packed = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
-                     "vertex_shader", "want_bump", "allow_pallas"))(
+                     "vertex_shader", "want_bump", "want_cube", "allow_pallas"))(
     render_frame_packed_impl)
 
 
@@ -660,7 +668,7 @@ render_frame_packed = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
-                     "vertex_shader", "want_bump"))
+                     "vertex_shader", "want_bump", "want_cube"))
 def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  levels: tuple, height: int, width: int,
                                  skin=None, sprites_static=None, lines=None,
@@ -669,7 +677,8 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  sort_transparent: bool = True,
                                  want_stencil: bool = False,
                                  vertex_shader=None,
-                                 want_bump: bool = False):
+                                 want_bump: bool = False,
+                                 want_cube: bool = False):
     """Batched packed frames: ``dyn_f``/``dyn_i`` carry a leading context
     axis; statics (streams, pools, textures, banks topology) broadcast. This
     is the multi-context scale path with ONE f32 + ONE i32 host->device
@@ -683,6 +692,7 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
             ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=want_stencil,
             vertex_shader=vertex_shader, want_bump=want_bump,
+            want_cube=want_cube,
             allow_pallas=False)
 
     return jax.vmap(one)(dyn_f, dyn_i)

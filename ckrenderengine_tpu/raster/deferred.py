@@ -332,7 +332,7 @@ def tex_blend_pp(mode, tex, diff, const=None):
 def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
                    batch_uv, batch_fog, batch_state, state_i, state_f,
                    tex_planes, tex_hw, fog_color, clear_fb,
-                   height: int, width: int):
+                   height: int, width: int, batch_refl=None):
     """One shading evaluation per pixel on the winning triangle.
 
     Returns (4,H,W) fb planes (background pixels keep clear_fb).
@@ -380,6 +380,17 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
 
     has_tex = si_all[..., SI_TEX] >= 0
     uvi = interp3(batch_uv)                                # (H,W,2)
+    if batch_refl is not None and batch_refl.shape[-1] > 0:
+        # Per-pixel cube-env UV (see jax_backend: oct-encode AFTER
+        # interpolating the world reflection vector — seam-free).
+        from ..math.vxmath import oct_encode
+        from .types import SI_TEXGEN, TEXGEN_CUBE
+        r = interp3(batch_refl)                            # (H,W,3)
+        r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True),
+                            1e-12)
+        uvc = oct_encode(r)
+        is_cube = (si_all[..., SI_TEXGEN] == TEXGEN_CUBE)[..., None]
+        uvi = jnp.where(is_cube, uvc, uvi)
     border = [sf_all[..., SF_BORDER_R + c] for c in range(4)]
 
     # Per-pixel mip LOD from screen-space UV gradients: edge functions are

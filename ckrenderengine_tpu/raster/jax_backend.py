@@ -55,6 +55,9 @@ class DeviceBatch(NamedTuple):
     clip_rect: jnp.ndarray   # (T,4) per-triangle scissor [x0,y0,x1,y1] px
     clipd: jnp.ndarray       # (T,3,P) per-corner user-clip-plane distances
                              # (P=0 when no user clip planes are active)
+    refl: jnp.ndarray        # (T,3,3) per-corner world reflection vectors
+                             # for per-pixel cube-env UV (empty (T,3,0)
+                             # when no TEXGEN_CUBE state is present)
 
     @staticmethod
     def from_host(b: TriangleBatch, pad_to_multiple: int = 8) -> "DeviceBatch":
@@ -69,12 +72,15 @@ class DeviceBatch(NamedTuple):
         big = 1.0e9
         rect = np.tile(np.array([-big, -big, big, big], np.float32), (pt, 1))
         clipd = getattr(b, "clipd", None)
+        refl = getattr(b, "refl", None)
         return DeviceBatch(
             xyw=pad(b.xyw), z=pad(b.z), color=pad(b.color), specular=pad(b.specular),
             uv=pad(b.uv), fog=pad(b.fog), state_idx=pad(b.state_idx),
             valid=pad(b.valid.astype(np.bool_)), clip_rect=jnp.asarray(rect),
             clipd=(jnp.zeros((pt, 3, 0), jnp.float32) if clipd is None
                    else pad(np.asarray(clipd, np.float32))),
+            refl=(jnp.zeros((pt, 3, 0), jnp.float32) if refl is None
+                  else pad(np.asarray(refl, np.float32))),
         )
 
 
@@ -263,7 +269,8 @@ def tex_blend(mode, tex, diff, const=None):
 
 def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog_color, scissor):
     """Render one triangle onto (4,H,W) fb planes + (H,W) zb. Returns updated."""
-    (xyw, zv, col, spec, uv, fogv, sidx, valid, clip_rect, clipd) = tri
+    (xyw, zv, col, spec, uv, fogv, sidx, valid, clip_rect, clipd,
+     refl) = tri
     si = state_i[sidx]
     sf = state_f[sidx]
 
@@ -334,6 +341,19 @@ def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog
     if tex_planes is not None and tex_planes.shape[0] > 0:
         ui = interp(uv[0, 0], uv[1, 0], uv[2, 0])
         vi = interp(uv[0, 1], uv[1, 1], uv[2, 1])
+        if refl.shape[-1] > 0:
+            # Per-pixel cube-env UV: interpolate the WORLD reflection
+            # vector, oct-encode after interpolation (no atlas-fold seam).
+            from ..math.vxmath import oct_encode
+            from .types import SI_TEXGEN, TEXGEN_CUBE
+            r = jnp.stack([interp(refl[0, c], refl[1, c], refl[2, c])
+                           for c in range(3)], -1)
+            r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True),
+                                1e-12)
+            uvc = oct_encode(r)
+            is_cube = si[SI_TEXGEN] == TEXGEN_CUBE
+            ui = jnp.where(is_cube, uvc[..., 0], ui)
+            vi = jnp.where(is_cube, uvc[..., 1], vi)
         texel = sample_texture(tex_planes, tex_hw, si[SI_TEX], ui, vi, si, sf)
         from .types import SF_CONST_R
         const = [sf[SF_CONST_R + c] for c in range(3)]

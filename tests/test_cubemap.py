@@ -86,3 +86,47 @@ class TestCubeTexGen:
         px = rc.framebuffer()[32, 32, :3]
         # view dir +z reflects off the 45-deg mirror toward +x -> red
         np.testing.assert_allclose(px, FACE_COLORS[0], atol=0.15)
+
+
+class TestSeamFree:
+    def test_flat_mirror_facing_camera_crosses_the_fold(self):
+        """A flat mirror facing the camera reflects every ray near -z —
+        the octahedral atlas CORNERS. Per-vertex oct UVs would interpolate
+        straight across the atlas (through the +z center color); the
+        per-pixel reflection path (want_cube) must show only the -z face
+        color everywhere."""
+        ctx = CKContext()
+        mesh = CKMesh(ctx, "q")
+        mesh.SetPositions(np.array(
+            [[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]], np.float32))
+        mesh.SetFaces(np.array([[0, 2, 1], [0, 3, 2]], np.int32))
+        mesh.SetUVs(np.zeros((4, 2), np.float32))
+        mesh.BuildNormals()
+        tex = CKTexture(ctx, "env")
+        tex.SetCubeMapFaces(_faces(), size=64)    # -z face = FACE_COLORS[5]
+        mat = CKMaterial(ctx, "mirror")
+        mat.SetEmissive((1, 1, 1, 1))
+        mat.SetTexture(tex)
+        from ckrenderengine_tpu.objects.material import VXEFFECT_TEXGEN
+        from ckrenderengine_tpu.raster.types import TEXGEN_CUBE
+        mat.SetEffect(VXEFFECT_TEXGEN)
+        mat.SetEffectParameter(texgen=TEXGEN_CUBE)
+        mat.SetTwoSided(True)
+        mesh.ApplyGlobalMaterial(mat)
+        obj = CK3dObject(ctx, "o")
+        obj.SetCurrentMesh(mesh)
+        rm = ctx.GetRenderManager()
+        rc = rm.CreateRenderContext(64, 64)
+        cam = CKCamera(ctx, "cam")
+        cam.SetPosition((0, 0, -4))
+        rc.AttachViewpointToCamera(cam)
+        assert True  # compile gate below
+        rc.Render()
+        fb = rc.framebuffer()
+        want = np.asarray(FACE_COLORS[5], np.float32)
+        # every covered pixel reflects ~(0,0,-1): the whole quad must be
+        # the -z color, not a smear across the atlas
+        covered = fb[..., :3].sum(-1) > 0.05
+        assert covered.mean() > 0.8
+        err = np.abs(fb[..., :3] - want).sum(-1)
+        assert (err[covered] < 0.3).mean() > 0.95
