@@ -3251,6 +3251,21 @@ class CKRenderManager(CKObject):
     def SequenceDeleted(self, obj_ids=None):
         self.context._bump_topology()
 
+    def StartDeviceTrace(self, log_dir: str) -> bool:
+        """Begin a jax profiler trace covering subsequent frames (SURVEY §5
+        tracing — the Tracy-equivalent; view in TensorBoard/Perfetto)."""
+        from ..profiler import DeviceTraceSession
+        self._trace_session = DeviceTraceSession(log_dir)
+        return self._trace_session.Start()
+
+    def StopDeviceTrace(self) -> bool:
+        sess = getattr(self, "_trace_session", None)
+        if sess is None:
+            return False
+        ok = sess.Stop()
+        self._trace_session = None
+        return ok
+
     def SetRenderOptions(self, name: str, value):
         self.options[name] = value
 

@@ -75,3 +75,50 @@ class PhaseTimer:
         setattr(self.phases, self.field,
                 getattr(self.phases, self.field) + ms)
         return False
+
+
+class DeviceTraceSession:
+    """jax.profiler trace wrapper — the TPU-native analogue of the
+    reference's Tracy zones (SURVEY §5: ZoneScopedN on hot entry points,
+    CKDX9Rasterizer.h:14-16). Usage:
+
+        with DeviceTraceSession("/tmp/trace"):
+            rc.Render()
+
+    or the explicit Start/Stop pair (RenderManager.StartDeviceTrace /
+    StopDeviceTrace). The dump opens in TensorBoard / Perfetto.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = str(log_dir)
+        self._active = False
+
+    def Start(self) -> bool:
+        import jax
+        if self._active:
+            return False
+        jax.profiler.start_trace(self.log_dir)
+        self._active = True
+        return True
+
+    def Stop(self) -> bool:
+        import jax
+        if not self._active:
+            return False
+        jax.profiler.stop_trace()
+        self._active = False
+        return True
+
+    def __enter__(self):
+        self.Start()
+        return self
+
+    def __exit__(self, *exc):
+        self.Stop()
+
+
+def trace_annotation(name: str):
+    """Named device-trace zone for a host code region (Tracy ZoneScopedN
+    equivalent): ``with trace_annotation("skin"): ...``"""
+    import jax
+    return jax.profiler.TraceAnnotation(name)

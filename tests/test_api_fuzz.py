@@ -88,8 +88,44 @@ def test_random_api_sequences_never_crash(seed):
                     int(rng.integers(0, m.GetVertexCount())),
                     float(rng.uniform(0, 10)))
 
+    def op_copy(_):
+        # dependency-aware copy: shared by default, sometimes full
+        if objs:
+            src = objs[int(rng.integers(0, len(objs)))]
+            if rng.random() < 0.4:
+                from ckrenderengine_tpu.objects import FULL_COPY_DEPENDENCIES
+                objs.append(src.Copy(FULL_COPY_DEPENDENCIES))
+            else:
+                objs.append(src.Copy())
+
+    def op_parent_and_copy_subtree(_):
+        if len(objs) >= 2:
+            a, b = (objs[int(rng.integers(0, len(objs)))] for _ in range(2))
+            if a is not b and not any(
+                    p is b for p in _ancestors(a)):
+                try:
+                    b.SetParent(a)
+                except ValueError:
+                    pass
+
+    def _ancestors(e):
+        p = e.GetParent()
+        while p is not None:
+            yield p
+            p = p.GetParent()
+
+    def op_check_pre_deletion(_):
+        if objs:
+            o = objs[int(rng.integers(0, len(objs)))]
+            m = o.GetCurrentMesh()
+            if m is not None and rng.random() < 0.3:
+                m._to_be_deleted = True
+                o.CheckPreDeletion()
+                m._to_be_deleted = False
+
     ops = [op_create, op_create, op_move, op_move, op_destroy,
-           op_resize_mesh, op_material, op_texture, op_weights]
+           op_resize_mesh, op_material, op_texture, op_weights,
+           op_copy, op_parent_and_copy_subtree, op_check_pre_deletion]
     for step in range(28):
         ops[int(rng.integers(0, len(ops)))](None)
         if step % 4 == 3:

@@ -205,3 +205,35 @@ def test_state_cache_hit_miss_counters():
     mesh.ApplyGlobalMaterial(mat2)
     rc.Render()
     assert rc.GetStats().RenderStateCacheMiss == 2
+
+
+class TestDeviceTrace:
+    """jax-profiler trace wrapper (SURVEY §5 tracing — Tracy equivalent)."""
+
+    def test_trace_session_produces_dump(self, tmp_path):
+        import os
+
+        from ckrenderengine_tpu.objects import CKCamera, CKContext
+        from ckrenderengine_tpu.profiler import (DeviceTraceSession,
+                                                 trace_annotation)
+        ctx = CKContext()
+        rm = ctx.GetRenderManager()
+        rc = rm.CreateRenderContext(32, 32)
+        cam = CKCamera(ctx, "cam")
+        cam.SetPosition((0, 0, -5))
+        rc.AttachViewpointToCamera(cam)
+        log = str(tmp_path / "trace")
+        assert rm.StartDeviceTrace(log)
+        with trace_annotation("fuzz-frame"):
+            rc.Render()
+        assert rm.StopDeviceTrace()
+        assert not rm.StopDeviceTrace()          # idempotent
+        dumped = []
+        for root, _d, files in os.walk(log):
+            dumped += files
+        assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz"))
+                   or "trace" in f for f in dumped)
+        s = DeviceTraceSession(str(tmp_path / "t2"))
+        with s:
+            rc.Render()
+        assert not s._active

@@ -316,3 +316,53 @@ class TestDisplayListsAndMisc:
         c.WarnThread(True)
         assert c.Resize(width=16, height=16)
         assert c.fb.shape == (4, 16, 16)
+
+
+class TestGuardedAllocator:
+    """Guard-byte object-table check (reference GuardedDX9Rasterizer test,
+    tests/test_ckdx9_rasterizer_helpers.cpp:44-70: AllocateObjects plants
+    0xA5 guard bytes and verifies no overruns)."""
+
+    def test_allocation_growth_never_overruns_guards(self):
+        from ckrenderengine_tpu.raster.hal import (CKRST_OBJ_TEXTURE,
+                                                   CKRST_OBJ_VERTEXBUFFER,
+                                                   CKRasterizer,
+                                                   CKRasterizerContext)
+
+        class GuardedContext(CKRasterizerContext):
+            GUARD = 0xA5
+
+            def __init__(self, driver):
+                super().__init__(driver)
+                self.guards = np.full(64, self.GUARD, np.uint8)
+                self.alloc_calls = []
+
+            def AllocateObjects(self, capacity):
+                self.alloc_calls.append(capacity)
+                return super().AllocateObjects(capacity)
+
+            def guards_intact(self):
+                return bool((self.guards == self.GUARD).all())
+
+        rst = CKRasterizer()
+        rst.Start(None)
+        drv = rst.GetDriver(0)
+        dev = GuardedContext(drv)
+        drv.contexts.append(dev)
+        dev.Create(None, 8, 8)
+        for i in range(40):
+            idx = rst.CreateObjectIndex(CKRST_OBJ_TEXTURE)
+            assert dev.CreateObject(idx, CKRST_OBJ_TEXTURE,
+                                    {"width": 2, "height": 2})
+            if i % 3 == 0:
+                vbi = rst.CreateObjectIndex(CKRST_OBJ_VERTEXBUFFER)
+                dev.CreateObject(vbi, CKRST_OBJ_VERTEXBUFFER,
+                                 {"max_vertices": 4})
+        assert dev.guards_intact()
+        assert dev.alloc_calls, "growth never notified AllocateObjects"
+        assert max(dev.alloc_calls) >= 40
+        # releasing + reallocating stays within the table
+        rst.ReleaseObjectIndex(0, CKRST_OBJ_TEXTURE)
+        again = rst.CreateObjectIndex(CKRST_OBJ_TEXTURE)
+        assert again == 0
+        assert dev.guards_intact()
