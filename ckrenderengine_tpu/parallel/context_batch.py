@@ -57,11 +57,12 @@ def render_frames_batched(scenes: SceneDevice, levels: tuple, height: int,
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "height", "width",
-                                             "ordered_cap", "chunk"))
+                                             "ordered_cap", "chunk",
+                                             "want_cube"))
 def render_frames_full_batched(scenes: SceneDevice, levels: tuple, height: int,
                                width: int, skin=None, anim=None,
                                anim_t=None, ordered_cap: int | None = None,
-                               chunk: int = 64):
+                               chunk: int = 64, want_cube: bool = False):
     """Full step (animate -> compose -> skin -> render) over the ctx batch.
 
     ``skin``/``anim`` are shared (replicated) banks; ``anim_t`` is a (B,)
@@ -71,7 +72,8 @@ def render_frames_full_batched(scenes: SceneDevice, levels: tuple, height: int,
     def fn(scene, t):
         return render_frame_full_impl(
             scene, levels, height, width, skin=skin, anim=anim, anim_t=t,
-            ordered_cap=ordered_cap, chunk=chunk, allow_pallas=False)
+            ordered_cap=ordered_cap, chunk=chunk, allow_pallas=False,
+            want_cube=want_cube)
 
     if anim_t is None:
         anim_t = jnp.zeros(jax.tree_util.tree_leaves(scenes)[0].shape[0])
