@@ -232,8 +232,21 @@ class CKContext:
                 return o
         return None
 
-    def GetObjectsByClassID(self, cid: int) -> list:
-        return [o for o in self._objects.values() if o.GetClassID() == cid]
+    def GetObjectsByClassID(self, cid: int, derived: bool = False) -> list:
+        """Objects of a class (reference GetObjectsListByClassID);
+        ``derived`` includes subclasses via the registered hierarchy."""
+        if not derived:
+            return [o for o in self._objects.values()
+                    if o.GetClassID() == cid]
+        from .classreg import CKIsChildClassOf
+        return [o for o in self._objects.values()
+                if CKIsChildClassOf(o.GetClassID(), cid)]
+
+    def GetObjectsCount(self) -> int:
+        return len(self._objects)
+
+    def GetObjectsCountByClassID(self, cid: int, derived: bool = False) -> int:
+        return len(self.GetObjectsByClassID(cid, derived))
 
     def DestroyObject(self, obj: "CKObject | int"):
         if isinstance(obj, int):
@@ -247,6 +260,81 @@ class CKContext:
         self._cb_objects.pop(obj.id, None)
         self._prerender_objects.pop(obj.id, None)
         self._lights.pop(obj.id, None)
+        self._bump_topology()
+
+    def DestroyObjects(self, objs, dependencies: bool = False) -> int:
+        """Destroy a batch (reference CKDestroyObjects); ``dependencies``
+        also destroys each object's exclusive dependency closure — a
+        dependency survives when something OUTSIDE the batch still uses
+        it. Runs CheckPreDeletion on survivors first. Returns the number
+        destroyed."""
+        targets = {}
+        for o in objs:
+            if isinstance(o, int):
+                o = self.GetObject(o)
+            if o is not None:
+                targets[o.id] = o
+        explicit = set(targets)
+        if dependencies:
+            closure = dict(targets)
+            frontier = list(targets.values())
+            while frontier:
+                for dep in frontier.pop().GetDependencies():
+                    if dep.id not in closure:
+                        closure[dep.id] = dep
+                        frontier.append(dep)
+            # A dependency survives when an object OUTSIDE the closure
+            # still references it (unless it was an explicit target).
+            # Fixpoint: a spared dependency becomes an outside user itself,
+            # sparing ITS dependencies in turn.
+            changed = True
+            while changed:
+                changed = False
+                for o in list(self._objects.values()):
+                    if o.id in closure:
+                        continue
+                    for dep in o.GetDependencies():
+                        if dep.id in closure and dep.id not in explicit:
+                            closure.pop(dep.id)
+                            changed = True
+            targets = closure
+        for o in targets.values():
+            o._to_be_deleted = True
+        self.BeginAddRemoveSequence()
+        try:
+            for o in list(self._objects.values()):
+                if o.id not in targets:
+                    o.CheckPreDeletion()
+            for o in list(targets.values()):
+                o.PreDelete()
+                self.DestroyObject(o)
+        finally:
+            self.EndAddRemoveSequence()
+        return len(targets)
+
+    def ClearAll(self):
+        """Destroy every object and reset scene state (reference
+        CKContext::ClearAll); render contexts and the manager survive and
+        are notified via OnClearAll."""
+        from .manager import CKRenderContext, CKRenderManager
+        keep = {}
+        for oid, o in list(self._objects.items()):
+            if isinstance(o, (CKRenderContext, CKRenderManager)):
+                keep[oid] = o
+                continue
+            destroy = getattr(o, "_on_destroy", None)
+            if destroy is not None:
+                destroy()
+        self._objects = keep
+        self._cb_objects.clear()
+        self._prerender_objects.clear()
+        self._lights.clear()
+        rm = self.render_manager
+        if rm is not None:
+            from .material import CKMaterial
+            rm.default_material = CKMaterial(self, "DefaultMat")
+            for rc in rm.render_contexts:
+                rc.OnClearAll()
         self._bump_topology()
 
     # -- factory (CKContext::CreateObject equivalent) ---------------------
