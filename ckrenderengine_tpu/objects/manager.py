@@ -1421,9 +1421,21 @@ class CKRenderContext(CKObject):
         static = self._packed_static_dict(c, n)
         view, proj, cam_pos = self._camera_np()
 
+        visible = (table.flags[:n] & et.VX_MOVEABLE_VISIBLE) != 0
+        # Debug object stepping (reference EnableDebugMode Ctrl+Alt+F11
+        # walks the scene object-by-object, src/CKRenderContext.cpp:657-762):
+        # SetDebugObjectCount(k) renders only the first k entities in
+        # render order; DebugStep() advances. Programmatic here — the
+        # interactive hotkey loop is the host app's job.
+        dbg = getattr(self, "_debug_object_count", -1)
+        if dbg >= 0:
+            order = np.argsort(-self._entity_priority_np(n), kind="stable")
+            cut = order[dbg:]
+            visible = visible.copy()
+            visible[cut] = False
         vals = dict(
             local=table.local[:n],
-            entity_visible=(table.flags[:n] & et.VX_MOVEABLE_VISIBLE) != 0,
+            entity_visible=visible,
             entity_clip=self._entity_clip_np(n),
             entity_priority=self._entity_priority_np(n),
             state_f=sf, state_i=si, mat_diffuse=md, mat_ambient=ma,
@@ -2408,6 +2420,27 @@ class CKRenderContext(CKObject):
         return n
 
     # -- misc lifecycle ----------------------------------------------------
+    # -- debug object stepping (reference debug render mode, SURVEY §5.3) --
+    def SetDebugObjectCount(self, k: int = -1):
+        """Render only the first ``k`` entities in render order (-1 = all);
+        the programmatic form of the reference's object-stepping debugger."""
+        self._debug_object_count = int(k)
+        self.context._bump_dynamic()
+
+    def GetDebugObjectCount(self) -> int:
+        return getattr(self, "_debug_object_count", -1)
+
+    def DebugStep(self, delta: int = 1) -> int:
+        """Advance the object-stepping cursor (Ctrl+Alt+F11 equivalent);
+        wraps past the entity count back to 'all'."""
+        n = self.context.entity_table.count
+        cur = self.GetDebugObjectCount()
+        cur = 0 if cur < 0 else cur + delta
+        if cur > n:
+            cur = -1
+        self.SetDebugObjectCount(cur)
+        return cur
+
     def GetState(self) -> int:
         """Context state word (reference GetState/SetState)."""
         return getattr(self, "_state", 0)

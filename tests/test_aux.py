@@ -237,3 +237,53 @@ class TestDeviceTrace:
         with s:
             rc.Render()
         assert not s._active
+
+
+class TestDebugObjectStepping:
+    """Programmatic object-by-object stepping (reference EnableDebugMode
+    Ctrl+Alt+F11 walk, src/CKRenderContext.cpp:657-762)."""
+
+    def test_step_reveals_objects_in_render_order(self):
+        import numpy as np
+
+        from ckrenderengine_tpu.objects import (CK3dObject, CKCamera,
+                                                CKContext, CKMaterial, CKMesh)
+        ctx = CKContext()
+        rc = ctx.GetRenderManager().CreateRenderContext(48, 48)
+        cam = CKCamera(ctx, "cam")
+        cam.SetPosition((0, 0, -5))
+        rc.AttachViewpointToCamera(cam)
+
+        def tri(name, x):
+            mesh = CKMesh(ctx, name + "m")
+            mesh.SetPositions(np.array([[x - .8, -1, 0], [x, 1, 0],
+                                        [x + .8, -1, 0]], np.float32))
+            mesh.SetFaces(np.array([[0, 1, 2]], np.int32))
+            mesh.BuildNormals()
+            mat = CKMaterial(ctx, name + "mat")
+            mat.SetEmissive((1, 1, 1, 1))
+            mesh.ApplyGlobalMaterial(mat)
+            o = CK3dObject(ctx, name)
+            o.SetCurrentMesh(mesh)
+            return o
+
+        a = tri("a", -1.5)
+        b = tri("b", 1.5)
+        rc.Render()
+        full = int((rc.framebuffer()[..., :3].sum(-1) > 0.05).sum())
+        assert full > 0
+        rc.SetDebugObjectCount(0)
+        rc.Render()
+        assert int((rc.framebuffer()[..., :3].sum(-1) > 0.05).sum()) == 0
+        counts = []
+        while rc.DebugStep() != -1:
+            rc.Render()
+            counts.append(
+                int((rc.framebuffer()[..., :3].sum(-1) > 0.05).sum()))
+        assert counts[-1] == full              # all revealed at the end
+        assert all(c2 >= c1 for c1, c2 in zip(counts, counts[1:]))
+        # some step shows a strict subset (camera rows draw nothing,
+        # so leading steps may be empty)
+        assert any(0 < c < full for c in counts)
+        rc.Render()                            # cursor wrapped to -1 = all
+        assert int((rc.framebuffer()[..., :3].sum(-1) > 0.05).sum()) == full
