@@ -754,7 +754,20 @@ class CKRenderContext(CKObject):
                         lh, lw = nh, nw
                         levels += 1
                 hw[i] = (h, w, levels) if want_mips else (h, w)
-            self._tex_planes = jnp.asarray(planes)
+            # 16-bit texture video formats (reference TextureVideoFormat
+            # option / per-texture SetDesiredVideoFormat: _16_RGB565 etc.)
+            # store the device stack in bfloat16 — half the texture HBM and
+            # gather bandwidth, with quantization comparable to 16-bit
+            # hardware formats. 32-bit formats keep float32.
+            fmt = str((rm.options.get("TextureVideoFormat", "")
+                       if rm is not None else "") or "")
+            per_tex_16 = c.textures and all(
+                "_16" in str(t.desired_video_format or "")
+                or "16_" in str(t.desired_video_format or "")
+                for t in c.textures)
+            use_16 = "_16" in fmt or fmt.startswith("16") or per_tex_16
+            dtype = jnp.bfloat16 if use_16 else jnp.float32
+            self._tex_planes = jnp.asarray(planes, dtype)
             self._tex_hw = jnp.asarray(hw)
         else:
             self._tex_planes = jnp.zeros((1, 4, 1, 1), jnp.float32)

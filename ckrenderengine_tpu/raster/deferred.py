@@ -246,7 +246,7 @@ def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
             idx = (tid_c * (th * taw) + iv.astype(jnp.int32) * taw
                    + iu.astype(jnp.int32))
             texel = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-                idx.shape + (4,))
+                idx.shape + (4,)).astype(jnp.float32)   # bf16 stacks upcast
             return [texel[..., c] for c in range(4)]
 
         near = fetch(tu, tv)

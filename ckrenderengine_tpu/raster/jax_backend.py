@@ -192,7 +192,9 @@ def sample_texture(tex_planes, tex_hw, tex_id, u, v, si, sf):
         iv = jnp.clip(iv, 0, th - 1)
         flat = tex.reshape(4, th * tw_)
         idx = iv * tw_ + iu
-        return [jnp.take(flat[c], idx.reshape(-1), axis=0).reshape(u.shape) for c in range(4)]
+        return [jnp.take(flat[c], idx.reshape(-1), axis=0)
+                .reshape(u.shape).astype(jnp.float32)   # bf16 stacks upcast
+                for c in range(4)]
 
     # Nearest taps.
     near = fetch(tu, tv)

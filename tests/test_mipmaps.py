@@ -96,3 +96,55 @@ class TestMipmaps:
         rc.Render()
         px = rc.framebuffer()[32, 32]
         assert px[0] > 0.8 and px[2] < 0.2   # forced to base level
+
+
+class TestSixteenBitVideoFormat:
+    """16-bit TextureVideoFormat stores the device texture stack in
+    bfloat16 (reference TextureVideoFormat option / SetDesiredVideoFormat —
+    16-bit formats trade precision for half the texture memory)."""
+
+    def test_bf16_stack_renders_close_and_halves_memory(self):
+        import jax.numpy as jnp
+
+        from ckrenderengine_tpu.objects import (CK3dObject, CKCamera,
+                                                CKContext, CKMaterial,
+                                                CKMesh, CKTexture)
+
+        def scene(fmt):
+            ctx = CKContext()
+            rm = ctx.GetRenderManager()
+            if fmt:
+                rm.SetDesiredTexturesVideoFormat(fmt)
+            rc = rm.CreateRenderContext(48, 48)
+            cam = CKCamera(ctx, "cam")
+            cam.SetPosition((0, 0, -3))
+            rc.AttachViewpointToCamera(cam)
+            mesh = CKMesh(ctx, "q")
+            mesh.SetPositions(np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0],
+                                        [-1, 1, 0]], np.float32))
+            mesh.SetFaces(np.array([[0, 2, 1], [0, 3, 2]], np.int32))
+            mesh.SetUVs(np.array([[0, 0], [1, 0], [1, 1], [0, 1]],
+                                 np.float32))
+            mesh.BuildNormals()
+            tex = CKTexture(ctx, "t")
+            rng = np.random.default_rng(5)
+            tex.SetImage(rng.uniform(0, 1, (16, 16, 4)).astype(np.float32))
+            mat = CKMaterial(ctx, "m")
+            mat.SetEmissive((1, 1, 1, 1))
+            mat.SetTwoSided(True)
+            mat.SetTexture(tex)
+            mesh.ApplyGlobalMaterial(mat)
+            o = CK3dObject(ctx, "o")
+            o.SetCurrentMesh(mesh)
+            rc.Render()
+            return rc
+
+        rc32 = scene(None)
+        rc16 = scene("_16_RGB565")
+        assert rc32._tex_planes.dtype == jnp.float32
+        assert rc16._tex_planes.dtype == jnp.bfloat16
+        fb32 = rc32.framebuffer()
+        fb16 = rc16.framebuffer()
+        # bf16 quantization ~1/256 at full scale: images must agree closely
+        assert np.abs(fb32 - fb16).max() < 0.02
+        assert np.abs(fb32 - fb16).mean() < 0.005
