@@ -363,6 +363,9 @@ def test_randomized_state_fuzz_parity(seed):
             fog=bool(rng.integers(2)),
             perspective=bool(rng.integers(2)),
             cull=int(rng.choice([T.VXCULL.NONE, T.VXCULL.CCW, T.VXCULL.CW])),
+            blend_op=int(rng.choice([T.VXBLENDOP.ADD, T.VXBLENDOP.SUBTRACT,
+                                     T.VXBLENDOP.REVSUBTRACT, T.VXBLENDOP.MIN,
+                                     T.VXBLENDOP.MAX])),
         ))
     state_idx = rng.integers(0, n_states, t).astype(np.int32)
 
