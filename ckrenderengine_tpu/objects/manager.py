@@ -725,13 +725,50 @@ class CKRenderContext(CKObject):
             want_mips = (not mips_off) and any(
                 t.mipmap and t.current_image() is not None
                 and min(t.current_image().shape[:2]) >= 2 for t in c.textures)
-            atlas_w = tw + (tw // 2 if want_mips else 0)
-            planes = np.zeros((len(imgs), 4, th, atlas_w), np.float32)
-            # 3 columns (h, w, n_levels) statically signals a mip atlas.
-            hw = np.zeros((len(imgs), 3 if want_mips else 2), np.int32)
+            # Mixed-size texture sets: the per-texture-plane layout pads
+            # every texture to the max size. When that wastes >1.5x the
+            # actual texel area, shelf-pack the per-texture blocks (base +
+            # its mip column) into ONE atlas plane instead; tex_hw grows
+            # (off_y, off_x) columns that the samplers apply per texel.
+            blocks_w = [i.shape[1] + (i.shape[1] // 2 if want_mips else 0)
+                        for i in imgs]
+            pad_area = len(imgs) * th * (tw + (tw // 2 if want_mips else 0))
+            used_area = sum(i.shape[0] * bw
+                            for i, bw in zip(imgs, blocks_w))
+            use_atlas = (getattr(self, "_atlas_enabled", True)
+                         and len(imgs) > 1 and pad_area > 1.5 * used_area)
+            if use_atlas:
+                atlas_w_pack = max(128, max(blocks_w))
+                order = sorted(range(len(imgs)),
+                               key=lambda i: -imgs[i].shape[0])
+                offs = [None] * len(imgs)
+                shelf_y = 0
+                cur_x, cur_y, shelf_h = 0, 0, 0
+                for i in order:
+                    bh, bw = imgs[i].shape[0], blocks_w[i]
+                    if cur_x + bw > atlas_w_pack:
+                        cur_y += shelf_h
+                        cur_x, shelf_h = 0, 0
+                    offs[i] = (cur_y, cur_x)
+                    cur_x += bw
+                    shelf_h = max(shelf_h, bh)
+                atlas_h = cur_y + shelf_h
+                planes = np.zeros((1, 4, atlas_h, atlas_w_pack), np.float32)
+                hw = np.zeros((len(imgs), 5 if want_mips else 4), np.int32)
+            else:
+                atlas_w = tw + (tw // 2 if want_mips else 0)
+                planes = np.zeros((len(imgs), 4, th, atlas_w), np.float32)
+                # 3 columns (h, w, n_levels) statically signals a mip atlas.
+                hw = np.zeros((len(imgs), 3 if want_mips else 2), np.int32)
             for i, (t, img) in enumerate(zip(c.textures, imgs)):
                 h, w = img.shape[0], img.shape[1]
-                planes[i, :, :h, :w] = np.moveaxis(img, -1, 0)
+                if use_atlas:
+                    oy, ox = offs[i]
+                    pi = 0
+                else:
+                    oy, ox = 0, 0
+                    pi = i
+                planes[pi, :, oy:oy + h, ox:ox + w] = np.moveaxis(img, -1, 0)
                 levels = 1
                 if want_mips and t.mipmap and min(h, w) >= 2:
                     # Mip atlas: level L at cols [tw, tw + w>>L), rows
@@ -739,6 +776,7 @@ class CKRenderContext(CKObject):
                     # mip levels when provided, reference user mips).
                     cur = img
                     lh, lw = h, w
+                    mip_col = w if use_atlas else tw
                     while min(lh, lw) >= 2:
                         user = (t.user_mip_levels[levels - 1]
                                 if len(t.user_mip_levels) >= levels else None)
@@ -749,11 +787,16 @@ class CKRenderContext(CKObject):
                             cur = cur[: nh * 2, : nw * 2].reshape(
                                 nh, 2, nw, 2, 4).mean(axis=(1, 3))
                         y_off = 0 if levels == 1 else h - (h >> (levels - 1))
-                        planes[i, :, y_off:y_off + nh, tw:tw + nw] = \
+                        planes[pi, :, oy + y_off:oy + y_off + nh,
+                               ox + mip_col:ox + mip_col + nw] = \
                             np.moveaxis(cur, -1, 0)
                         lh, lw = nh, nw
                         levels += 1
-                hw[i] = (h, w, levels) if want_mips else (h, w)
+                if use_atlas:
+                    hw[i] = ((h, w, levels, oy, ox) if want_mips
+                             else (h, w, oy, ox))
+                else:
+                    hw[i] = (h, w, levels) if want_mips else (h, w)
             # 16-bit texture video formats (reference TextureVideoFormat
             # option / per-texture SetDesiredVideoFormat: _16_RGB565 etc.)
             # store the device stack in bfloat16 — half the texture HBM and

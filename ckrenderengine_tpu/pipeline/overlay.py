@@ -90,12 +90,18 @@ def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
         u = uvrect[0] + (px - x0) / w * (uvrect[2] - uvrect[0])
         v = uvrect[1] + (py - y0) / h * (uvrect[3] - uvrect[1])
 
-        tid = jnp.clip(tex, 0, nt - 1)
+        tid = jnp.clip(tex, 0, tex_hw.shape[0] - 1)
         tww = tex_hw[tid, 1].astype(jnp.float32)
         thh = tex_hw[tid, 0].astype(jnp.float32)
         iu = jnp.clip(u * tww, 0, tww - 1).astype(jnp.int32)
         iv = jnp.clip(v * thh, 0, thh - 1).astype(jnp.int32)
-        idx = tid * (th * tw) + iv * tw + iu
+        ncols = tex_hw.shape[1]
+        if ncols >= 4:                 # packed atlas: apply texture offsets
+            iu = iu + tex_hw[tid, ncols - 1]
+            iv = iv + tex_hw[tid, ncols - 2]
+            idx = iv * tw + iu
+        else:
+            idx = tid * (th * tw) + iv * tw + iu
         texel = jnp.take(flat, idx.reshape(-1), axis=0).reshape(height, width, 4)
         has_tex = tex >= 0
         src = [jnp.where(has_tex, texel[..., c] * color[c],

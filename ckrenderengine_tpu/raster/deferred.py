@@ -210,15 +210,29 @@ def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
     """
     nt, _, th, taw = tex_planes.shape
     flat = tex_planes.transpose(0, 2, 3, 1).reshape(nt * th * taw, 4)
-    tid_c = jnp.clip(tid, 0, nt - 1)
+    tid_c = jnp.clip(tid, 0, tex_hw.shape[0] - 1)
     h0 = tex_hw[tid_c, 0].astype(jnp.float32)
     w0 = tex_hw[tid_c, 1].astype(jnp.float32)
-    n_levels = (tex_hw[tid_c, 2] if tex_hw.shape[1] > 2
+    # tex_hw column layouts (static): 2 = per-texture planes; 3 = planes +
+    # mip column; 4 = packed ATLAS (h, w, off_y, off_x); 5 = atlas + mips
+    # (h, w, levels, off_y, off_x). See _refresh_textures.
+    ncols = tex_hw.shape[1]
+    has_mips = ncols in (3, 5)
+    is_atlas = ncols >= 4
+    n_levels = (tex_hw[tid_c, 2] if has_mips
                 else jnp.ones_like(tid_c)).astype(jnp.int32)
-    # Column offset of the mip block = the max base width (atlas layout:
-    # AW = TW + TW//2, so TW = (AW*2)//3; static shape -> static offset).
-    # A 3-column tex_hw statically signals the mip atlas is present.
-    base_tw = jnp.float32((taw * 2) // 3 if tex_hw.shape[1] > 2 else 0.0)
+    if is_atlas:
+        atl_y = tex_hw[tid_c, ncols - 2].astype(jnp.float32)
+        atl_x = tex_hw[tid_c, ncols - 1].astype(jnp.float32)
+        plane = jnp.zeros_like(tid_c)
+        # per-texture mip column = its own base width
+        base_tw = w0
+    else:
+        atl_y = jnp.float32(0.0)
+        atl_x = jnp.float32(0.0)
+        plane = tid_c
+        # global mip column = max base width (AW = TW + TW//2)
+        base_tw = jnp.float32((taw * 2) // 3 if has_mips else 0.0)
     border = mode == VXTEXTURE_ADDRESS.BORDER
 
     linear = (
@@ -234,16 +248,16 @@ def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
         scale = jnp.exp2(-lf)
         w = jnp.maximum(jnp.floor(w0 * scale), 1.0)
         h = jnp.maximum(jnp.floor(h0 * scale), 1.0)
-        x_off = jnp.where(level == 0, 0.0, base_tw)
+        x_off = jnp.where(level == 0, 0.0, base_tw) + atl_x
         y_off = jnp.where(level <= 1, 0.0,
-                          h0 - jnp.floor(h0 * jnp.exp2(-(lf - 1.0))))
+                          h0 - jnp.floor(h0 * jnp.exp2(-(lf - 1.0)))) + atl_y
         tu = u * w
         tv = v * h
 
         def fetch(cu, cv):
             iu = jnp.clip(_address_pp(cu, w, mode), 0, w - 1) + x_off
             iv = jnp.clip(_address_pp(cv, h, mode), 0, h - 1) + y_off
-            idx = (tid_c * (th * taw) + iv.astype(jnp.int32) * taw
+            idx = (plane * (th * taw) + iv.astype(jnp.int32) * taw
                    + iu.astype(jnp.int32))
             texel = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
                 idx.shape + (4,)).astype(jnp.float32)   # bf16 stacks upcast
@@ -267,7 +281,7 @@ def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
         return [jnp.where(border & oob, border_rgba[c], out[c])
                 for c in range(4)]
 
-    if lod is None or tex_hw.shape[1] <= 2:
+    if lod is None or not has_mips:
         return sample_level(jnp.zeros_like(tid_c))
 
     mip_near = ((filt == VXTEXTURE_FILTER.MIPNEAREST)

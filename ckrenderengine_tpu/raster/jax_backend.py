@@ -163,10 +163,14 @@ def sample_texture(tex_planes, tex_hw, tex_id, u, v, si, sf):
     u, v:       (H, W) texture coords in [0,1] space
     Returns four (H, W) channel planes.
     """
-    tid = jnp.clip(tex_id, 0, tex_planes.shape[0] - 1)
-    tex = tex_planes[tid]                      # (4, TH, TW) dynamic-index gather
+    ncols = tex_hw.shape[1]
+    is_atlas = ncols >= 4                      # packed single-plane atlas
+    tid = jnp.clip(tex_id, 0, tex_hw.shape[0] - 1)
+    tex = tex_planes[0] if is_atlas else tex_planes[tid]   # (4, TH, TW)
     h = tex_hw[tid, 0]
     w = tex_hw[tid, 1]
+    atl_y = tex_hw[tid, ncols - 2] if is_atlas else jnp.int32(0)
+    atl_x = tex_hw[tid, ncols - 1] if is_atlas else jnp.int32(0)
     hf = h.astype(jnp.float32)
     wf = w.astype(jnp.float32)
     mode = si[SI_TEXADDR]
@@ -188,8 +192,8 @@ def sample_texture(tex_planes, tex_hw, tex_id, u, v, si, sf):
     def fetch(cu, cv):
         iu = jnp.clip(address_coord(cu, w, mode), 0, wf - 1).astype(jnp.int32)
         iv = jnp.clip(address_coord(cv, h, mode), 0, hf - 1).astype(jnp.int32)
-        iu = jnp.clip(iu, 0, tw_ - 1)
-        iv = jnp.clip(iv, 0, th - 1)
+        iu = jnp.clip(iu + atl_x, 0, tw_ - 1)
+        iv = jnp.clip(iv + atl_y, 0, th - 1)
         flat = tex.reshape(4, th * tw_)
         idx = iv * tw_ + iu
         return [jnp.take(flat[c], idx.reshape(-1), axis=0)
