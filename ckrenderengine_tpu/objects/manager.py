@@ -713,6 +713,54 @@ class CKRenderContext(CKObject):
         v = sum(getattr(t, "data_version", 0) for t in c.textures)
         if not force and v == c._tex_version:
             return
+        # Incremental path: when only a few textures changed and their
+        # shapes are stable (video textures stepping movie slots, sprite
+        # text re-rasters), update just their atlas sub-rects on device
+        # (.at[].set — a small transfer) instead of rebuilding + re-
+        # uploading the whole stack every frame.
+        meta = getattr(c, "_tex_meta", None)
+        if not force and meta is not None and c.textures:
+            vers = [getattr(t, "data_version", 0) for t in c.textures]
+            changed = [i for i, (a, b) in
+                       enumerate(zip(vers, meta["versions"])) if a != b]
+            if changed and len(changed) <= 8:
+                ok = True
+                for i in changed:
+                    img = c.textures[i].current_image()
+                    rec = meta["rects"][i]
+                    if img is None or img.shape[:2] != (rec[3], rec[4]):
+                        ok = False
+                        break
+                if ok:
+                    planes = self._tex_planes
+                    for i in changed:
+                        t = c.textures[i]
+                        pi, oy, ox, h, w, mip_col, levels = meta["rects"][i]
+                        img = np.asarray(t.current_image(), np.float32)
+                        planes = planes.at[pi, :, oy:oy + h, ox:ox + w].set(
+                            jnp.asarray(np.moveaxis(img, -1, 0),
+                                        planes.dtype))
+                        cur, lh, lw = img, h, w
+                        for lv in range(1, levels):
+                            user = (t.user_mip_levels[lv - 1]
+                                    if len(t.user_mip_levels) >= lv else None)
+                            nh, nw = max(lh // 2, 1), max(lw // 2, 1)
+                            if user is not None and user.shape[:2] == (nh, nw):
+                                cur = np.asarray(user, np.float32)
+                            else:
+                                cur = cur[: nh * 2, : nw * 2].reshape(
+                                    nh, 2, nw, 2, 4).mean(axis=(1, 3))
+                            y_off = 0 if lv == 1 else h - (h >> (lv - 1))
+                            planes = planes.at[
+                                pi, :, oy + y_off:oy + y_off + nh,
+                                ox + mip_col:ox + mip_col + nw].set(
+                                jnp.asarray(np.moveaxis(cur, -1, 0),
+                                            planes.dtype))
+                            lh, lw = nh, nw
+                        meta["versions"][i] = vers[i]
+                    self._tex_planes = planes
+                    c._tex_version = v
+                    return
         c._tex_version = v
         rm = self.context.render_manager
         mips_off = bool(int(rm.options.get("DisableMipmap", 0))) \
@@ -760,6 +808,7 @@ class CKRenderContext(CKObject):
                 planes = np.zeros((len(imgs), 4, th, atlas_w), np.float32)
                 # 3 columns (h, w, n_levels) statically signals a mip atlas.
                 hw = np.zeros((len(imgs), 3 if want_mips else 2), np.int32)
+            rects = []
             for i, (t, img) in enumerate(zip(c.textures, imgs)):
                 h, w = img.shape[0], img.shape[1]
                 if use_atlas:
@@ -797,6 +846,9 @@ class CKRenderContext(CKObject):
                              else (h, w, oy, ox))
                 else:
                     hw[i] = (h, w, levels) if want_mips else (h, w)
+                rects.append((pi, oy, ox, h, w,
+                              (w if use_atlas else tw) if want_mips else 0,
+                              levels))
             # 16-bit texture video formats (reference TextureVideoFormat
             # option / per-texture SetDesiredVideoFormat: _16_RGB565 etc.)
             # store the device stack in bfloat16 — half the texture HBM and
@@ -812,9 +864,15 @@ class CKRenderContext(CKObject):
             dtype = jnp.bfloat16 if use_16 else jnp.float32
             self._tex_planes = jnp.asarray(planes, dtype)
             self._tex_hw = jnp.asarray(hw)
+            c._tex_meta = {
+                "versions": [getattr(t, "data_version", 0)
+                             for t in c.textures],
+                "rects": rects,
+            }
         else:
             self._tex_planes = jnp.zeros((1, 4, 1, 1), jnp.float32)
             self._tex_hw = jnp.ones((1, 2), jnp.int32)
+            c._tex_meta = None
 
     # -- per-frame dynamic state -----------------------------------------
     def _light_rows_np(self) -> dict:

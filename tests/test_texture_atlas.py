@@ -100,3 +100,52 @@ class TestAtlasActivation:
     def test_same_size_textures_stay_per_plane(self):
         rc = _scene([16, 16, 16])
         assert rc._tex_hw.shape[1] < 4
+
+
+class TestIncrementalUpdates:
+    """Per-frame same-shape image updates (video textures, movie slots)
+    patch only the texture's sub-rect on device instead of rebuilding the
+    whole stack."""
+
+    def test_video_texture_update_uses_incremental_path(self):
+        ctx = CKContext()
+        rc = ctx.GetRenderManager().CreateRenderContext(48, 48)
+        cam = CKCamera(ctx, "cam")
+        cam.SetPosition((0, 0, -3))
+        rc.AttachViewpointToCamera(cam)
+        mesh = CKMesh(ctx, "q")
+        mesh.SetPositions(np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0],
+                                    [-1, 1, 0]], np.float32))
+        mesh.SetFaces(np.array([[0, 2, 1], [0, 3, 2]], np.int32))
+        mesh.SetUVs(np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32))
+        mesh.BuildNormals()
+        video = CKTexture(ctx, "video")
+        video.SetImage(np.zeros((8, 8, 4), np.float32) + [1, 0, 0, 1])
+        other = CKTexture(ctx, "static")    # second texture so NT > 1
+        other.SetImage(np.ones((32, 32, 4), np.float32))
+        mat = CKMaterial(ctx, "m")
+        mat.SetEmissive((1, 1, 1, 1))
+        mat.SetTwoSided(True)
+        mat.SetTexture(video)
+        mat2 = CKMaterial(ctx, "m2")
+        mat2.SetTexture(other)
+        mesh.ApplyGlobalMaterial(mat)
+        mesh.SetFaceCount(2)
+        mesh.SetFaceMaterial(1, mat2)
+        o = CK3dObject(ctx, "o")
+        o.SetCurrentMesh(mesh)
+        rc.Render()
+        assert rc.framebuffer()[..., 0].sum() > 5     # red half
+        meta0 = rc._compiled._tex_meta
+        # same-shape update: must go through the incremental path (meta
+        # object identity preserved) and show on screen
+        video.SetImage(np.zeros((8, 8, 4), np.float32) + [0, 0, 1, 1])
+        rc.Render()
+        assert rc._compiled._tex_meta is meta0        # no full rebuild
+        fb = rc.framebuffer()
+        assert fb[..., 2].sum() > 5                   # now blue
+        # shape CHANGE falls back to the full rebuild
+        video.SetImage(np.zeros((16, 16, 4), np.float32) + [0, 1, 0, 1])
+        rc.Render()
+        assert rc._compiled._tex_meta is not meta0
+        assert rc.framebuffer()[..., 1].sum() > 5
