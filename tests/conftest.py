@@ -14,3 +14,21 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_cache():
+    """Clear jax's compiled-executable caches after each test module.
+
+    One long pytest process accumulates hundreds of compiled frame
+    programs; past ~400 tests the in-process XLA CPU compiler degrades
+    pathologically (a compile that takes 11 s in a fresh process was
+    observed stuck >20 min). Bounding the cache per module keeps compile
+    behavior flat for the whole suite at the cost of cross-module
+    recompiles (modules rarely share scene shapes anyway).
+    """
+    yield
+    jax.clear_caches()
