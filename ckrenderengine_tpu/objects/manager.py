@@ -76,6 +76,27 @@ class VxEffectDescription:
     callback_arg: object = None
 
 
+def _mip_chain(img: np.ndarray, t, levels: int):
+    """Yield (level, nh, nw, y_off, array) for levels 1..levels-1 —
+    box-filtered (or user-provided) mip images, matching the stack layout
+    rule (level L at rows [y_off, y_off+nh) of the texture's mip column)."""
+    cur = np.asarray(img, np.float32)
+    h = cur.shape[0]
+    lh, lw = cur.shape[0], cur.shape[1]
+    for lv in range(1, levels):
+        user = (t.user_mip_levels[lv - 1]
+                if len(t.user_mip_levels) >= lv else None)
+        nh, nw = max(lh // 2, 1), max(lw // 2, 1)
+        if user is not None and user.shape[:2] == (nh, nw):
+            cur = np.asarray(user, np.float32)
+        else:
+            cur = cur[: nh * 2, : nw * 2].reshape(
+                nh, 2, nw, 2, 4).mean(axis=(1, 3))
+        y_off = 0 if lv == 1 else h - (h >> (lv - 1))
+        yield lv, nh, nw, y_off, cur
+        lh, lw = nh, nw
+
+
 class CompiledScene:
     """Static layout of one render context's scene (host-side product of
     compilation; the analogue of all CreateRenderGroups/CKVBuffer remaps +
@@ -732,6 +753,22 @@ class CKRenderContext(CKObject):
                         ok = False
                         break
                 if ok:
+                    # Register per-frame updaters as VIDEO textures: their
+                    # texels ride the packed dyn buffer from now on (one
+                    # transfer pair per frame, scattered on device) — the
+                    # .at[].set below is only the bridge for THIS frame.
+                    vids = getattr(c, "video_ids", set())
+                    new_vids = [i for i in changed if i not in vids]
+                    if new_vids:
+                        c.video_ids = vids | set(new_vids)
+                        self._layout_sig = None     # grow the patch segment
+                    already = [i for i in changed if i in vids]
+                    for i in already:
+                        meta["versions"][i] = vers[i]
+                    changed = new_vids
+                    if not changed:
+                        c._tex_version = v
+                        return
                     planes = self._tex_planes
                     for i in changed:
                         t = c.textures[i]
@@ -740,23 +777,13 @@ class CKRenderContext(CKObject):
                         planes = planes.at[pi, :, oy:oy + h, ox:ox + w].set(
                             jnp.asarray(np.moveaxis(img, -1, 0),
                                         planes.dtype))
-                        cur, lh, lw = img, h, w
-                        for lv in range(1, levels):
-                            user = (t.user_mip_levels[lv - 1]
-                                    if len(t.user_mip_levels) >= lv else None)
-                            nh, nw = max(lh // 2, 1), max(lw // 2, 1)
-                            if user is not None and user.shape[:2] == (nh, nw):
-                                cur = np.asarray(user, np.float32)
-                            else:
-                                cur = cur[: nh * 2, : nw * 2].reshape(
-                                    nh, 2, nw, 2, 4).mean(axis=(1, 3))
-                            y_off = 0 if lv == 1 else h - (h >> (lv - 1))
+                        for lv, nh, nw, y_off, cur in _mip_chain(
+                                img, t, levels):
                             planes = planes.at[
                                 pi, :, oy + y_off:oy + y_off + nh,
                                 ox + mip_col:ox + mip_col + nw].set(
                                 jnp.asarray(np.moveaxis(cur, -1, 0),
                                             planes.dtype))
-                            lh, lw = nh, nw
                         meta["versions"][i] = vers[i]
                     self._tex_planes = planes
                     c._tex_version = v
@@ -1371,14 +1398,51 @@ class CKRenderContext(CKObject):
     def GetClipRect(self):
         return self.clip_rect
 
-    def _ensure_packed_layout(self, n, s, l, sp, qb, qf, cp=0):
+    def _video_patch_info(self, c):
+        """Video-texture patch plan: (total_texels, flat channel-last texel
+        indices into the plane stack, per-texture fill plan). The indices
+        are STATIC per layout; per-frame texel values ride the packed dyn
+        f32 buffer and are scattered on device (no extra transfers)."""
+        vids = sorted(getattr(c, "video_ids", set()))
+        meta = getattr(c, "_tex_meta", None)
+        if not vids or meta is None:
+            return 0, None, []
+        key = (id(meta), tuple(vids), self._tex_planes.shape)
+        cached = getattr(self, "_video_patch_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        _nt, _ch, TH, TW = self._tex_planes.shape
+        idx_parts, plan = [], []
+        for i in vids:
+            pi, oy, ox, h, w, mip_col, levels = meta["rects"][i]
+            ys, xs = np.meshgrid(np.arange(oy, oy + h),
+                                 np.arange(ox, ox + w), indexing="ij")
+            idx_parts.append(((pi * TH + ys) * TW + xs).reshape(-1))
+            lh, lw = h, w
+            for lv in range(1, levels):
+                nh, nw = max(lh // 2, 1), max(lw // 2, 1)
+                y0 = (0 if lv == 1 else h - (h >> (lv - 1))) + oy
+                x0 = ox + mip_col
+                ys, xs = np.meshgrid(np.arange(y0, y0 + nh),
+                                     np.arange(x0, x0 + nw), indexing="ij")
+                idx_parts.append(((pi * TH + ys) * TW + xs).reshape(-1))
+                lh, lw = nh, nw
+            plan.append((i, levels))
+        idx = np.concatenate(idx_parts).astype(np.int32)
+        out = (int(idx.shape[0]), idx, plan)
+        self._video_patch_cache = (key, out)
+        return out
+
+    def _ensure_packed_layout(self, n, s, l, sp, qb, qf, cp=0, vt=0):
         from ..pipeline.packing import DynLayout
 
-        sig = (n, s, l, sp, qb, qf, cp)
+        sig = (n, s, l, sp, qb, qf, cp, vt)
         if self._layout_sig == sig:
             return
         self._layout_sig = sig
         lay = DynLayout()
+        if vt:
+            lay.add_f("tex_patch", (vt, 4))
         if cp:
             lay.add_f("clip_planes", (cp, 4))
         lay.add_f("local", (n, 4, 4))
@@ -1426,7 +1490,11 @@ class CKRenderContext(CKObject):
         self._buf_f, self._buf_i = lay.make_buffers()
 
     def _packed_static_dict(self, c: CompiledScene, n: int) -> dict:
-        vers = (id(c), c._pool_version, c._tex_version)
+        vp = getattr(self, "_video_patch", (0, None, []))
+        # id(self._tex_planes): stable across video-texture frames (their
+        # texels ride the dyn patch), changes on any full stack rebuild.
+        vers = (id(c), c._pool_version, id(self._tex_planes),
+                vp[0], id(vp[1]))
         if self._packed_static is not None and self._packed_static_vers == vers:
             return self._packed_static
         if c._dev_static is None:
@@ -1452,6 +1520,8 @@ class CKRenderContext(CKObject):
         static = dict(parent=jnp.asarray(ctx.entity_table.parent[:n]),
                       tex_planes=self._tex_planes, tex_hw=self._tex_hw,
                       **c._dev_pool, **c._dev_static)
+        if vp[0]:
+            static["texpatch_idx"] = jnp.asarray(vp[1])
         self._packed_static = static
         self._packed_static_vers = vers
         # Sprite3D static arrays (entity rows / pool bases fixed per compile)
@@ -1530,8 +1600,10 @@ class CKRenderContext(CKObject):
         qb = pad4(len(quads_bg_list))
         qf = pad4(len(quads_fg_list))
         planes = self._active_clip_planes()
+        vt, vt_idx, vt_plan = self._video_patch_info(c)
+        self._video_patch = (vt, vt_idx, vt_plan)
         self._ensure_packed_layout(n, si.shape[0], lt["type"].shape[0], sp,
-                                   qb, qf, planes.shape[0])
+                                   qb, qf, planes.shape[0], vt)
         static = self._packed_static_dict(c, n)
         view, proj, cam_pos = self._camera_np()
 
@@ -1569,6 +1641,17 @@ class CKRenderContext(CKObject):
         )
         if planes.shape[0]:
             vals["clip_planes"] = planes
+        if vt:
+            parts = []
+            meta = c._tex_meta
+            for ti, levels in vt_plan:
+                t = c.textures[ti]
+                img = np.asarray(t.current_image(), np.float32)
+                parts.append(img.reshape(-1, 4))
+                for _lv, _nh, _nw, _yo, cur in _mip_chain(img, t, levels):
+                    parts.append(np.asarray(cur, np.float32).reshape(-1, 4))
+                meta["versions"][ti] = getattr(t, "data_version", 0)
+            vals["tex_patch"] = np.concatenate(parts)
         if sp:
             vals["sp_size"] = np.asarray(
                 [e.size2d for e, _, _ in c.sprite3d_list], np.float32)

@@ -563,6 +563,22 @@ render_frame_full = functools.partial(
 )(render_frame_full_impl)
 
 
+def _apply_tex_patch(static: dict, d: dict, layout: tuple):
+    """Scatter per-frame video-texture texels (packed in the dyn f32
+    buffer) into the static texture stack ON DEVICE — video/movie textures
+    update with zero extra host->device transfers."""
+    from .packing import has_field
+    planes = static["tex_planes"]
+    if not has_field(layout, "tex_patch") or "texpatch_idx" not in static:
+        return planes
+    idx = static["texpatch_idx"]                  # (VT,)
+    vals = d["tex_patch"]                         # (VT,4)
+    nt, _ch, th, tw = planes.shape
+    cl = planes.transpose(0, 2, 3, 1).reshape(-1, 4)
+    cl = cl.at[idx].set(vals.astype(cl.dtype))
+    return cl.reshape(nt, th, tw, 4).transpose(0, 3, 1, 2)
+
+
 def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              levels: tuple, height: int, width: int,
                              skin=None, sprites_static=None, lines=None,
@@ -625,7 +641,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         cam_pos=d["cam_pos"], viewport=d["viewport"],
         fog_mode=d["fog_mode"], fog_start=d["fog_start"],
         fog_end=d["fog_end"], fog_density=d["fog_density"],
-        fog_color=d["fog_color"], tex_planes=static["tex_planes"],
+        fog_color=d["fog_color"], tex_planes=_apply_tex_patch(
+            static, d, layout),
         tex_hw=static["tex_hw"], clear_color=d["clear_color"],
         clear_z=d["clear_z"],
         clip_planes=(d["clip_planes"]

