@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import time
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -747,12 +748,32 @@ class CKRenderContext(CKObject):
             if changed and len(changed) <= 8:
                 ok = True
                 for i in changed:
-                    img = c.textures[i].current_image()
+                    shp = c.textures[i].image_shape()
                     rec = meta["rects"][i]
-                    if img is None or img.shape[:2] != (rec[3], rec[4]):
+                    if shp is None or shp[:2] != (rec[3], rec[4]):
                         ok = False
                         break
                 if ok:
+                    # Device-resident images (render-to-texture feeds)
+                    # scatter straight into the stack: device-to-device,
+                    # no transfers, no video registration needed.
+                    dev_changed = [i for i in changed
+                                   if c.textures[i].device_image() is not None]
+                    if dev_changed:
+                        # Device-resident feeds register once; their CURRENT
+                        # image is passed as a per-frame arg into the frame
+                        # program and scattered THERE (folding avoids ~40 ms
+                        # of dependent-executable launch latency under the
+                        # tunnel; see pipeline/frame._apply_tex_patch).
+                        devs = getattr(c, "dev_ids", set())
+                        c.dev_ids = devs | set(dev_changed)
+                        for i in dev_changed:
+                            meta["versions"][i] = vers[i]
+                        changed = [i for i in changed
+                                   if i not in dev_changed]
+                        if not changed:
+                            c._tex_version = v
+                            return
                     # Register per-frame updaters as VIDEO textures: their
                     # texels ride the packed dyn buffer from now on (one
                     # transfer pair per frame, scattered on device) — the
@@ -1687,7 +1708,19 @@ class CKRenderContext(CKObject):
         rm = ctx.render_manager
         sort_t = bool(int(rm.options.get("SortTransparentObjects", 1))) \
             if rm is not None else True
+        texdev, texdev_rects = [], []
+        meta_d = getattr(c, "_tex_meta", None)
+        for i in sorted(getattr(c, "dev_ids", set())):
+            dimg = c.textures[i].device_image()
+            if dimg is None or meta_d is None:
+                continue
+            pi, oy, ox, h, w, mip_col, levels = meta_d["rects"][i]
+            texdev.append(dimg)
+            texdev_rects.append((pi, oy, ox, h, w, mip_col, levels,
+                                 c.textures[i].device_image_chw()))
         params = dict(
+            texdev=tuple(texdev) if texdev else None,
+            texdev_rects=tuple(texdev_rects),
             layout=self._layout, levels=self._compiled.levels,
             height=self.height, width=self.width, skin=c.skin_bank,
             sprites_static=self._sprites_static, lines=c.line_bank,
@@ -1796,7 +1829,12 @@ class CKRenderContext(CKObject):
         # Render-to-texture (reference SetTargetTexture/CopyContext,
         # src/CKRenderContext.cpp:606-638).
         if self.target_texture is not None:
-            self.target_texture.SetImage(self.framebuffer())
+            # Device-resident copy: no host round trip (reference
+            # SetTargetTexture/CopyContext). The RAW (4,H,W) fb buffer is
+            # handed over as-is — any derived array (e.g. a moveaxis) is a
+            # NEW buffer whose hand-off into another program costs a ~35 ms
+            # relayout under the tunnel; consumers transpose in-program.
+            self.target_texture.SetDeviceImage(self.fb, chw=True)
         with PhaseTimer(ph, "CallbacksTime"):
             # Custom mesh render callbacks draw now (they REPLACE the
             # default render; immediate DrawPrimitive composites onto fb),
@@ -3283,6 +3321,7 @@ class CKRenderManager(CKObject):
         for rc in rcs:
             if rc.stereo_enabled or rc.vertex_shader is not None \
                     or rc.target_texture is not None \
+                    or getattr(rc._compiled, "dev_ids", None) \
                     or membership(rc) != membership(rcs[0]):
                 return False
             if rc._compiled.topology_version != rc.context._topology_version:

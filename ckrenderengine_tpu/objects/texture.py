@@ -13,6 +13,29 @@ import numpy as np
 from .base import CKCID_TEXTURE, CKContext, CKObject
 
 
+class _LazyDeviceImage:
+    """Host-side stand-in for a device-resident texture image: shape is
+    known immediately; the pixel transfer happens only if some host path
+    actually reads it."""
+
+    def __init__(self, dev, chw: bool = False):
+        self._dev = dev
+        self._chw = chw
+        self.shape = ((dev.shape[1], dev.shape[2], dev.shape[0]) if chw
+                      else tuple(dev.shape))
+        self._host = None
+
+    def to_host(self) -> np.ndarray:
+        if self._host is None:
+            a = np.asarray(self._dev, np.float32)
+            self._host = np.moveaxis(a, 0, -1) if self._chw else a
+        return self._host
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.to_host()
+        return a if dtype is None else a.astype(dtype)
+
+
 class CKTexture(CKObject):
     CLASS_ID = CKCID_TEXTURE
 
@@ -56,7 +79,10 @@ class CKTexture(CKObject):
             self.context._bump_topology()
 
     def GetImage(self, slot: int = 0) -> np.ndarray | None:
-        return self.slots[slot]
+        img = self.slots[slot]
+        if isinstance(img, _LazyDeviceImage):
+            return img.to_host()
+        return img
 
     def LockSurfacePtr(self, slot: int = 0) -> np.ndarray | None:
         return self.slots[slot]
@@ -247,5 +273,63 @@ class CKTexture(CKObject):
             img[..., 3] = np.where(match, 0.0, img[..., 3])
         self.context._bump_topology()
 
+    def SetDeviceImage(self, img, slot: int = 0, chw: bool = False):
+        """Device-resident image update (render-to-texture feeds): ``img``
+        is a jnp array ALREADY on device — no host round trip. ``chw``:
+        the array is (4,H,W) planes (a framebuffer) and consumers
+        transpose in-program; passing the RAW buffer avoids a cross-
+        program relayout. Host reads (GetImage) convert lazily."""
+        import jax.numpy as jnp
+        img = jnp.asarray(img)
+        self._device_chw = bool(chw)
+        if chw:
+            # logical (H,W,4) shape for bookkeeping; data stays (4,H,W)
+            class _V:  # tiny shape shim
+                pass
+            shape_hwc = (img.shape[1], img.shape[2], img.shape[0])
+        else:
+            shape_hwc = tuple(img.shape)
+        same_shape = (self.slots and len(self.slots) > slot
+                      and self.slots[slot] is not None
+                      and tuple(self.slots[slot].shape) == shape_hwc)
+        self._device_image = img
+        self._device_slot = slot
+        while len(self.slots) <= slot:
+            self.slots.append(None)
+        if not same_shape:
+            # first frame (or resize): materialize to host so the stack
+            # rebuild sees the right shape
+            host = np.asarray(img, np.float32)
+            if chw:
+                host = np.moveaxis(host, 0, -1)
+            self.slots[slot] = host
+        else:
+            self.slots[slot] = _LazyDeviceImage(img, chw)
+        self.data_version += 1
+        if same_shape:
+            self.context._bump_dynamic()
+        else:
+            self.context._bump_topology()
+
     def current_image(self) -> np.ndarray | None:
-        return self.slots[self.current_slot]
+        img = self.slots[self.current_slot] if self.slots else None
+        if isinstance(img, _LazyDeviceImage):
+            return img.to_host()
+        return img
+
+    def device_image(self):
+        """The device-resident image when this texture is fed by
+        SetDeviceImage, else None."""
+        return getattr(self, "_device_image", None)
+
+    def device_image_chw(self) -> bool:
+        return getattr(self, "_device_chw", False)
+
+    def image_shape(self, slot: int | None = None):
+        """(H, W, C) of the current (or given) slot WITHOUT forcing a
+        device->host transfer of lazy device images."""
+        slot = self.current_slot if slot is None else slot
+        if not self.slots or slot >= len(self.slots):
+            return None
+        img = self.slots[slot]
+        return None if img is None else tuple(img.shape)

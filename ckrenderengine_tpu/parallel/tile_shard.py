@@ -48,7 +48,8 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
                                sort_transparent: bool = True,
                                vertex_shader=None,
                                want_bump: bool = False,
-                               want_cube: bool = False):
+                               want_cube: bool = False,
+                               texdev=None, texdev_rects: tuple = ()):
     """One logical frame of ``height`` rows rendered as ``mesh.shape[axis]``
     horizontal bands, one per device. Returns (fb (4,H,W), zb (H,W)) sharded
     over H. ``height`` must divide evenly by the band count.
@@ -70,7 +71,7 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
             ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=False,
             vertex_shader=vertex_shader, want_bump=want_bump,
-            want_cube=want_cube,
+            want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             allow_pallas=False, y_shift=y0)
         fb, zb = out
         return fb, zb
@@ -92,5 +93,5 @@ render_frame_packed_banded_jit = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "mesh", "axis",
                      "ordered_cap", "chunk", "sort_transparent",
-                     "vertex_shader", "want_bump", "want_cube"))(
+                     "vertex_shader", "want_bump", "want_cube", "texdev_rects"))(
     render_frame_packed_banded)

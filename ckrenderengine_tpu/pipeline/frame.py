@@ -563,12 +563,37 @@ render_frame_full = functools.partial(
 )(render_frame_full_impl)
 
 
-def _apply_tex_patch(static: dict, d: dict, layout: tuple):
-    """Scatter per-frame video-texture texels (packed in the dyn f32
-    buffer) into the static texture stack ON DEVICE — video/movie textures
-    update with zero extra host->device transfers."""
+def _apply_tex_patch(static: dict, d: dict, layout: tuple,
+                     texdev=None, texdev_rects: tuple = ()):
+    """Per-frame texture updates applied INSIDE the frame program:
+
+    - video-texture texels packed in the dyn f32 buffer scatter via
+      precomputed indices (zero extra transfers);
+    - device-resident images (render-to-texture feeds, ``texdev``) scatter
+      directly (zero transfers AND zero extra executables — a separate
+      eager/jit scatter adds ~40 ms of dependent-launch latency under the
+      tunnel; folded here it is free)."""
     from .packing import has_field
     planes = static["tex_planes"]
+    if texdev:
+        for img, rect in zip(texdev, texdev_rects):
+            pi, oy, ox, h, w, mip_col, levels, chw = rect
+            # chw feeds (framebuffers) hand over their RAW (4,H,W) buffer;
+            # transpose here, inside the program
+            img = (jnp.moveaxis(img, 0, -1) if chw else img).astype(
+                planes.dtype)
+            planes = planes.at[pi, :, oy:oy + h, ox:ox + w].set(
+                jnp.moveaxis(img, -1, 0))
+            cur, lh, lw = img, h, w
+            for lv in range(1, levels):
+                nh, nw = max(lh // 2, 1), max(lw // 2, 1)
+                cur = cur[: nh * 2, : nw * 2].reshape(
+                    nh, 2, nw, 2, 4).mean(axis=(1, 3))
+                y_off = 0 if lv == 1 else h - (h >> (lv - 1))
+                planes = planes.at[pi, :, oy + y_off:oy + y_off + nh,
+                                   ox + mip_col:ox + mip_col + nw].set(
+                    jnp.moveaxis(cur, -1, 0))
+                lh, lw = nh, nw
     if not has_field(layout, "tex_patch") or "texpatch_idx" not in static:
         return planes
     idx = static["texpatch_idx"]                  # (VT,)
@@ -590,7 +615,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              want_cube: bool = False,
                              prev_fb=None, prev_zb=None,
                              allow_pallas: bool = True,
-                             y_shift=None):
+                             y_shift=None,
+                             texdev=None, texdev_rects: tuple = ()):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -642,7 +668,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         fog_mode=d["fog_mode"], fog_start=d["fog_start"],
         fog_end=d["fog_end"], fog_density=d["fog_density"],
         fog_color=d["fog_color"], tex_planes=_apply_tex_patch(
-            static, d, layout),
+            static, d, layout, texdev, texdev_rects),
         tex_hw=static["tex_hw"], clear_color=d["clear_color"],
         clear_z=d["clear_z"],
         clip_planes=(d["clip_planes"]
@@ -677,7 +703,8 @@ render_frame_packed = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
-                     "vertex_shader", "want_bump", "want_cube", "allow_pallas"))(
+                     "vertex_shader", "want_bump", "want_cube",
+                     "allow_pallas", "texdev_rects"))(
     render_frame_packed_impl)
 
 
@@ -685,7 +712,8 @@ render_frame_packed = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
-                     "vertex_shader", "want_bump", "want_cube"))
+                     "vertex_shader", "want_bump", "want_cube",
+                     "texdev_rects"))
 def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  levels: tuple, height: int, width: int,
                                  skin=None, sprites_static=None, lines=None,
@@ -695,7 +723,8 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  want_stencil: bool = False,
                                  vertex_shader=None,
                                  want_bump: bool = False,
-                                 want_cube: bool = False):
+                                 want_cube: bool = False,
+                                 texdev=None, texdev_rects: tuple = ()):
     """Batched packed frames: ``dyn_f``/``dyn_i`` carry a leading context
     axis; statics (streams, pools, textures, banks topology) broadcast. This
     is the multi-context scale path with ONE f32 + ONE i32 host->device
@@ -709,7 +738,7 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
             ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=want_stencil,
             vertex_shader=vertex_shader, want_bump=want_bump,
-            want_cube=want_cube,
+            want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             allow_pallas=False)
 
     return jax.vmap(one)(dyn_f, dyn_i)

@@ -157,3 +157,71 @@ class TestIncrementalUpdates:
         rc.Render()
         assert rc._compiled._tex_meta is not meta0
         assert rc.framebuffer()[..., 1].sum() > 5
+
+
+class TestDeviceResidentRTT:
+    """Render-to-texture feeds stay on device: the target texture holds the
+    raw framebuffer, consumers scatter it into their stack INSIDE the frame
+    program (zero host round trips)."""
+
+    def _chain(self):
+        ctx = CKContext()
+        rm = ctx.GetRenderManager()
+        rc1 = rm.CreateRenderContext(64, 64)
+        cam1 = CKCamera(ctx, "c1")
+        cam1.SetPosition((0, 0, -4))
+        rc1.AttachViewpointToCamera(cam1)
+        mesh = CKMesh(ctx, "tri")
+        mesh.SetPositions(np.array([[-1, -1, 0], [0, 1.5, 0], [1, -1, 0]],
+                                   np.float32))
+        mesh.SetFaces(np.array([[0, 1, 2]], np.int32))
+        mesh.BuildNormals()
+        mat = CKMaterial(ctx, "m")
+        mat.SetDiffuse((1, 0.1, 0.1, 1))
+        mesh.ApplyGlobalMaterial(mat)
+        spin = CK3dObject(ctx, "spin")
+        spin.SetCurrentMesh(mesh)
+        rc1.AddObject(spin)
+        rc1.AddObject(cam1)
+        rtt = CKTexture(ctx, "rtt")
+        rc1.SetTargetTexture(rtt)
+        rc2 = rm.CreateRenderContext(64, 64)
+        cam2 = CKCamera(ctx, "c2")
+        cam2.SetPosition((0, 0, -4))
+        rc2.AttachViewpointToCamera(cam2)
+        quad = CKMesh(ctx, "q")
+        quad.SetPositions(np.array(
+            [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32))
+        quad.SetFaces(np.array([[0, 2, 1], [0, 3, 2]], np.int32))
+        quad.SetUVs(np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32))
+        quad.BuildNormals()
+        qmat = CKMaterial(ctx, "qm")
+        qmat.SetEmissive((1, 1, 1, 1))
+        qmat.SetTwoSided(True)
+        qmat.SetTexture(rtt)
+        quad.ApplyGlobalMaterial(qmat)
+        screen = CK3dObject(ctx, "screen")
+        screen.SetCurrentMesh(quad)
+        rc2.AddObject(screen)
+        rc2.AddObject(cam2)
+        return ctx, rc1, rc2, spin, rtt
+
+    def test_chain_shows_live_frames_without_host_copies(self):
+        ctx, rc1, rc2, spin, rtt = self._chain()
+        rc1.Render()
+        rc2.Render()
+        rc1.Render()
+        rc2.Render()
+        assert rtt.device_image() is not None      # device-resident feed
+        assert getattr(rc2._compiled, "dev_ids", None)
+        fb_a = rc2.framebuffer().copy()
+        assert fb_a[..., 0].sum() > 2              # red triangle visible
+        spin.Rotate((0, 0, 1), 1.2)
+        rc1.Render()
+        rc2.Render()
+        fb_b = rc2.framebuffer()
+        assert np.abs(fb_b - fb_a).sum() > 1.0     # feed updates live
+        # host readback of the target texture still works (lazy transfer)
+        img = rtt.GetImage()
+        assert img.shape == (64, 64, 4)
+        np.testing.assert_allclose(img, rc1.framebuffer(), atol=1e-6)
