@@ -446,3 +446,32 @@ class TestMaterialTextureEntitySurface:
         obj.LocalMatrixChanged()
         obj.WorldPositionChanged()
         assert obj.GetMemoryOccupation() > 0
+
+
+class TestAlphaTransparencyRule:
+    """Locks the reference's transparency classification (reference
+    tests/test_material.cpp:12-28 and src/CKMaterial.cpp:2066-2077):
+    a material is truly transparent iff alpha-blend is on, the dest blend
+    keeps the background, and it is NOT a depth-writing alpha-test cutout."""
+
+    def test_rule_truth_table(self):
+        from ckrenderengine_tpu.objects import CKContext, CKMaterial
+        from ckrenderengine_tpu.raster.types import VXBLEND
+        ctx = CKContext()
+        m = CKMaterial(ctx, "m")
+        assert not m.IsAlphaTransparent()               # opaque default
+        m.EnableAlphaBlend(True)
+        m.SetSourceBlend(int(VXBLEND.SRCALPHA))
+        m.SetDestBlend(int(VXBLEND.INVSRCALPHA))
+        assert m.IsAlphaTransparent()                   # plain alpha blend
+        m.SetDestBlend(int(VXBLEND.ZERO))
+        assert not m.IsAlphaTransparent()               # dest ZERO = replace
+        m.SetDestBlend(int(VXBLEND.INVSRCALPHA))
+        m.EnableAlphaTest(True)                         # cutout...
+        m.EnableZWrite(True)                            # ...that writes Z
+        assert not m.IsAlphaTransparent()
+        m.EnableZWrite(False)                           # non-writing cutout
+        assert m.IsAlphaTransparent()
+        m.EnableAlphaTest(False)
+        m.EnableAlphaBlend(False)
+        assert not m.IsAlphaTransparent()
