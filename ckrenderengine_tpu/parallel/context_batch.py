@@ -80,9 +80,18 @@ def render_frames_full_batched(scenes: SceneDevice, levels: tuple, height: int,
     return jax.vmap(fn)(scenes, anim_t)
 
 
-def make_context_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def make_context_mesh(n_devices: int | None = None,
+                      platform: str | None = None) -> Mesh:
+    """1-D ``ctx`` mesh over the first ``n_devices`` devices.
+
+    ``platform`` pins the backend (e.g. ``"cpu"`` for the virtual host mesh
+    used by the driver's multichip dryrun) instead of whatever backend
+    happened to initialize first."""
+    devs = jax.devices(platform) if platform else jax.devices()
     n = n_devices if n_devices is not None else len(devs)
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices on platform {platform or 'default'}, "
+                         f"have {len(devs)}")
     return Mesh(np.array(devs[:n]), axis_names=("ctx",))
 
 
