@@ -159,6 +159,10 @@ class VxStats:
         self.NbLinesDrawn = 0
         self.NbVerticesProcessed = 0
         self.NbObjectDrawn = 0
+        # Densest raster tile's triangle count last frame (tiled scale path;
+        # observability only — the streaming reduce is exact, raster/tiled.py).
+        # Populated under EnableDebugMode (avoids a per-frame device readback).
+        self.TileBinPeak = 0
         self.RenderStateCacheHit = 0
         self.RenderStateCacheMiss = 0
         self.SmoothedFps = 0.0
@@ -698,11 +702,10 @@ class CKRenderContext(CKObject):
             n_ordered = int(np.isin(c.tri_state[:it], list(ordered_buckets)).sum())
         else:
             n_ordered = 0
+        # User clip planes no longer inflate this: straddlers take the
+        # per-pixel half-space test inside the deferred reduce
+        # (raster/deferred.triangle_setup dplane), not the ordered pass.
         c.ordered_cap = 0 if n_ordered == 0 else _pad_to(n_ordered, 64)
-        if it and self._active_clip_planes().shape[0]:
-            # Triangles straddling a user clip plane take the ordered pass;
-            # which ones straddle is dynamic, so size it conservatively.
-            c.ordered_cap = _pad_to(it, 64)
 
         c.has_stencil = any(kind == "stencil" for _m, kind, _b in c.materials)
         # Static gate for the vertex-stage EMBM fetch (BumpEnv effect).
@@ -1746,8 +1749,11 @@ class CKRenderContext(CKObject):
             p.pop("want_stencil")
             return render_frame_packed_banded_jit(
                 static, dyn_f, dyn_i, mesh=self._tile_mesh, **p)
+        rm = self.context.render_manager
+        want_stats = (bool(int(rm.options.get("EnableDebugMode", 0)))
+                      if rm is not None else False)
         out = fr.render_frame_packed(
-            static, dyn_f, dyn_i, **params,
+            static, dyn_f, dyn_i, **params, want_stats=want_stats,
             # CLEARBACK/CLEARZ off -> accumulate over last frame's buffers
             # (reference Clear flag handling, src/CKRenderContext.cpp:438-544;
             # the buffers already live on device, so this costs no transfer).
@@ -1755,6 +1761,9 @@ class CKRenderContext(CKObject):
             else self.fb,
             prev_zb=None if (self._frame_flags & CK_RENDER_CLEARZBUFFER)
             else self.zb)
+        if want_stats:
+            out, dev_stats = out[:-1], out[-1]
+            self.stats.TileBinPeak = int(dev_stats["TileBinPeak"])
         if params["want_stencil"]:
             fb, zb, self.sb = out
             return fb, zb

@@ -361,8 +361,13 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       allow_pallas: bool = True,
                       want_bump: bool = False,
                       want_cube: bool = False,
+                      want_stats: bool = False,
                       prev_fb=None, prev_zb=None):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
+
+    ``want_stats``: append a device-side stats dict to the return tuple
+    (currently ``TileBinPeak`` — the densest raster tile's triangle count,
+    reference VxStats-style observability; 0 on the non-tiled paths).
 
     ``prev_fb``/``prev_zb``: last frame's buffers, passed when
     CK_RENDER_CLEARBACKBUFFER / CK_RENDER_CLEARZBUFFER are OFF (reference
@@ -399,11 +404,9 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 
     defer_bucket = df.deferred_mask(scene.state_i)               # (S,)
     defer_tri = jnp.take(defer_bucket, batch.state_idx) & batch.valid
-    if batch.clipd.shape[-1] > 0:
-        # Triangles straddling a user clip plane need the per-pixel distance
-        # test — route them through the ordered pass; triangles with all
-        # corners inside every plane are unaffected and stay deferred.
-        defer_tri &= jnp.all(batch.clipd >= 0, axis=(1, 2))
+    # User clip planes do NOT reroute straddlers to the ordered pass: the
+    # per-pixel half-space test rides the deferred reduce (triangle_setup's
+    # dplane — a clip-plane'd 500k-tri scene stays at full raster rate).
     transparent = jnp.take(scene.state_i[:, SI_ALPHABLEND], batch.state_idx) != 0
     from ..raster.types import SI_STENCIL
     stencil_tri = (jnp.take(scene.state_i[:, SI_STENCIL], batch.state_idx)
@@ -411,16 +414,18 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 
     # --- deferred opaque: depth argmin reduce + one shade per pixel --------
     setup = df.triangle_setup(batch.xyw, batch.z, batch.state_idx, batch.valid,
-                              scene.state_i, clip_rect=batch.clip_rect)
+                              scene.state_i, clip_rect=batch.clip_rect,
+                              clipd=batch.clipd)
     # Visibility solve: flat reduce for small scenes, tile-binned for large
     # (static shape decision -> part of the jit cache key).
+    tile_peak = jnp.int32(0)
     if batch.valid.shape[0] > 4096:
         from ..raster.tiled import depth_reduce_tiled
 
-        best_id, best_depth, _overflow = depth_reduce_tiled(
+        best_id, best_depth, tile_peak = depth_reduce_tiled(
             setup, defer_tri, z_init, scene.viewport, batch.xyw,
             height, width)
-    elif (allow_pallas and prev_zb is None
+    elif (allow_pallas and prev_zb is None and batch.clipd.shape[-1] == 0
           and jax.default_backend() == "tpu" and width % 128 == 0):
         # Flat reduce as a Pallas kernel: the (H,W) carry stays in VMEM
         # across triangle chunks instead of round-tripping HBM per scan step.
@@ -454,11 +459,26 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             prio_ext, jnp.take(scene.vert_entity, scene.tri_idx[:, 0]), axis=0)
         obatch = ordered_subset(batch, defer_tri | stencil_tri, transparent,
                                 ordered_cap, tri_priority=tri_prio)
-        fb, zb = rb.render_pass(
-            fb, zb, obatch, scene.state_i, scene.state_f,
-            scene.tex_planes, scene.tex_hw, scene.fog_color, scene.viewport,
-            chunk=1,
-        )
+        # Static cost switch: the flat pass composites the FULL frame once
+        # per triangle (fine for small transparent counts); past ~64M
+        # pixel-triangles the tile-binned ordered pass wins (order-identical
+        # per pixel, work proportional to per-tile occupancy).
+        if ordered_cap * height * width > (1 << 26):
+            tile_o = 64
+            while (ordered_cap * (((height + tile_o - 1) // tile_o)
+                                  * ((width + tile_o - 1) // tile_o))
+                   > (1 << 26) and tile_o < max(height, width)):
+                tile_o *= 2
+            fb, zb = rb.render_pass_tiled(
+                fb, zb, obatch, scene.state_i, scene.state_f,
+                scene.tex_planes, scene.tex_hw, scene.fog_color,
+                scene.viewport, tile=tile_o)
+        else:
+            fb, zb = rb.render_pass(
+                fb, zb, obatch, scene.state_i, scene.state_f,
+                scene.tex_planes, scene.tex_hw, scene.fog_color,
+                scene.viewport, chunk=1,
+            )
     if want_stencil:
         # Stencil mask: z-tested coverage of stencil-only draws
         # (VX_MOVEABLE_STENCILONLY, reference src/CKMesh.cpp:3938-3974).
@@ -466,13 +486,17 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             setup, stencil_tri, 1.0, scene.viewport, height, width,
             chunk=chunk)
         sb = ((s_id >= 0) & (s_depth <= zb + 1e-6)).astype(jnp.uint8)
+        if want_stats:
+            return fb, zb, sb, {"TileBinPeak": tile_peak}
         return fb, zb, sb
+    if want_stats:
+        return fb, zb, {"TileBinPeak": tile_peak}
     return fb, zb
 
 
 render_frame = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
-                              "chunk", "want_bump", "want_cube")
+                              "chunk", "want_bump", "want_cube", "want_stats")
 )(render_frame_impl)
 
 
@@ -488,6 +512,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            allow_pallas: bool = True,
                            want_bump: bool = False,
                            want_cube: bool = False,
+                           want_stats: bool = False,
                            prev_fb=None, prev_zb=None):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
@@ -537,7 +562,11 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                             allow_pallas=allow_pallas,
                             want_bump=want_bump,
                             want_cube=want_cube,
+                            want_stats=want_stats,
                             prev_fb=prev_fb, prev_zb=prev_zb)
+    stats = None
+    if want_stats:
+        out, stats = out[:-1], out[-1]
     if want_stencil:
         fb, zb, sb = out
     else:
@@ -550,16 +579,15 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
     if quads_fg is not None:
         fb = composite_quads(fb, quads_fg, scene.tex_planes, scene.tex_hw,
                              height, width)
-    if want_stencil:
-        return fb, zb, sb
-    return fb, zb
+    ret = (fb, zb, sb) if want_stencil else (fb, zb)
+    return ret + (stats,) if want_stats else ret
 
 
 render_frame_full = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
                               "chunk", "sort_transparent", "want_stencil",
                               "vertex_shader", "want_bump",
-                              "want_cube")
+                              "want_cube", "want_stats")
 )(render_frame_full_impl)
 
 
@@ -613,6 +641,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              vertex_shader=None,
                              want_bump: bool = False,
                              want_cube: bool = False,
+                             want_stats: bool = False,
                              prev_fb=None, prev_zb=None,
                              allow_pallas: bool = True,
                              y_shift=None,
@@ -695,7 +724,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         ordered_cap=ordered_cap, chunk=chunk,
         sort_transparent=sort_transparent, want_stencil=want_stencil,
         vertex_shader=vertex_shader, want_bump=want_bump,
-        want_cube=want_cube,
+        want_cube=want_cube, want_stats=want_stats,
         prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas)
 
 
@@ -703,7 +732,7 @@ render_frame_packed = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
-                     "vertex_shader", "want_bump", "want_cube",
+                     "vertex_shader", "want_bump", "want_cube", "want_stats",
                      "allow_pallas", "texdev_rects"))(
     render_frame_packed_impl)
 

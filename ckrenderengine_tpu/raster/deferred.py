@@ -49,11 +49,18 @@ def deferred_mask(state_i: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None):
+def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None,
+                   clipd=None):
     """Per-triangle setup: adjoint edge coeffs, depth plane, cull, flags.
 
     xyw: (T,3,3) screen-homogeneous verts; z: (T,3) clip z.
     clip_rect: optional (T,4) per-triangle scissor (Place viewport clips).
+    clipd: optional (T,3,P) per-corner user-clip-plane signed distances
+    (world-space, reference SetUserClipPlane). The perspective-correct
+    interpolated distance is (sum_i e_i d_i)/(sum_i e_i); coverage already
+    requires signed esum > 0, so the per-pixel keep test reduces to the SIGN
+    of the affine plane sum_i e_i(p) d_i — clip planes ride the deferred
+    reduce at full rate, no ordered-pass rerouting of straddlers.
     Returns dict of (T,...) arrays.
     """
     v0, v1, v2 = xyw[:, 0], xyw[:, 1], xyw[:, 2]
@@ -87,14 +94,36 @@ def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None):
     b = e_coef[..., 1]
     top_left = (b > 0) | ((b == 0) & (a > 0))          # (T,3)
 
-    tvalid = valid & ~degenerate & keep
+    # Sub-epsilon screen-area slivers (collinear verts): their edge functions
+    # are ~0 along an entire line, so exact float zeros + the top-left rule
+    # would cover pixels far outside the hull (and outside the tile binner's
+    # bbox). A zero-area triangle covers no pixel centers — cull it, like any
+    # hardware rasterizer. w-crossing triangles keep their validity (screen
+    # coords are meaningless pre-clip there).
+    w = xyw[..., 2]
+    wmin = jnp.min(w, axis=1)
+    safe_w = jnp.where(jnp.abs(w) < 1e-6, 1e-6, w)
+    sx = xyw[..., 0] / safe_w
+    sy = xyw[..., 1] / safe_w
+    area2 = jnp.abs((sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0])
+                    - (sx[:, 2] - sx[:, 0]) * (sy[:, 1] - sy[:, 0]))
+    sliver = (wmin > 1e-6) & (area2 < 1e-6)
+
+    tvalid = valid & ~degenerate & keep & ~sliver
     if clip_rect is None:
         big = 1.0e9
         clip_rect = jnp.tile(jnp.array([[-big, -big, big, big]], jnp.float32),
                              (xyw.shape[0], 1))
+    if clipd is None or clipd.shape[-1] == 0:
+        dplane = jnp.zeros((xyw.shape[0], 0, 3), jnp.float32)
+    else:
+        # (T,P,3): affine screen-space coefficients of sum_i e_i(p) * d_i
+        # per plane (signed e's — consistent with the signed esum in cov).
+        dplane = jnp.einsum("tic,tip->tpc", e_coef, clipd)
     return dict(e_coef=e_coef, top_left=top_left, zplane=zplane,
                 esum_plane=esum_plane, s=s, det=det, inv_det=inv_det,
-                inv_det_s=inv_det_s, z=z, valid=tvalid, clip_rect=clip_rect)
+                inv_det_s=inv_det_s, z=z, valid=tvalid, clip_rect=clip_rect,
+                dplane=dplane)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk"))
@@ -133,6 +162,9 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
     tvalid = prep(setup["valid"] & defer_tri, False)
     tri_ids = prep(jnp.arange(t, dtype=jnp.int32), -1)
     trect = prep(setup["clip_rect"])
+    dplane_t = setup.get("dplane", jnp.zeros((t, 0, 3), jnp.float32))
+    dplane = prep(dplane_t)
+    n_planes = dplane_t.shape[1]
 
     init_depth = jnp.broadcast_to(jnp.asarray(clear_z, jnp.float32), (height, width))
     init_id = jnp.full((height, width), -1, jnp.int32)
@@ -141,7 +173,7 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
 
     def body(carry, xs):
         best_d, best_i = carry
-        ec, tl, zv, ivs, ep, ss, tv, ids, rect = xs  # leading dim = chunk C
+        ec, tl, zv, ivs, ep, ss, tv, ids, rect, dp = xs  # leading dim = chunk C
 
         def plane(coef):                       # coef (C,3) -> (C,H,W)
             return (coef[:, 0, None, None] * px + coef[:, 1, None, None] * py
@@ -168,6 +200,11 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
                 & (py[None] >= rect[:, 1, None, None])
                 & (px[None] < rect[:, 2, None, None])
                 & (py[None] < rect[:, 3, None, None]))
+        # User clip planes: per-pixel half-space keep test (see
+        # triangle_setup's dplane derivation). Unrolled over the static
+        # plane count — zero planes costs nothing.
+        for p in range(n_planes):
+            cov &= plane(dp[:, p]) >= 0
         dm = jnp.where(cov, depth, big)
         # Within-chunk argmin; exact-depth ties -> later draw id wins.
         dmin = jnp.min(dm, axis=0)                                  # (H,W)
@@ -181,7 +218,7 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
     (best_d, best_i), _ = jax.lax.scan(
         body, (init_depth, init_id),
         (e_coef, top_left, zvert, inv_det_s, esum_plane, s_sign, tvalid,
-         tri_ids, trect))
+         tri_ids, trect, dplane))
     return best_i, best_d
 
 

@@ -7,15 +7,19 @@ first, so each tile only evaluates the triangles whose screen bbox overlaps
 it:
 
 1. per-triangle screen bbox -> spanned tile range (w<=eps triangles and
-   triangles spanning more than MAX_SPAN tiles go to a small GLOBAL bin
+   triangles spanning more than MAX_SPAN tiles go to a GLOBAL bin
    evaluated on every tile),
 2. bin-by-sort: (tile_id, tri_id) pairs from a static MAX_SPAN expansion,
    one argsort groups them by tile; per-tile ranges come from searchsorted
    (the XLA replacement for GPU atomic binning),
-3. per-tile top-K id lists (static K; overflow drops back-most ids and is
-   reported via a counter),
-4. the same argmin depth reduce as deferred.py, but vmapped over tiles and
-   scanned over K-chunks: work is O(tiles * K * tile_px).
+3. a streaming chunked argmin depth reduce vmapped over tiles: each round
+   gathers the next ``chunk`` ids of every tile's [start, end) range
+   directly from the sorted stream, with a ``lax.while_loop`` trip count of
+   ceil(max-tile-occupancy / chunk). This is EXACT — there is no top-K cap,
+   so no tile can ever silently lose geometry (the reference draws
+   everything submitted, CKDX9RasterizerContext.cpp:1555-1648); a dense
+   tile just takes more rounds. Work is O(tiles * peak * tile_px), and
+   sparse frames finish in fewer rounds than any static K would run.
 
 The shading stage is unchanged (deferred.shade_deferred runs once per pixel
 on the winner id), so the tiled path only swaps the visibility solve.
@@ -51,17 +55,15 @@ def _screen_bbox(xyw, eps=1e-6):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "tile", "k_per_tile", "g_cap",
-                     "max_span", "chunk"))
+    static_argnames=("height", "width", "tile", "max_span", "chunk"))
 def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
                        height: int, width: int, tile: int = 16,
-                       k_per_tile: int = 512, g_cap: int = 64,
                        max_span: int = 36, chunk: int = 32):
-    """Tile-binned argmin depth reduce.
+    """Tile-binned argmin depth reduce (exact — no per-tile triangle cap).
 
-    Returns (best_id (H,W) int32, best_depth (H,W) f32, overflow () int32 —
-    number of tiles whose triangle list exceeded k_per_tile).
-    """
+    Returns (best_id (H,W) int32, best_depth (H,W) f32, peak () int32 — the
+    densest tile's triangle count, surfaced as the VxStats.TileBinPeak
+    occupancy counter)."""
     t = setup["e_coef"].shape[0]
     ty = (height + tile - 1) // tile
     tx = (width + tile - 1) // tile
@@ -101,24 +103,9 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     ends = jnp.searchsorted(sorted_tile,
                             jnp.arange(1, n_tiles + 1, dtype=jnp.int32))
     counts = ends - starts
-    overflow = jnp.sum((counts > k_per_tile).astype(jnp.int32))
+    peak = jnp.max(counts)
 
-    # per-tile id lists (TILES, K); invalid slots -> t (pad row)
-    slot = jnp.arange(k_per_tile, dtype=jnp.int32)
-    gidx = starts[:, None] + slot[None, :]
-    valid_slot = slot[None, :] < jnp.minimum(counts, k_per_tile)[:, None]
-    tile_ids = jnp.where(
-        valid_slot,
-        jnp.take(sorted_tri, jnp.clip(gidx, 0, sorted_tri.shape[0] - 1)),
-        t)
-
-    # --- global bin (big / w-crossing triangles) --------------------------
-    gkey = jnp.where(is_global, jnp.arange(t, dtype=jnp.int32), t)
-    gsort = jnp.sort(gkey)[:g_cap]                             # (G,)
-    g_ids = jnp.broadcast_to(gsort[None, :], (n_tiles, g_cap))
-    all_ids = jnp.concatenate([g_ids, tile_ids], axis=1)       # (TILES, K+G)
-
-    # --- 3. per-tile chunked argmin reduce --------------------------------
+    # --- 3. per-tile streaming chunked argmin reduce ----------------------
     # pad triangle arrays with one invalid row at index t
     def padrow(a, fill=0.0):
         pad = jnp.full((1,) + a.shape[1:], fill, a.dtype)
@@ -132,6 +119,11 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     s_sign = padrow(setup["s"])
     clip_rect = padrow(setup["clip_rect"])
     v_all = padrow(tvalid, False)
+    dplane_t = setup.get("dplane")
+    if dplane_t is None:
+        dplane_t = jnp.zeros((t, 0, 3), jnp.float32)
+    dplane = padrow(dplane_t)
+    n_planes = dplane_t.shape[1]
 
     # local pixel grids per tile
     ly_pix = jnp.arange(tile, dtype=jnp.float32) + 0.5
@@ -148,14 +140,6 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
                & (py >= viewport[1]) & (py < viewport[1] + viewport[3])
                & (px < width) & (py < height))
 
-    k_total = all_ids.shape[1]
-    nchunks = (k_total + chunk - 1) // chunk
-    pad_k = nchunks * chunk - k_total
-    if pad_k:
-        all_ids = jnp.concatenate(
-            [all_ids, jnp.full((n_tiles, pad_k), t, jnp.int32)], axis=1)
-    ids_chunks = all_ids.reshape(n_tiles, nchunks, chunk).transpose(1, 0, 2)
-
     cz = jnp.asarray(clear_z, jnp.float32)
     if cz.ndim == 2:
         # Kept z-buffer (CLEARZBUFFER off): tile-ify last frame's (H,W) zb.
@@ -168,7 +152,7 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     init_i = jnp.full((n_tiles, tile, tile), -1, jnp.int32)
     big = jnp.float32(3.0e38)
 
-    def body(carry, ids):                       # ids (TILES, C)
+    def reduce_ids(carry, ids):                 # ids (TILES, C)
         best_d, best_i = carry
         ec = jnp.take(e_coef, ids, axis=0)      # (TILES,C,3,3)
         tl = jnp.take(top_left, ids, axis=0)    # (TILES,C,3)
@@ -203,6 +187,11 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
                 & (pyc >= rect[..., 1, None, None])
                 & (pxc < rect[..., 2, None, None])
                 & (pyc < rect[..., 3, None, None]))
+        # User clip planes (deferred half-space test, see triangle_setup).
+        if n_planes:
+            dp = jnp.take(dplane, ids, axis=0)   # (TILES,C,P,3)
+            for p in range(n_planes):
+                cov &= plane(dp[:, :, p]) >= 0
         dm = jnp.where(cov, depth, big)
         dmin = jnp.min(dm, axis=1)              # (TILES,h,w)
         idwin = jnp.max(jnp.where(dm == dmin[:, None], ids[..., None, None], -1),
@@ -211,9 +200,42 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
                                  | ((dmin == best_d) & (idwin > best_i)))
         best_d = jnp.where(better, dmin, best_d)
         best_i = jnp.where(better, idwin, best_i)
-        return (best_d, best_i), None
+        return best_d, best_i
 
-    (best_d, best_i), _ = jax.lax.scan(body, (init_d, init_i), ids_chunks)
+    slot_c = jnp.arange(chunk, dtype=jnp.int32)
+    stream_len = sorted_tri.shape[0]
+    carry = (init_d, init_i)
+
+    # Global bin (big / w-crossing triangles evaluated on every tile):
+    # streamed with a dynamic trip count — no g_cap truncation.
+    n_global = jnp.sum(is_global.astype(jnp.int32))
+    gkey = jnp.where(is_global, jnp.arange(t, dtype=jnp.int32), t)
+    gsorted = jnp.sort(gkey)                    # global ids first, t-pad after
+
+    def g_body(st):
+        c, carry = st
+        idx = c * chunk + slot_c
+        ids = jnp.where(idx < n_global,
+                        jnp.take(gsorted, jnp.clip(idx, 0, t - 1)), t)
+        ids = jnp.broadcast_to(ids[None, :], (n_tiles, chunk))
+        return c + 1, reduce_ids(carry, ids)
+
+    _, carry = jax.lax.while_loop(
+        lambda st: st[0] * chunk < n_global, g_body, (jnp.int32(0), carry))
+
+    # Binned lists: each round gathers the next chunk of every tile's
+    # [start, end) id range straight from the sorted stream; rounds stop at
+    # the densest tile's occupancy. Pad slots hit row t (always-invalid).
+    def b_body(st):
+        c, carry = st
+        idx = starts[:, None] + c * chunk + slot_c[None, :]
+        ids = jnp.where(idx < ends[:, None],
+                        jnp.take(sorted_tri,
+                                 jnp.clip(idx, 0, stream_len - 1)), t)
+        return c + 1, reduce_ids(carry, ids)
+
+    _, (best_d, best_i) = jax.lax.while_loop(
+        lambda st: st[0] * chunk < peak, b_body, (jnp.int32(0), carry))
 
     # --- 4. tiles -> (H, W) -------------------------------------------------
     full_h, full_w = ty * tile, tx * tile
@@ -221,4 +243,4 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     bd = bd.reshape(full_h, full_w)[:height, :width]
     bi = best_i.reshape(ty, tx, tile, tile).transpose(0, 2, 1, 3)
     bi = bi.reshape(full_h, full_w)[:height, :width]
-    return bi, bd, overflow
+    return bi, bd, peak

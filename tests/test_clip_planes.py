@@ -109,6 +109,44 @@ class TestUserClipPlanes:
         assert _lit_pixels(rc).sum() == 0
         assert all_in > 0
 
+    def test_clip_plane_stays_deferred_at_scale(self):
+        """A >4096-tri opaque scene with an active user clip plane must NOT
+        reroute through the ordered pass (round-1 set ordered_cap to ALL
+        triangles — a ~500k-step sequential scan at Ballance scale); the
+        per-pixel half-space test rides the tiled deferred reduce instead."""
+        ctx = CKContext()
+        rc = ctx.GetRenderManager().CreateRenderContext(96, 96)
+        cam = CKCamera(ctx, "cam")
+        cam.SetPosition((0.0, 0.0, -5.0))
+        rc.AttachViewpointToCamera(cam)
+        n = 52
+        xs = np.linspace(-2, 2, n + 1)
+        gx, gy = np.meshgrid(xs, xs, indexing="ij")
+        verts = np.stack([gx, gy, np.zeros_like(gx)], -1).reshape(-1, 3)
+        faces = []
+        for r in range(n):
+            for c in range(n):
+                a = r * (n + 1) + c
+                faces += [[a, a + n + 2, a + 1], [a, a + n + 1, a + n + 2]]
+        mesh = CKMesh(ctx, "grid")
+        mesh.SetPositions(verts.astype(np.float32))
+        mesh.SetFaces(np.asarray(faces, np.int32))
+        mesh.BuildNormals()
+        mat = CKMaterial(ctx, "m")
+        mat.SetEmissive((1, 1, 1, 1))
+        mat.SetTwoSided(True)
+        mesh.ApplyGlobalMaterial(mat)
+        obj = CK3dObject(ctx, "o")
+        obj.SetCurrentMesh(mesh)
+        assert len(faces) > 4096
+        rc.SetUserClipPlane(0, (1.0, 0.0, 0.0, 0.0))    # keep x >= 0
+        rc.Render()
+        assert rc._compiled.ordered_cap == 0             # fully deferred
+        lit = _lit_pixels(rc)
+        w = lit.shape[1]
+        assert lit[:, : w // 2 - 2].sum() == 0
+        assert lit[:, w // 2 + 2:].sum() > 500
+
     def test_transparent_straddler_still_clips(self):
         """Alpha-blended geometry goes down the ordered pass — the per-pixel
         plane test must apply there too."""

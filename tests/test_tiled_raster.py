@@ -40,13 +40,73 @@ def test_tiled_matches_flat(seed, hw):
     viewport = jnp.asarray([0, 0, w, h], jnp.float32)
 
     bi_flat, bd_flat = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
-    bi_tiled, bd_tiled, overflow = depth_reduce_tiled(
-        setup, defer, 1.0, viewport, xyw, h, w, tile=16, k_per_tile=300,
-        g_cap=64, max_span=36)
-    assert int(overflow) == 0
+    bi_tiled, bd_tiled, peak = depth_reduce_tiled(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, max_span=36)
+    assert int(peak) > 0
     np.testing.assert_array_equal(np.asarray(bi_tiled), np.asarray(bi_flat))
     np.testing.assert_allclose(np.asarray(bd_tiled), np.asarray(bd_flat),
                                atol=1e-6)
+
+
+def _run_both(xyw, z, h, w, tile=16, max_span=36):
+    t = xyw.shape[0]
+    si, sf = pack_states([RasterState()])
+    setup = df.triangle_setup(xyw, z, jnp.zeros(t, jnp.int32),
+                              jnp.ones(t, bool), jnp.asarray(si))
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    bi_flat, bd_flat = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    bi_t, bd_t, peak = depth_reduce_tiled(
+        setup, defer, 1.0, viewport, jnp.asarray(xyw), h, w, tile=tile,
+        max_span=max_span)
+    return bi_flat, bd_flat, bi_t, bd_t, int(peak)
+
+
+def test_dense_tile_exceeding_old_cap_is_exact():
+    """800 triangles stacked inside ONE 16x16 tile (way past round-1's
+    k_per_tile=512 static cap): the streaming reduce must keep them ALL —
+    including the back-most — pixel-equal to the flat oracle."""
+    rng = np.random.default_rng(7)
+    t = 800
+    h = w = 64
+    # All triangles inside tile (1,1): pixels [16,32) x [16,32).
+    centers = rng.uniform(18, 30, (t, 2)).astype(np.float32)
+    offs = rng.normal(0, 1, (t, 3, 2)).astype(np.float32)
+    pts = centers[:, None] + offs * 3.0
+    pts = np.clip(pts, 16.5, 31.5)          # stay inside the tile
+    # consistent winding so none get backface-rejected before binning
+    e1 = pts[:, 1] - pts[:, 0]
+    e2 = pts[:, 2] - pts[:, 0]
+    flip = (e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]) < 0
+    pts[flip] = pts[flip][:, ::-1]
+    ws = np.ones((t, 3, 1), np.float32)
+    xyw = np.concatenate([pts * ws, ws], axis=-1)
+    # Depth strictly increasing with id: the back-most (highest-z) triangles
+    # are exactly the ones a top-K truncation would have dropped.
+    z = np.linspace(0.05, 0.95, t).astype(np.float32)[:, None].repeat(3, 1)
+    bi_f, bd_f, bi_t, bd_t, peak = _run_both(xyw, z, h, w)
+    assert peak > 512                        # past round-1's static cap
+    np.testing.assert_array_equal(np.asarray(bi_t), np.asarray(bi_f))
+    np.testing.assert_allclose(np.asarray(bd_t), np.asarray(bd_f), atol=1e-6)
+    # the farthest triangles must still be visible where nothing covers them
+    assert (np.asarray(bi_t) >= 0).sum() > 0
+
+
+def test_many_global_triangles_exceeding_old_gcap():
+    """150 screen-spanning triangles (every one lands in the global bin —
+    past round-1's g_cap=64 truncation): exact vs the flat oracle."""
+    rng = np.random.default_rng(11)
+    t = 150
+    h = w = 48
+    centers = rng.uniform([0, 0], [w, h], (t, 2)).astype(np.float32)
+    offs = rng.normal(0, 1, (t, 3, 2)).astype(np.float32)
+    pts = centers[:, None] + offs * 200.0    # huge -> span > max_span tiles
+    ws = np.ones((t, 3, 1), np.float32)
+    xyw = np.concatenate([pts * ws, ws], axis=-1)
+    z = rng.uniform(0.05, 0.95, (t, 3)).astype(np.float32)
+    bi_f, bd_f, bi_t, bd_t, _ = _run_both(xyw, z, h, w, max_span=4)
+    np.testing.assert_array_equal(np.asarray(bi_t), np.asarray(bi_f))
+    np.testing.assert_allclose(np.asarray(bd_t), np.asarray(bd_f), atol=1e-6)
 
 
 def test_tiled_full_frame_in_pipeline():
@@ -87,3 +147,10 @@ def test_tiled_full_frame_in_pipeline():
     rc.Render()
     fb = rc.framebuffer()
     assert (fb[..., 1] > 0.5).sum() > 1000    # the green sheet covers pixels
+    # EnableDebugMode surfaces the tile-occupancy counter into VxStats.
+    rm.SetRenderOptions("EnableDebugMode", 1)
+    try:
+        rc.Render()
+        assert rc.GetStats().TileBinPeak > 0
+    finally:
+        rm.SetRenderOptions("EnableDebugMode", 0)
