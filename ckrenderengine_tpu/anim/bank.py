@@ -35,10 +35,15 @@ class AnimBank(NamedTuple):
     pos_tin: jnp.ndarray      # (A,K,3)
     pos_tout: jnp.ndarray     # (A,K,3)
     pos_mode: jnp.ndarray     # (A,) int32
+    pos_ease: jnp.ndarray     # (A,K,2) per-key (ease_to, ease_from)
     pos_n: jnp.ndarray        # (A,) int32 (0 = no track)
-    # rotation track (slerp)
+    # rotation track (slerp or TCB squad)
     rot_times: jnp.ndarray    # (A,K)
-    rot_quats: jnp.ndarray    # (A,K,4)
+    rot_quats: jnp.ndarray    # (A,K,4) (preflipped for TCB)
+    rot_ta: jnp.ndarray       # (A,K,4) outgoing squad control quats
+    rot_tb: jnp.ndarray       # (A,K,4) incoming squad control quats
+    rot_mode: jnp.ndarray     # (A,) int32
+    rot_ease: jnp.ndarray     # (A,K,2)
     rot_n: jnp.ndarray        # (A,) int32
     # scale track
     scl_times: jnp.ndarray
@@ -46,6 +51,7 @@ class AnimBank(NamedTuple):
     scl_tin: jnp.ndarray
     scl_tout: jnp.ndarray
     scl_mode: jnp.ndarray
+    scl_ease: jnp.ndarray
     scl_n: jnp.ndarray
     # base PRS fallback (decomposed entity local at bank build)
     base_pos: jnp.ndarray     # (A,3)
@@ -59,11 +65,13 @@ def evaluate_bank_prs(bank: AnimBank, t: jnp.ndarray):
     tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (a,))
     pos = jax.vmap(eval_vector_track)(
         bank.pos_times, bank.pos_values, bank.pos_tin, bank.pos_tout,
-        bank.pos_mode, bank.pos_n, tt)
-    rot = jax.vmap(eval_quat_track)(bank.rot_times, bank.rot_quats, bank.rot_n, tt)
+        bank.pos_mode, bank.pos_ease, bank.pos_n, tt)
+    rot = jax.vmap(eval_quat_track)(
+        bank.rot_times, bank.rot_quats, bank.rot_ta, bank.rot_tb,
+        bank.rot_mode, bank.rot_ease, bank.rot_n, tt)
     scl = jax.vmap(eval_vector_track)(
         bank.scl_times, bank.scl_values, bank.scl_tin, bank.scl_tout,
-        bank.scl_mode, bank.scl_n, tt)
+        bank.scl_mode, bank.scl_ease, bank.scl_n, tt)
     pos = jnp.where((bank.pos_n > 0)[:, None], pos, bank.base_pos)
     rot = jnp.where((bank.rot_n > 0)[:, None], rot, bank.base_rot)
     scl = jnp.where((bank.scl_n > 0)[:, None], scl, bank.base_scl)
@@ -128,16 +136,22 @@ def build_anim_bank(object_anims: list, entity_rows: list[int],
     pos_tin = z((a, k, 3))
     pos_tout = z((a, k, 3))
     pos_mode = np.zeros(a, np.int32)
+    pos_ease = z((a, k, 2))
     pos_n = np.zeros(a, np.int32)
     rot_times = z((a, k), 3.0e38)
     rot_quats = z((a, k, 4))
     rot_quats[..., 3] = 1.0
+    rot_ta = rot_quats.copy()
+    rot_tb = rot_quats.copy()
+    rot_mode = np.zeros(a, np.int32)
+    rot_ease = z((a, k, 2))
     rot_n = np.zeros(a, np.int32)
     scl_times = z((a, k), 3.0e38)
     scl_values = z((a, k, 3), 1.0)
     scl_tin = z((a, k, 3))
     scl_tout = z((a, k, 3))
     scl_mode = np.zeros(a, np.int32)
+    scl_ease = z((a, k, 2))
     scl_n = np.zeros(a, np.int32)
     base_pos = z((a, 3))
     base_rot = z((a, 4))
@@ -153,27 +167,33 @@ def build_anim_bank(object_anims: list, entity_rows: list[int],
             base_scl[i] = np.asarray(bs)
         c = oa.position_controller
         if c is not None and c.GetKeyCount() > 0:
-            t_, v_, ti_, to_, m_, n_ = c.bank_row(k)
+            t_, v_, ti_, to_, m_, e_, n_ = c.bank_row(k)
             pos_times[i], pos_values[i] = t_, v_
             pos_tin[i], pos_tout[i] = ti_, to_
-            pos_mode[i], pos_n[i] = m_, n_
+            pos_mode[i], pos_ease[i], pos_n[i] = m_, e_, n_
         c = oa.rotation_controller
         if c is not None and c.GetKeyCount() > 0:
-            t_, q_, n_ = c.bank_row(k)
+            t_, q_, ta_, tb_, m_, e_, n_ = c.bank_row(k)
             rot_times[i], rot_quats[i], rot_n[i] = t_, q_, n_
+            rot_ta[i], rot_tb[i] = ta_, tb_
+            rot_mode[i], rot_ease[i] = m_, e_
         c = oa.scale_controller
         if c is not None and c.GetKeyCount() > 0:
-            t_, v_, ti_, to_, m_, n_ = c.bank_row(k)
+            t_, v_, ti_, to_, m_, e_, n_ = c.bank_row(k)
             scl_times[i], scl_values[i] = t_, v_
             scl_tin[i], scl_tout[i] = ti_, to_
-            scl_mode[i], scl_n[i] = m_, n_
+            scl_mode[i], scl_ease[i], scl_n[i] = m_, e_, n_
 
     j = jnp.asarray
     return AnimBank(
         entity_row=j(np.asarray(entity_rows, np.int32)),
         pos_times=j(pos_times), pos_values=j(pos_values), pos_tin=j(pos_tin),
-        pos_tout=j(pos_tout), pos_mode=j(pos_mode), pos_n=j(pos_n),
-        rot_times=j(rot_times), rot_quats=j(rot_quats), rot_n=j(rot_n),
+        pos_tout=j(pos_tout), pos_mode=j(pos_mode), pos_ease=j(pos_ease),
+        pos_n=j(pos_n),
+        rot_times=j(rot_times), rot_quats=j(rot_quats), rot_ta=j(rot_ta),
+        rot_tb=j(rot_tb), rot_mode=j(rot_mode), rot_ease=j(rot_ease),
+        rot_n=j(rot_n),
         scl_times=j(scl_times), scl_values=j(scl_values), scl_tin=j(scl_tin),
-        scl_tout=j(scl_tout), scl_mode=j(scl_mode), scl_n=j(scl_n),
+        scl_tout=j(scl_tout), scl_mode=j(scl_mode), scl_ease=j(scl_ease),
+        scl_n=j(scl_n),
         base_pos=j(base_pos), base_rot=j(base_rot), base_scl=j(base_scl))

@@ -76,6 +76,15 @@ def is_simple(a) -> bool:
     mc = a.morph_controller
     if mc is not None and mc.GetKeyCount() > 0:
         return False
+    # TCB-squad rotation and ease-warped tracks evaluate through the exact
+    # per-animation SetStep path (anim/keyframe.py squad/ease) — this numpy
+    # fast path only vectorizes plain lerp/hermite/slerp tracks.
+    rc = a.rotation_controller
+    if rc is not None and rc.MODE == INTERP_TCB and rc.GetKeyCount() >= 2:
+        return False
+    for c in (a.position_controller, rc, a.scale_controller):
+        if c is not None and c.GetKeyCount() and np.any(c._ease):
+            return False
     return True
 
 
@@ -109,15 +118,15 @@ def build_host_bank(anims) -> HostAnimBank:
     for i, a in enumerate(anims):
         c = a.position_controller
         if c is not None and c.GetKeyCount():
-            t, v, ti, to, mode, n = c.bank_row(k)
+            t, v, ti, to, mode, _e, n = c.bank_row(k)
             pt[i], pv[i], pi[i], po[i], pm[i], pn[i] = t, v, ti, to, mode, n
         c = a.rotation_controller
         if c is not None and c.GetKeyCount():
-            t, v, n = c.bank_row(k)
+            t, v, _ta, _tb, _m, _e, n = c.bank_row(k)
             rt[i], rq[i], rn[i] = t, v, n
         c = a.scale_controller
         if c is not None and c.GetKeyCount():
-            t, v, ti, to, mode, n = c.bank_row(k)
+            t, v, ti, to, mode, _e, n = c.bank_row(k)
             st[i], sv[i], si[i], so[i], sm[i], sn[i] = t, v, ti, to, mode, n
 
     rows = np.asarray([a._entity.row for a in anims], np.int64)

@@ -53,26 +53,61 @@ def _segment(times, t, n_keys):
     return idx, u
 
 
-def eval_vector_track(times, values, tan_in, tan_out, mode, n_keys, t):
+def ease_curve(u, ease_to, ease_from):
+    """Segment-parameter easing (reference ApplyEaseParameters,
+    /root/reference/src/CKKeyframeData.cpp:14-37): hermite remap of u with
+    departure slope (1 - ease_from) at the segment's start key and arrival
+    slope (1 - ease_to) at its end key, parameters renormalized when their
+    sum exceeds 1. Defaults (0, 0) are the exact identity. (The decompiled
+    formula is not identity at defaults — it would warp every stock
+    animation — so the slopes here follow the documented 3ds-max ease
+    semantics the original implements.)"""
+    s = ease_to + ease_from
+    scale = jnp.where(s > 1.0, 1.0 / jnp.maximum(s, 1e-30), 1.0)
+    et = ease_to * scale
+    ef = ease_from * scale
+    u2 = u * u
+    u3 = u2 * u
+    h2 = -2 * u3 + 3 * u2
+    h3 = u3 - 2 * u2 + u
+    h4 = u3 - u2
+    return h2 + h3 * (1.0 - ef) + h4 * (1.0 - et)
+
+
+def np_ease_curve(u: float, ease_to: float, ease_from: float) -> float:
+    s = ease_to + ease_from
+    if s > 1.0:
+        ease_to, ease_from = ease_to / s, ease_from / s
+    u2, u3 = u * u, u * u * u
+    h2 = -2 * u3 + 3 * u2
+    h3 = u3 - 2 * u2 + u
+    h4 = u3 - u2
+    return h2 + h3 * (1.0 - ease_from) + h4 * (1.0 - ease_to)
+
+
+def eval_vector_track(times, values, tan_in, tan_out, mode, ease, n_keys, t):
     """Evaluate one D-dim track at time t.
 
     times (K,), values (K,D), tan_in/tan_out (K,D) (TCB tangents or Bezier
-    control points), mode scalar int, n_keys scalar int.
+    control points), mode scalar int, ease (K,2) per-key (ease_to,
+    ease_from), n_keys scalar int.
     """
     idx, u = _segment(times, t, n_keys)
     last = jnp.maximum(n_keys - 1, 0)
     i1 = jnp.minimum(idx + 1, last)
     v0 = values[idx]
     v1 = values[i1]
-    u2 = u * u
-    u3 = u2 * u
 
     lin = v0 + (v1 - v0) * u
 
-    # Hermite basis (TCB): outgoing tangent of key idx, incoming of key idx+1.
+    # TCB: eased u + hermite basis; outgoing tangent of key idx, incoming of
+    # key idx+1 (reference TCB Evaluate, src/CKKeyframeData.cpp:939).
+    ue = ease_curve(u, ease[i1, 0], ease[idx, 1])
+    u2 = ue * ue
+    u3 = u2 * ue
     h1 = 2 * u3 - 3 * u2 + 1
     h2 = -2 * u3 + 3 * u2
-    h3 = u3 - 2 * u2 + u
+    h3 = u3 - 2 * u2 + ue
     h4 = u3 - u2
     tcb = h1 * v0 + h2 * v1 + h3 * tan_out[idx] + h4 * tan_in[i1]
 
@@ -80,27 +115,34 @@ def eval_vector_track(times, values, tan_in, tan_out, mode, n_keys, t):
     # tan_in[i1] (before v1).
     iu = 1.0 - u
     bez = (iu * iu * iu * v0 + 3 * iu * iu * u * tan_out[idx]
-           + 3 * iu * u2 * tan_in[i1] + u3 * v1)
+           + 3 * iu * u * u * tan_in[i1] + u * u * u * v1)
 
     return jnp.select([mode == INTERP_LINEAR, mode == INTERP_TCB], [lin, tcb],
                       default=bez)
 
 
-def eval_quat_track(times, quats, n_keys, t):
-    """Slerp between adjacent quaternion keys (x,y,z,w). quats (K,4)."""
-    from ..math.vxmath import quat_slerp
+def eval_quat_track(times, quats, tan_a, tan_b, mode, ease, n_keys, t):
+    """Quaternion track: slerp (linear mode) or TCB squad easing.
+
+    quats (K,4) x,y,z,w; tan_a/tan_b (K,4) squad control quats (outgoing /
+    incoming, from tcb_quat_tangents); ease (K,2)."""
+    from ..math.vxmath import quat_slerp, quat_squad
 
     idx, u = _segment(times, t, n_keys)
     last = jnp.maximum(n_keys - 1, 0)
+    i1 = jnp.minimum(idx + 1, last)
     q0 = quats[idx]
-    q1 = quats[jnp.minimum(idx + 1, last)]
-    return quat_slerp(q0, q1, u)
+    q1 = quats[i1]
+    lin = quat_slerp(q0, q1, u)
+    ue = ease_curve(u, ease[i1, 0], ease[idx, 1])
+    sq = quat_squad(q0, tan_a[idx], tan_b[i1], q1, ue)
+    return jnp.where(mode == INTERP_TCB, sq, lin)
 
 
 # Banked evaluation: vmap over the track axis.
 eval_vector_tracks = jax.vmap(eval_vector_track,
-                              in_axes=(0, 0, 0, 0, 0, 0, 0))
-eval_quat_tracks = jax.vmap(eval_quat_track, in_axes=(0, 0, 0, 0))
+                              in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+eval_quat_tracks = jax.vmap(eval_quat_track, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
 
 
 def eval_morph(times, vertex_keys, normal_keys, n_keys, t):
@@ -168,21 +210,26 @@ class AnimController:
         self.times = np.zeros(0, np.float32)
         self.values = np.zeros((0, self.DIM), np.float32)
         self._tcb = np.zeros((0, 3), np.float32)     # tension/continuity/bias
+        self._ease = np.zeros((0, 2), np.float32)    # (ease_to, ease_from)
         self._tan_in = None
         self._tan_out = None
         self._version = 0       # bumped on any key edit (bank staleness key)
 
     # -- key editing ------------------------------------------------------
-    def AddKey(self, time: float, value, tcb=(0.0, 0.0, 0.0)):
+    def AddKey(self, time: float, value, tcb=(0.0, 0.0, 0.0),
+               ease=(0.0, 0.0)):
         value = np.asarray(value, np.float32).reshape(self.DIM)
         i = int(np.searchsorted(self.times, time))
         if i < len(self.times) and abs(self.times[i] - time) < 1e-9:
             self.values[i] = value
             self._tcb[i] = tcb
+            self._ease[i] = ease
         else:
             self.times = np.insert(self.times, i, np.float32(time))
             self.values = np.insert(self.values, i, value, axis=0)
             self._tcb = np.insert(self._tcb, i, np.asarray(tcb, np.float32), axis=0)
+            self._ease = np.insert(self._ease, i, np.asarray(ease, np.float32),
+                                   axis=0)
         self._dirty()
         return i
 
@@ -190,6 +237,7 @@ class AnimController:
         self.times = np.delete(self.times, index)
         self.values = np.delete(self.values, index, axis=0)
         self._tcb = np.delete(self._tcb, index, axis=0)
+        self._ease = np.delete(self._ease, index, axis=0)
         self._dirty()
 
     def GetKeyCount(self) -> int:
@@ -206,6 +254,7 @@ class AnimController:
         c.times = self.times.copy()
         c.values = self.values.copy()
         c._tcb = self._tcb.copy()
+        c._ease = self._ease.copy()
         return c
 
     def Compare(self, other, threshold: float = 0.0) -> bool:
@@ -269,14 +318,17 @@ class AnimController:
         v0, v1 = self.values[idx], self.values[i1]
         if self.MODE == INTERP_LINEAR:
             return (v0 + (v1 - v0) * u).astype(np.float32)
-        u2, u3 = u * u, u * u * u
         if self.MODE == INTERP_TCB:
+            u = np_ease_curve(u, float(self._ease[i1, 0]),
+                              float(self._ease[idx, 1]))
+            u2, u3 = u * u, u * u * u
             h1 = 2 * u3 - 3 * u2 + 1
             h2 = -2 * u3 + 3 * u2
             h3 = u3 - 2 * u2 + u
             h4 = u3 - u2
             return (h1 * v0 + h2 * v1 + h3 * tout[idx]
                     + h4 * tin[i1]).astype(np.float32)
+        u2, u3 = u * u, u * u * u
         iu = 1.0 - u
         return (iu ** 3 * v0 + 3 * iu * iu * u * tout[idx]
                 + 3 * iu * u2 * tin[i1] + u3 * v1).astype(np.float32)
@@ -309,6 +361,7 @@ class AnimController:
         out.append(self.times.astype("<f4").tobytes())
         out.append(self.values.astype("<f4").tobytes())
         out.append(self._tcb.astype("<f4").tobytes())
+        out.append(self._ease.astype("<f4").tobytes())
         return b"".join(out)
 
     def ReadKeysFrom(self, raw: bytes) -> int:
@@ -325,12 +378,15 @@ class AnimController:
         off += 4 * k * dim
         self._tcb = np.frombuffer(raw, "<f4", k * 3, off).reshape(k, 3).copy()
         off += 4 * k * 3
+        self._ease = np.frombuffer(raw, "<f4", k * 2, off).reshape(k, 2).copy()
+        off += 4 * k * 2
         self._dirty()
         return off
 
     # -- padded bank row --------------------------------------------------
     def bank_row(self, pad_keys: int):
-        """(times, values, tan_in, tan_out, mode, n_keys) padded to pad_keys."""
+        """(times, values, tan_in, tan_out, mode, ease, n_keys) padded to
+        pad_keys."""
         tin, tout = self._coeffs()
         k = self.GetKeyCount()
 
@@ -343,7 +399,7 @@ class AnimController:
         times = np.full(pad_keys, 3.0e38, np.float32)
         times[:k] = self.times
         return (times, pad(self.values), pad(tin), pad(tout),
-                np.int32(self.MODE), np.int32(k))
+                np.int32(self.MODE), pad(self._ease), np.int32(k))
 
 
 class LinearPositionController(AnimController):
@@ -370,35 +426,127 @@ class BezierScaleController(AnimController):
     DIM, MODE = 3, INTERP_BEZIER
 
 
+def tcb_quat_tangents(times: np.ndarray, quats: np.ndarray, tcb: np.ndarray):
+    """Squad control quaternions with Kochanek-Bartels T/C/B weighting.
+
+    Returns (q, a, b): keys pre-flipped for shortest-path continuity, plus
+    per-key outgoing (a) / incoming (b) squad control quats. Derivation: in
+    the tangent space of key i, let gp = log(q_i^-1 q_{i-1}) and
+    gn = log(q_i^-1 q_{i+1}); the KB tangents weight -gp and gn with the
+    standard (1-t)(1+-c)(1+-b)/2 factors, and matching squad's endpoint
+    derivatives gives a_i = q_i exp((d_out - gn)/2),
+    b_i = q_i exp((-s_in - gp)/2). With T=C=B=0 both reduce to the classic
+    squad tangent q_i exp(-(gp+gn)/4).
+
+    Behavioral note vs /root/reference/src/CKKeyframeData.cpp:1134-1180: the
+    decompiled ComputeTangents derives (1-tension)/2 factors but never
+    applies them (dead stores) and uses slerp(0.5, prev, next) for both
+    tangents; this implementation honors the keys' T/C/B data — the
+    documented semantics those fields exist for."""
+    from ..math.vxmath import (
+        np_quat_conj, np_quat_exp, np_quat_log, np_quat_mul,
+    )
+
+    k = times.shape[0]
+    q = quats.astype(np.float32).copy()
+    for i in range(1, k):
+        if float(np.dot(q[i - 1], q[i])) < 0.0:
+            q[i] = -q[i]
+    a = np.tile(np.array([0, 0, 0, 1], np.float32), (k, 1))
+    b = a.copy()
+    if k < 2:
+        return q, a, b
+    for i in range(k):
+        qc = q[i]
+        qp = q[i - 1] if i > 0 else qc
+        qn = q[i + 1] if i < k - 1 else qc
+        inv = np_quat_conj(qc)
+        gp = np_quat_log(np_quat_mul(inv, qp))
+        gn = np_quat_log(np_quat_mul(inv, qn))
+        t_, c, b_ = (float(x) for x in tcb[i])
+        fa = (1 - t_) * (1 + c) * (1 + b_) * 0.5
+        fb = (1 - t_) * (1 - c) * (1 - b_) * 0.5
+        fc = (1 - t_) * (1 - c) * (1 + b_) * 0.5
+        fd = (1 - t_) * (1 + c) * (1 - b_) * 0.5
+        d_out = -fa * gp + fb * gn
+        s_in = -fc * gp + fd * gn
+        if 0 < i < k - 1:
+            dt0 = float(times[i] - times[i - 1])
+            dt1 = float(times[i + 1] - times[i])
+            denom = dt0 + dt1
+            if denom > 1e-12:
+                s_in = s_in * (2 * dt0 / denom)
+                d_out = d_out * (2 * dt1 / denom)
+        a[i] = np_quat_mul(qc, np_quat_exp((d_out - gn) * 0.5))
+        b[i] = np_quat_mul(qc, np_quat_exp((-s_in - gp) * 0.5))
+    return q, a, b
+
+
 class RotationController(AnimController):
     """Linear rotation: slerp between quaternion keys (x,y,z,w)."""
 
     DIM = 4
     MODE = INTERP_LINEAR
 
+    def _coeffs(self):
+        """Route the base coefficient API to the quaternion tangents (keeps
+        ComputeTangents() from building meaningless 4-d vector tangents)."""
+        _qf, a, b = self._quat_coeffs()
+        return b, a
+
+    def _quat_coeffs(self):
+        """(preflipped keys, tan_a (out), tan_b (in)) — cached."""
+        if self._tan_in is None:
+            if self.MODE == INTERP_TCB and self.GetKeyCount() >= 2:
+                qf, a, b = tcb_quat_tangents(self.times, self.values,
+                                             self._tcb)
+            else:
+                qf = self.values.astype(np.float32).copy()
+                a = np.tile(np.array([0, 0, 0, 1], np.float32),
+                            (self.GetKeyCount(), 1))
+                b = a.copy()
+            self._qflip = qf
+            self._tan_out = a      # outgoing squad control
+            self._tan_in = b       # incoming squad control
+        return self._qflip, self._tan_out, self._tan_in
+
     def Evaluate(self, t: float) -> np.ndarray:
         if self.GetKeyCount() == 0:
             return np.array([0, 0, 0, 1], np.float32)
-        from ..math.vxmath import np_quat_slerp
+        from ..math.vxmath import np_quat_slerp, np_quat_squad
 
         idx, u = self._segment_np(float(t))
         i1 = min(idx + 1, self.GetKeyCount() - 1)
-        return np_quat_slerp(self.values[idx], self.values[i1], u)
+        if self.MODE != INTERP_TCB or self.GetKeyCount() < 2:
+            return np_quat_slerp(self.values[idx], self.values[i1], u)
+        qf, a, b = self._quat_coeffs()
+        u = np_ease_curve(u, float(self._ease[i1, 0]),
+                          float(self._ease[idx, 1]))
+        return np_quat_squad(qf[idx], a[idx], b[i1], qf[i1], u)
 
     def bank_row(self, pad_keys: int):
+        """(times, quats, tan_a, tan_b, mode, ease, n_keys)."""
+        qf, a, b = self._quat_coeffs()
         k = self.GetKeyCount()
         times = np.full(pad_keys, 3.0e38, np.float32)
         times[:k] = self.times
-        vals = np.zeros((pad_keys, 4), np.float32)
-        vals[:, 3] = 1.0
-        vals[:k] = self.values
-        return times, vals, np.int32(k)
+
+        def padq(src):
+            out = np.zeros((pad_keys, 4), np.float32)
+            out[:, 3] = 1.0
+            out[:k] = src
+            return out
+
+        ease = np.zeros((pad_keys, 2), np.float32)
+        ease[:k] = self._ease
+        return (times, padq(qf), padq(a), padq(b), np.int32(self.MODE),
+                ease, np.int32(k))
 
 
 class TCBRotationController(RotationController):
-    """TCB rotation — evaluated as piecewise slerp (the hermite easing of the
-    reference's TCB quats reduces to slerp for zero tension/continuity/bias;
-    full squad easing TODO)."""
+    """TCB rotation: squad easing with per-key tension/continuity/bias and
+    ease-to/ease-from (see tcb_quat_tangents; reference
+    src/CKKeyframeData.cpp:1134-1210)."""
     MODE = INTERP_TCB
 
 

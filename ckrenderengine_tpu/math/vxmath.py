@@ -493,6 +493,109 @@ def quat_slerp(a: jnp.ndarray, b: jnp.ndarray, t) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Quaternion log/exp + squad (TCB rotation controllers,
+# reference RCKTCBRotationController, src/CKKeyframeData.cpp:1134-1210)
+# ---------------------------------------------------------------------------
+
+def quat_conjugate(q: jnp.ndarray) -> jnp.ndarray:
+    return q * jnp.array([-1.0, -1.0, -1.0, 1.0], jnp.float32)
+
+
+def quat_log(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion -> 3-vector (axis * half-angle)."""
+    q = quat_normalize(q)
+    v = q[..., :3]
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    phi = jnp.arctan2(vn, q[..., 3:4])
+    scale = jnp.where(vn > 1e-9, phi / jnp.maximum(vn, 1e-30), 1.0)
+    return v * scale
+
+
+def quat_exp(v: jnp.ndarray) -> jnp.ndarray:
+    """3-vector (axis * half-angle) -> unit quaternion."""
+    phi = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    s = jnp.where(phi > 1e-9, jnp.sin(phi) / jnp.maximum(phi, 1e-30), 1.0)
+    return jnp.concatenate([v * s, jnp.cos(phi)], axis=-1)
+
+
+def quat_slerp_noflip(a: jnp.ndarray, b: jnp.ndarray, t) -> jnp.ndarray:
+    """Slerp WITHOUT the shortest-arc sign flip — squad's inner terms must
+    interpolate the exact control quaternions or C1 continuity breaks."""
+    t = jnp.asarray(t, jnp.float32)
+    dot = jnp.clip(jnp.sum(a * b, axis=-1, keepdims=True), -1.0, 1.0)
+    theta = jnp.arccos(dot)
+    sin_theta = jnp.sin(theta)
+    use_lerp = jnp.abs(sin_theta) < 1e-5
+    safe = jnp.where(use_lerp, 1.0, sin_theta)
+    wa = jnp.where(use_lerp, 1.0 - t, jnp.sin((1.0 - t) * theta) / safe)
+    wb = jnp.where(use_lerp, t, jnp.sin(t * theta) / safe)
+    return quat_normalize(wa * a + wb * b)
+
+
+def quat_squad(q0, a, b, q1, t) -> jnp.ndarray:
+    """Spherical quadrangle interpolation Squad(t; q0, a, b, q1)."""
+    t = jnp.asarray(t, jnp.float32)
+    outer = quat_slerp_noflip(q0, q1, t)
+    inner = quat_slerp_noflip(a, b, t)
+    return quat_slerp_noflip(outer, inner, 2.0 * t * (1.0 - t))
+
+
+def np_quat_mul(a, b) -> np.ndarray:
+    """Numpy twin of quat_multiply (Hamilton product, xyzw)."""
+    ax, ay, az, aw = np.asarray(a, np.float32)
+    bx, by, bz, bw = np.asarray(b, np.float32)
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ], np.float32)
+
+
+def np_quat_conj(q) -> np.ndarray:
+    q = np.asarray(q, np.float32)
+    return q * np.array([-1, -1, -1, 1], np.float32)
+
+
+def np_quat_log(q) -> np.ndarray:
+    q = np.asarray(q, np.float32)
+    q = q / max(np.linalg.norm(q), 1e-30)
+    vn = float(np.linalg.norm(q[:3]))
+    if vn < 1e-9:
+        return q[:3].copy()
+    phi = float(np.arctan2(vn, q[3]))
+    return (q[:3] * (phi / vn)).astype(np.float32)
+
+
+def np_quat_exp(v) -> np.ndarray:
+    v = np.asarray(v, np.float32)
+    phi = float(np.linalg.norm(v))
+    if phi < 1e-9:
+        return np.array([v[0], v[1], v[2], np.cos(phi)], np.float32)
+    s = np.sin(phi) / phi
+    return np.array([v[0] * s, v[1] * s, v[2] * s, np.cos(phi)], np.float32)
+
+
+def np_quat_slerp_noflip(a, b, t: float) -> np.ndarray:
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    d = float(np.clip(np.dot(a, b), -1.0, 1.0))
+    th = float(np.arccos(d))
+    sth = np.sin(th)
+    if abs(sth) < 1e-5:
+        out = a + (b - a) * t
+        return (out / max(np.linalg.norm(out), 1e-30)).astype(np.float32)
+    out = (np.sin((1 - t) * th) * a + np.sin(t * th) * b) / sth
+    return (out / max(np.linalg.norm(out), 1e-30)).astype(np.float32)
+
+
+def np_quat_squad(q0, a, b, q1, t: float) -> np.ndarray:
+    outer = np_quat_slerp_noflip(q0, q1, t)
+    inner = np_quat_slerp_noflip(a, b, t)
+    return np_quat_slerp_noflip(outer, inner, 2.0 * t * (1.0 - t))
+
+
+# ---------------------------------------------------------------------------
 # PRS decompose / compose (for animation matrix rebuild,
 # reference: RCKObjectAnimation::SetStep, src/CKObjectAnimation.cpp:1716-1752)
 # ---------------------------------------------------------------------------
