@@ -200,6 +200,7 @@ class CKRenderContext(CKObject):
         self.clip_rect = None      # context-level scissor (SetClipRect)
         self.render_flags = CK_RENDER_DEFAULTSETTINGS
         self.vertex_shader = None  # user vertex-stage hook (jax fn)
+        self.pixel_shader = None   # user per-pixel stage hook (jax fn)
         self.portal_traversal = False
         # Output
         self.fb = jnp.zeros((4, self.height, self.width), jnp.float32)
@@ -1414,6 +1415,21 @@ class CKRenderContext(CKObject):
     def GetVertexShader(self):
         return self.vertex_shader
 
+    def SetPixelShader(self, fn):
+        """User per-pixel stage: traced JAX fn(inputs dict) -> (...,4) rgba
+        replacing the fixed-function texture-blend stage in BOTH the
+        deferred shade and the ordered pass — the TPU analogue of the
+        reference's CreatePixelShader/SetPixelShader
+        (CKDX9RasterizerContext.cpp:1445-1553). Inputs: ``color`` (...,4)
+        interpolated lit vertex color, ``texel`` (...,4), ``uv`` (...,2),
+        ``xy`` (...,2), ``si``/``sf`` state rows. Specular add, fog, and
+        blending stay fixed-function after it. None clears."""
+        self.pixel_shader = fn
+        self.context._bump_dynamic()
+
+    def GetPixelShader(self):
+        return self.pixel_shader
+
     def SetClipRect(self, rect=None):
         """Pixel clip rect applied to the whole 3D scene (None clears)."""
         self.clip_rect = None if rect is None else tuple(float(v) for v in rect)
@@ -1729,6 +1745,7 @@ class CKRenderContext(CKObject):
             sprites_static=self._sprites_static, lines=c.line_bank,
             ordered_cap=c.ordered_cap, sort_transparent=sort_t,
             want_stencil=c.has_stencil, vertex_shader=self.vertex_shader,
+            pixel_shader=self.pixel_shader,
             want_bump=getattr(c, "want_bump", False),
             want_cube=getattr(c, "want_cube", False))
         # Fresh copies: the staging buffers are reused next frame while this
@@ -1927,6 +1944,8 @@ class CKRenderContext(CKObject):
                 quads_bg=quads_bg, quads_fg=quads_fg,
                 lines=self._compiled.line_bank,
                 ordered_cap=self._compiled.ordered_cap,
+                vertex_shader=self.vertex_shader,
+                pixel_shader=self.pixel_shader,
                 want_bump=getattr(self._compiled, "want_bump", False),
                 want_cube=getattr(self._compiled, "want_cube", False))
             fbs.append(fb)
@@ -3356,6 +3375,7 @@ class CKRenderManager(CKObject):
                params["want_stencil"] != filled[0][3]["want_stencil"] or \
                params["want_bump"] != filled[0][3]["want_bump"] or \
                params["want_cube"] != filled[0][3]["want_cube"] or \
+               params["pixel_shader"] is not filled[0][3]["pixel_shader"] or \
                params["sort_transparent"] != filled[0][3]["sort_transparent"]:
                 return False
         static, _f0, _i0, params = filled[0]

@@ -47,6 +47,7 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
                                chunk: int = 64,
                                sort_transparent: bool = True,
                                vertex_shader=None,
+                               pixel_shader=None,
                                want_bump: bool = False,
                                want_cube: bool = False,
                                texdev=None, texdev_rects: tuple = ()):
@@ -70,7 +71,8 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
             skin=skin, sprites_static=sprites_static, lines=lines,
             ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=False,
-            vertex_shader=vertex_shader, want_bump=want_bump,
+            vertex_shader=vertex_shader, pixel_shader=pixel_shader,
+            want_bump=want_bump,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             allow_pallas=False, y_shift=y0)
         fb, zb = out
@@ -93,5 +95,6 @@ render_frame_packed_banded_jit = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "mesh", "axis",
                      "ordered_cap", "chunk", "sort_transparent",
-                     "vertex_shader", "want_bump", "want_cube", "texdev_rects"))(
+                     "vertex_shader", "pixel_shader", "want_bump",
+                     "want_cube", "texdev_rects"))(
     render_frame_packed_banded)

@@ -358,12 +358,17 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       sort_transparent: bool = True,
                       want_stencil: bool = False,
                       vertex_shader=None,
+                      pixel_shader=None,
                       allow_pallas: bool = True,
                       want_bump: bool = False,
                       want_cube: bool = False,
                       want_stats: bool = False,
                       prev_fb=None, prev_zb=None):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
+
+    ``pixel_shader``: optional traced JAX fn replacing the fixed-function
+    texture-blend stage per pixel, fused into both the deferred shade and
+    the ordered pass (see raster/deferred.shade_deferred).
 
     ``want_stats``: append a device-side stats dict to the return tuple
     (currently ``TileBinPeak`` — the densest raster tile's triangle count,
@@ -441,7 +446,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         best_id, batch.xyw, batch.z, batch.color, batch.specular, batch.uv,
         batch.fog, batch.state_idx, scene.state_i, scene.state_f,
         scene.tex_planes, scene.tex_hw, scene.fog_color, clear_fb,
-        height, width, batch_refl=batch.refl)
+        height, width, batch_refl=batch.refl, pixel_shader=pixel_shader)
     zb = best_depth
 
     # --- ordered remainder: cutouts, z-overrides, transparent (sorted) -----
@@ -472,12 +477,12 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             fb, zb = rb.render_pass_tiled(
                 fb, zb, obatch, scene.state_i, scene.state_f,
                 scene.tex_planes, scene.tex_hw, scene.fog_color,
-                scene.viewport, tile=tile_o)
+                scene.viewport, tile=tile_o, pixel_shader=pixel_shader)
         else:
             fb, zb = rb.render_pass(
                 fb, zb, obatch, scene.state_i, scene.state_f,
                 scene.tex_planes, scene.tex_hw, scene.fog_color,
-                scene.viewport, chunk=1,
+                scene.viewport, chunk=1, pixel_shader=pixel_shader,
             )
     if want_stencil:
         # Stencil mask: z-tested coverage of stencil-only draws
@@ -496,7 +501,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 
 render_frame = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
-                              "chunk", "want_bump", "want_cube", "want_stats")
+                              "chunk", "vertex_shader", "pixel_shader",
+                              "want_bump", "want_cube", "want_stats")
 )(render_frame_impl)
 
 
@@ -509,6 +515,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            sort_transparent: bool = True,
                            want_stencil: bool = False,
                            vertex_shader=None,
+                           pixel_shader=None,
                            allow_pallas: bool = True,
                            want_bump: bool = False,
                            want_cube: bool = False,
@@ -559,6 +566,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                             sort_transparent=sort_transparent,
                             want_stencil=want_stencil,
                             vertex_shader=vertex_shader,
+                            pixel_shader=pixel_shader,
                             allow_pallas=allow_pallas,
                             want_bump=want_bump,
                             want_cube=want_cube,
@@ -586,7 +594,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
 render_frame_full = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
                               "chunk", "sort_transparent", "want_stencil",
-                              "vertex_shader", "want_bump",
+                              "vertex_shader", "pixel_shader", "want_bump",
                               "want_cube", "want_stats")
 )(render_frame_full_impl)
 
@@ -639,6 +647,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              sort_transparent: bool = True,
                              want_stencil: bool = False,
                              vertex_shader=None,
+                             pixel_shader=None,
                              want_bump: bool = False,
                              want_cube: bool = False,
                              want_stats: bool = False,
@@ -723,7 +732,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
         ordered_cap=ordered_cap, chunk=chunk,
         sort_transparent=sort_transparent, want_stencil=want_stencil,
-        vertex_shader=vertex_shader, want_bump=want_bump,
+        vertex_shader=vertex_shader, pixel_shader=pixel_shader,
+        want_bump=want_bump,
         want_cube=want_cube, want_stats=want_stats,
         prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas)
 
@@ -732,7 +742,8 @@ render_frame_packed = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
-                     "vertex_shader", "want_bump", "want_cube", "want_stats",
+                     "vertex_shader", "pixel_shader", "want_bump",
+                     "want_cube", "want_stats",
                      "allow_pallas", "texdev_rects"))(
     render_frame_packed_impl)
 
@@ -741,8 +752,8 @@ render_frame_packed = functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
-                     "vertex_shader", "want_bump", "want_cube",
-                     "texdev_rects"))
+                     "vertex_shader", "pixel_shader", "want_bump",
+                     "want_cube", "texdev_rects"))
 def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  levels: tuple, height: int, width: int,
                                  skin=None, sprites_static=None, lines=None,
@@ -751,6 +762,7 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  sort_transparent: bool = True,
                                  want_stencil: bool = False,
                                  vertex_shader=None,
+                                 pixel_shader=None,
                                  want_bump: bool = False,
                                  want_cube: bool = False,
                                  texdev=None, texdev_rects: tuple = ()):
@@ -766,7 +778,8 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
             sprites_static=sprites_static, lines=lines,
             ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=want_stencil,
-            vertex_shader=vertex_shader, want_bump=want_bump,
+            vertex_shader=vertex_shader, pixel_shader=pixel_shader,
+            want_bump=want_bump,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             allow_pallas=False)
 

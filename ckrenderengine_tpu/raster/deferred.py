@@ -379,12 +379,25 @@ def tex_blend_pp(mode, tex, diff, const=None):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "pixel_shader"))
 def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
                    batch_uv, batch_fog, batch_state, state_i, state_f,
                    tex_planes, tex_hw, fog_color, clear_fb,
-                   height: int, width: int, batch_refl=None):
+                   height: int, width: int, batch_refl=None,
+                   pixel_shader=None):
     """One shading evaluation per pixel on the winning triangle.
+
+    ``pixel_shader``: optional traced JAX fn replacing the fixed-function
+    texture-blend stage — the TPU analogue of the reference's pixel shaders
+    (CKDX9RasterizerContext::CreatePixelShader/SetPixelShader,
+    /root/reference/src/CKRasterizer/CKDX9Rasterizer/CKDX9RasterizerContext
+    .cpp:1445-1553). Receives a dict of per-pixel arrays — ``color``
+    (...,4) interpolated lit vertex color, ``texel`` (...,4) sampled
+    texture color (white when untextured), ``uv`` (...,2), ``xy`` (...,2)
+    screen position, ``si``/``sf`` (...,NUM_SI/NUM_SF) render-state rows —
+    and returns the (...,4) stage output. Specular add, fog, and alpha
+    blending remain fixed-function after it (D3D9 semantics).
 
     Returns (4,H,W) fb planes (background pixels keep clear_fb).
     """
@@ -474,10 +487,18 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
     texel = sample_texture_pp(
         tex_planes, tex_hw, si_all[..., SI_TEX], uvi[..., 0], uvi[..., 1],
         si_all[..., SI_TEXADDR], si_all[..., SI_TEXFILTER], border, lod=lod)
-    from .types import SF_CONST_R
-    const = [sf_all[..., SF_CONST_R + c] for c in range(3)]
-    blended = tex_blend_pp(si_all[..., SI_TEXBLEND], texel, colorp, const)
-    colorp = [jnp.where(has_tex, blended[c], colorp[c]) for c in range(4)]
+    if pixel_shader is not None:
+        texel4 = jnp.stack(
+            [jnp.where(has_tex, texel[c], 1.0) for c in range(4)], -1)
+        out = pixel_shader({
+            "color": color, "texel": texel4, "uv": uvi,
+            "xy": jnp.stack([px, py], -1), "si": si_all, "sf": sf_all})
+        colorp = [out[..., c] for c in range(4)]
+    else:
+        from .types import SF_CONST_R
+        const = [sf_all[..., SF_CONST_R + c] for c in range(3)]
+        blended = tex_blend_pp(si_all[..., SI_TEXBLEND], texel, colorp, const)
+        colorp = [jnp.where(has_tex, blended[c], colorp[c]) for c in range(4)]
 
     spec = interp3(batch_spec)                             # (H,W,3)
     for c in range(3):

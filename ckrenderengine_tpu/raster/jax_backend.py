@@ -273,8 +273,12 @@ def tex_blend(mode, tex, diff, const=None):
 # The raster pass
 # ---------------------------------------------------------------------------
 
-def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog_color, scissor):
-    """Render one triangle onto (4,H,W) fb planes + (H,W) zb. Returns updated."""
+def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw,
+                  fog_color, scissor, pixel_shader=None):
+    """Render one triangle onto (4,H,W) fb planes + (H,W) zb. Returns updated.
+
+    ``pixel_shader``: optional user stage replacing the fixed-function
+    texture blend (same contract as deferred.shade_deferred)."""
     (xyw, zv, col, spec, uv, fogv, sidx, valid, clip_rect, clipd,
      refl) = tri
     si = state_i[sidx]
@@ -356,9 +360,13 @@ def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog
     color = [interp(col[0, c], col[1, c], col[2, c]) for c in range(4)]
 
     has_tex = si[SI_TEX] >= 0
-    if tex_planes is not None and tex_planes.shape[0] > 0:
+    texel = None
+    ui = vi = None
+    if (tex_planes is not None and tex_planes.shape[0] > 0) \
+            or pixel_shader is not None:
         ui = interp(uv[0, 0], uv[1, 0], uv[2, 0])
         vi = interp(uv[0, 1], uv[1, 1], uv[2, 1])
+    if tex_planes is not None and tex_planes.shape[0] > 0:
         if refl.shape[-1] > 0:
             # Per-pixel cube-env UV: interpolate the WORLD reflection
             # vector, oct-encode after interpolation (no atlas-fold seam).
@@ -373,10 +381,25 @@ def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog
             ui = jnp.where(is_cube, uvc[..., 0], ui)
             vi = jnp.where(is_cube, uvc[..., 1], vi)
         texel = sample_texture(tex_planes, tex_hw, si[SI_TEX], ui, vi, si, sf)
-        from .types import SF_CONST_R
-        const = [sf[SF_CONST_R + c] for c in range(3)]
-        blended = tex_blend(si[SI_TEXBLEND], texel, color, const)
-        color = [jnp.where(has_tex, blended[c], color[c]) for c in range(4)]
+        if pixel_shader is None:
+            from .types import SF_CONST_R
+            const = [sf[SF_CONST_R + c] for c in range(3)]
+            blended = tex_blend(si[SI_TEXBLEND], texel, color, const)
+            color = [jnp.where(has_tex, blended[c], color[c])
+                     for c in range(4)]
+    if pixel_shader is not None:
+        one = jnp.ones_like(color[0])
+        texel4 = (jnp.stack([jnp.where(has_tex, texel[c], 1.0)
+                             for c in range(4)], -1)
+                  if texel is not None
+                  else jnp.stack([one] * 4, -1))
+        out = pixel_shader({
+            "color": jnp.stack(color, -1), "texel": texel4,
+            "uv": jnp.stack([ui, vi], -1),
+            "xy": jnp.stack([jnp.broadcast_to(px, color[0].shape),
+                             jnp.broadcast_to(py, color[0].shape)], -1),
+            "si": si, "sf": sf})
+        color = [out[..., c] for c in range(4)]
 
     sp = [interp(spec[0, c], spec[1, c], spec[2, c]) for c in range(3)]
     color = [color[0] + sp[0], color[1] + sp[1], color[2] + sp[2], color[3]]
@@ -434,7 +457,7 @@ def _one_triangle(px, py, fb, zb, tri, state_i, state_f, tex_planes, tex_hw, fog
     return new_fb, new_zb
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "pixel_shader"))
 def render_pass(
     fb,            # (4, H, W) f32
     zb,            # (H, W) f32
@@ -446,6 +469,7 @@ def render_pass(
     fog_color,     # (3,) f32
     viewport,      # (4,) f32 [x, y, w, h] scissor
     chunk: int = 8,
+    pixel_shader=None,
 ):
     """Rasterize a TriangleBatch in draw order onto fb/zb planes."""
     h, w = fb.shape[1], fb.shape[2]
@@ -471,17 +495,19 @@ def render_pass(
         for i in range(chunk):
             tri = tuple(a[i] for a in tri_chunk)
             fb, zb = _one_triangle(px, py, fb, zb, tri, state_i, state_f,
-                                   tex_planes, tex_hw, fog_color, scissor)
+                                   tex_planes, tex_hw, fog_color, scissor,
+                                   pixel_shader=pixel_shader)
         return (fb, zb), None
 
     (fb, zb), _ = jax.lax.scan(body, (fb, zb), xs)
     return fb, zb
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "chunk", "pixel_shader"))
 def render_pass_tiled(
     fb, zb, batch: DeviceBatch, state_i, state_f, tex_planes, tex_hw,
-    fog_color, viewport, tile: int = 64, chunk: int = 4,
+    fog_color, viewport, tile: int = 64, chunk: int = 4, pixel_shader=None,
 ):
     """Tile-binned ordered pass: the scale path for transparent / alpha-test
     / z-override geometry (VERDICT r1 weak #3 — the flat ``render_pass`` is
@@ -557,7 +583,8 @@ def render_pass_tiled(
         valid=padrow(batch.valid, False), clip_rect=padrow(batch.clip_rect),
         clipd=padrow(batch.clipd), refl=padrow(batch.refl))
 
-    tri_vmap = jax.vmap(_one_triangle,
+    tri_one = functools.partial(_one_triangle, pixel_shader=pixel_shader)
+    tri_vmap = jax.vmap(tri_one,
                         in_axes=(0, 0, 0, 0, 0, None, None, None, None,
                                  None, 0))
     peak = jnp.max(counts)
