@@ -1237,6 +1237,7 @@ class CKRenderContext(CKObject):
             cam_pos=np.asarray(cam_pos, np.float32),
             viewport=np.asarray(self._effective_viewport(), np.float32),
             fog_mode=np.int32(self._effective_fog_mode()),
+            fog_proj=np.int32(self._effective_fog_proj()),
             fog_start=np.float32(self.fog_start),
             fog_end=np.float32(self.fog_end),
             fog_density=np.float32(self.fog_density),
@@ -1509,6 +1510,7 @@ class CKRenderContext(CKObject):
         lay.add_f("cam_pos", (3,))
         lay.add_f("viewport", (4,))
         lay.add_i("fog_mode", ())
+        lay.add_i("fog_proj", ())
         for name in ("fog_start", "fog_end", "fog_density"):
             lay.add_f(name, ())
         lay.add_f("fog_color", (3,))
@@ -1598,6 +1600,14 @@ class CKRenderContext(CKObject):
                 return int(VXFOG.LINEAR)
         return self.fog_mode
 
+    def _effective_fog_proj(self) -> int:
+        """Fog projection mode 0/1/2 (reference g_FogProjectionMode,
+        src/CKMaterial.cpp:49 + CKRenderedScene.cpp:416-425): 0 = view-z
+        distances, 1 = projected-depth fog with projected start/end, 2 =
+        projected-depth fog against (1/startW, projected start)."""
+        rm = self.context.render_manager
+        return int(rm.options.get("FogProjectionMode", 0)) if rm else 0
+
     def _camera_np(self):
         cam = self.attached_camera
         vp = self._effective_viewport()
@@ -1674,7 +1684,8 @@ class CKRenderContext(CKObject):
             lt_cos_theta=lt["cos_theta"], lt_cos_phi=lt["cos_phi"],
             global_ambient=self.ambient_light, view=view, proj=proj,
             cam_pos=cam_pos, viewport=np.asarray(self._effective_viewport(), np.float32),
-            fog_mode=self._effective_fog_mode(), fog_start=self.fog_start,
+            fog_mode=self._effective_fog_mode(),
+            fog_proj=self._effective_fog_proj(), fog_start=self.fog_start,
             fog_end=self.fog_end, fog_density=self.fog_density,
             fog_color=self.fog_color, clear_color=self.background_color,
             clear_z=self.clear_z,

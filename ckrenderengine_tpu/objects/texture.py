@@ -190,8 +190,31 @@ class CKTexture(CKObject):
         return self.desired_video_format
 
     def LoadImage(self, path: str, slot: int = 0) -> bool:
-        """Load an image file into a slot via PIL (reference LoadImage —
-        CKBitmapData file readers)."""
+        """Load an image file into a slot (reference LoadImage —
+        CKBitmapData file readers). DDS containers (DXT1/3/5 or masked RGB)
+        decode through io/dds.py, matching the reference's compressed-
+        texture ingestion (CKDX9RasterizerContext::LoadTexture incl.
+        mipmaps); shipped mip chains become user mip levels. Everything
+        else goes through PIL."""
+        try:
+            with open(path, "rb") as f:
+                head = f.read(4)
+        except OSError:
+            return False
+        if head == b"DDS ":
+            import struct
+
+            from ..io.dds import load_dds
+            try:
+                levels = load_dds(path)
+            except (ValueError, struct.error):
+                return False
+            self.SetImage(levels[0], slot=slot)
+            if len(levels) > 1:
+                self.user_mip_levels = [
+                    lv.astype(np.float32) for lv in levels[1:]]
+                self.SetUserMipMapMode(True)
+            return True
         try:
             from PIL import Image
         except ImportError:
@@ -202,6 +225,19 @@ class CKTexture(CKObject):
             return False
         arr = np.asarray(img, np.float32) / 255.0
         self.SetImage(arr, slot=slot)
+        return True
+
+    def SetCompressedImage(self, data: bytes, width: int, height: int,
+                           fmt: str = "DXT5", slot: int = 0) -> bool:
+        """Ingest one raw DXT1/3/5 surface (no container) — decoded to RGBA
+        at set time (the TPU has no BC sampler; reference LoadTexture hands
+        blocks to D3D, CKDX9RasterizerContext.cpp:1836-2060)."""
+        from ..io.dds import decode_dxt
+        try:
+            img = decode_dxt(data, int(width), int(height), fmt)
+        except ValueError:
+            return False
+        self.SetImage(img, slot=slot)
         return True
 
     def SetUserMipMapMode(self, on: bool = True):

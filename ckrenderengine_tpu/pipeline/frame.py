@@ -105,6 +105,10 @@ class SceneDevice(NamedTuple):
     # a point p is kept when dot((p,1), plane) >= 0. None = none active.
     clip_planes: jnp.ndarray | None = None   # (P,4)
 
+    # Fog projection mode 0/1/2 (reference g_FogProjectionMode,
+    # src/CKRenderedScene.cpp:416-425). None = mode 0 (view-z fog).
+    fog_proj: jnp.ndarray | None = None      # () int32
+
 
 def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
                         vertex_shader=None, want_bump: bool = False,
@@ -154,8 +158,36 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
     lit = scene.vert_lit[:, None]
     color = jnp.where(lit, lit_diffuse, jnp.take(scene.prelit, scene.src_idx, axis=0))
     spec = jnp.where(lit, lit_spec, jnp.take(scene.prelit_spec, scene.src_idx, axis=0))
-    fog = fog_factor(cam_z, scene.fog_mode, scene.fog_start, scene.fog_end,
-                     scene.fog_density)
+    if scene.fog_proj is None:
+        fog = fog_factor(cam_z, scene.fog_mode, scene.fog_start,
+                         scene.fog_end, scene.fog_density)
+    else:
+        # Fog projection modes (reference CKRenderedScene.cpp:405-425):
+        # mode 0 fogs view-space z against (fog_start, fog_end); modes 1/2
+        # fog PROJECTED depth z/w against start/end pushed through the
+        # projection matrix — mode 1 uses (projStart, projEnd), mode 2 the
+        # reference's (1/startW, projStart) pair, reproduced exactly.
+        p = scene.proj
+        sz = p[2, 2] * scene.fog_start + p[3, 2]
+        sw = p[2, 3] * scene.fog_start + p[3, 3]
+        ez = p[2, 2] * scene.fog_end + p[3, 2]
+        ew = p[2, 3] * scene.fog_end + p[3, 3]
+
+        def sdiv(a, b):
+            return a / jnp.where(jnp.abs(b) < 1e-30, 1e-30, b)
+
+        proj_start = sdiv(sz, sw)
+        proj_end = sdiv(ez, ew)
+        recip_sw = sdiv(jnp.float32(1.0), sw)
+        mode = jnp.asarray(scene.fog_proj, jnp.int32)
+        fstart = jnp.select([mode == 1, mode == 2],
+                            [proj_start, recip_sw], scene.fog_start)
+        fend = jnp.select([mode == 1, mode == 2],
+                          [proj_end, proj_start], scene.fog_end)
+        zndc = sdiv(clip[..., 2], clip[..., 3])
+        coord = jnp.where(mode > 0, zndc, cam_z)
+        fog = fog_factor(coord, scene.fog_mode, fstart, fend,
+                         scene.fog_density)
 
     # TexGen UV generation (material effects; reference TexGenEffect,
     # src/CKMaterial.cpp:1456+): planar from view-space position, sphere-env
@@ -710,7 +742,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         tex_hw=static["tex_hw"], clear_color=d["clear_color"],
         clear_z=d["clear_z"],
         clip_planes=(d["clip_planes"]
-                     if has_field(layout, "clip_planes") else None))
+                     if has_field(layout, "clip_planes") else None),
+        fog_proj=(d["fog_proj"] if has_field(layout, "fog_proj") else None))
     sprites = None
     if sprites_static is not None:
         sprites = Sprite3DBank(

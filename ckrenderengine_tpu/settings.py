@@ -31,6 +31,9 @@ _DEFAULTS = {
     "DisableMipmap": 0,
     "DisableSpecular": 0,
     "DisablePerspectiveCorrection": 0,
+    # g_FogProjectionMode global in the reference (src/CKMaterial.cpp:49,
+    # applied CKRenderedScene.cpp:416-425) — surfaced as an option here.
+    "FogProjectionMode": 0,
 }
 
 _overrides: dict[str, object] = {}
