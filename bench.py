@@ -134,6 +134,8 @@ def build_scene(width: int, height: int):
 
 
 def main():
+    import os
+
     width, height = 1024, 768
     ctx, rc, spinner = build_scene(width, height)
     import jax
@@ -162,7 +164,24 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 3),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    # Configs 1-4 (one JSON line each, benchmarks/baseline.py scenes) so the
+    # driver artifact tracks the whole BASELINE suite, not just the headline.
+    # CK_BENCH_HEADLINE_ONLY=1 skips them (quick runs).
+    if os.environ.get("CK_BENCH_HEADLINE_ONLY"):
+        return
+    del ctx, rc, spinner
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.baseline import run as run_config
+
+    for name in ("config1", "config2", "config3", "config4"):
+        try:
+            print(json.dumps(run_config(name, n_frames, False)), flush=True)
+        except Exception as e:  # a broken sub-config must not kill the line
+            print(json.dumps({"metric": f"fps_{name}", "value": 0.0,
+                              "unit": "frames/sec", "vs_baseline": 0.0,
+                              "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":

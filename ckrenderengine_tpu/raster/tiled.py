@@ -58,7 +58,7 @@ def _screen_bbox(xyw, eps=1e-6):
     static_argnames=("height", "width", "tile", "max_span", "chunk"))
 def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
                        height: int, width: int, tile: int = 16,
-                       max_span: int = 36, chunk: int = 32):
+                       max_span: int = 9, chunk: int = 32):
     """Tile-binned argmin depth reduce (exact — no per-tile triangle cap).
 
     Returns (best_id (H,W) int32, best_depth (H,W) f32, peak () int32 — the
