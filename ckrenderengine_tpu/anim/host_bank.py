@@ -65,6 +65,32 @@ def _signature(anims) -> tuple:
     return tuple(sig)
 
 
+def full_signature(anims) -> tuple:
+    """Staleness key over EVERYTHING that can change the simple/rest
+    partition or the packed bank rows: membership, entity binding, merge
+    sources, and every controller's edit version (ease edits bump the
+    version too). Cheap enough to recompute per tick (~attribute reads);
+    the expensive is_simple()/build_host_bank() work only reruns when this
+    tuple changes."""
+    sig = []
+    for a in anims:
+        pc, rc_, sc = (a.position_controller, a.rotation_controller,
+                       a.scale_controller)
+        sax, mo = a.scale_axis_controller, a.morph_controller
+        sig.append((
+            id(a),
+            a._entity.row if a._entity is not None else -1,
+            id(a._merge_a) if a._merge_a is not None else 0,
+            id(a._merge_b) if a._merge_b is not None else 0,
+            pc._version if pc is not None else -1,
+            rc_._version if rc_ is not None else -1,
+            sc._version if sc is not None else -1,
+            sax._version if sax is not None else -1,
+            len(mo.times) if mo is not None else -1,
+        ))
+    return tuple(sig)
+
+
 def is_simple(a) -> bool:
     """Eligible for the batched path (everything SetStep does beyond plain
     PRS -> matrix is absent)."""

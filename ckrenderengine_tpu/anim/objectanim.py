@@ -598,13 +598,24 @@ class CKKeyedAnimation(CKAnimation):
         from ..scene import entity_table as et
 
         self.frame = float(frame)
-        simple = [a for a in self.animations if hb.is_simple(a)]
-        if len(simple) >= 2:
-            sig = hb._signature(simple)
-            bank = self._host_bank
-            if bank is None or bank.signature != sig:
-                bank = self._host_bank = hb.build_host_bank(simple)
-            ctx = simple[0]._entity.context
+        # The simple/rest partition and the packed bank are static between
+        # key/membership edits; recomputing them per tick (is_simple calls
+        # np.any per controller) used to cost ~1.8 ms/frame on a 128-bone
+        # clip. Cache both keyed on the full controller signature.
+        sig = hb.full_signature(self.animations)
+        cache = self._host_bank
+        if cache is None or cache[0] != sig:
+            simple = [a for a in self.animations if hb.is_simple(a)]
+            rest = [a for a in self.animations if not hb.is_simple(a)]
+            bank = hb.build_host_bank(simple) if len(simple) >= 2 else None
+            if bank is None:
+                rest = self.animations
+                ctx = None
+            else:
+                ctx = simple[0]._entity.context
+            cache = self._host_bank = (sig, bank, rest, ctx)
+        _, bank, rest, ctx = cache
+        if bank is not None:
             table = ctx.entity_table
             table.local[bank.rows] = hb.evaluate_host_bank(
                 bank, self.frame, table.local)
@@ -613,9 +624,6 @@ class CKKeyedAnimation(CKAnimation):
             if rm is not None:
                 rm._moved_entities.update(bank.ids)
             ctx._bump_dynamic()
-            rest = [a for a in self.animations if not hb.is_simple(a)]
-        else:
-            rest = self.animations
         for a in rest:
             a.SetStep(frame)
 

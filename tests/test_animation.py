@@ -571,3 +571,55 @@ class TestHostBankSetFrame:
         clip.AddAnimation(oa)
         clip.SetFrame(5.0)
         np.testing.assert_allclose(mesh.positions[0], [0, 0, 1], atol=1e-5)
+
+
+class TestHostBankCacheInvalidation:
+    """The cached simple/rest partition (SetFrame) must invalidate on key
+    edits, entity rebinds, and membership changes (full_signature covers
+    them); stale caches would keep animating from old keys."""
+
+    def _clip(self, ctx, n=3):
+        clip = CKKeyedAnimation(ctx, "clip")
+        ents = []
+        for i in range(n):
+            e = CK3dObject(ctx, f"e{i}")
+            oa = CKObjectAnimation(ctx, f"oa{i}")
+            oa.Set3dEntity(e)
+            pc = oa.CreateController(CKANIMATION_LINEAR_POS)
+            pc.AddKey(0.0, (0, 0, 0))
+            pc.AddKey(10.0, (float(i + 1), 0, 0))
+            clip.AddAnimation(oa)
+            ents.append(e)
+        return clip, ents
+
+    def test_key_edit_invalidates(self):
+        ctx = CKContext()
+        clip, ents = self._clip(ctx)
+        clip.SetFrame(5.0)
+        np.testing.assert_allclose(ents[2].GetPosition()[0], 1.5, atol=1e-5)
+        clip.animations[2].position_controller.AddKey(10.0, (30.0, 0, 0))
+        clip.SetFrame(5.0)
+        np.testing.assert_allclose(ents[2].GetPosition()[0], 15.0, atol=1e-5)
+
+    def test_unbind_drops_member(self):
+        ctx = CKContext()
+        clip, ents = self._clip(ctx)
+        clip.SetFrame(5.0)
+        clip.animations[1].Set3dEntity(None)
+        clip.SetFrame(10.0)
+        np.testing.assert_allclose(ents[0].GetPosition()[0], 1.0, atol=1e-5)
+        np.testing.assert_allclose(ents[2].GetPosition()[0], 3.0, atol=1e-5)
+
+    def test_membership_change_invalidates(self):
+        ctx = CKContext()
+        clip, ents = self._clip(ctx)
+        clip.SetFrame(5.0)
+        e = CK3dObject(ctx, "late")
+        oa = CKObjectAnimation(ctx, "late")
+        oa.Set3dEntity(e)
+        pc = oa.CreateController(CKANIMATION_LINEAR_POS)
+        pc.AddKey(0.0, (0, 0, 0))
+        pc.AddKey(10.0, (0, 8.0, 0))
+        clip.AddAnimation(oa)
+        clip.SetFrame(5.0)
+        np.testing.assert_allclose(e.GetPosition()[1], 4.0, atol=1e-5)
