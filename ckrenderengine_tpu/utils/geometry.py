@@ -222,37 +222,123 @@ class MeshStriper:
         return np.asarray(out, np.uint32)
 
 
+def _nvstripify(faces: np.ndarray, samples: int):
+    """Multi-sample bidirectional stripifier (native ck_nvstripify or the
+    byte-identical python fallback).
+
+    Per round: sample up to ``samples`` unused seed faces (boundary-first
+    order), grow a candidate strip in BOTH directions from each of the
+    seed's 3 edge orientations, and commit only the longest candidate.
+    Distinct from the greedy one-pass walker in _stripify, mirroring the
+    reference's two algorithms (src/MeshStriper.cpp vs src/NvStripifier.cpp
+    — structure studied, independently implemented)."""
+    f = np.ascontiguousarray(np.asarray(faces, np.uint32))
+    n = f.shape[0]
+    if n == 0:
+        return []
+    samples = max(1, int(samples))
+    lib = native.load()
+    if lib is not None and hasattr(lib, "ck_nvstripify"):
+        out = np.zeros(4 * n + 16, np.uint32)
+        lens = np.zeros(n, np.uint32)
+        nstrips = ctypes.c_uint32(0)
+        lib.ck_nvstripify(_u32p(f), n, samples, _u32p(out), _u32p(lens),
+                          ctypes.byref(nstrips))
+        strips, off = [], 0
+        for i in range(nstrips.value):
+            ln = int(lens[i])
+            strips.append(out[off:off + ln].copy())
+            off += ln
+        return strips
+
+    adj = MeshAdjacency(f).adj
+    degree = (adj != BOUNDARY).sum(axis=1)
+    seeds = np.argsort(degree, kind="stable")
+    used = np.zeros(n, bool)
+    mark = np.zeros(n, np.int64)
+    epoch = 0
+
+    def third(tri, a, b):
+        for v in tri:
+            if v != a and v != b:
+                return int(v)
+        return int(tri[0])
+
+    def grow(cur, ea, eb, ep):
+        verts = []
+        while True:
+            nxt = None
+            for k in range(3):
+                nb = int(adj[cur, k])
+                if nb != BOUNDARY and not used[nb] and mark[nb] != ep:
+                    tri2 = f[nb]
+                    if ea in tri2 and eb in tri2:
+                        nxt = nb
+                        break
+            if nxt is None:
+                return verts
+            nv = third(f[nxt], ea, eb)
+            verts.append(nv)
+            mark[nxt] = ep
+            cur, ea, eb = nxt, eb, nv
+
+    strips = []
+    scan = 0
+    remaining = n
+    while remaining > 0:
+        while scan < n and used[seeds[scan]]:
+            scan += 1
+        best = None          # (faces, seed, rot) — first best wins
+        found = 0
+        for s in range(scan, n):
+            fi = int(seeds[s])
+            if used[fi]:
+                continue
+            found += 1
+            for rot in range(3):
+                v0 = int(f[fi, rot])
+                v1 = int(f[fi, (rot + 1) % 3])
+                v2 = int(f[fi, (rot + 2) % 3])
+                epoch += 1
+                mark[fi] = epoch
+                fw = grow(fi, v1, v2, epoch)
+                bk = grow(fi, v1, v0, epoch)
+                total = 1 + len(fw) + len(bk)
+                if best is None or total > best[0]:
+                    best = (total, fi, rot)
+            if found >= samples:
+                break
+        fi, rot = best[1], best[2]
+        v0 = int(f[fi, rot])
+        v1 = int(f[fi, (rot + 1) % 3])
+        v2 = int(f[fi, (rot + 2) % 3])
+        epoch += 1
+        mark[fi] = epoch
+        fw = grow(fi, v1, v2, epoch)
+        bk = grow(fi, v1, v0, epoch)
+        used[mark == epoch] = True
+        remaining -= 1 + len(fw) + len(bk)
+        strip = ([bk[-1]] if len(bk) % 2 == 1 else []) \
+            + bk[::-1] + [v0, v1, v2] + fw
+        strips.append(np.asarray(strip, np.uint32))
+    return strips
+
+
 class NvStripifier:
-    """NVIDIA-style stripifier (reference src/NvStripifier.cpp): multiple
-    strip-growth experiments from different seed orders, keeping the result
-    with the fewest strips (ties: fewest total indices); cache-aware
-    splitting via ``MaxStripLength``."""
+    """NVIDIA-style stripifier (reference src/NvStripifier.cpp): per round,
+    sample several seed faces, grow candidate strips bidirectionally from
+    every seed edge orientation, commit the longest — a genuinely different
+    algorithm from MeshStriper's greedy walker (typically fewer, longer
+    strips); cache-aware splitting via ``MaxStripLength``."""
 
     def __init__(self, cache_size: int = 16, max_strip_length: int = 0,
-                 experiments: int = 4):
+                 experiments: int = 10):
         self.cache_size = cache_size
         self.max_strip_length = max_strip_length
         self.experiments = max(1, int(experiments))
 
     def Stripify(self, faces) -> list[np.ndarray]:
-        f = np.asarray(faces, np.uint32)
-        n = f.shape[0]
-        best = None
-        rng = np.random.default_rng(0x5712)
-        for e in range(self.experiments):
-            if e == 0:
-                order = np.arange(n)
-            elif e == 1:
-                order = np.arange(n)[::-1]
-            else:
-                order = rng.permutation(n)
-            strips = _stripify(f[order])
-            score = (len(strips), sum(len(s) for s in strips))
-            if best is None or score < best[0]:
-                best = (score, strips)
-            if n < 3:
-                break
-        strips = best[1]
+        strips = _nvstripify(faces, self.experiments)
         if self.max_strip_length and self.max_strip_length >= 3:
             split = []
             for s in strips:

@@ -39,8 +39,10 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and os.path.exists(_SRC):
-            if not _build():
+        stale = (os.path.exists(_SO) and os.path.exists(_SRC)
+                 and os.path.getmtime(_SRC) > os.path.getmtime(_SO))
+        if (not os.path.exists(_SO) or stale) and os.path.exists(_SRC):
+            if not _build() and not os.path.exists(_SO):
                 return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -53,6 +55,12 @@ def load():
         lib.ck_mesh_adjacency.argtypes = [u32p, ctypes.c_uint32, u32p]
         lib.ck_stripify.argtypes = [u32p, ctypes.c_uint32, u32p, u32p, u32p]
         lib.ck_stripify.restype = ctypes.c_uint32
+        try:   # absent from pre-rebuild .so files; consumers hasattr-check
+            lib.ck_nvstripify.argtypes = [u32p, ctypes.c_uint32,
+                                          ctypes.c_uint32, u32p, u32p, u32p]
+            lib.ck_nvstripify.restype = ctypes.c_uint32
+        except AttributeError:
+            pass
         lib.ck_vertex_cache_optimize.argtypes = [
             u32p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, u32p]
         lib.ck_cache_misses.argtypes = [u32p, ctypes.c_uint32, ctypes.c_uint32]

@@ -172,6 +172,134 @@ uint32_t ck_stripify(const uint32_t* indices, uint32_t nfaces,
 }
 
 // ---------------------------------------------------------------------------
+// NVIDIA-style stripifier (distinct from ck_stripify's greedy walker; the
+// reference ships two different algorithms, src/MeshStriper.cpp vs
+// src/NvStripifier.cpp — studied for structure, re-implemented here):
+// repeat { sample up to `samples` unused seed faces; for each seed try all
+// 3 edge orientations, growing a strip BOTH directions from the seed edge;
+// commit only the longest candidate }. Longer strips -> fewer strips than
+// one greedy pass, at the cost of re-growing candidates.
+// ---------------------------------------------------------------------------
+
+static uint32_t nv_grow(const uint32_t* indices, const uint32_t* adj,
+                        const uint8_t* used, uint32_t* mark, uint32_t epoch,
+                        uint32_t cur, uint32_t ea, uint32_t eb,
+                        uint32_t* out_verts) {
+    // Walk across edge (ea,eb) appending third vertices; faces visited in
+    // THIS candidate are epoch-marked so closed rings terminate.
+    uint32_t count = 0;
+    for (;;) {
+        uint32_t next = 0xFFFFFFFFu;
+        for (int k = 0; k < 3; ++k) {
+            uint32_t nb = adj[cur * 3 + k];
+            if (nb != 0xFFFFFFFFu && !used[nb] && mark[nb] != epoch
+                && face_has_edge(&indices[nb * 3], ea, eb)) {
+                next = nb;
+                break;
+            }
+        }
+        if (next == 0xFFFFFFFFu) break;
+        uint32_t nv = third_vertex(&indices[next * 3], ea, eb);
+        out_verts[count++] = nv;
+        mark[next] = epoch;
+        cur = next;
+        ea = eb;
+        eb = nv;
+    }
+    return count;
+}
+
+uint32_t ck_nvstripify(const uint32_t* indices, uint32_t nfaces,
+                       uint32_t samples,
+                       uint32_t* out_indices /* cap 4*nfaces+16 */,
+                       uint32_t* out_strip_lengths /* cap nfaces */,
+                       uint32_t* out_nstrips) {
+    *out_nstrips = 0;
+    if (nfaces == 0) return 0;
+    if (samples == 0) samples = 1;
+    std::vector<uint32_t> adj(nfaces * 3);
+    ck_mesh_adjacency(indices, nfaces, adj.data());
+
+    // Seed preference: low-degree (boundary) faces first, like the strip
+    // tracker; the sampler scans this order for unused faces.
+    std::vector<uint32_t> degree(nfaces, 0);
+    for (uint32_t f = 0; f < nfaces; ++f)
+        for (int k = 0; k < 3; ++k)
+            if (adj[f * 3 + k] != 0xFFFFFFFFu) ++degree[f];
+    std::vector<uint32_t> seeds(nfaces);
+    for (uint32_t i = 0; i < nfaces; ++i) seeds[i] = i;
+    std::stable_sort(seeds.begin(), seeds.end(),
+                     [&](uint32_t a, uint32_t b) { return degree[a] < degree[b]; });
+
+    std::vector<uint8_t> used(nfaces, 0);
+    std::vector<uint32_t> mark(nfaces, 0);
+    std::vector<uint32_t> fwd(nfaces + 3), back(nfaces + 3);
+    uint32_t epoch = 0, scan = 0, remaining = nfaces;
+    uint32_t written = 0, nstrips = 0;
+
+    while (remaining > 0) {
+        // candidate search over up to `samples` unused seeds x 3 rotations
+        uint32_t best_faces = 0, best_seed = 0xFFFFFFFFu, best_rot = 0;
+        uint32_t found = 0;
+        while (scan < nfaces && used[seeds[scan]]) ++scan;
+        for (uint32_t s = scan; s < nfaces && found < samples; ++s) {
+            uint32_t f = seeds[s];
+            if (used[f]) continue;
+            ++found;
+            for (uint32_t rot = 0; rot < 3; ++rot) {
+                uint32_t v0 = indices[f * 3 + rot];
+                uint32_t v1 = indices[f * 3 + (rot + 1) % 3];
+                uint32_t v2 = indices[f * 3 + (rot + 2) % 3];
+                ++epoch;
+                mark[f] = epoch;
+                uint32_t nf = nv_grow(indices, adj.data(), used.data(),
+                                      mark.data(), epoch, f, v1, v2, fwd.data());
+                uint32_t nb = nv_grow(indices, adj.data(), used.data(),
+                                      mark.data(), epoch, f, v1, v0, back.data());
+                uint32_t total = 1 + nf + nb;
+                if (total > best_faces) {
+                    best_faces = total;
+                    best_seed = f;
+                    best_rot = rot;
+                }
+            }
+        }
+        if (best_seed == 0xFFFFFFFFu) break;   // defensive; cannot happen
+
+        // regrow the winner (deterministic given unchanged `used`) + commit
+        uint32_t f = best_seed;
+        uint32_t v0 = indices[f * 3 + best_rot];
+        uint32_t v1 = indices[f * 3 + (best_rot + 1) % 3];
+        uint32_t v2 = indices[f * 3 + (best_rot + 2) % 3];
+        ++epoch;
+        mark[f] = epoch;
+        uint32_t nf = nv_grow(indices, adj.data(), used.data(), mark.data(),
+                              epoch, f, v1, v2, fwd.data());
+        uint32_t nb = nv_grow(indices, adj.data(), used.data(), mark.data(),
+                              epoch, f, v1, v0, back.data());
+        for (uint32_t i = 0; i < nfaces; ++i)
+            if (mark[i] == epoch) { used[i] = 1; }
+        remaining -= 1 + nf + nb;
+
+        // emit: reverse(back) + v0 v1 v2 + fwd; odd back count flips strip
+        // parity, fixed with one leading degenerate duplicate.
+        uint32_t strip_start = written;
+        if (nb % 2 == 1)
+            out_indices[written++] = back[nb - 1];
+        for (uint32_t i = 0; i < nb; ++i)
+            out_indices[written++] = back[nb - 1 - i];
+        out_indices[written++] = v0;
+        out_indices[written++] = v1;
+        out_indices[written++] = v2;
+        for (uint32_t i = 0; i < nf; ++i)
+            out_indices[written++] = fwd[i];
+        out_strip_lengths[nstrips++] = written - strip_start;
+    }
+    *out_nstrips = nstrips;
+    return written;
+}
+
+// ---------------------------------------------------------------------------
 // Vertex-cache optimization (Forsyth 2006 linear-speed algorithm).
 // Reorders faces; writes new face order (indices into the original faces).
 // ---------------------------------------------------------------------------

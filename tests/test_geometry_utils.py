@@ -127,6 +127,75 @@ class TestStripify:
             tri_multiset([[5, 9, 7]])
 
 
+def wind_multiset(faces) -> list:
+    """Winding-AWARE triangle multiset: canonical rotation (min vertex
+    first) preserves cyclic order, so a reversed-winding emission fails."""
+    out = []
+    for f in np.asarray(faces):
+        f = [int(x) for x in f]
+        k = min(range(3), key=lambda i: f[i])
+        out.append(tuple(f[k:] + f[:k]))
+    return sorted(out)
+
+
+class TestNvStripifier:
+    """The multi-sample bidirectional algorithm (distinct from MeshStriper's
+    greedy walker, mirroring the reference's two stripifiers
+    /root/reference/src/MeshStriper.cpp vs src/NvStripifier.cpp)."""
+
+    def test_winding_preserving_coverage(self):
+        for n in (1, 3, 8):
+            faces = grid_faces(n)
+            strips = NvStripifier().Stripify(faces)
+            tris = np.concatenate([strip_to_triangles(s) for s in strips])
+            assert wind_multiset(tris) == wind_multiset(faces)
+
+    def test_backward_growth_parity(self):
+        # A long single row of quads: any interior seed must grow BOTH ways;
+        # the odd-backward-count degenerate fix keeps winding intact.
+        faces = []
+        for c in range(12):
+            a, b, d, e = c, c + 1, c + 14, c + 15
+            faces += [[a, b, e], [a, e, d]]
+        faces = np.asarray(faces, np.uint32)
+        strips = NvStripifier().Stripify(faces)
+        tris = np.concatenate([strip_to_triangles(s) for s in strips])
+        assert wind_multiset(tris) == wind_multiset(faces)
+
+    def test_fewer_or_equal_strips_than_greedy(self):
+        # Strip quality (the reference's reason for shipping NvStripifier):
+        # candidate search + bidirectional growth must never do worse than
+        # the one-pass greedy walker on regular topology.
+        for n in (4, 8, 12):
+            faces = grid_faces(n)
+            nv_strips = NvStripifier().Stripify(faces)
+            ms = MeshStriper()
+            ms.Compute(faces)
+            assert len(nv_strips) <= ms.GetStripCount()
+
+    def test_native_vs_python_identical(self):
+        faces = grid_faces(6)
+        strips_native = NvStripifier().Stripify(faces)
+        lib = native._lib
+        try:
+            native._lib = None
+            native._tried = True
+            strips_py = NvStripifier().Stripify(faces)
+        finally:
+            native._lib = lib
+        assert len(strips_native) == len(strips_py)
+        for a, b in zip(strips_native, strips_py):
+            np.testing.assert_array_equal(a, b)
+
+    def test_nonmanifold_and_isolated(self):
+        # three faces sharing one edge (non-manifold) + an isolated face
+        faces = np.array([[0, 1, 2], [1, 0, 3], [0, 1, 4], [10, 11, 12]],
+                         np.uint32)
+        strips = NvStripifier().Stripify(faces)
+        tris = np.concatenate([strip_to_triangles(s) for s in strips])
+        assert tri_multiset(tris) == tri_multiset(faces)
+
+
 class TestVertexCache:
     def test_fifo_semantics(self):
         c = VertexCache(2)
