@@ -340,9 +340,14 @@ class CKSprite(CK2dEntity):
     def LoadMovie(self, path: str) -> bool:
         """Movie sprites (reference RCKSprite movie load, include/RCKSprite.h):
         decodes multi-frame image files (animated GIF / APNG / multi-frame
-        TIFF via PIL) into image slots; AVI needs a Windows codec and is out
-        of scope — pre-decoded frame stacks also load via SetImage per slot.
+        TIFF via PIL; AVI and other video containers via OpenCV when
+        available — the reference uses Windows VFW codecs) into image slots.
         Frame durations (ms) are kept for SetMovieTime stepping."""
+        if self._load_movie_pil(path):
+            return True
+        return self._load_movie_cv2(path)
+
+    def _load_movie_pil(self, path: str) -> bool:
         try:
             from PIL import Image, ImageSequence
         except ImportError:
@@ -361,6 +366,35 @@ class CKSprite(CK2dEntity):
             n += 1
         if n == 0:
             return False
+        self.SetCurrentSlot(0)
+        return True
+
+    def _load_movie_cv2(self, path: str) -> bool:
+        """Video containers (AVI/MP4/...) through OpenCV's bundled ffmpeg."""
+        try:
+            import cv2
+        except ImportError:
+            return False
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            return False
+        fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+        dur_ms = 1000.0 / fps if fps > 1e-3 else 100.0
+        durations = []
+        n = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            rgba = np.ones(frame.shape[:2] + (4,), np.float32)
+            rgba[..., :3] = frame[..., 2::-1].astype(np.float32) / 255.0
+            self.SetImage(rgba, slot=n)
+            durations.append(dur_ms)
+            n += 1
+        cap.release()
+        if n == 0:
+            return False
+        self._movie_durations = durations
         self.SetCurrentSlot(0)
         return True
 

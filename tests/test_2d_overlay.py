@@ -298,3 +298,28 @@ class TestMovieSprite:
         ctx = CKContext()
         sp = CKSprite(ctx, "m")
         assert not sp.LoadMovie("/nonexistent/clip.gif")
+
+    def test_avi_movie_via_opencv(self, tmp_path):
+        """AVI containers decode through OpenCV (the reference uses Windows
+        VFW codecs, include/RCKSprite.h movie load)."""
+        cv2 = pytest.importorskip("cv2")
+        from ckrenderengine_tpu.objects import CKSprite
+
+        p = str(tmp_path / "clip.avi")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                            (32, 32))
+        for i in range(5):
+            img = np.zeros((32, 32, 3), np.uint8)
+            img[..., 2] = 50 * i          # red ramp (BGR layout)
+            w.write(img)
+        w.release()
+
+        ctx = CKContext()
+        sp = CKSprite(ctx, "movie")
+        assert sp.LoadMovie(p)
+        assert sp.GetMovieFrameCount() == 5
+        assert sp.GetMovieLength() == pytest.approx(500.0)
+        sp.SetMovieTime(250.0)            # 100 ms/frame -> slot 2
+        img = sp.GetImage(sp.GetCurrentSlot())
+        assert abs(float(img[..., 0].mean()) - 100 / 255) < 0.05  # MJPG lossy
+        assert np.all(img[..., 3] == 1.0)
