@@ -324,6 +324,10 @@ def build_config4():
     sun.SetOrientation((0.3, -1.0, 0.4))
     sun.SetSpecularFlag(True)
 
+    # Device-bound clip: track evaluation fuses into the frame program
+    # (animate -> compose -> skin -> render); SetFrame ships one scalar.
+    assert rc.BindAnimation(clip)
+
     state = {"t": 0.0}
 
     def tick(i):

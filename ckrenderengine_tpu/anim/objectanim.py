@@ -594,6 +594,26 @@ class CKKeyedAnimation(CKAnimation):
         in one batched assignment — the reference's per-member SetStep loop
         (src/CKObjectAnimation.cpp:1674) is O(bones) Python overhead on a
         128-bone character. The rest keep the exact per-animation path."""
+        if getattr(self, "_device_rc", None) is not None:
+            # Device-bound (CKRenderContext.BindAnimation): the clip's bank
+            # evaluates INSIDE the frame program at the packed scalar time —
+            # this call records the time only. Host-side entity matrices
+            # stay at their last-synced pose; call SyncToHost() before host
+            # queries (GetPosition/picking) that must see the current frame.
+            self.frame = float(frame)
+            self._host_stale = True
+            self._device_rc.context._bump_dynamic()
+            return
+        self._set_frame_host(frame)
+
+    def SyncToHost(self):
+        """Evaluate the current frame on the host (entity-table update) for
+        a device-bound clip, e.g. before picking or GetPosition queries."""
+        if getattr(self, "_host_stale", False):
+            self._host_stale = False
+            self._set_frame_host(self.frame)
+
+    def _set_frame_host(self, frame: float):
         from . import host_bank as hb
         from ..scene import entity_table as et
 
@@ -629,14 +649,33 @@ class CKKeyedAnimation(CKAnimation):
 
     # -- device bank --------------------------------------------------------
     def bank(self):
-        """AnimBank over all member animations with a bound entity."""
+        """AnimBank over all member animations with a bound entity; cached
+        on the full controller signature so key edits rebuild it."""
+        from . import host_bank as hb
         from .bank import build_anim_bank
 
-        if self._bank is None:
+        sig = hb.full_signature(self.animations)
+        if self._bank is None or self._bank_version != sig:
             anims = [a for a in self.animations if a.Get3dEntity() is not None]
             rows = [a.Get3dEntity().row for a in anims]
             self._bank = build_anim_bank(anims, rows)
+            self._bank_version = sig
         return self._bank
+
+    def device_eligible(self) -> bool:
+        """Every member evaluable by the device bank: bound entity, no merge
+        sources, no morph, no scale-axis track (those stay host-evaluated)."""
+        for a in self.animations:
+            if a.Get3dEntity() is None or a._merge_a is not None \
+                    or a._merge_b is not None:
+                return False
+            sax = a.scale_axis_controller
+            if sax is not None and sax.GetKeyCount() > 0:
+                return False
+            mc = a.morph_controller
+            if mc is not None and mc.GetKeyCount() > 0:
+                return False
+        return bool(self.animations)
 
     def invalidate_bank(self):
         self._bank = None

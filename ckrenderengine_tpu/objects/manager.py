@@ -238,6 +238,9 @@ class CKRenderContext(CKObject):
         self.user_clip_planes: dict[int, tuple] = {}
         # Framebuffer band sharding over a device mesh (tile_shard.py).
         self._tile_mesh = None
+        # Device-bound keyed animation (BindAnimation): the clip's track
+        # bank evaluates inside the frame program at a packed scalar time.
+        self._bound_clip = None
         # API-surface state: stencil bit allocator, global render mode,
         # immediate-mode DrawPrimitive transforms/material/staging.
         self._stencil_used_mask = 0
@@ -1503,14 +1506,49 @@ class CKRenderContext(CKObject):
         self._video_patch_cache = (key, out)
         return out
 
-    def _ensure_packed_layout(self, n, s, l, sp, qb, qf, cp=0, vt=0):
+    def BindAnimation(self, clip) -> bool:
+        """Run ``clip`` (a CKKeyedAnimation) on DEVICE: its track bank fuses
+        into the frame program (animate -> compose -> skin -> render) and
+        ``clip.SetFrame(t)`` costs one packed f32 scalar per frame instead
+        of host-side track evaluation — the TPU inversion of the reference's
+        per-tick CPU controller loop (src/CKObjectAnimation.cpp:1674).
+
+        Host-side entity matrices stop tracking the clip while bound; call
+        ``clip.SyncToHost()`` before host queries that must see the pose.
+        Returns False (no binding) if any member animation needs host-only
+        features (morph / merge / scale-axis) or lacks an entity."""
+        if clip is None or not clip.device_eligible():
+            return False
+        if self._bound_clip is not None and self._bound_clip is not clip:
+            self.UnbindAnimation()
+        self._bound_clip = clip
+        clip._device_rc = self
+        clip._host_stale = True
+        self.context._bump_dynamic()
+        return True
+
+    def UnbindAnimation(self):
+        """Return the bound clip (if any) to host evaluation, syncing the
+        entity table to its current frame."""
+        clip, self._bound_clip = self._bound_clip, None
+        if clip is not None:
+            clip._device_rc = None
+            clip.SyncToHost()
+            self.context._bump_dynamic()
+
+    def GetBoundAnimation(self):
+        return self._bound_clip
+
+    def _ensure_packed_layout(self, n, s, l, sp, qb, qf, cp=0, vt=0, ab=0):
         from ..pipeline.packing import DynLayout
 
-        sig = (n, s, l, sp, qb, qf, cp, vt)
+        sig = (n, s, l, sp, qb, qf, cp, vt, ab)
         if self._layout_sig == sig:
             return
         self._layout_sig = sig
         lay = DynLayout()
+        if ab:
+            lay.add_f("anim_t", ())
         if vt:
             lay.add_f("tex_patch", (vt, 4))
         if cp:
@@ -1696,8 +1734,10 @@ class CKRenderContext(CKObject):
         planes = self._active_clip_planes()
         vt, vt_idx, vt_plan = self._video_patch_info(c)
         self._video_patch = (vt, vt_idx, vt_plan)
+        clip = self._bound_clip
         self._ensure_packed_layout(n, si.shape[0], lt["type"].shape[0], sp,
-                                   qb, qf, planes.shape[0], vt)
+                                   qb, qf, planes.shape[0], vt,
+                                   1 if clip is not None else 0)
         static = self._packed_static_dict(c, n)
         view, proj, cam_pos = self._camera_np()
 
@@ -1734,6 +1774,8 @@ class CKRenderContext(CKObject):
             fog_color=self.fog_color, clear_color=self.background_color,
             clear_z=self.clear_z,
         )
+        if clip is not None:
+            vals["anim_t"] = clip.frame
         if planes.shape[0]:
             vals["clip_planes"] = planes
         if vt:
@@ -1797,6 +1839,7 @@ class CKRenderContext(CKObject):
             texdev_rects=tuple(texdev_rects),
             layout=self._layout, levels=self._compiled.levels,
             height=self.height, width=self.width, skin=c.skin_bank,
+            anim=clip.bank() if clip is not None else None,
             sprites_static=self._sprites_static, lines=c.line_bank,
             ordered_cap=c.ordered_cap, sort_transparent=sort_t,
             want_stencil=c.has_stencil, vertex_shader=self.vertex_shader,
@@ -1896,6 +1939,10 @@ class CKRenderContext(CKObject):
         if self.stereo_enabled:
             from ..pipeline.overlay import build_quad_bank
 
+            # The stereo path builds SceneDevice directly (no packed anim_t
+            # slot); a bound clip falls back to host evaluation here.
+            if self._bound_clip is not None:
+                self._bound_clip.SyncToHost()
             with PhaseTimer(ph, "SceneBuildTime"):
                 scene = self._build_scene_device()
             self._render_stereo(scene, build_quad_bank(quads_bg_list),
@@ -3437,6 +3484,7 @@ class CKRenderManager(CKObject):
                params["want_bump"] != filled[0][3]["want_bump"] or \
                params["want_cube"] != filled[0][3]["want_cube"] or \
                params["pixel_shader"] is not filled[0][3]["pixel_shader"] or \
+               params["anim"] is not filled[0][3]["anim"] or \
                params["sort_transparent"] != filled[0][3]["sort_transparent"]:
                 return False
         static, _f0, _i0, params = filled[0]

@@ -674,7 +674,8 @@ def _apply_tex_patch(static: dict, d: dict, layout: tuple,
 
 def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              levels: tuple, height: int, width: int,
-                             skin=None, sprites_static=None, lines=None,
+                             skin=None, anim=None,
+                             sprites_static=None, lines=None,
                              ordered_cap: int | None = None, chunk: int = 64,
                              sort_transparent: bool = True,
                              want_stencil: bool = False,
@@ -760,8 +761,13 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
             color=d[f"{prefix}_color"], tex=d[f"{prefix}_tex"],
             blend=d[f"{prefix}_blend"], valid=d[f"{prefix}_valid"] != 0)
 
+    # Device animation: the bound clip's bank evaluates INSIDE the frame
+    # program at the packed scalar time (host cost per frame = 4 bytes).
+    anim_t = d["anim_t"] if (anim is not None
+                             and has_field(layout, "anim_t")) else 0.0
     return render_frame_full_impl(
         scene, levels, height, width, skin=skin, sprites=sprites,
+        anim=anim, anim_t=anim_t,
         quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
         ordered_cap=ordered_cap, chunk=chunk,
         sort_transparent=sort_transparent, want_stencil=want_stencil,
@@ -789,7 +795,8 @@ render_frame_packed = functools.partial(
                      "want_cube", "texdev_rects"))
 def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  levels: tuple, height: int, width: int,
-                                 skin=None, sprites_static=None, lines=None,
+                                 skin=None, anim=None,
+                                 sprites_static=None, lines=None,
                                  ordered_cap: int | None = None,
                                  chunk: int = 64,
                                  sort_transparent: bool = True,
@@ -808,7 +815,7 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
     def one(df, di):
         return render_frame_packed_impl(
             static, df, di, layout, levels, height, width, skin=skin,
-            sprites_static=sprites_static, lines=lines,
+            anim=anim, sprites_static=sprites_static, lines=lines,
             ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=want_stencil,
             vertex_shader=vertex_shader, pixel_shader=pixel_shader,

@@ -623,3 +623,95 @@ class TestHostBankCacheInvalidation:
         clip.AddAnimation(oa)
         clip.SetFrame(5.0)
         np.testing.assert_allclose(e.GetPosition()[1], 4.0, atol=1e-5)
+
+
+class TestDeviceBoundAnimation:
+    """rc.BindAnimation(clip): the clip's track bank evaluates inside the
+    frame program (animate stage); SetFrame costs one packed scalar."""
+
+    def _scene(self):
+        from ckrenderengine_tpu.objects import CKCamera, CKMaterial, CKMesh
+        ctx = CKContext()
+        rc = ctx.GetRenderManager().CreateRenderContext(64, 64)
+        cam = CKCamera(ctx, "cam")
+        cam.SetPosition((0, 0, -6))
+        rc.AttachViewpointToCamera(cam)
+        mesh = CKMesh(ctx, "tri")
+        mesh.SetPositions(np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]],
+                                   np.float32))
+        mesh.SetFaces(np.array([[0, 2, 1]], np.int32))
+        mesh.BuildNormals()
+        mat = CKMaterial(ctx, "m")
+        mat.SetEmissive((1, 0.5, 0.2, 1))
+        mesh.ApplyGlobalMaterial(mat)
+        obj = CK3dObject(ctx, "o")
+        obj.SetCurrentMesh(mesh)
+        clip = CKKeyedAnimation(ctx, "clip")
+        oa = CKObjectAnimation(ctx, "oa")
+        oa.Set3dEntity(obj)
+        pc = oa.CreateController(CKANIMATION_LINEAR_POS)
+        pc.AddKey(0.0, (0, 0, 0))
+        pc.AddKey(10.0, (1.5, 0, 0))
+        clip.AddAnimation(oa)
+        return ctx, rc, obj, clip
+
+    def test_bound_matches_host_render(self):
+        ctx, rc, obj, clip = self._scene()
+        host = []
+        for t in (0.0, 3.0, 7.0):
+            clip.SetFrame(t)
+            rc.Render()
+            host.append(np.asarray(rc.framebuffer()).copy())
+        assert rc.BindAnimation(clip)
+        dev = []
+        for t in (0.0, 3.0, 7.0):
+            clip.SetFrame(t)
+            rc.Render()
+            dev.append(np.asarray(rc.framebuffer()).copy())
+        for h, d in zip(host, dev):
+            assert np.abs(h - d).mean() < 1e-3
+        assert np.abs(dev[0] - dev[2]).mean() > 1e-3   # really animates
+
+    def test_key_edit_while_bound_rebuilds_bank(self):
+        ctx, rc, obj, clip = self._scene()
+        assert rc.BindAnimation(clip)
+        clip.SetFrame(10.0)
+        rc.Render()
+        before = np.asarray(rc.framebuffer()).copy()
+        clip.animations[0].position_controller.AddKey(10.0, (-1.5, 0, 0))
+        rc.Render()
+        after = np.asarray(rc.framebuffer()).copy()
+        assert np.abs(before - after).mean() > 1e-3
+
+    def test_unbind_syncs_host(self):
+        ctx, rc, obj, clip = self._scene()
+        assert rc.BindAnimation(clip)
+        clip.SetFrame(10.0)            # host stays stale while bound
+        np.testing.assert_allclose(obj.GetPosition()[0], 0.0, atol=1e-6)
+        rc.UnbindAnimation()
+        np.testing.assert_allclose(obj.GetPosition()[0], 1.5, atol=1e-5)
+        assert rc.GetBoundAnimation() is None
+
+    def test_sync_to_host_on_demand(self):
+        ctx, rc, obj, clip = self._scene()
+        assert rc.BindAnimation(clip)
+        clip.SetFrame(5.0)
+        clip.SyncToHost()
+        np.testing.assert_allclose(obj.GetPosition()[0], 0.75, atol=1e-5)
+
+    def test_morph_member_rejected(self):
+        ctx, rc, obj, clip = self._scene()
+        from ckrenderengine_tpu.objects import CKMesh
+        ent = CK3dObject(ctx, "morphed")
+        mesh = CKMesh(ctx, "m2")
+        base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        mesh.SetPositions(base)
+        mesh.SetFaces(np.array([[0, 1, 2]], np.int32))
+        ent.SetCurrentMesh(mesh)
+        oa = CKObjectAnimation(ctx, "morph")
+        oa.Set3dEntity(ent)
+        mc = oa.CreateMorphController(3)
+        mc.AddKey(0.0, base)
+        mc.AddKey(10.0, base + 1.0)
+        clip.AddAnimation(oa)
+        assert not rc.BindAnimation(clip)
