@@ -57,6 +57,13 @@ class AnimBank(NamedTuple):
     base_pos: jnp.ndarray     # (A,3)
     base_rot: jnp.ndarray     # (A,4)
     base_scl: jnp.ndarray     # (A,3)
+    # Scatter-free application (built when n_entities is known): row i of the
+    # entity table takes bank lane inv_row[i] (A = "keep local[i]"). Turns
+    # the (A,4,4)->(N,4,4) scatter into gather+select, which XLA TPU fuses
+    # freely (a scatter output feeding the frame program forces copy/alias
+    # bookkeeping around the raster loops).
+    inv_row: jnp.ndarray | None = None   # (N,) int32 in [0, A]
+    has_anim: jnp.ndarray | None = None  # (N,) bool
 
 
 def evaluate_bank_prs(bank: AnimBank, t: jnp.ndarray):
@@ -93,11 +100,25 @@ def prs_to_locals(pos, rot, scl):
     return jax.vmap(vx.compose_prs)(pos, rot, scl)
 
 
+def _merge_locals(local: jnp.ndarray, bank: AnimBank,
+                  mats: jnp.ndarray) -> jnp.ndarray:
+    """Write the bank lanes' matrices into the entity-table rows.
+
+    Prefers the scatter-free gather+select form (inv_row present); falls
+    back to a scatter when the bank was built without the entity count."""
+    if bank.inv_row is not None and bank.inv_row.shape[0] == local.shape[0]:
+        padded = jnp.concatenate(
+            [mats, jnp.eye(4, dtype=mats.dtype)[None]], axis=0)
+        picked = jnp.take(padded, bank.inv_row, axis=0)
+        return jnp.where(bank.has_anim[:, None, None], picked, local)
+    return local.at[bank.entity_row].set(mats, mode="drop")
+
+
 def apply_bank(local: jnp.ndarray, bank: AnimBank, t) -> jnp.ndarray:
-    """Evaluate at time t and scatter the (A,4,4) locals into (N,4,4)."""
+    """Evaluate at time t and merge the (A,4,4) locals into (N,4,4)."""
     pos, rot, scl = evaluate_bank_prs(bank, t)
     mats = prs_to_locals(pos, rot, scl)
-    return local.at[bank.entity_row].set(mats, mode="drop")
+    return _merge_locals(local, bank, mats)
 
 
 def apply_bank_blended(local: jnp.ndarray, bank_a: AnimBank, t_a,
@@ -108,14 +129,17 @@ def apply_bank_blended(local: jnp.ndarray, bank_a: AnimBank, t_a,
     p1, r1, s1 = evaluate_bank_prs(bank_b, t_b)
     pos, rot, scl = blend_prs(p0, r0, s0, p1, r1, s1, factor)
     mats = prs_to_locals(pos, rot, scl)
-    return local.at[bank_a.entity_row].set(mats, mode="drop")
+    return _merge_locals(local, bank_a, mats)
 
 
 def build_anim_bank(object_anims: list, entity_rows: list[int],
-                    pad_keys: int | None = None) -> AnimBank | None:
+                    pad_keys: int | None = None,
+                    n_entities: int | None = None) -> AnimBank | None:
     """Host: pack CKObjectAnimation controllers into an AnimBank.
 
     object_anims[i] animates entity_rows[i]. Returns None when empty.
+    ``n_entities`` (the entity-table row count) enables the scatter-free
+    application path (inv_row/has_anim).
     """
     if not object_anims:
         return None
@@ -184,6 +208,15 @@ def build_anim_bank(object_anims: list, entity_rows: list[int],
             scl_tin[i], scl_tout[i] = ti_, to_
             scl_mode[i], scl_ease[i], scl_n[i] = m_, e_, n_
 
+    inv_row = has_anim = None
+    if n_entities is not None:
+        inv_np = np.full(n_entities, a, np.int32)
+        rows_np = np.asarray(entity_rows, np.int64)
+        ok = (rows_np >= 0) & (rows_np < n_entities)
+        inv_np[rows_np[ok]] = np.nonzero(ok)[0].astype(np.int32)
+        inv_row = jnp.asarray(inv_np)
+        has_anim = jnp.asarray(inv_np < a)
+
     j = jnp.asarray
     return AnimBank(
         entity_row=j(np.asarray(entity_rows, np.int32)),
@@ -196,4 +229,5 @@ def build_anim_bank(object_anims: list, entity_rows: list[int],
         scl_times=j(scl_times), scl_values=j(scl_values), scl_tin=j(scl_tin),
         scl_tout=j(scl_tout), scl_mode=j(scl_mode), scl_ease=j(scl_ease),
         scl_n=j(scl_n),
-        base_pos=j(base_pos), base_rot=j(base_rot), base_scl=j(base_scl))
+        base_pos=j(base_pos), base_rot=j(base_rot), base_scl=j(base_scl),
+        inv_row=inv_row, has_anim=has_anim)

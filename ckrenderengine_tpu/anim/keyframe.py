@@ -40,7 +40,12 @@ def _segment(times, t, n_keys):
     k = times.shape[0]
     nk = jnp.maximum(n_keys, 1)
     last = nk - 1
-    idx = jnp.searchsorted(times, t, side="right") - 1
+    # Vectorized segment search (== searchsorted(times, t, side="right") - 1
+    # for the padded ascending key arrays): a K-wide compare+sum keeps the
+    # frame program straight-line — jnp.searchsorted's default scan method
+    # lowers to a while loop, which costs XLA TPU its scheduling freedom
+    # around the op (and track key counts are tiny).
+    idx = jnp.sum((times <= t).astype(jnp.int32)) - 1
     idx = jnp.clip(idx, 0, jnp.maximum(last - 1, 0))
     t0 = times[idx]
     t1 = times[jnp.minimum(idx + 1, last)]

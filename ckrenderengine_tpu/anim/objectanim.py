@@ -648,17 +648,19 @@ class CKKeyedAnimation(CKAnimation):
             a.SetStep(frame)
 
     # -- device bank --------------------------------------------------------
-    def bank(self):
+    def bank(self, n_entities: int | None = None):
         """AnimBank over all member animations with a bound entity; cached
-        on the full controller signature so key edits rebuild it."""
+        on the full controller signature so key edits rebuild it.
+        ``n_entities`` (entity-table row count) enables the scatter-free
+        device application (anim/bank.py inv_row path)."""
         from . import host_bank as hb
         from .bank import build_anim_bank
 
-        sig = hb.full_signature(self.animations)
+        sig = (hb.full_signature(self.animations), n_entities)
         if self._bank is None or self._bank_version != sig:
             anims = [a for a in self.animations if a.Get3dEntity() is not None]
             rows = [a.Get3dEntity().row for a in anims]
-            self._bank = build_anim_bank(anims, rows)
+            self._bank = build_anim_bank(anims, rows, n_entities=n_entities)
             self._bank_version = sig
         return self._bank
 

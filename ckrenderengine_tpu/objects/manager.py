@@ -1736,8 +1736,7 @@ class CKRenderContext(CKObject):
         self._video_patch = (vt, vt_idx, vt_plan)
         clip = self._bound_clip
         self._ensure_packed_layout(n, si.shape[0], lt["type"].shape[0], sp,
-                                   qb, qf, planes.shape[0], vt,
-                                   1 if clip is not None else 0)
+                                   qb, qf, planes.shape[0], vt, 0)
         static = self._packed_static_dict(c, n)
         view, proj, cam_pos = self._camera_np()
 
@@ -1774,8 +1773,6 @@ class CKRenderContext(CKObject):
             fog_color=self.fog_color, clear_color=self.background_color,
             clear_z=self.clear_z,
         )
-        if clip is not None:
-            vals["anim_t"] = clip.frame
         if planes.shape[0]:
             vals["clip_planes"] = planes
         if vt:
@@ -1834,12 +1831,23 @@ class CKRenderContext(CKObject):
             texdev.append(dimg)
             texdev_rects.append((pi, oy, ox, h, w, mip_col, levels,
                                  c.textures[i].device_image_chw()))
+        # Bound-clip animation: evaluate tracks + compose world matrices in
+        # their own tiny device program (pipeline/frame.py eval_anim_world);
+        # the frame program receives the (N,4,4) result via ``world_in``.
+        # (Embedding the bank in the frame program compiled 250x slower —
+        # the executable is identical-flops but XLA schedules it badly.)
+        world_in = None
+        if clip is not None:
+            world_in = fr.eval_anim_world(
+                table.local[:n].copy(), static["parent"],
+                clip.bank(n_entities=n), np.float32(clip.frame),
+                self._compiled.levels)
         params = dict(
             texdev=tuple(texdev) if texdev else None,
             texdev_rects=tuple(texdev_rects),
             layout=self._layout, levels=self._compiled.levels,
             height=self.height, width=self.width, skin=c.skin_bank,
-            anim=clip.bank() if clip is not None else None,
+            anim=None, world_in=world_in,
             sprites_static=self._sprites_static, lines=c.line_bank,
             ordered_cap=c.ordered_cap, sort_transparent=sort_t,
             want_stencil=c.has_stencil, vertex_shader=self.vertex_shader,

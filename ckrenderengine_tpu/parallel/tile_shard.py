@@ -42,7 +42,7 @@ from ..pipeline import frame as fr
 def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
                                levels: tuple, height: int, width: int,
                                mesh: Mesh, axis: str = "band",
-                               skin=None, anim=None,
+                               skin=None, anim=None, world_in=None,
                                sprites_static=None, lines=None,
                                ordered_cap: int | None = None,
                                chunk: int = 64,
@@ -69,7 +69,7 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
         y0 = (b * band_h).astype(jnp.float32)
         out = fr.render_frame_packed_impl(
             static_, dyn_f_, dyn_i_, layout, levels, band_h, width,
-            skin=skin, anim=anim,
+            skin=skin, anim=anim, world_in=world_in,
             sprites_static=sprites_static, lines=lines,
             ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=False,

@@ -541,6 +541,7 @@ render_frame = functools.partial(
 def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            width: int, skin=None, anim=None, anim_t=0.0,
                            anim_b=None, anim_b_t=0.0, blend=0.0,
+                           world_in=None,
                            sprites=None, quads_bg=None, quads_fg=None,
                            lines=None,
                            ordered_cap: int | None = None, chunk: int = 64,
@@ -573,11 +574,20 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
     from .skinning import apply_skin
 
     local = scene.local
-    if anim is not None and anim_b is not None:
-        local = apply_bank_blended(local, anim, anim_t, anim_b, anim_b_t, blend)
-    elif anim is not None:
-        local = apply_bank(local, anim, anim_t)
-    world = compose_world(local, scene.parent, levels)
+    if world_in is not None:
+        # World matrices were produced by a separate device program
+        # (eval_anim_world): the tiny animate+compose graph stays out of the
+        # frame program, whose XLA compilation is sensitive to upstream
+        # graph changes (an embedded anim bank measured 250x slower on TPU
+        # with identical flops — see docs/PERFORMANCE.md).
+        world = world_in
+    else:
+        if anim is not None and anim_b is not None:
+            local = apply_bank_blended(local, anim, anim_t, anim_b, anim_b_t,
+                                       blend)
+        elif anim is not None:
+            local = apply_bank(local, anim, anim_t)
+        world = compose_world(local, scene.parent, levels)
     positions, normals = scene.positions, scene.normals
     if skin is not None:
         positions, normals = apply_skin(world, positions, normals, skin)
@@ -674,7 +684,7 @@ def _apply_tex_patch(static: dict, d: dict, layout: tuple,
 
 def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              levels: tuple, height: int, width: int,
-                             skin=None, anim=None,
+                             skin=None, anim=None, world_in=None,
                              sprites_static=None, lines=None,
                              ordered_cap: int | None = None, chunk: int = 64,
                              sort_transparent: bool = True,
@@ -767,7 +777,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              and has_field(layout, "anim_t")) else 0.0
     return render_frame_full_impl(
         scene, levels, height, width, skin=skin, sprites=sprites,
-        anim=anim, anim_t=anim_t,
+        anim=anim, anim_t=anim_t, world_in=world_in,
         quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
         ordered_cap=ordered_cap, chunk=chunk,
         sort_transparent=sort_transparent, want_stencil=want_stencil,
@@ -775,6 +785,28 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         want_bump=want_bump,
         want_cube=want_cube, want_stats=want_stats,
         prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def eval_anim_world(local, parent, anim, anim_t, levels,
+                    anim_b=None, anim_b_t=0.0, blend=0.0):
+    """Standalone device program: bound-clip track evaluation + world
+    composition -> (N,4,4) world matrices.
+
+    Kept OUT of the frame program deliberately: XLA's global optimization of
+    the ~10k-op frame graph is fragile to upstream additions (embedding this
+    ~1.2k-op bank eval made the whole compiled frame 250x slower on TPU with
+    identical flop counts). As its own executable it costs ~0.5 ms of
+    pipelined dispatch and its output feeds render_frame_packed via
+    ``world_in`` — still zero host round trips per frame."""
+    from ..anim.bank import apply_bank, apply_bank_blended
+
+    if anim_b is not None:
+        local = apply_bank_blended(local, anim, anim_t, anim_b, anim_b_t,
+                                   blend)
+    else:
+        local = apply_bank(local, anim, anim_t)
+    return compose_world(local, parent, levels)
 
 
 render_frame_packed = functools.partial(

@@ -90,7 +90,14 @@ def compose_world(local: jnp.ndarray, parent: jnp.ndarray, levels: tuple) -> jnp
     ``levels`` is the static schedule from :func:`compute_levels` (tuple of
     tuples/arrays so it hashes into the jit cache). Replaces the reference's
     WorldMatrixChanged recursion (src/CK3dEntity.cpp:2091-2207).
+
+    Deep hierarchies (e.g. a 128-bone chain) switch to pointer doubling:
+    the level walk is a data-dependency chain of len(levels) tiny
+    scatter+matmul steps that XLA must schedule sequentially, while doubling
+    needs only ceil(log2(depth)) batched gather+matmul rounds.
     """
+    if len(levels) > 12:
+        return _compose_world_doubling_unrolled(local, parent, len(levels))
     world = local
     for li, idx in enumerate(levels):
         if li == 0:
@@ -100,6 +107,30 @@ def compose_world(local: jnp.ndarray, parent: jnp.ndarray, levels: tuple) -> jnp
         lw = jnp.matmul(local[idx], world[p])
         world = world.at[idx].set(lw)
     return world
+
+
+def _compose_world_doubling_unrolled(local: jnp.ndarray, parent: jnp.ndarray,
+                                     max_depth: int) -> jnp.ndarray:
+    """Pointer doubling with a statically unrolled round count (the round
+    count is host-known, so unrolling lets XLA fuse each gather+matmul+where
+    round instead of carrying a fori_loop)."""
+    n = local.shape[0]
+    link = jnp.where(parent < 0, jnp.arange(n, dtype=jnp.int32),
+                     parent.astype(jnp.int32))
+    ident = jnp.broadcast_to(jnp.eye(4, dtype=local.dtype), local.shape)
+    is_root = parent < 0
+    # chain[i] = product of local matrices of i's ancestors (nearest first).
+    chain = jnp.where(is_root[:, None, None], ident,
+                      jnp.take(local, link, axis=0))
+    steps = max(1, int(np.ceil(np.log2(max(max_depth, 2)))))
+    rng = jnp.arange(n, dtype=jnp.int32)
+    for _ in range(steps):
+        parent_chain = jnp.take(chain, link, axis=0)
+        at_root = link == rng
+        chain = jnp.where(at_root[:, None, None], chain,
+                          jnp.matmul(chain, parent_chain))
+        link = jnp.take(link, link, axis=0)
+    return jnp.where(is_root[:, None, None], local, jnp.matmul(local, chain))
 
 
 def compose_world_doubling(local: jnp.ndarray, parent: jnp.ndarray, max_depth: int) -> jnp.ndarray:

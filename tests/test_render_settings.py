@@ -17,6 +17,10 @@ ALL_OPTIONS = [
     "EnsureVertexShader", "ForceSoftware", "DisableFilter",
     "DisableDithering", "Antialias", "DisableMipmap", "DisableSpecular",
     "DisablePerspectiveCorrection",
+    # 18th option, beyond the reference's 17: surfaces the g_FogProjectionMode
+    # global (reference src/CKMaterial.cpp:49, applied CKRenderedScene.cpp:416)
+    # as a settings key, since a headless build has no SetGlobalFogMode export.
+    "FogProjectionMode",
 ]
 
 
