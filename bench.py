@@ -133,6 +133,42 @@ def build_scene(width: int, height: int):
     return ctx, rc, spinner
 
 
+def honest_fps(rc, tick, windows: int = 2, target_s: float = 6.0,
+               max_frames: int = 60) -> float:
+    """Frame rate with REAL device completion per window.
+
+    `jax.block_until_ready` on the axon TPU tunnel does not actually wait
+    (a "blocked" loop measured 0.8 ms/frame while the final readback drained
+    a 380 s backlog — round-2 discovery, docs/PERFORMANCE.md). Honest
+    protocol: drain via a full `device_get` BEFORE each window, then time
+    [N frames + one final full readback] — the readback cannot complete
+    until every frame in the window has truly rendered. Window length adapts
+    to the measured frame time so slow scenes don't run for minutes."""
+    import jax
+
+    tick(0)
+    rc.Render()
+    np.asarray(jax.device_get(rc.fb))          # drain any backlog
+    t0 = time.perf_counter()
+    tick(1)
+    rc.Render()
+    np.asarray(jax.device_get(rc.fb))
+    frame_s = max(time.perf_counter() - t0, 1e-4)
+    n = max(3, min(max_frames, int(target_s / frame_s)))
+    best = 0.0
+    k = 2
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _i in range(n):
+            tick(k)
+            k += 1
+            rc.Render()
+            jax.block_until_ready(rc.fb)
+        np.asarray(jax.device_get(rc.fb))      # force true completion
+        best = max(best, n / (time.perf_counter() - t0))
+    return best
+
+
 def main():
     import os
 
@@ -144,19 +180,10 @@ def main():
     rc.Render()
     jax.block_until_ready(rc.fb)
 
-    # Best of 3 windows (per-frame blocking inside each): the tunnel shares
-    # a host — a busy neighbor can halve one window; the best window is the
-    # engine's actual frame latency.
-    n_frames = 60
-    fps = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for i in range(n_frames):
-            spinner.Rotate((0, 1, 0), 0.01)
-            rc.Render()
-            jax.block_until_ready(rc.fb)   # real per-frame latency
-        dt = time.perf_counter() - t0
-        fps = max(fps, n_frames / dt)
+    def tick(i):
+        spinner.Rotate((0, 1, 0), 0.01)
+
+    fps = honest_fps(rc, tick)
     tris = rc.GetStats().NbTrianglesDrawn
     result = {
         "metric": f"fps_1024x768_ballance_scale_{tris}tris",

@@ -357,6 +357,7 @@ CONFIGS = {
 
 
 def run(name: str, frames: int, phases: bool) -> dict:
+    import bench
     import jax
 
     rc, tick, label = CONFIGS[name]()
@@ -367,16 +368,24 @@ def run(name: str, frames: int, phases: bool) -> dict:
     rc.Render()
     jax.block_until_ready(rc.fb)
 
+    # Honest timing (pre-drain + final full readback per window): see
+    # bench.honest_fps — block_until_ready alone does not wait on the
+    # axon tunnel and measures dispatch rate, not rendering.
     host_ms = 0.0
-    t0 = time.perf_counter()
-    for i in range(frames):
+    n_ticks = 0
+
+    def timed_tick(i):
+        nonlocal host_ms, n_ticks
         th = time.perf_counter()
-        tick(i + 1)
+        tick(i)
         host_ms += time.perf_counter() - th
-        rc.Render()
-        jax.block_until_ready(rc.fb)
-    dt = time.perf_counter() - t0
-    fps = frames / dt
+        n_ticks += 1
+
+    fps = bench.honest_fps(rc, timed_tick, windows=2, max_frames=frames)
+    # phases below report per-frame quantities
+    dt = 1.0 / max(fps, 1e-9)
+    host_ms /= max(n_ticks, 1)
+    frames = 1
     out = {
         "metric": f"fps_{label}",
         "value": round(fps, 2),
