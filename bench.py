@@ -204,7 +204,7 @@ def main():
 
     for name in ("config1", "config2", "config3", "config4"):
         try:
-            print(json.dumps(run_config(name, n_frames, False)), flush=True)
+            print(json.dumps(run_config(name, 60, False)), flush=True)
         except Exception as e:  # a broken sub-config must not kill the line
             print(json.dumps({"metric": f"fps_{name}", "value": 0.0,
                               "unit": "frames/sec", "vs_baseline": 0.0,

@@ -3498,6 +3498,16 @@ class CKRenderManager(CKObject):
         static, _f0, _i0, params = filled[0]
         dyn_f = np.stack([f for _s, f, _i, _p in filled])
         dyn_i = np.stack([i for _s, _f, i, _p in filled])
+        # Bound-anim worlds (eval_anim_world outputs) stack on the ctx axis.
+        worlds = [p.get("world_in") for _s, _f, _i, p in filled]
+        params = dict(params)
+        if any(w is not None for w in worlds):
+            if any(w is None for w in worlds):
+                return False
+            import jax.numpy as jnp
+            params["world_in"] = jnp.stack(worlds)
+        else:
+            params["world_in"] = None
         if mesh is not None:
             from ..parallel.context_batch import render_frames_packed_sharded
             out = render_frames_packed_sharded(static, dyn_f, dyn_i, mesh,

@@ -152,4 +152,8 @@ def render_frames_packed_sharded(static: dict, dyn_f, dyn_i, mesh: Mesh,
     dyn_f = jax.device_put(np.asarray(dyn_f), shard)
     dyn_i = jax.device_put(np.asarray(dyn_i), shard)
     static = {k: jax.device_put(v, rep) for k, v in static.items()}
-    return render_frames_packed_batched(static, dyn_f, dyn_i, **params)
+    world_in = params.pop("world_in", None)
+    if world_in is not None:       # (B,N,4,4) bound-anim worlds: ctx-sharded
+        world_in = jax.device_put(np.asarray(world_in), shard)
+    return render_frames_packed_batched(static, dyn_f, dyn_i,
+                                        world_in=world_in, **params)

@@ -707,7 +707,45 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
     (parallel/tile_shard.py): renders rows [y_shift, y_shift+height) of the
     logical frame by shifting every pixel-space quantity (viewport, entity
     scissors, 2D quad rects) — the raster math itself is unchanged."""
-    from .overlay import QuadBank, Sprite3DBank
+    from .overlay import QuadBank
+    from .packing import has_field
+
+    scene, sprites, d = unpack_scene(
+        static, dyn_f, dyn_i, layout, sprites_static=sprites_static,
+        y_shift=y_shift, texdev=texdev, texdev_rects=texdev_rects)
+
+    def quad_bank(prefix):
+        if not has_field(layout, f"{prefix}_rect"):
+            return None
+        return QuadBank(
+            rect=d[f"{prefix}_rect"], uvrect=d[f"{prefix}_uvrect"],
+            color=d[f"{prefix}_color"], tex=d[f"{prefix}_tex"],
+            blend=d[f"{prefix}_blend"], valid=d[f"{prefix}_valid"] != 0)
+
+    # Device animation: the bound clip's bank evaluates INSIDE the frame
+    # program at the packed scalar time (host cost per frame = 4 bytes).
+    anim_t = d["anim_t"] if (anim is not None
+                             and has_field(layout, "anim_t")) else 0.0
+    return render_frame_full_impl(
+        scene, levels, height, width, skin=skin, sprites=sprites,
+        anim=anim, anim_t=anim_t, world_in=world_in,
+        quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
+        ordered_cap=ordered_cap, chunk=chunk,
+        sort_transparent=sort_transparent, want_stencil=want_stencil,
+        vertex_shader=vertex_shader, pixel_shader=pixel_shader,
+        want_bump=want_bump,
+        want_cube=want_cube, want_stats=want_stats,
+        prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas)
+
+
+def unpack_scene(static: dict, dyn_f, dyn_i, layout: tuple,
+                 sprites_static=None, y_shift=None,
+                 texdev=None, texdev_rects: tuple = ()):
+    """Packed buffers -> (SceneDevice, Sprite3DBank | None, raw field dict).
+
+    The device-side inverse of CKRenderContext._fill_packed; also used by
+    the staged perf probe (benchmarks/stages.py)."""
+    from .overlay import Sprite3DBank
     from .packing import has_field, unpack
 
     d = unpack(dyn_f, dyn_i, layout)
@@ -762,29 +800,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
             offset=d["sp_offset"], mode=d["sp_mode"],
             pool_base=sprites_static["pool_base"],
             valid=sprites_static["valid"])
-
-    def quad_bank(prefix):
-        if not has_field(layout, f"{prefix}_rect"):
-            return None
-        return QuadBank(
-            rect=d[f"{prefix}_rect"], uvrect=d[f"{prefix}_uvrect"],
-            color=d[f"{prefix}_color"], tex=d[f"{prefix}_tex"],
-            blend=d[f"{prefix}_blend"], valid=d[f"{prefix}_valid"] != 0)
-
-    # Device animation: the bound clip's bank evaluates INSIDE the frame
-    # program at the packed scalar time (host cost per frame = 4 bytes).
-    anim_t = d["anim_t"] if (anim is not None
-                             and has_field(layout, "anim_t")) else 0.0
-    return render_frame_full_impl(
-        scene, levels, height, width, skin=skin, sprites=sprites,
-        anim=anim, anim_t=anim_t, world_in=world_in,
-        quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
-        ordered_cap=ordered_cap, chunk=chunk,
-        sort_transparent=sort_transparent, want_stencil=want_stencil,
-        vertex_shader=vertex_shader, pixel_shader=pixel_shader,
-        want_bump=want_bump,
-        want_cube=want_cube, want_stats=want_stats,
-        prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas)
+    return scene, sprites, d
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))
@@ -837,17 +853,22 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  pixel_shader=None,
                                  want_bump: bool = False,
                                  want_cube: bool = False,
-                                 texdev=None, texdev_rects: tuple = ()):
+                                 texdev=None, texdev_rects: tuple = (),
+                                 world_in=None):
     """Batched packed frames: ``dyn_f``/``dyn_i`` carry a leading context
     axis; statics (streams, pools, textures, banks topology) broadcast. This
     is the multi-context scale path with ONE f32 + ONE i32 host->device
     transfer for the WHOLE batch — the per-leaf stacked-pytree path costs a
-    tunnel round trip per leaf instead. Pallas is disabled (vmap)."""
+    tunnel round trip per leaf instead. Pallas is disabled (vmap).
 
-    def one(df, di):
+    ``world_in``: optional (B, N, 4, 4) per-context precomposed world
+    matrices (the device-bound-animation path, see eval_anim_world)."""
+
+    def one(df, di, wi):
         return render_frame_packed_impl(
             static, df, di, layout, levels, height, width, skin=skin,
-            anim=anim, sprites_static=sprites_static, lines=lines,
+            anim=anim, world_in=wi, sprites_static=sprites_static,
+            lines=lines,
             ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=want_stencil,
             vertex_shader=vertex_shader, pixel_shader=pixel_shader,
@@ -855,7 +876,9 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             allow_pallas=False)
 
-    return jax.vmap(one)(dyn_f, dyn_i)
+    if world_in is None:
+        return jax.vmap(lambda df, di: one(df, di, None))(dyn_f, dyn_i)
+    return jax.vmap(one)(dyn_f, dyn_i, world_in)
 
 
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):

@@ -90,6 +90,42 @@ class TestPackedBatch:
             assert np.asarray(rc.fb).sum() > 0
 
 
+def test_packed_batch_with_bound_animation():
+    """Regression: contexts with a device-bound clip (params carry per-ctx
+    ``world_in`` worlds) must still batch through the packed path and match
+    sequential rendering at the same clip frames."""
+    from ckrenderengine_tpu.anim import (
+        CKKeyedAnimation, CKObjectAnimation, CKANIMATION_LINEAR_ROT,
+    )
+
+    ctx, rm, rcs = _scene(n_contexts=2)
+    obj = ctx.GetObjectByName("tri")
+    clip = CKKeyedAnimation(ctx, "spin")
+    clip.SetLength(10.0)
+    oa = CKObjectAnimation(ctx, "oa")
+    oa.Set3dEntity(obj)
+    rcn = oa.CreateController(CKANIMATION_LINEAR_ROT)
+    for t, ang in ((0.0, 0.0), (10.0, 1.2)):
+        q = np.array([0.0, np.sin(ang / 2), 0.0, np.cos(ang / 2)], np.float32)
+        rcn.AddKey(t, q)
+    clip.AddAnimation(oa)
+    for rc in rcs:
+        assert rc.BindAnimation(clip)
+    clip.SetFrame(4.0)
+    for rc in rcs:
+        rc.Render()
+    seq = [rc.framebuffer().copy() for rc in rcs]
+    for rc in rcs:
+        rc.Clear()
+    assert rm._batch_packed(rcs)
+    for rc, ref in zip(rcs, seq):
+        np.testing.assert_allclose(rc.framebuffer(), ref, atol=2e-5)
+    # and the pose actually differs from frame 0 (the clip is live on device)
+    clip.SetFrame(0.0)
+    assert rm._batch_packed(rcs)
+    assert np.abs(rcs[0].framebuffer() - seq[0]).max() > 0.05
+
+
 def test_packed_sharded_over_cpu_mesh():
     """Packed batch path sharded over the virtual device mesh: output
     framebuffers carry the ctx sharding and match sequential rendering."""

@@ -87,7 +87,9 @@ def test_dense_tile_exceeding_old_cap_is_exact():
     bi_f, bd_f, bi_t, bd_t, peak = _run_both(xyw, z, h, w)
     assert peak > 512                        # past round-1's static cap
     np.testing.assert_array_equal(np.asarray(bi_t), np.asarray(bi_f))
-    np.testing.assert_allclose(np.asarray(bd_t), np.asarray(bd_f), atol=1e-6)
+    # Winner ids are exactly equal; depths may differ by FMA-contraction
+    # noise between the two differently-fused XLA graphs (observed 1.6e-6).
+    np.testing.assert_allclose(np.asarray(bd_t), np.asarray(bd_f), atol=4e-6)
     # the farthest triangles must still be visible where nothing covers them
     assert (np.asarray(bi_t) >= 0).sum() > 0
 
@@ -107,6 +109,52 @@ def test_many_global_triangles_exceeding_old_gcap():
     bi_f, bd_f, bi_t, bd_t, _ = _run_both(xyw, z, h, w, max_span=4)
     np.testing.assert_array_equal(np.asarray(bi_t), np.asarray(bi_f))
     np.testing.assert_allclose(np.asarray(bd_t), np.asarray(bd_f), atol=1e-6)
+
+
+def test_level2_overflow_spills_to_global_bin():
+    """More mid-span triangles than the level-2 slab holds (g_cap): the
+    overflow must stream through the all-tiles global bin, still exact."""
+    rng = np.random.default_rng(23)
+    t = 60
+    h = w = 64
+    centers = rng.uniform([10, 10], [w - 10, h - 10], (t, 2)).astype(np.float32)
+    offs = rng.normal(0, 1, (t, 3, 2)).astype(np.float32)
+    pts = centers[:, None] + offs * 30.0     # ~2-4 tile span each
+    ws = np.ones((t, 3, 1), np.float32)
+    xyw = np.concatenate([pts * ws, ws], axis=-1)
+    z = rng.uniform(0.05, 0.95, (t, 3)).astype(np.float32)
+    si, sf = pack_states([RasterState()])
+    setup = df.triangle_setup(jnp.asarray(xyw), jnp.asarray(z),
+                              jnp.zeros(t, jnp.int32), jnp.ones(t, bool),
+                              jnp.asarray(si))
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    # g_cap=4 forces most mid-span triangles past the slab into the global
+    # while-loop; max_span=1 forces nearly everything to be mid-span.
+    bi_t, bd_t, _ = depth_reduce_tiled(
+        setup, defer, 1.0, viewport, jnp.asarray(xyw), h, w, tile=16,
+        max_span=1, span2=9, g_cap=4)
+    np.testing.assert_array_equal(np.asarray(bi_t), np.asarray(bi_f))
+    np.testing.assert_allclose(np.asarray(bd_t), np.asarray(bd_f), atol=4e-6)
+
+
+def test_wcross_triangles_route_global():
+    """Triangles crossing w=0 have unbounded screen bboxes and must render
+    through the global bin (exact vs the flat oracle)."""
+    rng = np.random.default_rng(31)
+    t = 40
+    h = w = 48
+    centers = rng.uniform([0, 0], [w, h], (t, 2)).astype(np.float32)
+    offs = rng.normal(0, 1, (t, 3, 2)).astype(np.float32)
+    pts = centers[:, None] + offs * 15.0
+    ws = rng.uniform(0.5, 2.0, (t, 3, 1)).astype(np.float32)
+    ws[::5, 0] = -0.3                        # every 5th crosses w=0
+    xyw = np.concatenate([pts * ws, ws], axis=-1)
+    z = rng.uniform(0.05, 0.95, (t, 3)).astype(np.float32)
+    bi_f, bd_f, bi_t, bd_t, _ = _run_both(xyw, z, h, w, max_span=4)
+    np.testing.assert_array_equal(np.asarray(bi_t), np.asarray(bi_f))
+    np.testing.assert_allclose(np.asarray(bd_t), np.asarray(bd_f), atol=4e-6)
 
 
 def test_tiled_full_frame_in_pipeline():
