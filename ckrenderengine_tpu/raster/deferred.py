@@ -424,10 +424,34 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
     e2 = jnp.sum(adj2 * p1, -1)
     esum = e0 + e1 + e2
 
-    si_all = jnp.take(state_i, jnp.take(batch_state, tid, axis=0), axis=0)  # (H,W,NUM_SI)
-    sf_all = jnp.take(state_f, jnp.take(batch_state, tid, axis=0), axis=0)
+    sidx = jnp.take(batch_state, tid, axis=0)               # (H,W) state row
+    from .types import SF_CONST_R, SI_COLORWRITE, SI_TEXGEN
 
-    persp = si_all[..., SI_PERSPECTIVE] != 0
+    if pixel_shader is None:
+        # Fixed-function shading reads only a few state columns: slice the
+        # (tiny) state tables BEFORE the per-pixel gather — the full-row
+        # gather moved ~45 MB/frame at 1024x768 for columns never read.
+        si_cols = (SI_TEX, SI_TEXADDR, SI_TEXFILTER, SI_TEXBLEND, SI_FOG,
+                   SI_PERSPECTIVE, SI_TEXGEN, SI_COLORWRITE)
+        sf_cols = (SF_BORDER_R, SF_BORDER_R + 1, SF_BORDER_R + 2,
+                   SF_BORDER_R + 3,
+                   SF_CONST_R, SF_CONST_R + 1, SF_CONST_R + 2)
+    else:
+        # The pixel-shader API receives full si/sf rows (see docstring).
+        si_cols = tuple(range(state_i.shape[1]))
+        sf_cols = tuple(range(state_f.shape[1]))
+    si_pos = {c: i for i, c in enumerate(si_cols)}
+    sf_pos = {c: i for i, c in enumerate(sf_cols)}
+    si_all = jnp.take(state_i[:, list(si_cols)], sidx, axis=0)
+    sf_all = jnp.take(state_f[:, list(sf_cols)], sidx, axis=0)
+
+    def si(c):
+        return si_all[..., si_pos[c]]
+
+    def sf(c):
+        return sf_all[..., sf_pos[c]]
+
+    persp = si(SI_PERSPECTIVE) != 0
     inv_esum = 1.0 / jnp.where(jnp.abs(esum) < 1e-30, 1e-30, esum)
     ws = xyw[..., 2]                                       # (H,W,3) vertex w
     w0 = jnp.where(persp, e0 * inv_esum, e0 * ws[..., 0] * inv_det)
@@ -442,20 +466,20 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
     color = interp3(batch_color)                           # (H,W,4)
     colorp = [color[..., c] for c in range(4)]
 
-    has_tex = si_all[..., SI_TEX] >= 0
+    has_tex = si(SI_TEX) >= 0
     uvi = interp3(batch_uv)                                # (H,W,2)
     if batch_refl is not None and batch_refl.shape[-1] > 0:
         # Per-pixel cube-env UV (see jax_backend: oct-encode AFTER
         # interpolating the world reflection vector — seam-free).
         from ..math.vxmath import oct_encode
-        from .types import SI_TEXGEN, TEXGEN_CUBE
+        from .types import TEXGEN_CUBE
         r = interp3(batch_refl)                            # (H,W,3)
         r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True),
                             1e-12)
         uvc = oct_encode(r)
-        is_cube = (si_all[..., SI_TEXGEN] == TEXGEN_CUBE)[..., None]
+        is_cube = (si(SI_TEXGEN) == TEXGEN_CUBE)[..., None]
         uvi = jnp.where(is_cube, uvc, uvi)
-    border = [sf_all[..., SF_BORDER_R + c] for c in range(4)]
+    border = [sf(SF_BORDER_R + c) for c in range(4)]
 
     # Per-pixel mip LOD from screen-space UV gradients: edge functions are
     # affine (slope a per +x, b per +y), so re-weighting at the neighbor
@@ -477,7 +501,7 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
 
         uv_dx = uv_at(adj0[..., 0], adj1[..., 0], adj2[..., 0]) - uvi
         uv_dy = uv_at(adj0[..., 1], adj1[..., 1], adj2[..., 1]) - uvi
-        tidc = jnp.clip(si_all[..., SI_TEX], 0, tex_hw.shape[0] - 1)
+        tidc = jnp.clip(si(SI_TEX), 0, tex_hw.shape[0] - 1)
         tsize = jnp.stack([tex_hw[tidc, 1], tex_hw[tidc, 0]], -1).astype(
             jnp.float32)                                    # (H,W,2) (w,h)
         rho = jnp.maximum(jnp.linalg.norm(uv_dx * tsize, axis=-1),
@@ -485,8 +509,8 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
         lod = jnp.log2(jnp.maximum(rho, 1.0))
 
     texel = sample_texture_pp(
-        tex_planes, tex_hw, si_all[..., SI_TEX], uvi[..., 0], uvi[..., 1],
-        si_all[..., SI_TEXADDR], si_all[..., SI_TEXFILTER], border, lod=lod)
+        tex_planes, tex_hw, si(SI_TEX), uvi[..., 0], uvi[..., 1],
+        si(SI_TEXADDR), si(SI_TEXFILTER), border, lod=lod)
     if pixel_shader is not None:
         texel4 = jnp.stack(
             [jnp.where(has_tex, texel[c], 1.0) for c in range(4)], -1)
@@ -495,16 +519,15 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
             "xy": jnp.stack([px, py], -1), "si": si_all, "sf": sf_all})
         colorp = [out[..., c] for c in range(4)]
     else:
-        from .types import SF_CONST_R
-        const = [sf_all[..., SF_CONST_R + c] for c in range(3)]
-        blended = tex_blend_pp(si_all[..., SI_TEXBLEND], texel, colorp, const)
+        const = [sf(SF_CONST_R + c) for c in range(3)]
+        blended = tex_blend_pp(si(SI_TEXBLEND), texel, colorp, const)
         colorp = [jnp.where(has_tex, blended[c], colorp[c]) for c in range(4)]
 
     spec = interp3(batch_spec)                             # (H,W,3)
     for c in range(3):
         colorp[c] = colorp[c] + spec[..., c]
 
-    fog_on = si_all[..., SI_FOG] != 0
+    fog_on = si(SI_FOG) != 0
     fogf = jnp.clip(interp3(batch_fog[..., None])[..., 0], 0.0, 1.0)
     for c in range(3):
         colorp[c] = jnp.where(fog_on, colorp[c] * fogf + fog_color[c] * (1.0 - fogf),
@@ -513,8 +536,6 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
 
     # Z-only draws occlude but leave the background color
     # (VX_MOVEABLE_ZBUFONLY, reference src/CKMesh.cpp:3938-3974).
-    from .types import SI_COLORWRITE
-
-    hit &= si_all[..., SI_COLORWRITE] != 0
+    hit &= si(SI_COLORWRITE) != 0
     fb = jnp.stack([jnp.where(hit, colorp[c], clear_fb[c]) for c in range(4)])
     return fb
