@@ -51,7 +51,7 @@ def build_line_bank(segments: list[dict], pad: int = 8) -> LineBank | None:
 def draw_lines(fb: jnp.ndarray, zb: jnp.ndarray, scene, world: jnp.ndarray,
                bank: LineBank, height: int, width: int,
                half_width: float = 0.7, z_bias: float = 1e-4,
-               chunk: int = 8) -> jnp.ndarray:
+               chunk: int = 32) -> jnp.ndarray:
     """Composite the line bank onto fb (4,H,W) with a Z test against zb."""
     if bank.idx.shape[0] == 0:
         return fb
@@ -131,5 +131,12 @@ def draw_lines(fb: jnp.ndarray, zb: jnp.ndarray, scene, world: jnp.ndarray,
             ])
         return out, None
 
-    fb, _ = jax.lax.scan(body, fb, (cp0, cp1, cz0, cz1, cvalid, ccolor))
+    xs = (cp0, cp1, cz0, cz1, cvalid, ccolor)
+    if nchunks <= 8:
+        # Unrolled: each lax.scan iteration is a separately dispatched
+        # program on TPU (~ms overhead); small banks fuse straight-line.
+        for k in range(nchunks):
+            fb, _ = body(fb, tuple(a[k] for a in xs))
+        return fb
+    fb, _ = jax.lax.scan(body, fb, xs)
     return fb

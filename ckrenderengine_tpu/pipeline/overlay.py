@@ -4,11 +4,13 @@ The reference draws 2D entities as 4-vertex screen-space fans through the
 rasterizer (RCK2dEntity::Draw, /root/reference/src/CK2dEntity.cpp:805-908),
 background tree before the 3D scene and foreground tree after
 (CKRenderedScene::Draw :166-179, :314-327). TPU design: all visible quads of
-one layer are packed into a QuadBank and composited in order by a
-lax.scan over quads with the (4,H,W) framebuffer as carry — axis-aligned
+one layer are packed into a QuadBank and composited in order by an UNROLLED
+loop over quads with the (4,H,W) framebuffer as carry — axis-aligned
 boxes, so per-quad coverage is two range tests; texturing samples with a
-scalar texture id per quad. Quad counts are tens, so the scan is shallow;
-every step is a VPU-wide fused masked blend.
+scalar texture id per quad. Unrolling (vs lax.scan) matters on TPU: each
+scan iteration is a separately dispatched program (~ms of overhead each)
+while the unrolled chain fuses into straight-line code; banks beyond 64
+quads fall back to a scan whose body composites 8 unrolled quads per step.
 """
 
 from __future__ import annotations
@@ -81,7 +83,7 @@ def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
     nt, _, th, tw = tex_planes.shape
     flat = tex_planes.transpose(0, 2, 3, 1).reshape(nt * th * tw, 4)
 
-    def body(fb, q):
+    def one(fb, q):
         rect, uvrect, color, tex, blend, valid = q
         x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
         inside = (px >= x0) & (px < x1) & (py >= y0) & (py < y1) & valid
@@ -114,9 +116,30 @@ def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
                                  src[c] * alpha + fb[c] * (1.0 - alpha),
                                  fb[c]))
         out.append(jnp.where(inside, jnp.maximum(fb[3], alpha), fb[3]))
-        return jnp.stack(out), None
+        return jnp.stack(out)
 
-    fb, _ = jax.lax.scan(body, fb, bank)
+    q = bank.rect.shape[0]
+    if q <= 64:
+        for j in range(q):
+            fb = one(fb, jax.tree_util.tree_map(lambda a: a[j], bank))
+        return fb
+    # Large banks: scan over groups of 8 unrolled quads (bounded compile).
+    group = 8
+    pad = (-q) % group
+    if pad:
+        def padrow(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        bank = jax.tree_util.tree_map(padrow, bank)
+    grouped = jax.tree_util.tree_map(
+        lambda a: a.reshape(((q + pad) // group, group) + a.shape[1:]), bank)
+
+    def body(fb, sub):
+        for j in range(group):
+            fb = one(fb, jax.tree_util.tree_map(lambda a: a[j], sub))
+        return fb, None
+
+    fb, _ = jax.lax.scan(body, fb, grouped)
     return fb
 
 

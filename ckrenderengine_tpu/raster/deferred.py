@@ -144,6 +144,10 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
     )
 
     t = setup["e_coef"].shape[0]
+    # Cap the round count: each lax.scan iteration is a separately
+    # dispatched program on TPU (~ms overhead each); widen chunks so small
+    # scenes run in <= 8 fused rounds instead of T/64 dispatches.
+    chunk = max(chunk, -(-t // 8))
     nchunks = (t + chunk - 1) // chunk
     pad = nchunks * chunk - t
 
@@ -215,10 +219,12 @@ def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
         best_i = jnp.where(better, idwin, best_i)
         return (best_d, best_i), None
 
-    (best_d, best_i), _ = jax.lax.scan(
-        body, (init_depth, init_id),
-        (e_coef, top_left, zvert, inv_det_s, esum_plane, s_sign, tvalid,
-         tri_ids, trect, dplane))
+    xs = (e_coef, top_left, zvert, inv_det_s, esum_plane, s_sign, tvalid,
+          tri_ids, trect, dplane)
+    carry = (init_depth, init_id)
+    for k in range(nchunks):        # <= 8 unrolled fused rounds (see above)
+        carry, _ = body(carry, tuple(a[k] for a in xs))
+    best_d, best_i = carry
     return best_i, best_d
 
 

@@ -499,6 +499,13 @@ def render_pass(
                                    pixel_shader=pixel_shader)
         return (fb, zb), None
 
+    if nchunks <= 8:
+        # Unrolled: each lax.scan iteration is a separately dispatched
+        # program on TPU (~ms overhead); small batches fuse straight-line.
+        carry = (fb, zb)
+        for k in range(nchunks):
+            carry, _ = body(carry, tuple(a[k] for a in xs))
+        return carry
     (fb, zb), _ = jax.lax.scan(body, (fb, zb), xs)
     return fb, zb
 
