@@ -205,6 +205,20 @@ def build_config3():
     bulb.SetColor((1.0, 0.7, 0.4, 1.0))
     bulb.SetRange(120.0)
 
+    # 2D sprite + text overlay (BASELINE config 3 spec: "2D sprite/text
+    # overlay"): a HUD corner sprite plus a text readout, both foreground.
+    from ckrenderengine_tpu.objects import CKSprite, CKSpriteText
+
+    hud = CKSprite(ctx, "hud")
+    icon = np.zeros((24, 24, 4), np.float32)
+    icon[4:20, 4:20] = (0.9, 0.2, 0.1, 0.85)
+    hud.SetImage(icon)
+    hud.SetRect((8, 8, 32, 32))
+    txt = CKSpriteText(ctx, "fpslabel")
+    txt.Create(128, 20)
+    txt.SetText("entities: 1000")
+    txt.SetRect((40, 8, 168, 28))
+
     def tick(i):
         for r in roots:
             r.Rotate((0, 1, 0), 0.01)
