@@ -134,16 +134,19 @@ def build_scene(width: int, height: int):
 
 
 def honest_fps(rc, tick, windows: int = 2, target_s: float = 6.0,
-               max_frames: int = 60) -> float:
+               max_frames: int = 48) -> float:
     """Frame rate with REAL device completion per window.
 
-    `jax.block_until_ready` on the axon TPU tunnel does not actually wait
-    (a "blocked" loop measured 0.8 ms/frame while the final readback drained
-    a 380 s backlog — round-2 discovery, docs/PERFORMANCE.md). Honest
-    protocol: drain via a full `device_get` BEFORE each window, then time
-    [N frames + one final full readback] — the readback cannot complete
-    until every frame in the window has truly rendered. Window length adapts
-    to the measured frame time so slow scenes don't run for minutes."""
+    `jax.block_until_ready` on the axon TPU tunnel does not fully wait (a
+    "blocked" loop measured 0.8 ms/frame while the final readback drained a
+    380 s backlog) AND it costs a ~26 ms RPC round trip per call — so the
+    window must neither trust it nor pay it per frame. Honest protocol:
+    drain via a full `device_get` BEFORE each window, queue the window's
+    frames with no per-frame sync (the device executes programs in order),
+    then one final full readback — it cannot complete until every frame in
+    the window has truly rendered. Window length adapts to the measured
+    frame time so slow scenes don't run for minutes, and is capped so the
+    dispatch queue never grows hundreds deep."""
     import jax
 
     tick(0)
@@ -163,7 +166,6 @@ def honest_fps(rc, tick, windows: int = 2, target_s: float = 6.0,
             tick(k)
             k += 1
             rc.Render()
-            jax.block_until_ready(rc.fb)
         np.asarray(jax.device_get(rc.fb))      # force true completion
         best = max(best, n / (time.perf_counter() - t0))
     return best

@@ -156,11 +156,12 @@ def main():
         r = fn(static, dyn_f, dyn_i)
         np.asarray(jax.device_get(r)).sum()
         t_compile = time.perf_counter() - t0
-        # honest steady: drain happened above; blocked loop + final get
+        # honest steady: drain happened above; pipelined queue + final get
+        # (per-iteration block_until_ready costs a ~26 ms RPC and does not
+        # actually fence — the final device_get is the fence).
         t0 = time.perf_counter()
         for _ in range(args.iters):
             r = fn(static, dyn_f, dyn_i)
-            jax.block_until_ready(r)
         np.asarray(jax.device_get(r))
         ms = (time.perf_counter() - t0) / args.iters * 1000
         print(f"{name:9s} {ms:9.2f} ms  (+{ms - prev:8.2f})   "
