@@ -3,35 +3,41 @@
 The flat deferred reduce (deferred.py) evaluates every triangle against every
 pixel: O(T * H * W). At Ballance scale (500k tris, 1024x768) that is ~4e11
 coverage tests — far past budget. This module bins triangles to screen tiles
-first, so each tile only evaluates the triangles whose screen bbox overlaps
-it:
+so each tile only evaluates triangles whose (clipped) screen bbox overlaps it.
 
-1. per-triangle screen bbox -> spanned tile range. TWO expansion levels:
-   small triangles (span <= max_span tiles, the vast majority) expand
-   in-place over max_span slots; mid-size triangles (span <= SPAN2 tiles)
-   first COMPACT into a static G_CAP id array and expand over SPAN2 slots
-   (so a handful of big triangles doesn't force a wide expansion of the
-   whole stream). Only w-crossing triangles, monsters spanning > SPAN2
-   tiles, and level-2 overflow beyond G_CAP go to a GLOBAL bin evaluated
-   on every tile — on real scenes that bin is empty or tiny (the
-   all-tiles global loop was ~85% of the solve cost when mid-size
-   triangles still landed there),
-2. bin-by-sort: both levels' (tile_id, tri_id) pairs concatenate into ONE
-   stream; one argsort groups them by tile; per-tile ranges come from
-   searchsorted (the XLA replacement for GPU atomic binning),
-3. an occupancy-RANKED argmin depth reduce: tiles are sorted by triangle
-   count and partitioned into static rank classes (densest ~2% / next ~15% /
-   rest), each reduced in ONE unrolled round sized to its class budget.
-   This replaces a dynamic ``lax.while_loop`` whose per-iteration dispatch
-   overhead dwarfed the math on TPU (~10x slower for the same total work).
-   It stays EXACT — there is no top-K cap, so no tile can ever silently
-   lose geometry (the reference draws everything submitted,
-   CKDX9RasterizerContext.cpp:1555-1648): any tile deeper than its class
-   budget streams its remainder through a rarely-taken while fallback
-   (0 iterations unless a class's deepest tile exceeds its budget).
+The structure is built from MEASURED primitive costs on the target TPU
+(docs/PERFORMANCE.md device table): sorts are cheap (2-7 ms at frame scale),
+gathers are row-WIDTH-bound (1.8 GB/s at 4 floats/row vs 27 GB/s at 64), and
+element-granularity gathers/scatters cost ~8 ns each. Hence:
+
+1. **Classify + compact by ONE sort.** Per-triangle screen bboxes (with
+   straddlers clipped against z>=0 and z<=w so near-plane-crossing geometry
+   gets a finite bbox instead of falling into the all-tiles bin) classify
+   every triangle as small-span / mid-span / global / dead. A single
+   ascending sort of ``class * M + id`` compacts the live triangles into a
+   slab of static size L: dead triangles (the vast majority after frustum
+   culling) never expand into bin pairs at all.
+2. **One packed row table.** Everything the per-pixel test needs — edge
+   coefficients, vertex z + inverse determinant (kept in EXACTLY the flat
+   reduce's arithmetic so winner ids match bit-for-bit), the esum plane,
+   top-left fill-convention flags, per-triangle scissor, the original
+   triangle id for tie-breaks, and user clip planes — is packed into ONE
+   (L+G, ~23) f32 row per slab entry. The reduce then does ONE wide gather
+   per (tile, slot) instead of eight narrow ones (8.8 GB/s vs 1.8).
+3. **Bin by ONE key sort.** (tile, slab_pos) pairs pack into a single u32
+   key; one sort + searchsorted yields per-tile ranges — the XLA analogue
+   of GPU atomic binning (reference: sequential DrawPrimitive submission,
+   CKDX9RasterizerContext.cpp:1555-1648, needs no binning at all).
+4. **Occupancy-RANKED argmin reduce.** Tiles sort by triangle count and
+   partition into static rank classes (densest few get deep unrolled
+   budgets, the sparse majority shallow ones); each class reduces in ONE
+   fused round. EXACTNESS is never capped: any tile deeper than its class
+   budget streams its remainder through a while fallback (0 iterations on
+   real scenes), slab/bin overflows and unbounded straddlers stream through
+   an all-tiles global loop — the reference draws everything submitted.
 
 The shading stage is unchanged (deferred.shade_deferred runs once per pixel
-on the winner id), so the tiled path only swaps the visibility solve.
+on the winner id); this module only produces (winner id, depth) per pixel.
 """
 
 from __future__ import annotations
@@ -41,6 +47,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def _rank_classes(n_tiles: int) -> list[tuple[int, int]]:
@@ -66,135 +73,312 @@ def _rank_classes(n_tiles: int) -> list[tuple[int, int]]:
     return [(s, k) for s, k in zip(sizes, budgets) if s > 0]
 
 
-def _screen_bbox(xyw, eps=1e-6):
-    """Per-triangle pixel bbox; w-crossing triangles get the full screen.
+def _pow2ceil(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length())
 
-    xyw (T,3,3) screen-homogeneous. Returns (x0, y0, x1, y1) each (T,),
-    plus wcross (T,) bool.
+
+def _screen_bbox(xyw, z, eps=1e-6):
+    """Per-triangle pixel bbox, with near/far-plane clipping for straddlers.
+
+    xyw (T,3,3) screen-homogeneous; z (T,3) clip z. For triangles with all
+    w > eps the bbox is the projected-vertex hull (identical to the flat
+    path's implicit extent). For w-crossing triangles, the VISIBLE region is
+    the triangle clipped to {z >= 0, z <= w} (the deferred coverage test
+    rejects depth outside [0,1] and the esum sign rejects w(p) <= 0), whose
+    projected hull is the hull of <= 9 candidate points: kept vertices plus
+    edge intersections with either clip plane. If any in-region candidate
+    has w <= eps — or the z=0 cut crosses w=0 inside the triangle — the
+    projection is unbounded and the triangle stays exact via the global bin.
+
+    Returns (x0, y0, x1, y1, unbounded, empty), each (T,).
     """
-    w = xyw[..., 2]                                   # (T,3)
+    w = xyw[..., 2]                                    # (T,3)
     wcross = jnp.any(w <= eps, axis=1)
+
+    # --- fast path: plain projected hull --------------------------------
     safe_w = jnp.where(jnp.abs(w) < eps, eps, w)
     sx = xyw[..., 0] / safe_w
     sy = xyw[..., 1] / safe_w
+    px0 = jnp.min(sx, axis=1)
+    px1 = jnp.max(sx, axis=1)
+    py0 = jnp.min(sy, axis=1)
+    py1 = jnp.max(sy, axis=1)
+
+    # --- straddler path: candidates of the {z>=0, z<=w} clipped region --
+    # Each candidate: (hx, hy, hw, hz) linear over the triangle. 3 vertices
+    # + 3 edge ^ {z=0} + 3 edge ^ {z=w}.
+    hx = xyw[..., 0]
+    hy = xyw[..., 1]
+    hz = z
+    d0 = hz                                            # z >= 0 halfspace
+    d1 = w - hz                                        # z <= w halfspace
+    scale = (jnp.max(jnp.abs(hz), axis=1)
+             + jnp.max(jnp.abs(w), axis=1) + 1e-30)    # (T,)
+    tol = 1e-5 * scale
+
+    cand_x = [hx[:, i] for i in range(3)]
+    cand_y = [hy[:, i] for i in range(3)]
+    cand_w = [w[:, i] for i in range(3)]
+    # vertex in-region (generous: inclusion only GROWS the bbox — safe)
+    cand_ok = [(d0[:, i] >= -tol) & (d1[:, i] >= -tol) for i in range(3)]
+    z0_edge_w = []                                     # w at z=0 cut points
+    z0_edge_ok = []
+    for (a, b) in ((0, 1), (1, 2), (2, 0)):
+        for dplane in (d0, d1):
+            da, db = dplane[:, a], dplane[:, b]
+            crosses = (da * db) < 0
+            tt = da / jnp.where(jnp.abs(da - db) < 1e-30, 1e-30, da - db)
+            tt = jnp.clip(tt, 0.0, 1.0)
+            ix = hx[:, a] + tt * (hx[:, b] - hx[:, a])
+            iy = hy[:, a] + tt * (hy[:, b] - hy[:, a])
+            iw = w[:, a] + tt * (w[:, b] - w[:, a])
+            iz = hz[:, a] + tt * (hz[:, b] - hz[:, a])
+            other = (iw - iz >= -tol) if dplane is d0 else (iz >= -tol)
+            cand_x.append(ix)
+            cand_y.append(iy)
+            cand_w.append(iw)
+            cand_ok.append(crosses & other)
+            if dplane is d0:
+                z0_edge_w.append(iw)
+                z0_edge_ok.append(crosses & other)
+
+    cx = jnp.stack(cand_x, axis=1)                     # (T,9)
+    cy = jnp.stack(cand_y, axis=1)
+    cw = jnp.stack(cand_w, axis=1)
+    cok = jnp.stack(cand_ok, axis=1)
+    any_cand = jnp.any(cok, axis=1)
+    wmin_in = jnp.min(jnp.where(cok, cw, jnp.inf), axis=1)
+    # z=0 cut endpoints straddling w sign => a w=0 point lies ON the
+    # clipped region's boundary => projection unbounded.
+    zw = jnp.stack(z0_edge_w, axis=1)
+    zok = jnp.stack(z0_edge_ok, axis=1)
+    z0_wmin = jnp.min(jnp.where(zok, zw, jnp.inf), axis=1)
+    unbounded = wcross & ((wmin_in <= eps) | (z0_wmin <= eps))
+    empty_straddle = wcross & ~any_cand
+
+    cwm = jnp.where(cok, jnp.maximum(cw, eps), 1.0)
+    csx = cx / cwm
+    csy = cy / cwm
     big = jnp.float32(1.0e9)
-    x0 = jnp.where(wcross, -big, jnp.min(sx, axis=1))
-    x1 = jnp.where(wcross, big, jnp.max(sx, axis=1))
-    y0 = jnp.where(wcross, -big, jnp.min(sy, axis=1))
-    y1 = jnp.where(wcross, big, jnp.max(sy, axis=1))
-    return x0, y0, x1, y1, wcross
+    # +1px conservative pad: the straddler hull is computed through lerped
+    # intersections whose rounding differs from the per-pixel edge test.
+    sx0 = jnp.min(jnp.where(cok, csx, big), axis=1) - 1.0
+    sx1 = jnp.max(jnp.where(cok, csx, -big), axis=1) + 1.0
+    sy0 = jnp.min(jnp.where(cok, csy, big), axis=1) - 1.0
+    sy1 = jnp.max(jnp.where(cok, csy, -big), axis=1) + 1.0
+
+    x0 = jnp.where(wcross, jnp.where(unbounded, -big, sx0), px0)
+    x1 = jnp.where(wcross, jnp.where(unbounded, big, sx1), px1)
+    y0 = jnp.where(wcross, jnp.where(unbounded, -big, sy0), py0)
+    y1 = jnp.where(wcross, jnp.where(unbounded, big, sy1), py1)
+    return x0, y0, x1, y1, unbounded, empty_straddle
+
+
+# Packed-row column layout (see module docstring, point 2).
+_C_EC = slice(0, 9)       # signed edge coefficients (3 edges x [a,b,c])
+_C_Z = slice(9, 12)       # vertex clip z
+_C_IVS = 12               # s * inv_det
+_C_EP = slice(13, 16)     # esum plane [a,b,c]
+_C_SS = 16                # orientation sign s
+_C_FL = 17                # flags: top-left bits 1/2/4, valid bit 8
+_C_RECT = slice(18, 22)   # per-triangle scissor rect
+_C_ID = 22                # original triangle id (exact in f32 below 2^24)
+_NCOL = 23                # + 3 * n_planes user-clip-plane columns
+
+
+def _reduce_rows(carry, rows, n_planes, px_s, py_s, scissor_s):
+    """Merge (S, C, W) packed triangle rows into the (S, tile, tile) carry.
+
+    Per-pixel arithmetic is EXACTLY the flat reduce's (deferred.py
+    depth_reduce) so winner ids / depths agree bit-for-bit: coverage from
+    signed edge planes with the top-left fill convention, depth as
+    (e0*z0 + e1*z1 + e2*z2) * (s*inv_det), LESSEQUAL merge where exact
+    depth ties go to the LATER draw id (reference z-func defaults,
+    CKRasterizerLib/CKRasterizerContext.cpp:423-477).
+    """
+    best_d, best_i = carry
+    ec = rows[..., _C_EC].reshape(rows.shape[:-1] + (3, 3))
+    zv = rows[..., _C_Z]
+    ivs = rows[..., _C_IVS]
+    ep = rows[..., _C_EP]
+    ss = rows[..., _C_SS]
+    fl = rows[..., _C_FL].astype(jnp.int32)
+    rect = rows[..., _C_RECT]
+    ids = rows[..., _C_ID].astype(jnp.int32)
+    tl0 = (fl & 1) != 0
+    tl1 = (fl & 2) != 0
+    tl2 = (fl & 4) != 0
+    tv = (fl & 8) != 0
+
+    pxc = px_s[:, None]                     # (S,1,tile,tile)
+    pyc = py_s[:, None]
+
+    def plane(coef):                        # (S,C,3) -> (S,C,h,w)
+        return (coef[..., 0, None, None] * pxc
+                + coef[..., 1, None, None] * pyc
+                + coef[..., 2, None, None])
+
+    e0 = plane(ec[:, :, 0])
+    e1 = plane(ec[:, :, 1])
+    e2 = plane(ec[:, :, 2])
+    cov = (((e0 > 0) | ((e0 == 0) & tl0[..., None, None]))
+           & ((e1 > 0) | ((e1 == 0) & tl1[..., None, None]))
+           & ((e2 > 0) | ((e2 == 0) & tl2[..., None, None])))
+    esum = plane(ep) * ss[..., None, None]
+    depth = (e0 * zv[..., 0, None, None] + e1 * zv[..., 1, None, None]
+             + e2 * zv[..., 2, None, None]) * ivs[..., None, None]
+    cov &= ((esum > 0) & (depth >= 0.0) & (depth <= 1.0)
+            & tv[..., None, None] & scissor_s[:, None])
+    cov &= ((pxc >= rect[..., 0, None, None])
+            & (pyc >= rect[..., 1, None, None])
+            & (pxc < rect[..., 2, None, None])
+            & (pyc < rect[..., 3, None, None]))
+    for p in range(n_planes):
+        cov &= plane(rows[..., _NCOL + 3 * p:_NCOL + 3 * p + 3]) >= 0
+    big = jnp.float32(3.0e38)
+    dm = jnp.where(cov, depth, big)
+    dmin = jnp.min(dm, axis=1)              # (S,h,w)
+    idwin = jnp.max(jnp.where(dm == dmin[:, None], ids[..., None, None], -1),
+                    axis=1)
+    better = (idwin >= 0) & ((dmin < best_d)
+                             | ((dmin == best_d) & (idwin > best_i)))
+    best_d = jnp.where(better, dmin, best_d)
+    best_i = jnp.where(better, idwin, best_i)
+    return best_d, best_i
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile", "max_span", "chunk",
-                     "span2", "g_cap"))
+                     "span2", "g_cap", "slab_cap"))
 def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
                        height: int, width: int, tile: int = 16,
                        max_span: int = 4, chunk: int = 32,
-                       span2: int = 64, g_cap: int = 8192):
+                       span2: int = 64, g_cap: int = 8192,
+                       slab_cap: int = 131072):
     """Tile-binned argmin depth reduce (exact — no per-tile triangle cap).
 
     Returns (best_id (H,W) int32, best_depth (H,W) f32, peak () int32 — the
     densest tile's triangle count, surfaced as the VxStats.TileBinPeak
     occupancy counter)."""
     t = setup["e_coef"].shape[0]
-    ty = (height + tile - 1) // tile
-    tx = (width + tile - 1) // tile
-    n_tiles = ty * tx
+    ty_n = (height + tile - 1) // tile
+    tx_n = (width + tile - 1) // tile
+    n_tiles = ty_n * tx_n
     tvalid = setup["valid"] & defer_tri
 
-    # --- 1. bboxes + span classification ---------------------------------
-    x0, y0, x1, y1, wcross = _screen_bbox(xyw)
-    tx0 = jnp.clip(jnp.floor(x0 / tile).astype(jnp.int32), 0, tx - 1)
-    tx1 = jnp.clip(jnp.floor(x1 / tile).astype(jnp.int32), 0, tx - 1)
-    ty0 = jnp.clip(jnp.floor(y0 / tile).astype(jnp.int32), 0, ty - 1)
-    ty1 = jnp.clip(jnp.floor(y1 / tile).astype(jnp.int32), 0, ty - 1)
-    # fully offscreen?
-    offscreen = (x1 < 0) | (x0 >= width) | (y1 < 0) | (y0 >= height)
+    dplane_t = setup.get("dplane")
+    if dplane_t is None:
+        dplane_t = jnp.zeros((t, 0, 3), jnp.float32)
+    n_planes = dplane_t.shape[1]
+    ncol = _NCOL + 3 * n_planes
+
+    # --- 1. bboxes (straddlers clipped) + span classification -------------
+    x0, y0, x1, y1, unbounded, empty = _screen_bbox(xyw, setup["z"])
+    tx0 = jnp.clip(jnp.floor(x0 / tile).astype(jnp.int32), 0, tx_n - 1)
+    tx1 = jnp.clip(jnp.floor(x1 / tile).astype(jnp.int32), 0, tx_n - 1)
+    ty0 = jnp.clip(jnp.floor(y0 / tile).astype(jnp.int32), 0, ty_n - 1)
+    ty1 = jnp.clip(jnp.floor(y1 / tile).astype(jnp.int32), 0, ty_n - 1)
+    offscreen = (x1 < 0) | (x0 >= width) | (y1 < 0) | (y0 >= height) | empty
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
     span = span_w * span_h
     live = tvalid & ~offscreen
-    # Level 2: mid-size triangles compact into a static g_cap slab before
-    # expansion. Overflow past g_cap (rank order) falls through to global.
-    lvl2_want = live & ~wcross & (span > max_span) & (span <= span2)
-    l2rank = jnp.cumsum(lvl2_want.astype(jnp.int32)) - 1
-    lvl2 = lvl2_want & (l2rank < g_cap)
-    is_global = live & ~lvl2 & (wcross | (span > max_span))
-    binned = live & ~is_global & ~lvl2
+    small = live & ~unbounded & (span <= max_span)
+    mid = live & ~unbounded & (span > max_span) & (span <= span2)
+    glob = live & ~small & ~mid
 
-    # --- 2. expansion + sort ----------------------------------------------
-    # Level 1: in-place expansion over max_span slots (covers the vast
-    # majority of triangles; the reduce is an order-independent min+max-id
-    # combine, so pair order in the stream is irrelevant).
-    di = jnp.arange(max_span, dtype=jnp.int32)                 # (M,)
-    lx = di[None, :] % jnp.maximum(span_w, 1)[:, None]         # (T,M)
-    ly = di[None, :] // jnp.maximum(span_w, 1)[:, None]
-    pair_tile = (ty0[:, None] + ly) * tx + (tx0[:, None] + lx)
-    pair_ok = binned[:, None] & (di[None, :] < span[:, None])
-    pair_tile = jnp.where(pair_ok, pair_tile, n_tiles)         # pad bin
-    tri_ids = jnp.broadcast_to(
-        jnp.arange(t, dtype=jnp.int32)[:, None], (t, max_span))
+    # --- 2. ONE class sort compacts small/mid/global ----------------------
+    m_cap = _pow2ceil(max(t, 2))
+    assert 4 * m_cap < 2 ** 31, "triangle id space exceeds i32 class keys"
+    cls = jnp.where(small, 0, jnp.where(mid, 1, jnp.where(glob, 2, 3)))
+    skey = jnp.sort(cls.astype(jnp.int32) * m_cap
+                    + jnp.arange(t, dtype=jnp.int32))
+    sid = skey & (m_cap - 1)
+    scls = skey // m_cap
+    n_small = jnp.sum(small.astype(jnp.int32))
+    n_mid = jnp.sum(mid.astype(jnp.int32))
+    n_glob = jnp.sum(glob.astype(jnp.int32))
+    g_cap = min(g_cap, m_cap)
+    slab_l = min(slab_cap, m_cap)
+    # pad so the dynamic mid-slice never reads out of range
+    sid = jnp.concatenate([sid, jnp.full((g_cap,), t, jnp.int32)])
+    scls = jnp.concatenate([scls, jnp.full((g_cap,), 3, jnp.int32)])
 
-    # Level 2: compact ids (pad = t), expand over span2 slots.
-    l2key = jnp.where(lvl2, jnp.arange(t, dtype=jnp.int32), t)
-    l2ids = jax.lax.slice(jnp.sort(l2key), (0,), (min(g_cap, t),))
-    l2safe = jnp.clip(l2ids, 0, t - 1)
-    g_tx0 = jnp.take(tx0, l2safe)
-    g_ty0 = jnp.take(ty0, l2safe)
-    g_sw = jnp.take(span_w, l2safe)
-    g_span = jnp.take(span, l2safe)
-    di2 = jnp.arange(span2, dtype=jnp.int32)
-    lx2 = di2[None, :] % jnp.maximum(g_sw, 1)[:, None]         # (G,M2)
-    ly2 = di2[None, :] // jnp.maximum(g_sw, 1)[:, None]
-    pair_tile2 = (g_ty0[:, None] + ly2) * tx + (g_tx0[:, None] + lx2)
-    pair_ok2 = (l2ids < t)[:, None] & (di2[None, :] < g_span[:, None])
-    pair_tile2 = jnp.where(pair_ok2, pair_tile2, n_tiles)
-    tri_ids2 = jnp.broadcast_to(l2safe[:, None], pair_tile2.shape)
+    slab_id = lax.slice(sid, (0,), (slab_l,))
+    slab_ok = lax.slice(scls, (0,), (slab_l,)) == 0
+    mid_id = lax.dynamic_slice(sid, (n_small,), (g_cap,))
+    mid_ok = lax.dynamic_slice(scls, (n_small,), (g_cap,)) == 1
 
-    all_tile = jnp.concatenate(
-        [pair_tile.reshape(-1), pair_tile2.reshape(-1)])
-    all_tri = jnp.concatenate([tri_ids.reshape(-1), tri_ids2.reshape(-1)])
-    order = jnp.argsort(all_tile)
-    sorted_tile = all_tile[order]
-    sorted_tri = all_tri[order]
+    all_id = jnp.concatenate([slab_id, mid_id])            # (LG,)
+    all_ok = jnp.concatenate([slab_ok, mid_ok])
+    lg = slab_l + g_cap
+    safe = jnp.clip(all_id, 0, t - 1)
 
-    starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32))
-    ends = jnp.searchsorted(sorted_tile,
-                            jnp.arange(1, n_tiles + 1, dtype=jnp.int32))
-    counts = ends - starts
+    # --- 3. packed row table ----------------------------------------------
+    tl = jnp.take(setup["top_left"], safe, axis=0)
+    flags = (tl[:, 0].astype(jnp.int32) + 2 * tl[:, 1].astype(jnp.int32)
+             + 4 * tl[:, 2].astype(jnp.int32)
+             + 8 * all_ok.astype(jnp.int32)).astype(jnp.float32)
+    cols = [
+        jnp.take(setup["e_coef"], safe, axis=0).reshape(lg, 9),
+        jnp.take(setup["z"], safe, axis=0),
+        jnp.take(setup["inv_det_s"], safe)[:, None],
+        jnp.take(setup["esum_plane"], safe, axis=0),
+        jnp.take(setup["s"], safe)[:, None],
+        flags[:, None],
+        jnp.take(setup["clip_rect"], safe, axis=0),
+        all_id.astype(jnp.float32)[:, None],
+    ]
+    if n_planes:
+        cols.append(jnp.take(dplane_t, safe, axis=0).reshape(lg, 3 * n_planes))
+    rows = jnp.concatenate(cols, axis=1)                   # (LG, ncol)
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((1, ncol), jnp.float32)], axis=0)  # pad row: flags=0
+
+    # --- 4. pair keys + ONE u32 sort ---------------------------------------
+    pbits = int(lg).bit_length()
+    assert (n_tiles + 1) << pbits <= 2 ** 32, \
+        "tile x slab key space exceeds u32 (raise tile size or lower slab_cap)"
+    a_tx0 = jnp.take(tx0, safe)
+    a_ty0 = jnp.take(ty0, safe)
+    a_sw = jnp.take(span_w, safe)
+    a_span = jnp.take(span, safe)
+
+    def pair_keys(sl, nslots):
+        di = jnp.arange(nslots, dtype=jnp.int32)
+        sw = jnp.maximum(a_sw[sl], 1)[:, None]
+        lx = di[None, :] % sw
+        ly = di[None, :] // sw
+        ptile = (a_ty0[sl][:, None] + ly) * tx_n + (a_tx0[sl][:, None] + lx)
+        ok = all_ok[sl][:, None] & (di[None, :] < a_span[sl][:, None])
+        ptile = jnp.where(ok, ptile, n_tiles)
+        p = (jnp.arange(sl.start, sl.stop, dtype=jnp.uint32)[:, None]
+             + jnp.zeros((1, nslots), jnp.uint32))
+        return (ptile.astype(jnp.uint32) << pbits) | p
+
+    k1 = pair_keys(slice(0, slab_l), max_span)
+    k2 = pair_keys(slice(slab_l, lg), span2)
+    sorted_key = jnp.sort(jnp.concatenate([k1.reshape(-1), k2.reshape(-1)]))
+    stream_len = sorted_key.shape[0]
+    sorted_p = (sorted_key & jnp.uint32((1 << pbits) - 1)).astype(jnp.int32)
+
+    bounds = jnp.searchsorted(
+        sorted_key,
+        jnp.arange(n_tiles + 1, dtype=jnp.uint32) << pbits)
+    starts = bounds[:-1]
+    counts = bounds[1:] - starts
     peak = jnp.max(counts)
 
-    # --- 3. per-tile streaming chunked argmin reduce ----------------------
-    # pad triangle arrays with one invalid row at index t
-    def padrow(a, fill=0.0):
-        pad = jnp.full((1,) + a.shape[1:], fill, a.dtype)
-        return jnp.concatenate([a, pad], axis=0)
-
-    e_coef = padrow(setup["e_coef"])               # (T+1,3,3)
-    top_left = padrow(setup["top_left"], False)
-    zvert = padrow(setup["z"])
-    inv_det_s = padrow(setup["inv_det_s"])
-    esum_plane = padrow(setup["esum_plane"])
-    s_sign = padrow(setup["s"])
-    clip_rect = padrow(setup["clip_rect"])
-    v_all = padrow(tvalid, False)
-    dplane_t = setup.get("dplane")
-    if dplane_t is None:
-        dplane_t = jnp.zeros((t, 0, 3), jnp.float32)
-    dplane = padrow(dplane_t)
-    n_planes = dplane_t.shape[1]
-
-    # local pixel grids per tile
+    # --- 5. per-tile pixel grids + init carry ------------------------------
     ly_pix = jnp.arange(tile, dtype=jnp.float32) + 0.5
     lx_pix = jnp.arange(tile, dtype=jnp.float32) + 0.5
-    tyy, txx = jnp.meshgrid(jnp.arange(ty, dtype=jnp.float32),
-                            jnp.arange(tx, dtype=jnp.float32), indexing="ij")
+    tyy, txx = jnp.meshgrid(jnp.arange(ty_n, dtype=jnp.float32),
+                            jnp.arange(tx_n, dtype=jnp.float32), indexing="ij")
     base_x = (txx * tile).reshape(-1)                          # (TILES,)
     base_y = (tyy * tile).reshape(-1)
-    px = base_x[:, None, None] + lx_pix[None, None, :]         # (TILES,1,tile)
-    py = base_y[:, None, None] + ly_pix[None, :, None]         # (TILES,tile,1)
+    px = base_x[:, None, None] + lx_pix[None, None, :]
+    py = base_y[:, None, None] + ly_pix[None, :, None]
     px = jnp.broadcast_to(px, (n_tiles, tile, tile))
     py = jnp.broadcast_to(py, (n_tiles, tile, tile))
     scissor = ((px >= viewport[0]) & (px < viewport[0] + viewport[2])
@@ -204,134 +388,51 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     cz = jnp.asarray(clear_z, jnp.float32)
     if cz.ndim == 2:
         # Kept z-buffer (CLEARZBUFFER off): tile-ify last frame's (H,W) zb.
-        zp = jnp.pad(cz, ((0, ty * tile - height), (0, tx * tile - width)),
+        zp = jnp.pad(cz, ((0, ty_n * tile - height), (0, tx_n * tile - width)),
                      constant_values=1.0)
-        init_d = zp.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3)
+        init_d = zp.reshape(ty_n, tile, tx_n, tile).transpose(0, 2, 1, 3)
         init_d = init_d.reshape(n_tiles, tile, tile)
     else:
         init_d = jnp.full((n_tiles, tile, tile), cz)
     init_i = jnp.full((n_tiles, tile, tile), -1, jnp.int32)
-    big = jnp.float32(3.0e38)
 
-    def reduce_ids(carry, ids, px_s=None, py_s=None, scissor_s=None):
-        # ids (S, C); px_s/py_s/scissor_s: per-tile pixel grids for the S
-        # tiles being reduced (defaults: all tiles in layout order).
-        best_d, best_i = carry
-        if px_s is None:
-            px_s, py_s, scissor_s = px, py, scissor
-        ec = jnp.take(e_coef, ids, axis=0)      # (S,C,3,3)
-        tl = jnp.take(top_left, ids, axis=0)    # (S,C,3)
-        zv = jnp.take(zvert, ids, axis=0)       # (S,C,3)
-        ivs = jnp.take(inv_det_s, ids, axis=0)  # (S,C)
-        ep = jnp.take(esum_plane, ids, axis=0)  # (S,C,3)
-        ss = jnp.take(s_sign, ids, axis=0)      # (S,C)
-        tv = jnp.take(v_all, ids, axis=0)       # (S,C)
-        rect = jnp.take(clip_rect, ids, axis=0)  # (S,C,4)
-
-        pxc = px_s[:, None]                     # (S,1,tile,tile)
-        pyc = py_s[:, None]
-
-        def plane(coef):                        # (TILES,C,3) -> (TILES,C,h,w)
-            return (coef[..., 0, None, None] * pxc
-                    + coef[..., 1, None, None] * pyc
-                    + coef[..., 2, None, None])
-
-        e0 = plane(ec[:, :, 0])
-        e1 = plane(ec[:, :, 1])
-        e2 = plane(ec[:, :, 2])
-        cov = (((e0 > 0) | ((e0 == 0) & tl[:, :, 0, None, None]))
-               & ((e1 > 0) | ((e1 == 0) & tl[:, :, 1, None, None]))
-               & ((e2 > 0) | ((e2 == 0) & tl[:, :, 2, None, None])))
-        esum = plane(ep) * ss[..., None, None]
-        # Bit-exact with the ordered pass (see deferred.py depth note).
-        depth = (e0 * zv[..., 0, None, None] + e1 * zv[..., 1, None, None]
-                 + e2 * zv[..., 2, None, None]) * ivs[..., None, None]
-        cov &= ((esum > 0) & (depth >= 0.0) & (depth <= 1.0)
-                & tv[..., None, None] & scissor_s[:, None])
-        cov &= ((pxc >= rect[..., 0, None, None])
-                & (pyc >= rect[..., 1, None, None])
-                & (pxc < rect[..., 2, None, None])
-                & (pyc < rect[..., 3, None, None]))
-        # User clip planes (deferred half-space test, see triangle_setup).
-        if n_planes:
-            dp = jnp.take(dplane, ids, axis=0)   # (TILES,C,P,3)
-            for p in range(n_planes):
-                cov &= plane(dp[:, :, p]) >= 0
-        dm = jnp.where(cov, depth, big)
-        dmin = jnp.min(dm, axis=1)              # (TILES,h,w)
-        idwin = jnp.max(jnp.where(dm == dmin[:, None], ids[..., None, None], -1),
-                        axis=1)
-        better = (idwin >= 0) & ((dmin < best_d)
-                                 | ((dmin == best_d) & (idwin > best_i)))
-        best_d = jnp.where(better, dmin, best_d)
-        best_i = jnp.where(better, idwin, best_i)
-        return best_d, best_i
-
+    # --- 6. occupancy-ranked reduce over the binned stream ------------------
+    order_t = jnp.argsort(-counts)                           # dense tiles first
     slot_c = jnp.arange(chunk, dtype=jnp.int32)
-    stream_len = sorted_tri.shape[0]
-    carry = (init_d, init_i)
-
-    # Global bin (big / w-crossing triangles evaluated on every tile):
-    # streamed with a dynamic trip count — no g_cap truncation.
-    n_global = jnp.sum(is_global.astype(jnp.int32))
-    gkey = jnp.where(is_global, jnp.arange(t, dtype=jnp.int32), t)
-    gsorted = jnp.sort(gkey)                    # global ids first, t-pad after
-
-    def g_body(st):
-        c, carry = st
-        idx = c * chunk + slot_c
-        ids = jnp.where(idx < n_global,
-                        jnp.take(gsorted, jnp.clip(idx, 0, t - 1)), t)
-        ids = jnp.broadcast_to(ids[None, :], (n_tiles, chunk))
-        return c + 1, reduce_ids(carry, ids)
-
-    _, carry = jax.lax.while_loop(
-        lambda st: st[0] * chunk < n_global, g_body, (jnp.int32(0), carry))
-
-    # Binned lists, processed by OCCUPANCY RANK with static per-rank budgets:
-    # tiles are sorted by triangle count and partitioned into static rank
-    # classes, each reduced in ONE unrolled round sized to its class budget
-    # (dense tiles get deep budgets, the sparse majority shallow ones). A
-    # dynamic while_loop here costs per-iteration overhead that dwarfs the
-    # math (the round-per-chunk version measured ~10x slower than the same
-    # total work unrolled); the ranked classes do Σ(count)-proportional work
-    # in a handful of fused rounds. EXACTNESS is kept by a while fallback
-    # per class for counts beyond the budget — 0 iterations unless a tile
-    # really is deeper than its class budget (peak > budget only triggers
-    # the top class's loop).
-    order_t = jnp.argsort(-counts)                       # dense tiles first
-    cls = _rank_classes(n_tiles)
     bd_parts, bi_parts = [], []
-    best_d0, best_i0 = carry
     a = 0
-    for (size, budget) in cls:
-        idx_t = order_t[a:a + size]                              # (S,)
+    for (size, budget) in _rank_classes(n_tiles):
+        idx_t = order_t[a:a + size]
         a += size
         px_s = jnp.take(px, idx_t, axis=0)
         py_s = jnp.take(py, idx_t, axis=0)
         sc_s = jnp.take(scissor, idx_t, axis=0)
         st_s = jnp.take(starts, idx_t)
-        en_s = jnp.take(ends, idx_t)
-        sub = (jnp.take(best_d0, idx_t, axis=0),
-               jnp.take(best_i0, idx_t, axis=0))
+        en_s = st_s + jnp.take(counts, idx_t)
+        sub = (jnp.take(init_d, idx_t, axis=0),
+               jnp.take(init_i, idx_t, axis=0))
         bidx = st_s[:, None] + jnp.arange(budget, dtype=jnp.int32)[None, :]
-        ids = jnp.where(bidx < en_s[:, None],
-                        jnp.take(sorted_tri,
-                                 jnp.clip(bidx, 0, stream_len - 1)), t)
-        sub = reduce_ids(sub, ids, px_s, py_s, sc_s)
+        ids_p = jnp.where(bidx < en_s[:, None],
+                          jnp.take(sorted_p,
+                                   jnp.clip(bidx, 0, stream_len - 1)), lg)
+        rws = jnp.take(rows, ids_p.reshape(-1), axis=0).reshape(
+            size, budget, ncol)
+        sub = _reduce_rows(sub, rws, n_planes, px_s, py_s, sc_s)
         # Exactness fallback: stream any remainder past the budget.
         deepest = jnp.max(en_s - st_s)
 
         def fb_body(stt, _st=st_s, _en=en_s, _px=px_s, _py=py_s, _sc=sc_s,
-                    _budget=budget):
+                    _budget=budget, _size=size):
             c, sub_c = stt
             fidx = (_st[:, None] + _budget + c * chunk + slot_c[None, :])
             fids = jnp.where(fidx < _en[:, None],
-                             jnp.take(sorted_tri,
-                                      jnp.clip(fidx, 0, stream_len - 1)), t)
-            return c + 1, reduce_ids(sub_c, fids, _px, _py, _sc)
+                             jnp.take(sorted_p,
+                                      jnp.clip(fidx, 0, stream_len - 1)), lg)
+            frws = jnp.take(rows, fids.reshape(-1), axis=0).reshape(
+                _size, chunk, ncol)
+            return c + 1, _reduce_rows(sub_c, frws, n_planes, _px, _py, _sc)
 
-        _, sub = jax.lax.while_loop(
+        _, sub = lax.while_loop(
             lambda stt, _b=budget, _d=deepest: _b + stt[0] * chunk < _d,
             fb_body, (jnp.int32(0), sub))
         bd_parts.append(sub[0])
@@ -343,10 +444,65 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     best_d = jnp.take(bd_sorted, inv, axis=0)
     best_i = jnp.take(bi_sorted, inv, axis=0)
 
-    # --- 4. tiles -> (H, W) -------------------------------------------------
-    full_h, full_w = ty * tile, tx * tile
-    bd = best_d.reshape(ty, tx, tile, tile).transpose(0, 2, 1, 3)
+    # --- 7. leftover streams: evaluated on ALL tiles (rarely non-empty) ----
+    # (a) global class — unbounded straddlers + spans past span2 + mid
+    #     triangles past the g_cap slab: contiguous sorted range
+    #     [n_small + min(n_mid, g_cap), n_small + n_mid + n_glob).
+    # (b) small-class triangles past the slab: range [slab_l, n_small).
+    tl_full = setup["top_left"]
+    valid_full = tvalid
+
+    def rows_for(ids):
+        """(C,) original ids -> (C, ncol) packed rows (narrow gathers; only
+        the rare leftover streams pay this)."""
+        safe_i = jnp.clip(ids, 0, t - 1)
+        ok = (ids >= 0) & (ids < t) & jnp.take(valid_full, safe_i)
+        tlr = jnp.take(tl_full, safe_i, axis=0)
+        fl = (tlr[:, 0].astype(jnp.int32) + 2 * tlr[:, 1].astype(jnp.int32)
+              + 4 * tlr[:, 2].astype(jnp.int32)
+              + 8 * ok.astype(jnp.int32)).astype(jnp.float32)
+        parts = [
+            jnp.take(setup["e_coef"], safe_i, axis=0).reshape(-1, 9),
+            jnp.take(setup["z"], safe_i, axis=0),
+            jnp.take(setup["inv_det_s"], safe_i)[:, None],
+            jnp.take(setup["esum_plane"], safe_i, axis=0),
+            jnp.take(setup["s"], safe_i)[:, None],
+            fl[:, None],
+            jnp.take(setup["clip_rect"], safe_i, axis=0),
+            safe_i.astype(jnp.float32)[:, None],
+        ]
+        if n_planes:
+            parts.append(jnp.take(dplane_t, safe_i, axis=0).reshape(
+                -1, 3 * n_planes))
+        return jnp.concatenate(parts, axis=1)
+
+    def stream_all_tiles(carry, start, count):
+        def body(st):
+            c, car = st
+            idx = start + c * chunk + slot_c
+            ids = jnp.where(idx - start < count,
+                            jnp.take(sid, jnp.clip(idx, 0, sid.shape[0] - 1)),
+                            t)
+            rws = jnp.broadcast_to(rows_for(ids)[None],
+                                   (n_tiles, chunk, ncol))
+            return c + 1, _reduce_rows(car, rws, n_planes, px, py, scissor)
+
+        _, carry = lax.while_loop(
+            lambda st: st[0] * chunk < count, body, (jnp.int32(0), carry))
+        return carry
+
+    carry = (best_d, best_i)
+    g_start = n_small + jnp.minimum(n_mid, g_cap)
+    g_count = (n_small + n_mid + n_glob) - g_start
+    carry = stream_all_tiles(carry, g_start, g_count)
+    s_over = jnp.maximum(n_small - slab_l, 0)
+    carry = stream_all_tiles(carry, jnp.int32(slab_l), s_over)
+    best_d, best_i = carry
+
+    # --- 8. tiles -> (H, W) -------------------------------------------------
+    full_h, full_w = ty_n * tile, tx_n * tile
+    bd = best_d.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3)
     bd = bd.reshape(full_h, full_w)[:height, :width]
-    bi = best_i.reshape(ty, tx, tile, tile).transpose(0, 2, 1, 3)
+    bi = best_i.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3)
     bi = bi.reshape(full_h, full_w)[:height, :width]
     return bi, bd, peak
