@@ -541,12 +541,12 @@ def render_pass_tiled(
     # --- membership from screen bboxes ------------------------------------
     from .tiled import _screen_bbox
 
-    x0, y0, x1, y1, _wcross = _screen_bbox(batch.xyw)
+    x0, y0, x1, y1, _unbounded, empty = _screen_bbox(batch.xyw, batch.z)
     tx0 = jnp.clip(jnp.floor(x0 / tile).astype(jnp.int32), 0, tx - 1)
     tx1 = jnp.clip(jnp.floor(x1 / tile).astype(jnp.int32), 0, tx - 1)
     ty0 = jnp.clip(jnp.floor(y0 / tile).astype(jnp.int32), 0, ty - 1)
     ty1 = jnp.clip(jnp.floor(y1 / tile).astype(jnp.int32), 0, ty - 1)
-    offscreen = (x1 < 0) | (x0 >= w) | (y1 < 0) | (y0 >= h)
+    offscreen = (x1 < 0) | (x0 >= w) | (y1 < 0) | (y0 >= h) | empty
     live = batch.valid & ~offscreen
     cx = jnp.arange(tx, dtype=jnp.int32)
     cy = jnp.arange(ty, dtype=jnp.int32)
