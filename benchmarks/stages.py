@@ -131,7 +131,8 @@ def main():
             best_id, batch.xyw, batch.z, batch.color, batch.specular,
             batch.uv, batch.fog, batch.state_idx, s.state_i, s.state_f,
             s.tex_planes, s.tex_hw, s.fog_color, clear_fb, height, width,
-            batch_refl=batch.refl)
+            batch_refl=batch.refl,
+            sampler_profile=params.get("sampler_profile"))
         return fb.sum()
 
     def stage_full(st, f, i):

@@ -1842,7 +1842,27 @@ class CKRenderContext(CKObject):
                 table.local[:n].copy(), static["parent"],
                 clip.bank(n_entities=n), np.float32(clip.frame),
                 self._compiled.levels)
+        # Static sampler profile (any_nearest, any_mip) from this frame's
+        # state bank: lets the shade skip the nearest-filter fetch and the
+        # second mip level when no material needs them — the reference's
+        # render-state-cache idea applied at the jit-signature level
+        # (SURVEY §7); a material switching filter modes recompiles, like
+        # swapping a D3D state block.
+        from ..raster.types import SI_TEX, SI_TEXFILTER
+        from ..raster.types import VXTEXTURE_FILTER as _TF
+        _texd = si[:, SI_TEX] >= 0
+        _filt = si[:, SI_TEXFILTER]
+        _lin = ((_filt == _TF.LINEAR) | (_filt == _TF.LINEARMIPNEAREST)
+                | (_filt == _TF.LINEARMIPLINEAR)
+                | (_filt == _TF.ANISOTROPIC))
+        _mip = ((_filt == _TF.MIPNEAREST) | (_filt == _TF.MIPLINEAR)
+                | (_filt == _TF.LINEARMIPNEAREST)
+                | (_filt == _TF.LINEARMIPLINEAR)
+                | (_filt == _TF.ANISOTROPIC))
+        sampler_profile = (bool(np.any(_texd & ~_lin)),
+                           bool(np.any(_texd & _mip)))
         params = dict(
+            sampler_profile=sampler_profile,
             texdev=tuple(texdev) if texdev else None,
             texdev_rects=tuple(texdev_rects),
             layout=self._layout, levels=self._compiled.levels,
@@ -3493,6 +3513,7 @@ class CKRenderManager(CKObject):
                params["want_cube"] != filled[0][3]["want_cube"] or \
                params["pixel_shader"] is not filled[0][3]["pixel_shader"] or \
                params["anim"] is not filled[0][3]["anim"] or \
+               params["sampler_profile"] != filled[0][3]["sampler_profile"] or \
                params["sort_transparent"] != filled[0][3]["sort_transparent"]:
                 return False
         static, _f0, _i0, params = filled[0]

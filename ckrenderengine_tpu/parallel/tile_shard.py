@@ -51,7 +51,8 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
                                pixel_shader=None,
                                want_bump: bool = False,
                                want_cube: bool = False,
-                               texdev=None, texdev_rects: tuple = ()):
+                               texdev=None, texdev_rects: tuple = (),
+                               sampler_profile=None):
     """One logical frame of ``height`` rows rendered as ``mesh.shape[axis]``
     horizontal bands, one per device. Returns (fb (4,H,W), zb (H,W)) sharded
     over H. ``height`` must divide evenly by the band count.
@@ -76,7 +77,7 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
             vertex_shader=vertex_shader, pixel_shader=pixel_shader,
             want_bump=want_bump,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
-            allow_pallas=False, y_shift=y0)
+            sampler_profile=sampler_profile, allow_pallas=False, y_shift=y0)
         fb, zb = out
         return fb, zb
 
@@ -98,5 +99,5 @@ render_frame_packed_banded_jit = functools.partial(
     static_argnames=("layout", "levels", "height", "width", "mesh", "axis",
                      "ordered_cap", "chunk", "sort_transparent",
                      "vertex_shader", "pixel_shader", "want_bump",
-                     "want_cube", "texdev_rects"))(
+                     "want_cube", "texdev_rects", "sampler_profile"))(
     render_frame_packed_banded)

@@ -395,6 +395,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       want_bump: bool = False,
                       want_cube: bool = False,
                       want_stats: bool = False,
+                      sampler_profile=None,
                       prev_fb=None, prev_zb=None):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
@@ -478,7 +479,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         best_id, batch.xyw, batch.z, batch.color, batch.specular, batch.uv,
         batch.fog, batch.state_idx, scene.state_i, scene.state_f,
         scene.tex_planes, scene.tex_hw, scene.fog_color, clear_fb,
-        height, width, batch_refl=batch.refl, pixel_shader=pixel_shader)
+        height, width, batch_refl=batch.refl, pixel_shader=pixel_shader,
+        sampler_profile=sampler_profile)
     zb = best_depth
 
     # --- ordered remainder: cutouts, z-overrides, transparent (sorted) -----
@@ -534,7 +536,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 render_frame = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
                               "chunk", "vertex_shader", "pixel_shader",
-                              "want_bump", "want_cube", "want_stats")
+                              "want_bump", "want_cube", "want_stats",
+                              "sampler_profile")
 )(render_frame_impl)
 
 
@@ -553,6 +556,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            want_bump: bool = False,
                            want_cube: bool = False,
                            want_stats: bool = False,
+                           sampler_profile=None,
                            prev_fb=None, prev_zb=None):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
@@ -613,6 +617,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                             want_bump=want_bump,
                             want_cube=want_cube,
                             want_stats=want_stats,
+                            sampler_profile=sampler_profile,
                             prev_fb=prev_fb, prev_zb=prev_zb)
     stats = None
     if want_stats:
@@ -637,7 +642,7 @@ render_frame_full = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
                               "chunk", "sort_transparent", "want_stencil",
                               "vertex_shader", "pixel_shader", "want_bump",
-                              "want_cube", "want_stats")
+                              "want_cube", "want_stats", "sampler_profile")
 )(render_frame_full_impl)
 
 
@@ -694,6 +699,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              want_bump: bool = False,
                              want_cube: bool = False,
                              want_stats: bool = False,
+                             sampler_profile=None,
                              prev_fb=None, prev_zb=None,
                              allow_pallas: bool = True,
                              y_shift=None,
@@ -735,6 +741,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         vertex_shader=vertex_shader, pixel_shader=pixel_shader,
         want_bump=want_bump,
         want_cube=want_cube, want_stats=want_stats,
+        sampler_profile=sampler_profile,
         prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas)
 
 
@@ -830,7 +837,7 @@ render_frame_packed = functools.partial(
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
-                     "want_cube", "want_stats",
+                     "want_cube", "want_stats", "sampler_profile",
                      "allow_pallas", "texdev_rects"))(
     render_frame_packed_impl)
 
@@ -840,7 +847,7 @@ render_frame_packed = functools.partial(
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
-                     "want_cube", "texdev_rects"))
+                     "want_cube", "texdev_rects", "sampler_profile"))
 def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  levels: tuple, height: int, width: int,
                                  skin=None, anim=None,
@@ -854,7 +861,7 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  want_bump: bool = False,
                                  want_cube: bool = False,
                                  texdev=None, texdev_rects: tuple = (),
-                                 world_in=None):
+                                 world_in=None, sampler_profile=None):
     """Batched packed frames: ``dyn_f``/``dyn_i`` carry a leading context
     axis; statics (streams, pools, textures, banks topology) broadcast. This
     is the multi-context scale path with ONE f32 + ONE i32 host->device
@@ -874,7 +881,7 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
             vertex_shader=vertex_shader, pixel_shader=pixel_shader,
             want_bump=want_bump,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
-            allow_pallas=False)
+            sampler_profile=sampler_profile, allow_pallas=False)
 
     if world_in is None:
         return jax.vmap(lambda df, di: one(df, di, None))(dyn_f, dyn_i)

@@ -241,6 +241,60 @@ def _address_pp(coord, fsize, mode):
         [wrap, mirror, mirror_once], default=clamp)
 
 
+def _tex_params(tex_hw, tid):
+    """Per-element texture parameters from the (NT, 2..5) tex_hw table.
+
+    tex_hw column layouts (static): 2 = per-texture planes; 3 = planes +
+    mip column; 4 = packed ATLAS (h, w, off_y, off_x); 5 = atlas + mips
+    (h, w, levels, off_y, off_x). See CKRenderContext._refresh_textures.
+    Returns dict of arrays shaped like ``tid`` — precomputable per TRIANGLE
+    and packed into the shade-row table so the per-pixel path pays zero
+    tex_hw gathers (gather cost is per-row; see docs/PERFORMANCE.md)."""
+    tid_c = jnp.clip(tid, 0, tex_hw.shape[0] - 1)
+    h0 = tex_hw[tid_c, 0].astype(jnp.float32)
+    w0 = tex_hw[tid_c, 1].astype(jnp.float32)
+    ncols = tex_hw.shape[1]
+    has_mips = ncols in (3, 5)
+    is_atlas = ncols >= 4
+    n_levels = (tex_hw[tid_c, 2] if has_mips
+                else jnp.ones_like(tid_c)).astype(jnp.float32)
+    if is_atlas:
+        atl_y = tex_hw[tid_c, ncols - 2].astype(jnp.float32)
+        atl_x = tex_hw[tid_c, ncols - 1].astype(jnp.float32)
+        plane = jnp.zeros_like(tid_c).astype(jnp.float32)
+        base_tw = w0           # per-texture mip column = its own base width
+    else:
+        atl_y = jnp.zeros_like(h0)
+        atl_x = jnp.zeros_like(h0)
+        plane = tid_c.astype(jnp.float32)
+        base_tw = jnp.zeros_like(h0)   # filled statically by the core
+    return dict(h0=h0, w0=w0, n_levels=n_levels, atl_y=atl_y, atl_x=atl_x,
+                plane=plane, base_tw=base_tw)
+
+
+_TEX_PARAM_KEYS = ("h0", "w0", "n_levels", "atl_y", "atl_x", "plane",
+                   "base_tw")
+
+
+def _shade_state_rows(state_i, state_f, tex_hw):
+    """(S, 22) packed per-state shade columns: the 8 si + 7 sf columns the
+    fixed-function shade reads, plus the 7 per-texture sampling params —
+    built on the TINY state table so the per-triangle stage pays ONE row
+    gather instead of three (gather cost is per row; docs/PERFORMANCE.md)."""
+    from .types import SF_CONST_R, SI_COLORWRITE, SI_TEXGEN
+
+    si_cols = (SI_TEX, SI_TEXADDR, SI_TEXFILTER, SI_TEXBLEND, SI_FOG,
+               SI_PERSPECTIVE, SI_TEXGEN, SI_COLORWRITE)
+    sf_cols = (SF_BORDER_R, SF_BORDER_R + 1, SF_BORDER_R + 2,
+               SF_BORDER_R + 3, SF_CONST_R, SF_CONST_R + 1, SF_CONST_R + 2)
+    prm = _tex_params(tex_hw, state_i[:, SI_TEX])
+    return jnp.concatenate([
+        state_i[:, list(si_cols)].astype(jnp.float32),
+        state_f[:, list(sf_cols)],
+        jnp.stack([prm[k] for k in _TEX_PARAM_KEYS], axis=-1),
+    ], axis=1)
+
+
 def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
                       lod=None):
     """Per-pixel texture sampling with per-pixel texture ids + optional mips.
@@ -251,31 +305,35 @@ def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
     tid/u/v/mode/filt: (H,W) arrays; lod: (H,W) f32 or None (level 0).
     Returns 4 (H,W) planes.
     """
+    prm = _tex_params(tex_hw, tid)
+    has_mips = tex_hw.shape[1] in (3, 5)
+    return _sample_texture_core(tex_planes, has_mips, prm, u, v, mode, filt,
+                                border_rgba, lod)
+
+
+def _sample_texture_core(tex_planes, has_mips, prm, u, v, mode, filt,
+                         border_rgba, lod=None, profile=None):
+    """Sampling core over precomputed per-element texture params (see
+    :func:`_tex_params`).
+
+    ``profile``: optional STATIC (any_nearest, any_mip) sampler profile
+    derived from the frame's state table. Texel fetches are the dominant
+    per-pixel gather cost; when no state uses a nearest filter the nearest
+    fetch (1 tap/level) is skipped, and when no state uses a mip filter the
+    second mip level (5 taps) is skipped. Conservative when None."""
+    any_nearest = profile is None or bool(profile[0])
+    any_mip = profile is None or bool(profile[1])
     nt, _, th, taw = tex_planes.shape
     flat = tex_planes.transpose(0, 2, 3, 1).reshape(nt * th * taw, 4)
-    tid_c = jnp.clip(tid, 0, tex_hw.shape[0] - 1)
-    h0 = tex_hw[tid_c, 0].astype(jnp.float32)
-    w0 = tex_hw[tid_c, 1].astype(jnp.float32)
-    # tex_hw column layouts (static): 2 = per-texture planes; 3 = planes +
-    # mip column; 4 = packed ATLAS (h, w, off_y, off_x); 5 = atlas + mips
-    # (h, w, levels, off_y, off_x). See _refresh_textures.
-    ncols = tex_hw.shape[1]
-    has_mips = ncols in (3, 5)
-    is_atlas = ncols >= 4
-    n_levels = (tex_hw[tid_c, 2] if has_mips
-                else jnp.ones_like(tid_c)).astype(jnp.int32)
-    if is_atlas:
-        atl_y = tex_hw[tid_c, ncols - 2].astype(jnp.float32)
-        atl_x = tex_hw[tid_c, ncols - 1].astype(jnp.float32)
-        plane = jnp.zeros_like(tid_c)
-        # per-texture mip column = its own base width
-        base_tw = w0
-    else:
-        atl_y = jnp.float32(0.0)
-        atl_x = jnp.float32(0.0)
-        plane = tid_c
-        # global mip column = max base width (AW = TW + TW//2)
-        base_tw = jnp.float32((taw * 2) // 3 if has_mips else 0.0)
+    h0 = prm["h0"]
+    w0 = prm["w0"]
+    n_levels = prm["n_levels"].astype(jnp.int32)
+    atl_y = prm["atl_y"]
+    atl_x = prm["atl_x"]
+    plane = prm["plane"].astype(jnp.int32)
+    # non-atlas entries signal base_tw=0: global mip column = max base width
+    glob_col = jnp.float32((taw * 2) // 3 if has_mips else 0.0)
+    base_tw = jnp.where(prm["base_tw"] > 0, prm["base_tw"], glob_col)
     border = mode == VXTEXTURE_ADDRESS.BORDER
 
     linear = (
@@ -306,7 +364,6 @@ def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
                 idx.shape + (4,)).astype(jnp.float32)   # bf16 stacks upcast
             return [texel[..., c] for c in range(4)]
 
-        near = fetch(tu, tv)
         fu = tu - 0.5
         fv = tv - 0.5
         u0_ = jnp.floor(fu)
@@ -319,13 +376,17 @@ def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
         c11 = fetch(u0_ + 1.0, v0_ + 1.0)
         lin = [c00[c] * (1 - du) * (1 - dv) + c10[c] * du * (1 - dv)
                + c01[c] * (1 - du) * dv + c11[c] * du * dv for c in range(4)]
-        out = [jnp.where(linear, lin[c], near[c]) for c in range(4)]
+        if any_nearest:
+            near = fetch(tu, tv)
+            out = [jnp.where(linear, lin[c], near[c]) for c in range(4)]
+        else:
+            out = lin
         oob = (tu < 0) | (tu >= w) | (tv < 0) | (tv >= h)
         return [jnp.where(border & oob, border_rgba[c], out[c])
                 for c in range(4)]
 
-    if lod is None or not has_mips:
-        return sample_level(jnp.zeros_like(tid_c))
+    if lod is None or not has_mips or not any_mip:
+        return sample_level(jnp.zeros_like(plane))
 
     mip_near = ((filt == VXTEXTURE_FILTER.MIPNEAREST)
                 | (filt == VXTEXTURE_FILTER.LINEARMIPNEAREST))
@@ -386,13 +447,21 @@ def tex_blend_pp(mode, tex, diff, const=None):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("height", "width", "pixel_shader"))
+                   static_argnames=("height", "width", "pixel_shader",
+                                    "sampler_profile"))
 def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
                    batch_uv, batch_fog, batch_state, state_i, state_f,
                    tex_planes, tex_hw, fog_color, clear_fb,
                    height: int, width: int, batch_refl=None,
-                   pixel_shader=None):
+                   pixel_shader=None, sampler_profile=None):
     """One shading evaluation per pixel on the winning triangle.
+
+    Fixed-function frames take :func:`_shade_deferred_fast`: every
+    per-triangle quantity the pixel needs (edge planes, corner attributes,
+    the few state columns read, texture geometry) packs into ONE wide row
+    so the per-pixel cost is a single row gather + texture taps — gather
+    cost on this TPU is per ROW, nearly independent of width (see
+    docs/PERFORMANCE.md), and the old path paid ~13 narrow gathers/pixel.
 
     ``pixel_shader``: optional traced JAX fn replacing the fixed-function
     texture-blend stage — the TPU analogue of the reference's pixel shaders
@@ -403,10 +472,198 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
     texture color (white when untextured), ``uv`` (...,2), ``xy`` (...,2)
     screen position, ``si``/``sf`` (...,NUM_SI/NUM_SF) render-state rows —
     and returns the (...,4) stage output. Specular add, fog, and alpha
-    blending remain fixed-function after it (D3D9 semantics).
+    blending remain fixed-function after it (D3D9 semantics). Shader frames
+    keep the reference per-pixel-gather path (full state rows per pixel).
 
     Returns (4,H,W) fb planes (background pixels keep clear_fb).
     """
+    if pixel_shader is None:
+        return _shade_deferred_fast(
+            best_id, batch_xyw, batch_color, batch_spec, batch_uv,
+            batch_fog, batch_state, state_i, state_f, tex_planes, tex_hw,
+            fog_color, clear_fb, height, width, batch_refl=batch_refl,
+            sampler_profile=sampler_profile)
+    return _shade_deferred_ps(
+        best_id, batch_xyw, batch_z, batch_color, batch_spec, batch_uv,
+        batch_fog, batch_state, state_i, state_f, tex_planes, tex_hw,
+        fog_color, clear_fb, height, width, batch_refl=batch_refl,
+        pixel_shader=pixel_shader)
+
+
+def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
+                         batch_uv, batch_fog, batch_state, state_i, state_f,
+                         tex_planes, tex_hw, fog_color, clear_fb,
+                         height: int, width: int, batch_refl=None,
+                         sampler_profile=None):
+    """Packed-row fixed-function deferred shade (see shade_deferred)."""
+    from ..math.vxmath import oct_encode
+    from .types import SF_CONST_R, SI_COLORWRITE, SI_TEXGEN, TEXGEN_CUBE
+
+    t = batch_xyw.shape[0]
+    has_refl = batch_refl is not None and batch_refl.shape[-1] > 0
+    has_mips = tex_hw.shape[1] in (3, 5)
+
+    # --- per-triangle shade row table (dense build, one wide row) ---------
+    v0, v1, v2 = batch_xyw[:, 0], batch_xyw[:, 1], batch_xyw[:, 2]
+    adj0 = jnp.cross(v1, v2)
+    adj1 = jnp.cross(v2, v0)
+    adj2 = jnp.cross(v0, v1)
+    det = jnp.sum(v0 * adj0, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+
+    si_cols = (SI_TEX, SI_TEXADDR, SI_TEXFILTER, SI_TEXBLEND, SI_FOG,
+               SI_PERSPECTIVE, SI_TEXGEN, SI_COLORWRITE)
+    sf_cols = (SF_BORDER_R, SF_BORDER_R + 1, SF_BORDER_R + 2,
+               SF_BORDER_R + 3, SF_CONST_R, SF_CONST_R + 1, SF_CONST_R + 2)
+    st_t = jnp.take(_shade_state_rows(state_i, state_f, tex_hw),
+                    batch_state, axis=0)                           # (T,22)
+
+    # column layout
+    _EC = slice(0, 9)
+    _WS = slice(9, 12)
+    _IVD = 12
+    _COL = slice(13, 25)
+    _SPC = slice(25, 34)
+    _UV = slice(34, 40)
+    _FOG = slice(40, 43)
+    _SI = 43            # 8 cols, order = si_cols
+    _SF = 51            # 7 cols, order = sf_cols
+    _TP = 58            # 7 cols, order = _TEX_PARAM_KEYS
+    _RFL = slice(65, 74)
+    cols = [
+        adj0, adj1, adj2,
+        batch_xyw[..., 2],
+        inv_det[:, None],
+        batch_color.reshape(t, 12),
+        batch_spec.reshape(t, 9),
+        batch_uv.reshape(t, 6),
+        batch_fog.reshape(t, 3),
+        st_t,
+    ]
+    if has_refl:
+        cols.append(batch_refl.reshape(t, 9))
+    tbl = jnp.concatenate(cols, axis=1)
+
+    # --- ONE wide per-pixel gather ----------------------------------------
+    py, px = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(width, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    hit = best_id >= 0
+    tid = jnp.clip(best_id, 0, t - 1)
+    row = jnp.take(tbl, tid.reshape(-1), axis=0).reshape(
+        (height, width, tbl.shape[1]))
+
+    si_pos = {c: i for i, c in enumerate(si_cols)}
+    sf_pos = {c: i for i, c in enumerate(sf_cols)}
+
+    def si(c):
+        return row[..., _SI + si_pos[c]]
+
+    def sf(c):
+        return row[..., _SF + sf_pos[c]]
+
+    def plane3(sl):
+        c = row[..., sl]
+        return c[..., 0] * px + c[..., 1] * py + c[..., 2]
+
+    e0 = plane3(slice(0, 3))
+    e1 = plane3(slice(3, 6))
+    e2 = plane3(slice(6, 9))
+    esum = e0 + e1 + e2
+    persp = si(SI_PERSPECTIVE) != 0
+    inv_esum = 1.0 / jnp.where(jnp.abs(esum) < 1e-30, 1e-30, esum)
+    ws = row[..., _WS]
+    ivd = row[..., _IVD]
+    w0 = jnp.where(persp, e0 * inv_esum, e0 * ws[..., 0] * ivd)
+    w1 = jnp.where(persp, e1 * inv_esum, e1 * ws[..., 1] * ivd)
+    w2 = jnp.where(persp, e2 * inv_esum, e2 * ws[..., 2] * ivd)
+
+    def interp(sl, k):
+        a = row[..., sl].reshape(row.shape[:-1] + (3, k))
+        return (w0[..., None] * a[..., 0, :] + w1[..., None] * a[..., 1, :]
+                + w2[..., None] * a[..., 2, :])
+
+    color = interp(_COL, 4)
+    colorp = [color[..., c] for c in range(4)]
+    uvi = interp(_UV, 2)
+    if has_refl:
+        # Per-pixel cube-env UV: oct-encode AFTER interpolating the world
+        # reflection vector — seam-free (see jax_backend).
+        r = interp(_RFL, 3)
+        r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True),
+                            1e-12)
+        uvc = oct_encode(r)
+        is_cube = (si(SI_TEXGEN) == TEXGEN_CUBE)[..., None]
+        uvi = jnp.where(is_cube, uvc, uvi)
+    has_tex = si(SI_TEX) >= 0
+    border = [sf(SF_BORDER_R + c) for c in range(4)]
+
+    # Per-pixel mip LOD from screen-space UV gradients (edge functions are
+    # affine: slope a per +x, b per +y — all from the packed row). Skipped
+    # entirely when the static sampler profile says no state uses a mip
+    # filter this frame (the state-bucket idea at the jit-signature level,
+    # SURVEY §7; profile changes recompile, mirroring the reference's
+    # render-state cache).
+    lod = None
+    if tex_hw.shape[1] > 2 and (sampler_profile is None
+                                or sampler_profile[1]):
+
+        def uv_at(de0, de1, de2):
+            e0n, e1n, e2n = e0 + de0, e1 + de1, e2 + de2
+            esum_n = e0n + e1n + e2n
+            inv_n = 1.0 / jnp.where(jnp.abs(esum_n) < 1e-30, 1e-30, esum_n)
+            w0n = jnp.where(persp, e0n * inv_n, e0n * ws[..., 0] * ivd)
+            w1n = jnp.where(persp, e1n * inv_n, e1n * ws[..., 1] * ivd)
+            w2n = jnp.where(persp, e2n * inv_n, e2n * ws[..., 2] * ivd)
+            a = row[..., _UV].reshape(row.shape[:-1] + (3, 2))
+            return (w0n[..., None] * a[..., 0, :]
+                    + w1n[..., None] * a[..., 1, :]
+                    + w2n[..., None] * a[..., 2, :])
+
+        ec = row[..., _EC].reshape(row.shape[:-1] + (3, 3))
+        uv_dx = uv_at(ec[..., 0, 0], ec[..., 1, 0], ec[..., 2, 0]) - uvi
+        uv_dy = uv_at(ec[..., 0, 1], ec[..., 1, 1], ec[..., 2, 1]) - uvi
+        tsize = jnp.stack([row[..., _TP + 1], row[..., _TP + 0]], -1)  # (w,h)
+        rho = jnp.maximum(jnp.linalg.norm(uv_dx * tsize, axis=-1),
+                          jnp.linalg.norm(uv_dy * tsize, axis=-1))
+        lod = jnp.log2(jnp.maximum(rho, 1.0))
+
+    prm = {k: row[..., _TP + i] for i, k in enumerate(_TEX_PARAM_KEYS)}
+    texel = _sample_texture_core(
+        tex_planes, has_mips, prm, uvi[..., 0], uvi[..., 1],
+        si(SI_TEXADDR).astype(jnp.int32), si(SI_TEXFILTER).astype(jnp.int32),
+        border, lod=lod, profile=sampler_profile)
+    const = [sf(SF_CONST_R + c) for c in range(3)]
+    blended = tex_blend_pp(si(SI_TEXBLEND).astype(jnp.int32), texel, colorp,
+                           const)
+    colorp = [jnp.where(has_tex, blended[c], colorp[c]) for c in range(4)]
+
+    spec = interp(_SPC, 3)
+    for c in range(3):
+        colorp[c] = colorp[c] + spec[..., c]
+
+    fog_on = si(SI_FOG) != 0
+    fogf = jnp.clip(interp(_FOG, 1)[..., 0], 0.0, 1.0)
+    for c in range(3):
+        colorp[c] = jnp.where(
+            fog_on, colorp[c] * fogf + fog_color[c] * (1.0 - fogf), colorp[c])
+    colorp = [jnp.clip(c, 0.0, 1.0) for c in colorp]
+
+    # Z-only draws occlude but leave the background color
+    # (VX_MOVEABLE_ZBUFONLY, reference src/CKMesh.cpp:3938-3974).
+    hit &= si(SI_COLORWRITE) != 0
+    fb = jnp.stack([jnp.where(hit, colorp[c], clear_fb[c]) for c in range(4)])
+    return fb
+
+
+def _shade_deferred_ps(best_id, batch_xyw, batch_z, batch_color, batch_spec,
+                       batch_uv, batch_fog, batch_state, state_i, state_f,
+                       tex_planes, tex_hw, fog_color, clear_fb,
+                       height: int, width: int, batch_refl=None,
+                       pixel_shader=None):
+    """Reference per-pixel-gather shade (pixel-shader frames only)."""
     py, px = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.float32) + 0.5,
         jnp.arange(width, dtype=jnp.float32) + 0.5,
