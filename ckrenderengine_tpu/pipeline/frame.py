@@ -309,27 +309,34 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
     x, y, z, w = clip[:, 0], clip[:, 1], clip[:, 2], clip[:, 3]
     sx = cx * w + x * half_w
     sy = cy * w - y * half_h
-    xyw_v = jnp.stack([sx, sy, w], axis=-1)                      # (IV,3)
-
-    def g3(a):
-        return jnp.stack([a[i0], a[i1], a[i2]], axis=1)
 
     # Per-triangle scissor from the owning entity (Place viewport clips);
     # identity row N gets the open rect.
-    big = jnp.float32(1.0e9)
     open_rect = jnp.array([[-1e9, -1e9, 1e9, 1e9]], jnp.float32)
     clip_ext = jnp.concatenate([scene.entity_clip, open_rect], axis=0)
     tri_rect = jnp.take(clip_ext, jnp.take(scene.vert_entity, i0), axis=0)
 
     if uv is None:
         uv = jnp.take(scene.uv, scene.src_idx, axis=0)
-    refl = (g3(refl_v) if refl_v is not None
-            else jnp.zeros((scene.tri_idx.shape[0], 3, 0), jnp.float32))
+    # Pack every per-vertex attribute into ONE wide row and gather it once
+    # per corner: 3 wide gathers instead of ~18 narrow ones (gather cost on
+    # this TPU is per ROW, nearly independent of width — docs/PERFORMANCE.md).
+    vparts = [jnp.stack([sx, sy, w], axis=-1), z[:, None], color, spec, uv,
+              fog[:, None]]
+    n_refl = 3 if refl_v is not None else 0
+    if n_refl:
+        vparts.append(refl_v)
+    vrow = jnp.concatenate(vparts, axis=-1)                      # (IV, 14+R)
+    corners = jnp.stack([jnp.take(vrow, i0, axis=0),
+                         jnp.take(vrow, i1, axis=0),
+                         jnp.take(vrow, i2, axis=0)], axis=1)    # (IT,3,14+R)
     return rb.DeviceBatch(
-        xyw=g3(xyw_v), z=g3(z), color=g3(color), specular=g3(spec),
-        uv=g3(uv), fog=g3(fog),
+        xyw=corners[..., 0:3], z=corners[..., 3],
+        color=corners[..., 4:8], specular=corners[..., 8:11],
+        uv=corners[..., 11:13], fog=corners[..., 13],
         state_idx=scene.tri_state, valid=valid, clip_rect=tri_rect,
-        clipd=clipd, refl=refl,
+        clipd=clipd,
+        refl=corners[..., 14:14 + n_refl],
     )
 
 

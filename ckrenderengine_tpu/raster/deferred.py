@@ -552,51 +552,57 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
     )
     hit = best_id >= 0
     tid = jnp.clip(best_id, 0, t - 1)
-    row = jnp.take(tbl, tid.reshape(-1), axis=0).reshape(
-        (height, width, tbl.shape[1]))
+    # Gather rows then transpose ONCE to channel-major (C,H,W): every later
+    # per-column read is then a contiguous plane instead of a 4*C-byte
+    # strided sweep over the whole 200 MB row buffer.
+    row = jnp.take(tbl, tid.reshape(-1), axis=0).T.reshape(
+        (tbl.shape[1], height, width))
 
     si_pos = {c: i for i, c in enumerate(si_cols)}
     sf_pos = {c: i for i, c in enumerate(sf_cols)}
 
     def si(c):
-        return row[..., _SI + si_pos[c]]
+        return row[_SI + si_pos[c]]
 
     def sf(c):
-        return row[..., _SF + sf_pos[c]]
+        return row[_SF + sf_pos[c]]
 
-    def plane3(sl):
-        c = row[..., sl]
-        return c[..., 0] * px + c[..., 1] * py + c[..., 2]
+    def plane3(o):
+        return row[o] * px + row[o + 1] * py + row[o + 2]
 
-    e0 = plane3(slice(0, 3))
-    e1 = plane3(slice(3, 6))
-    e2 = plane3(slice(6, 9))
+    e0 = plane3(0)
+    e1 = plane3(3)
+    e2 = plane3(6)
     esum = e0 + e1 + e2
     persp = si(SI_PERSPECTIVE) != 0
     inv_esum = 1.0 / jnp.where(jnp.abs(esum) < 1e-30, 1e-30, esum)
-    ws = row[..., _WS]
-    ivd = row[..., _IVD]
-    w0 = jnp.where(persp, e0 * inv_esum, e0 * ws[..., 0] * ivd)
-    w1 = jnp.where(persp, e1 * inv_esum, e1 * ws[..., 1] * ivd)
-    w2 = jnp.where(persp, e2 * inv_esum, e2 * ws[..., 2] * ivd)
+    ivd = row[_IVD]
+    ws0 = row[_WS.start]
+    ws1 = row[_WS.start + 1]
+    ws2 = row[_WS.start + 2]
+    w0 = jnp.where(persp, e0 * inv_esum, e0 * ws0 * ivd)
+    w1 = jnp.where(persp, e1 * inv_esum, e1 * ws1 * ivd)
+    w2 = jnp.where(persp, e2 * inv_esum, e2 * ws2 * ivd)
 
     def interp(sl, k):
-        a = row[..., sl].reshape(row.shape[:-1] + (3, k))
-        return (w0[..., None] * a[..., 0, :] + w1[..., None] * a[..., 1, :]
-                + w2[..., None] * a[..., 2, :])
+        """Interpolate k channels stored [v0 x k, v1 x k, v2 x k]; returns a
+        list of k (H,W) planes."""
+        o = sl.start
+        return [row[o + c] * w0 + row[o + k + c] * w1 + row[o + 2 * k + c] * w2
+                for c in range(k)]
 
-    color = interp(_COL, 4)
-    colorp = [color[..., c] for c in range(4)]
-    uvi = interp(_UV, 2)
+    colorp = interp(_COL, 4)
+    uvil = interp(_UV, 2)
     if has_refl:
         # Per-pixel cube-env UV: oct-encode AFTER interpolating the world
         # reflection vector — seam-free (see jax_backend).
-        r = interp(_RFL, 3)
+        rl = interp(_RFL, 3)
+        r = jnp.stack(rl, axis=-1)
         r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True),
                             1e-12)
         uvc = oct_encode(r)
-        is_cube = (si(SI_TEXGEN) == TEXGEN_CUBE)[..., None]
-        uvi = jnp.where(is_cube, uvc, uvi)
+        is_cube = si(SI_TEXGEN) == TEXGEN_CUBE
+        uvil = [jnp.where(is_cube, uvc[..., c], uvil[c]) for c in range(2)]
     has_tex = si(SI_TEX) >= 0
     border = [sf(SF_BORDER_R + c) for c in range(4)]
 
@@ -614,25 +620,26 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
             e0n, e1n, e2n = e0 + de0, e1 + de1, e2 + de2
             esum_n = e0n + e1n + e2n
             inv_n = 1.0 / jnp.where(jnp.abs(esum_n) < 1e-30, 1e-30, esum_n)
-            w0n = jnp.where(persp, e0n * inv_n, e0n * ws[..., 0] * ivd)
-            w1n = jnp.where(persp, e1n * inv_n, e1n * ws[..., 1] * ivd)
-            w2n = jnp.where(persp, e2n * inv_n, e2n * ws[..., 2] * ivd)
-            a = row[..., _UV].reshape(row.shape[:-1] + (3, 2))
-            return (w0n[..., None] * a[..., 0, :]
-                    + w1n[..., None] * a[..., 1, :]
-                    + w2n[..., None] * a[..., 2, :])
+            w0n = jnp.where(persp, e0n * inv_n, e0n * ws0 * ivd)
+            w1n = jnp.where(persp, e1n * inv_n, e1n * ws1 * ivd)
+            w2n = jnp.where(persp, e2n * inv_n, e2n * ws2 * ivd)
+            o = _UV.start
+            return [row[o + c] * w0n + row[o + 2 + c] * w1n
+                    + row[o + 4 + c] * w2n for c in range(2)]
 
-        ec = row[..., _EC].reshape(row.shape[:-1] + (3, 3))
-        uv_dx = uv_at(ec[..., 0, 0], ec[..., 1, 0], ec[..., 2, 0]) - uvi
-        uv_dy = uv_at(ec[..., 0, 1], ec[..., 1, 1], ec[..., 2, 1]) - uvi
-        tsize = jnp.stack([row[..., _TP + 1], row[..., _TP + 0]], -1)  # (w,h)
-        rho = jnp.maximum(jnp.linalg.norm(uv_dx * tsize, axis=-1),
-                          jnp.linalg.norm(uv_dy * tsize, axis=-1))
+        ux = uv_at(row[0], row[3], row[6])      # +x: edge-plane a coeffs
+        uy = uv_at(row[1], row[4], row[7])      # +y: edge-plane b coeffs
+        tw_, th_ = row[_TP + 1], row[_TP + 0]
+        rho = jnp.maximum(
+            jnp.sqrt(((ux[0] - uvil[0]) * tw_) ** 2
+                     + ((ux[1] - uvil[1]) * th_) ** 2),
+            jnp.sqrt(((uy[0] - uvil[0]) * tw_) ** 2
+                     + ((uy[1] - uvil[1]) * th_) ** 2))
         lod = jnp.log2(jnp.maximum(rho, 1.0))
 
-    prm = {k: row[..., _TP + i] for i, k in enumerate(_TEX_PARAM_KEYS)}
+    prm = {k: row[_TP + i] for i, k in enumerate(_TEX_PARAM_KEYS)}
     texel = _sample_texture_core(
-        tex_planes, has_mips, prm, uvi[..., 0], uvi[..., 1],
+        tex_planes, has_mips, prm, uvil[0], uvil[1],
         si(SI_TEXADDR).astype(jnp.int32), si(SI_TEXFILTER).astype(jnp.int32),
         border, lod=lod, profile=sampler_profile)
     const = [sf(SF_CONST_R + c) for c in range(3)]
@@ -642,10 +649,10 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
 
     spec = interp(_SPC, 3)
     for c in range(3):
-        colorp[c] = colorp[c] + spec[..., c]
+        colorp[c] = colorp[c] + spec[c]
 
     fog_on = si(SI_FOG) != 0
-    fogf = jnp.clip(interp(_FOG, 1)[..., 0], 0.0, 1.0)
+    fogf = jnp.clip(interp(_FOG, 1)[0], 0.0, 1.0)
     for c in range(3):
         colorp[c] = jnp.where(
             fog_on, colorp[c] * fogf + fog_color[c] * (1.0 - fogf), colorp[c])

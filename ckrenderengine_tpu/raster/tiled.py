@@ -316,23 +316,30 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     safe = jnp.clip(all_id, 0, t - 1)
 
     # --- 3. packed row table ----------------------------------------------
-    tl = jnp.take(setup["top_left"], safe, axis=0)
-    flags = (tl[:, 0].astype(jnp.int32) + 2 * tl[:, 1].astype(jnp.int32)
-             + 4 * tl[:, 2].astype(jnp.int32)
-             + 8 * all_ok.astype(jnp.int32)).astype(jnp.float32)
-    cols = [
-        jnp.take(setup["e_coef"], safe, axis=0).reshape(lg, 9),
-        jnp.take(setup["z"], safe, axis=0),
-        jnp.take(setup["inv_det_s"], safe)[:, None],
-        jnp.take(setup["esum_plane"], safe, axis=0),
-        jnp.take(setup["s"], safe)[:, None],
-        flags[:, None],
-        jnp.take(setup["clip_rect"], safe, axis=0),
-        all_id.astype(jnp.float32)[:, None],
+    # Pack the full-T setup columns ONCE (dense concat, memory-bound cheap)
+    # so the slab build is a single wide gather instead of eight narrow ones.
+    tlf = setup["top_left"]
+    flags_t = (tlf[:, 0].astype(jnp.int32) + 2 * tlf[:, 1].astype(jnp.int32)
+               + 4 * tlf[:, 2].astype(jnp.int32)
+               + 8 * tvalid.astype(jnp.int32)).astype(jnp.float32)
+    full_cols = [
+        setup["e_coef"].reshape(t, 9),
+        setup["z"],
+        setup["inv_det_s"][:, None],
+        setup["esum_plane"],
+        setup["s"][:, None],
+        flags_t[:, None],
+        setup["clip_rect"],
+        jnp.arange(t, dtype=jnp.float32)[:, None],
     ]
     if n_planes:
-        cols.append(jnp.take(dplane_t, safe, axis=0).reshape(lg, 3 * n_planes))
-    rows = jnp.concatenate(cols, axis=1)                   # (LG, ncol)
+        full_cols.append(dplane_t.reshape(t, 3 * n_planes))
+    full_rows = jnp.concatenate(full_cols, axis=1)         # (T, ncol)
+    rows = jnp.take(full_rows, safe, axis=0)               # (LG, ncol)
+    # slab validity replaces the full-table validity bit (dead pad entries)
+    fl = rows[:, _C_FL].astype(jnp.int32)
+    fl = (fl & 7) + 8 * ((fl >= 8) & all_ok).astype(jnp.int32)
+    rows = rows.at[:, _C_FL].set(fl.astype(jnp.float32))
     rows = jnp.concatenate(
         [rows, jnp.zeros((1, ncol), jnp.float32)], axis=0)  # pad row: flags=0
 
@@ -449,32 +456,15 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     #     triangles past the g_cap slab: contiguous sorted range
     #     [n_small + min(n_mid, g_cap), n_small + n_mid + n_glob).
     # (b) small-class triangles past the slab: range [slab_l, n_small).
-    tl_full = setup["top_left"]
-    valid_full = tvalid
-
     def rows_for(ids):
-        """(C,) original ids -> (C, ncol) packed rows (narrow gathers; only
+        """(C,) original ids -> (C, ncol) packed rows (one wide gather; only
         the rare leftover streams pay this)."""
         safe_i = jnp.clip(ids, 0, t - 1)
-        ok = (ids >= 0) & (ids < t) & jnp.take(valid_full, safe_i)
-        tlr = jnp.take(tl_full, safe_i, axis=0)
-        fl = (tlr[:, 0].astype(jnp.int32) + 2 * tlr[:, 1].astype(jnp.int32)
-              + 4 * tlr[:, 2].astype(jnp.int32)
-              + 8 * ok.astype(jnp.int32)).astype(jnp.float32)
-        parts = [
-            jnp.take(setup["e_coef"], safe_i, axis=0).reshape(-1, 9),
-            jnp.take(setup["z"], safe_i, axis=0),
-            jnp.take(setup["inv_det_s"], safe_i)[:, None],
-            jnp.take(setup["esum_plane"], safe_i, axis=0),
-            jnp.take(setup["s"], safe_i)[:, None],
-            fl[:, None],
-            jnp.take(setup["clip_rect"], safe_i, axis=0),
-            safe_i.astype(jnp.float32)[:, None],
-        ]
-        if n_planes:
-            parts.append(jnp.take(dplane_t, safe_i, axis=0).reshape(
-                -1, 3 * n_planes))
-        return jnp.concatenate(parts, axis=1)
+        r = jnp.take(full_rows, safe_i, axis=0)
+        inr = ((ids >= 0) & (ids < t)).astype(jnp.int32)
+        flr = r[:, _C_FL].astype(jnp.int32)
+        flr = (flr & 7) + (flr & 8) * inr
+        return r.at[:, _C_FL].set(flr.astype(jnp.float32))
 
     def stream_all_tiles(carry, start, count):
         def body(st):
