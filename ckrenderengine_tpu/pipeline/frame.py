@@ -465,11 +465,20 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     # (static shape decision -> part of the jit cache key).
     tile_peak = jnp.int32(0)
     if batch.valid.shape[0] > 4096:
-        from ..raster.tiled import depth_reduce_tiled
+        if allow_pallas and jax.default_backend() == "tpu":
+            # Pallas phase-B solve: per-tile contiguous row streaming with
+            # the carry resident in VMEM (raster/pallas_tiled.py).
+            from ..raster.pallas_tiled import depth_reduce_tiled_pallas
 
-        best_id, best_depth, tile_peak = depth_reduce_tiled(
-            setup, defer_tri, z_init, scene.viewport, batch.xyw,
-            height, width)
+            best_id, best_depth, tile_peak = depth_reduce_tiled_pallas(
+                setup, defer_tri, z_init, scene.viewport, batch.xyw,
+                height, width)
+        else:
+            from ..raster.tiled import depth_reduce_tiled
+
+            best_id, best_depth, tile_peak = depth_reduce_tiled(
+                setup, defer_tri, z_init, scene.viewport, batch.xyw,
+                height, width)
     elif (allow_pallas and prev_zb is None and batch.clipd.shape[-1] == 0
           and jax.default_backend() == "tpu" and width % 128 == 0):
         # Flat reduce as a Pallas kernel: the (H,W) carry stays in VMEM

@@ -1,0 +1,543 @@
+"""Pallas TPU kernel: tile-binned depth argmin solve with streaming rows.
+
+The XLA tiled solve (raster/tiled.py) is gather-bound: its occupancy-ranked
+reduce re-gathers packed triangle rows per (tile, slot) through XLA's gather
+engine (measured 2-3 GB/s at this row width) and pays multiple while-loop
+dispatches. This module keeps the same exact two-phase structure but moves
+phase B into a Pallas kernel, following the two-phase design recorded in
+docs/PERFORMANCE.md:
+
+  Phase A (XLA)   — classify + compact triangles, bin (tile, slab-pos) pairs
+                    by ONE u32 key sort, then gather the packed rows into
+                    sorted-stream order ONCE (a single dense wide gather).
+                    Per-tile stream placement is computed with scatter +
+                    prefix-scan (no per-position searchsorted / table
+                    gathers).
+  Phase B (Pallas)— grid over screen tiles. Each tile's row range is
+                    CONTIGUOUS in the stream, so the kernel streams it
+                    through VMEM with double-buffered async DMA (no gather
+                    anywhere). Each triangle evaluates against the whole
+                    (8, npix/8) pixel block in REGISTERS — one native
+                    (8, 128) vector tile per quantity — so nothing spills
+                    to VMEM (a K-vectorized (8, 128, K) variant measured
+                    ~10x slower: every temp round-tripped VMEM).
+
+Exactness matches raster/tiled.py: the per-pixel arithmetic is the flat
+reduce's (deferred.depth_reduce) bit for bit, ties go to the larger draw id,
+and overflow past the static caps (unbounded straddlers beyond g_cap, slab
+overflow beyond the in-kernel shared segments) streams through the same
+all-tiles XLA fallback loops — which run ZERO iterations on ordinary scenes
+because the kernel itself absorbs the first g_cap rows of each leftover
+class as shared chunk ranges every tile streams after its own.
+
+Reference behavior being reproduced: the DX9 context rasterizes every
+submitted triangle with LESSEQUAL z (CKDX9RasterizerContext::DrawPrimitive,
+/root/reference/src/CKRasterizer/CKDX9Rasterizer/CKDX9RasterizerContext.cpp:
+1555-1648); visibility here is the same math as a pure argmin reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tiled import (
+    _NCOL, _C_EC, _C_EP, _C_FL, _C_ID, _C_IVS, _C_RECT, _C_SS, _C_Z,
+    _pow2ceil, _reduce_rows, _screen_bbox,
+)
+
+_BIG = 3.0e38
+
+
+def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
+                  rows_hbm, outd_ref, outi_ref, rbuf, sems, *, kchunk: int,
+                  nrow: int, tile: int, tx_n: int, n_planes: int,
+                  gbase: int, gcap_chunks: int, scap_chunks: int):
+    """One screen tile: stream [start, start+count) packed rows from HBM
+    through a double-buffered VMEM slab, reducing (depth, id) into a
+    register-resident (1, tile*tile) carry.
+
+    The stream ships one triangle per 128-lane row, and per-tile starts are
+    8-row aligned, so DMA slices are whole native (8, 128) tiles. Triangles
+    evaluate EIGHT at a time — triangle axis in sublanes, the tile's pixels
+    in lanes — so coefficients load as ONE (8, 128) vector read per group
+    and broadcast as (8, 1) columns; nothing touches SMEM scalars (measured
+    ~0.35 us/row) or spills K-wide temporaries to VMEM (measured ~10x
+    slower than this form).
+
+    After its own range, every tile also streams two SHARED leftover ranges
+    (unbounded straddlers / span overflow, then slab overflow) — the
+    carry-resident replacement for the XLA all-tiles fallback loops;
+    ``leftn_ref`` holds their live row counts. Both are empty on ordinary
+    scenes."""
+    npix = tile * tile
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+
+    pxl = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    ty = t // tx_n
+    tx = t - ty * tx_n
+    px = (pxl % tile + tx * tile).astype(jnp.float32) + 0.5
+    py = (pxl // tile + ty * tile).astype(jnp.float32) + 0.5
+    vx0 = vp_ref[0]
+    vy0 = vp_ref[1]
+    scissor = ((px >= vx0) & (px < vx0 + vp_ref[2])
+               & (py >= vy0) & (py < vy0 + vp_ref[3])
+               & (px < vp_ref[4]) & (py < vp_ref[5]))
+
+    nchunks = (count + kchunk - 1) // kchunk
+    gn = leftn_ref[0]
+    sn = leftn_ref[1]
+    gchunks = jnp.minimum((gn + kchunk - 1) // kchunk, gcap_chunks)
+    schunks = jnp.minimum((sn + kchunk - 1) // kchunk, scap_chunks)
+    total = nchunks + gchunks + schunks
+
+    def seg(c):
+        """chunk ordinal -> (stream row index, live rows in this chunk)."""
+        g = c - nchunks
+        s = g - gchunks
+        row = jnp.where(
+            c < nchunks, start + c * kchunk,
+            jnp.where(g < gchunks, gbase + g * kchunk,
+                      gbase + (gcap_chunks + s) * kchunk))
+        nhere = jnp.where(c < nchunks, count - c * kchunk,
+                          jnp.where(g < gchunks, gn - g * kchunk,
+                                    sn - s * kchunk))
+        return row, jnp.clip(nhere, 0, kchunk)
+
+    def get_dma(slot, c):
+        row, _ = seg(c)
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(row, kchunk), :],
+            rbuf.at[slot], sems.at[slot])
+
+    @pl.when(total > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def process(slot_lit, c, carry):
+        """Consume one chunk from VMEM buffer ``slot_lit`` (a Python int so
+        the buffer index is static): 32 rows per loop step — ONE dynamic
+        read, four static 8-row sub-groups evaluated independently and
+        tournament-merged — so loop/branch machinery amortizes over 32
+        triangles (a per-8-row fori measured ~2x the eval cost in pure
+        overhead)."""
+        _, nhere = seg(c)
+
+        def sg_body(gi, car):
+            off = pl.multiple_of(gi * 32, 32)
+            r32 = rbuf.at[slot_lit][pl.ds(off, 32), :]     # (32, 128)
+            parts = []
+            for k in range(4):
+                r8 = r32[k * 8:(k + 1) * 8]
+                live = (off + k * 8 + sub8) < nhere        # (8, 1)
+                parts.append(_group_eval(r8, px, py, n_planes, live))
+            ab = _merge(parts[0], parts[1])
+            cd = _merge(parts[2], parts[3])
+            return _merge(car, _merge(ab, cd))
+
+        return jax.lax.fori_loop(0, (nhere + 31) // 32, sg_body, carry)
+
+    def pair_body(cp, carry):
+        """Two chunks per step so buffer slots stay STATIC (0 then 1)."""
+        c0 = 2 * cp
+
+        @pl.when(c0 + 1 < total)
+        def _():
+            get_dma(1, c0 + 1).start()
+
+        get_dma(0, c0).wait()
+        carry = process(0, c0, carry)
+
+        @pl.when(c0 + 2 < total)
+        def _():
+            get_dma(0, c0 + 2).start()
+
+        def odd(car):
+            get_dma(1, c0 + 1).wait()
+            return process(1, c0 + 1, car)
+
+        return jax.lax.cond(c0 + 1 < total, odd, lambda car: car, carry)
+
+    init = (initd_ref[0][0:1], jnp.full((1, npix), -1, jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, (total + 1) // 2, pair_body, init)
+    best_d = jnp.where(scissor, best_d, initd_ref[0][0:1])
+    best_i = jnp.where(scissor, best_i, jnp.int32(-1))
+    outd_ref[0] = jnp.broadcast_to(best_d, (8, npix))
+    outi_ref[0] = jnp.broadcast_to(best_i, (8, npix))
+
+
+def _merge(a, b):
+    """(depth, id) lattice merge: lower depth wins, exact ties to larger id
+    — associative, so any merge order matches the sequential reduce bit for
+    bit."""
+    bd, bi = a
+    dm, tid = b
+    better = (dm < bd) | ((dm == bd) & (tid > bi))
+    return (jnp.where(better, dm, bd), jnp.where(better, tid, bi))
+
+
+def _group_eval(r8, px, py, n_planes, live):
+    """Evaluate 8 packed triangle rows (sublanes of ``r8``) against the
+    tile's pixel lanes -> group winner (depth (1, npix), id (1, npix)) —
+    exactly deferred.depth_reduce's per-pixel arithmetic."""
+
+    def col(i):                                            # (8, 1)
+        return r8[:, i:i + 1]
+
+    e0 = col(0) * px + col(1) * py + col(2)                # (8, npix)
+    e1 = col(3) * px + col(4) * py + col(5)
+    e2 = col(6) * px + col(7) * py + col(8)
+    fl = col(_C_FL).astype(jnp.int32)
+    c0 = (e0 > 0) | (((fl & 1) != 0) & (e0 == 0))
+    c1 = (e1 > 0) | (((fl & 2) != 0) & (e1 == 0))
+    c2 = (e2 > 0) | (((fl & 4) != 0) & (e2 == 0))
+    esum = (col(_C_EP.start) * px + col(_C_EP.start + 1) * py
+            + col(_C_EP.start + 2)) * col(_C_SS)
+    depth = (e0 * col(_C_Z.start) + e1 * col(_C_Z.start + 1)
+             + e2 * col(_C_Z.start + 2)) * col(_C_IVS)
+    cov = c0 & c1 & c2 & (esum > 0) & (depth >= 0.0) & (depth <= 1.0)
+    cov &= ((px >= col(_C_RECT.start)) & (py >= col(_C_RECT.start + 1))
+            & (px < col(_C_RECT.start + 2))
+            & (py < col(_C_RECT.start + 3)))
+    for p in range(n_planes):
+        cp = _NCOL + 3 * p
+        cov &= (col(cp) * px + col(cp + 1) * py + col(cp + 2)) >= 0
+    cov &= ((fl & 8) != 0) & live
+    tid = col(_C_ID).astype(jnp.int32)
+    dm = jnp.where(cov, depth, _BIG)
+    idv = jnp.where(cov, tid, jnp.int32(-1))
+    dmin = jnp.min(dm, axis=0, keepdims=True)              # (1, npix)
+    idw = jnp.max(jnp.where(dm == dmin, idv, -1), axis=0, keepdims=True)
+    return dmin, idw
+
+
+def _scan_place(astarts, starts, ends, counts, sl_aligned, n_tiles):
+    """Aligned-stream source mapping via scatter + prefix scans (no
+    per-position searchsorted, no per-position table gathers).
+
+    For every aligned-stream position p, the owning tile is the last
+    NONEMPTY tile whose aligned start <= p; its (aligned start, true start,
+    true end) propagate forward with a running max. Dead positions (between
+    a tile's true count and its aligned count, or before the first owner)
+    map to the sentinel."""
+    neg = jnp.int32(-1)
+    own = counts > 0
+    idx = jnp.where(own, astarts, sl_aligned)          # scatter target
+    idx = jnp.clip(idx, 0, sl_aligned)                 # (extra slot = trash)
+
+    def spread(vals):
+        base = jnp.full((sl_aligned + 1,), neg)
+        base = base.at[idx].max(jnp.where(own, vals, neg))
+        return jax.lax.associative_scan(jnp.maximum, base)[:-1]
+
+    base_a = spread(astarts)
+    base_s = spread(starts)
+    base_e = spread(ends)
+    posn = jnp.arange(sl_aligned, dtype=jnp.int32)
+    src = posn - base_a + base_s
+    live = (base_s >= 0) & (src < base_e)
+    return src, live
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile", "max_span", "chunk", "span2",
+                     "g_cap", "slab_cap", "kchunk", "interpret", "_probe"))
+def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
+                              height: int, width: int, tile: int = 32,
+                              max_span: int = 2, chunk: int = 32,
+                              span2: int = 16, g_cap: int = 8192,
+                              slab_cap: int = 131072, kchunk: int = 128,
+                              interpret: bool = False,
+                              _probe: str | None = None):
+    """Tile-binned argmin depth reduce, Pallas phase B (exact).
+
+    Same contract as tiled.depth_reduce_tiled: returns (best_id (H,W) int32,
+    best_depth (H,W) f32, peak () int32)."""
+    t = setup["e_coef"].shape[0]
+    ty_n = (height + tile - 1) // tile
+    tx_n = (width + tile - 1) // tile
+    n_tiles = ty_n * tx_n
+    npix = tile * tile
+    tvalid = setup["valid"] & defer_tri
+
+    dplane_t = setup.get("dplane")
+    if dplane_t is None:
+        dplane_t = jnp.zeros((t, 0, 3), jnp.float32)
+    n_planes = dplane_t.shape[1]
+    ncol = _NCOL + 3 * n_planes
+    nrow = 32 if ncol <= 32 else 64
+    assert ncol <= nrow, "too many user clip planes for the packed row"
+    per_row = 128 // nrow
+    assert kchunk % per_row == 0
+
+    # --- phase A: classify, compact, bin (identical math to tiled.py) -----
+    x0, y0, x1, y1, unbounded, empty = _screen_bbox(xyw, setup["z"])
+    tx0 = jnp.clip(jnp.floor(x0 / tile).astype(jnp.int32), 0, tx_n - 1)
+    tx1 = jnp.clip(jnp.floor(x1 / tile).astype(jnp.int32), 0, tx_n - 1)
+    ty0 = jnp.clip(jnp.floor(y0 / tile).astype(jnp.int32), 0, ty_n - 1)
+    ty1 = jnp.clip(jnp.floor(y1 / tile).astype(jnp.int32), 0, ty_n - 1)
+    offscreen = (x1 < 0) | (x0 >= width) | (y1 < 0) | (y0 >= height) | empty
+    span_w = tx1 - tx0 + 1
+    span_h = ty1 - ty0 + 1
+    span = span_w * span_h
+    live = tvalid & ~offscreen
+    small = live & ~unbounded & (span <= max_span)
+    mid = live & ~unbounded & (span > max_span) & (span <= span2)
+    glob = live & ~small & ~mid
+
+    m_cap = _pow2ceil(max(t, 2))
+    assert 4 * m_cap < 2 ** 31, "triangle id space exceeds i32 class keys"
+    cls = jnp.where(small, 0, jnp.where(mid, 1, jnp.where(glob, 2, 3)))
+    skey = jnp.sort(cls.astype(jnp.int32) * m_cap
+                    + jnp.arange(t, dtype=jnp.int32))
+    sid = skey & (m_cap - 1)
+    scls = skey // m_cap
+    n_small = jnp.sum(small.astype(jnp.int32))
+    n_mid = jnp.sum(mid.astype(jnp.int32))
+    n_glob = jnp.sum(glob.astype(jnp.int32))
+    g_cap = min(g_cap, m_cap)
+    # slab_l may not exceed len(sid) = t + g_cap (the slab is sliced out of
+    # the class-sorted id array): clamp to t.
+    slab_l = min(slab_cap, m_cap, max(t, 1))
+    sid = jnp.concatenate([sid, jnp.full((g_cap,), t, jnp.int32)])
+    scls = jnp.concatenate([scls, jnp.full((g_cap,), 3, jnp.int32)])
+
+    slab_id = lax.slice(sid, (0,), (slab_l,))
+    slab_ok = lax.slice(scls, (0,), (slab_l,)) == 0
+    mid_id = lax.dynamic_slice(sid, (n_small,), (g_cap,))
+    mid_ok = lax.dynamic_slice(scls, (n_small,), (g_cap,)) == 1
+
+    all_id = jnp.concatenate([slab_id, mid_id])                # (LG,)
+    all_ok = jnp.concatenate([slab_ok, mid_ok])
+    lg = slab_l + g_cap
+    safe = jnp.clip(all_id, 0, t - 1)
+
+    # Packed full-T row table (same column layout as tiled.py).
+    tlf = setup["top_left"]
+    flags_t = (tlf[:, 0].astype(jnp.int32) + 2 * tlf[:, 1].astype(jnp.int32)
+               + 4 * tlf[:, 2].astype(jnp.int32)
+               + 8 * tvalid.astype(jnp.int32)).astype(jnp.float32)
+    full_cols = [
+        setup["e_coef"].reshape(t, 9),
+        setup["z"],
+        setup["inv_det_s"][:, None],
+        setup["esum_plane"],
+        setup["s"][:, None],
+        flags_t[:, None],
+        setup["clip_rect"],
+        jnp.arange(t, dtype=jnp.float32)[:, None],
+    ]
+    if n_planes:
+        full_cols.append(dplane_t.reshape(t, 3 * n_planes))
+    if nrow > ncol:
+        full_cols.append(jnp.zeros((t, nrow - ncol), jnp.float32))
+    full_rows = jnp.concatenate(full_cols, axis=1)             # (T, nrow)
+    slab_rows = jnp.take(full_rows, safe, axis=0)              # (LG, nrow)
+    fl = slab_rows[:, _C_FL].astype(jnp.int32)
+    fl = (fl & 7) + 8 * ((fl >= 8) & all_ok).astype(jnp.int32)
+    slab_rows = slab_rows.at[:, _C_FL].set(fl.astype(jnp.float32))
+
+    # Pair keys + ONE u32 sort -> per-tile contiguous stream ranges.
+    pbits = int(lg).bit_length()
+    assert (n_tiles + 1) << pbits <= 2 ** 32, \
+        "tile x slab key space exceeds u32 (raise tile size or lower caps)"
+    a_tx0 = jnp.take(tx0, safe)
+    a_ty0 = jnp.take(ty0, safe)
+    a_sw = jnp.take(span_w, safe)
+    a_span = jnp.take(span, safe)
+
+    def pair_keys(sl, nslots):
+        di = jnp.arange(nslots, dtype=jnp.int32)
+        sw = jnp.maximum(a_sw[sl], 1)[:, None]
+        lx = di[None, :] % sw
+        ly = di[None, :] // sw
+        ptile = (a_ty0[sl][:, None] + ly) * tx_n + (a_tx0[sl][:, None] + lx)
+        ok = all_ok[sl][:, None] & (di[None, :] < a_span[sl][:, None])
+        ptile = jnp.where(ok, ptile, n_tiles)
+        p = (jnp.arange(sl.start, sl.stop, dtype=jnp.uint32)[:, None]
+             + jnp.zeros((1, nslots), jnp.uint32))
+        return (ptile.astype(jnp.uint32) << pbits) | p
+
+    k1 = pair_keys(slice(0, slab_l), max_span)
+    k2 = pair_keys(slice(slab_l, lg), span2)
+    if _probe == "keys":      # perf probe: classify + slab build + pair keys
+        return k1.sum(), k2.sum(), slab_rows.sum()
+    sorted_key = jnp.sort(jnp.concatenate([k1.reshape(-1), k2.reshape(-1)]))
+    stream_len = sorted_key.shape[0]
+    sorted_p = (sorted_key & jnp.uint32((1 << pbits) - 1)).astype(jnp.int32)
+
+    bounds = jnp.searchsorted(
+        sorted_key,
+        jnp.arange(n_tiles + 1, dtype=jnp.uint32) << pbits)
+    starts = bounds[:-1].astype(jnp.int32)
+    counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    peak = jnp.max(counts)
+    if _probe == "sort":      # perf probe: + the pair-key sort & ranges
+        return sorted_key.sum(), counts.sum(), peak
+
+    # THE one stream gather: packed rows in sorted-pair order, each tile's
+    # range start padded up to 8 rows so DMA slices land on whole native
+    # (8, 128) tiles. Dead filler rows carry flags=0.
+    rcounts = ((counts + 7) // 8) * 8
+    abounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(rcounts).astype(jnp.int32)])
+    astarts = abounds[:-1]
+    sl_aligned = -(-(stream_len + n_tiles * 8) // kchunk) * kchunk
+    src, live_pos = _scan_place(astarts, starts, starts + counts, counts,
+                                sl_aligned, n_tiles)
+    src_p = jnp.where(live_pos,
+                      jnp.take(sorted_p, jnp.clip(src, 0, stream_len - 1)),
+                      lg)
+    slab_pad = jnp.concatenate(
+        [slab_rows, jnp.zeros((1, nrow), jnp.float32)], axis=0)
+    stream_rows = jnp.take(slab_pad, src_p, axis=0)            # (SLA, nrow)
+
+    # Leftover rows (streamed by EVERY tile inside the kernel): (a) the
+    # global class — unbounded straddlers, spans past span2, mid overflow
+    # past g_cap — capped at g_cap rows; (b) small-class slab overflow,
+    # capped likewise. Anything beyond the caps (pathological scenes only)
+    # still streams through the XLA while-loop fallback below.
+    def rows_for(ids):
+        safe_i = jnp.clip(ids, 0, t - 1)
+        r = jnp.take(full_rows, safe_i, axis=0)
+        inr = ((ids >= 0) & (ids < t)).astype(jnp.int32)
+        flr = r[:, _C_FL].astype(jnp.int32)
+        flr = (flr & 7) + (flr & 8) * inr
+        return r.at[:, _C_FL].set(flr.astype(jnp.float32))
+
+    gcap = scap = g_cap
+    lrows = -(-gcap // kchunk) * kchunk         # segment size, chunk-aligned
+    g_start = n_small + jnp.minimum(n_mid, g_cap)
+    g_count = (n_small + n_mid + n_glob) - g_start
+    s_over = jnp.maximum(n_small - slab_l, 0)
+    sid_pad = jnp.concatenate([sid, jnp.full((lrows,), t, jnp.int32)])
+    lpos = jnp.arange(lrows, dtype=jnp.int32)
+    ids_g = lax.dynamic_slice(sid_pad, (g_start,), (lrows,))
+    ids_g = jnp.where(lpos < jnp.minimum(g_count, gcap), ids_g, t)
+    ids_s = lax.slice(sid_pad, (slab_l,), (slab_l + lrows,))
+    ids_s = jnp.where(lpos < jnp.minimum(s_over, scap), ids_s, t)
+    left_rows = jnp.concatenate([rows_for(ids_g), rows_for(ids_s)], axis=0)
+    # + one trailing chunk of dead pad: per-tile DMA may over-read up to
+    # kchunk-1 rows past a range (true counts are not chunk-aligned), then
+    # lane-pad every row to a full 128-lane line (one triangle per line).
+    stream_rows = jnp.concatenate(
+        [stream_rows, left_rows, jnp.zeros((kchunk, nrow), jnp.float32)],
+        axis=0)
+    stream_rows = jnp.pad(stream_rows, ((0, 0), (0, 128 - nrow)))
+    starts_k = astarts
+    leftn = jnp.stack([jnp.minimum(g_count, gcap),
+                       jnp.minimum(s_over, scap)]).astype(jnp.int32)
+    if _probe == "phase_a":   # perf probe: binning + stream build only
+        return stream_rows.sum(), astarts.sum(), peak
+
+    # Init carry: clear scalar or kept (H,W) z-buffer, tile-ified. Only
+    # sublane 0 is meaningful; the (8, npix) block shape exists because a
+    # (1, npix) block is not a legal TPU block mapping.
+    assert npix % 8 == 0, "tile*tile must be a multiple of 8"
+    cz = jnp.asarray(clear_z, jnp.float32)
+    if cz.ndim == 2:
+        zp = jnp.pad(cz, ((0, ty_n * tile - height), (0, tx_n * tile - width)),
+                     constant_values=1.0)
+        init_flat = zp.reshape(ty_n, tile, tx_n, tile).transpose(0, 2, 1, 3)
+        init_flat = init_flat.reshape(n_tiles, npix)
+    else:
+        init_flat = jnp.full((n_tiles, npix), cz)
+    init_d = jnp.broadcast_to(init_flat[:, None, :], (n_tiles, 8, npix))
+
+    vp6 = jnp.concatenate([
+        jnp.asarray(viewport, jnp.float32).reshape(4),
+        jnp.asarray([width, height], jnp.float32)])
+
+    kernel = functools.partial(
+        _solve_kernel, kchunk=kchunk, nrow=nrow, tile=tile, tx_n=tx_n,
+        n_planes=n_planes, gbase=sl_aligned,
+        gcap_chunks=lrows // kchunk, scap_chunks=lrows // kchunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # vp6
+            pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # init_d
+            pl.BlockSpec(memory_space=pl.ANY),                 # stream (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, kchunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    best_d, best_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, 8, npix), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 8, npix), jnp.int32),
+        ),
+        interpret=interpret,
+    )(starts_k, counts, leftn, vp6, init_d, stream_rows)
+    best_d = best_d[:, 0].reshape(n_tiles, tile, tile)
+    best_i = best_i[:, 0].reshape(n_tiles, tile, tile)
+    if _probe == "kernel":    # perf probe: skip the beyond-cap fallbacks
+        return best_i, best_d, peak
+
+    # --- beyond-cap remainders: all-tiles XLA fallback (pathological only) --
+    ly_pix = jnp.arange(tile, dtype=jnp.float32) + 0.5
+    lx_pix = jnp.arange(tile, dtype=jnp.float32) + 0.5
+    tyy, txx = jnp.meshgrid(jnp.arange(ty_n, dtype=jnp.float32),
+                            jnp.arange(tx_n, dtype=jnp.float32), indexing="ij")
+    base_x = (txx * tile).reshape(-1)
+    base_y = (tyy * tile).reshape(-1)
+    px = jnp.broadcast_to(base_x[:, None, None] + lx_pix[None, None, :],
+                          (n_tiles, tile, tile))
+    py = jnp.broadcast_to(base_y[:, None, None] + ly_pix[None, :, None],
+                          (n_tiles, tile, tile))
+    scissor = ((px >= viewport[0]) & (px < viewport[0] + viewport[2])
+               & (py >= viewport[1]) & (py < viewport[1] + viewport[3])
+               & (px < width) & (py < height))
+
+    slot_c = jnp.arange(chunk, dtype=jnp.int32)
+
+    def stream_all_tiles(carry, start, count):
+        def body(st):
+            c, car = st
+            idx = start + c * chunk + slot_c
+            ids = jnp.where(idx - start < count,
+                            jnp.take(sid, jnp.clip(idx, 0, sid.shape[0] - 1)),
+                            t)
+            rws = jnp.broadcast_to(rows_for(ids)[None, :, :ncol],
+                                   (n_tiles, chunk, ncol))
+            return c + 1, _reduce_rows(car, rws, n_planes, px, py, scissor)
+
+        _, carry = lax.while_loop(
+            lambda st: st[0] * chunk < count, body, (jnp.int32(0), carry))
+        return carry
+
+    carry = (best_d, best_i)
+    carry = stream_all_tiles(carry, g_start + gcap,
+                             jnp.maximum(g_count - gcap, 0))
+    carry = stream_all_tiles(carry, jnp.int32(slab_l + scap),
+                             jnp.maximum(s_over - scap, 0))
+    best_d, best_i = carry
+
+    full_h, full_w = ty_n * tile, tx_n * tile
+    bd = best_d.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3)
+    bd = bd.reshape(full_h, full_w)[:height, :width]
+    bi = best_i.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3)
+    bi = bi.reshape(full_h, full_w)[:height, :width]
+    return bi, bd, peak

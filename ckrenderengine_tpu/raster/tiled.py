@@ -300,7 +300,9 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     n_mid = jnp.sum(mid.astype(jnp.int32))
     n_glob = jnp.sum(glob.astype(jnp.int32))
     g_cap = min(g_cap, m_cap)
-    slab_l = min(slab_cap, m_cap)
+    # slab_l may not exceed len(sid) = t + g_cap (the slab is
+    # sliced out of the class-sorted id array): clamp to t.
+    slab_l = min(slab_cap, m_cap, max(t, 1))
     # pad so the dynamic mid-slice never reads out of range
     sid = jnp.concatenate([sid, jnp.full((g_cap,), t, jnp.int32)])
     scls = jnp.concatenate([scls, jnp.full((g_cap,), 3, jnp.int32)])

@@ -1,0 +1,134 @@
+"""Pallas tiled depth-solve parity (interpreter mode on CPU): the streaming
+phase-B kernel must match the XLA tiled solve and the flat reduce exactly —
+winner ids equal, depths equal to FMA-contraction noise — including
+straddlers, overflow fallbacks, clip rects, user clip planes, and kept
+z-buffers."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ckrenderengine_tpu.raster import deferred as df
+from ckrenderengine_tpu.raster.pallas_tiled import depth_reduce_tiled_pallas
+from ckrenderengine_tpu.raster.tiled import depth_reduce_tiled
+from ckrenderengine_tpu.raster.types import RasterState, pack_states
+from tests.test_tiled_raster import _random_batch
+
+
+def _setup_for(xyw, z, t, clip_rect=None, clipd=None):
+    si, sf = pack_states([RasterState()])
+    return df.triangle_setup(xyw, z, jnp.zeros(t, jnp.int32),
+                             jnp.ones(t, bool), jnp.asarray(si),
+                             clip_rect=clip_rect, clipd=clipd)
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+@pytest.mark.parametrize("hw", [(64, 64), (48, 96)])
+def test_pallas_tiled_matches_flat(seed, hw):
+    h, w = hw
+    t = 260
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed)
+    setup = _setup_for(xyw, z, t)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    bi_p, bd_p, peak = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, max_span=4,
+        span2=16, interpret=True)
+    assert int(peak) > 0
+    np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_f))
+    np.testing.assert_allclose(np.asarray(bd_p), np.asarray(bd_f), atol=4e-6)
+
+
+def test_pallas_tiled_overflow_fallbacks_exact():
+    """Force BOTH leftover streams (slab overflow + mid/global overflow):
+    tiny caps reroute most triangles through the all-tiles XLA loops."""
+    h = w = 64
+    t = 300
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=5, big_frac=0.3)
+    setup = _setup_for(xyw, z, t)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    bi_p, bd_p, _ = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, max_span=2,
+        span2=4, g_cap=16, slab_cap=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_f))
+    np.testing.assert_allclose(np.asarray(bd_p), np.asarray(bd_f), atol=4e-6)
+
+
+def test_pallas_tiled_near_plane_straddlers():
+    """Triangles crossing w=0 (behind-eye corners) must render identically
+    to the flat reduce — they ride the unbounded/global path."""
+    rng = np.random.default_rng(9)
+    t = 40
+    h = w = 64
+    centers = rng.uniform([0, 0], [w, h], (t, 2)).astype(np.float32)
+    offs = rng.normal(0, 1, (t, 3, 2)).astype(np.float32)
+    pts = centers[:, None] + offs * 30.0
+    ws = rng.uniform(-1.5, 3.0, (t, 3, 1)).astype(np.float32)  # some w <= 0
+    xyw = jnp.asarray(np.concatenate([pts * ws, ws], axis=-1))
+    z = jnp.asarray(rng.uniform(0.05, 0.95, (t, 3)).astype(np.float32))
+    setup = _setup_for(xyw, z, t)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    bi_p, bd_p, _ = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_f))
+    np.testing.assert_allclose(np.asarray(bd_p), np.asarray(bd_f), atol=4e-6)
+
+
+def test_pallas_tiled_clip_rects_and_planes():
+    """Per-triangle scissor rects + one user clip plane, vs the flat reduce."""
+    h = w = 64
+    t = 120
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=3)
+    rng = np.random.default_rng(3)
+    rects = np.tile(np.array([[-1e9, -1e9, 1e9, 1e9]], np.float32), (t, 1))
+    clipped = rng.random(t) < 0.5
+    rects[clipped] = [10.0, 8.0, 50.0, 40.0]
+    # one clip plane: per-corner signed distances, linear over the screen
+    clipd = rng.uniform(-1.0, 1.0, (t, 3, 1)).astype(np.float32)
+    setup = _setup_for(xyw, z, t, clip_rect=jnp.asarray(rects),
+                       clipd=jnp.asarray(clipd))
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([4, 2, w - 8, h - 6], jnp.float32)
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    bi_p, bd_p, _ = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_f))
+    np.testing.assert_allclose(np.asarray(bd_p), np.asarray(bd_f), atol=4e-6)
+
+
+def test_pallas_tiled_kept_zbuffer():
+    """CLEARZBUFFER off: init carry from last frame's (H,W) z-buffer."""
+    h = w = 64
+    t = 90
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=8)
+    setup = _setup_for(xyw, z, t)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    rng = np.random.default_rng(8)
+    prev_zb = jnp.asarray(rng.uniform(0.1, 0.9, (h, w)).astype(np.float32))
+    bi_f, bd_f = df.depth_reduce(setup, defer, prev_zb, viewport, h, w)
+    bi_p, bd_p, _ = depth_reduce_tiled_pallas(
+        setup, defer, prev_zb, viewport, xyw, h, w, tile=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_f))
+    np.testing.assert_allclose(np.asarray(bd_p), np.asarray(bd_f), atol=4e-6)
+
+
+def test_pallas_tiled_nondivisible_framebuffer():
+    """H/W not multiples of the tile: edge tiles clip to the framebuffer."""
+    h, w = 50, 70
+    t = 150
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=4)
+    setup = _setup_for(xyw, z, t)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    bi_p, bd_p, _ = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_f))
+    np.testing.assert_allclose(np.asarray(bd_p), np.asarray(bd_f), atol=4e-6)
