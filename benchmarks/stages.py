@@ -75,10 +75,12 @@ def main():
         s = scene_of(st, f, i)
         return s.local.sum() + s.state_f.sum()
 
+    corner = params.get("corner", (0, 0, 0))
+
     def upto_vertex(st, f, i):
         s = scene_of(st, f, i)
         world = fr.compose_world(s.local, s.parent, levels)
-        return fr.transform_and_light(s, levels, world)
+        return fr.transform_and_light(s, levels, world, corner=corner)
 
     def stage_vertex(st, f, i):
         clip, color, spec, fog, _w, uv, clipd_v, refl_v = upto_vertex(st, f, i)
@@ -88,9 +90,9 @@ def main():
         s = scene_of(st, f, i)
         world = fr.compose_world(s.local, s.parent, levels)
         clip, color, spec, fog, _w, uv, clipd_v, refl_v = fr.transform_and_light(
-            s, levels, world)
+            s, levels, world, corner=corner)
         batch = fr.assemble_triangles(s, clip, color, spec, fog, uv, clipd_v,
-                                      refl_v)
+                                      refl_v, corner=corner)
         return s, batch
 
     def stage_assemble(st, f, i):
@@ -111,10 +113,15 @@ def main():
         return sum(x.sum() for x in jax.tree_util.tree_leaves(setup))
 
     def upto_solve(st, f, i):
-        from ckrenderengine_tpu.raster.tiled import depth_reduce_tiled
-
+        import jax as _jax
         s, batch, setup, defer_tri = upto_setup(st, f, i)
-        best_id, best_depth, peak = depth_reduce_tiled(
+        if _jax.default_backend() == "tpu":
+            from ckrenderengine_tpu.raster.pallas_tiled import (
+                depth_reduce_tiled_pallas as solve)
+        else:
+            from ckrenderengine_tpu.raster.tiled import (
+                depth_reduce_tiled as solve)
+        best_id, best_depth, peak = solve(
             setup, defer_tri, s.clear_z, s.viewport, batch.xyw, height, width)
         return s, batch, best_id, best_depth
 

@@ -145,6 +145,13 @@ class CompiledScene:
         self._dev_pool_version = -2
         # Extra pool rows appended after mesh sources (billboard corners).
         self.extra_pool = 0
+        # Corner-major section (gather-elimination post-pass): first
+        # corner_itc triangles read their vertex data from the dense
+        # corner-expanded pool block at [corner_p0, corner_p0 + corner_nc).
+        self.corner_nc = 0
+        self.corner_itc = 0
+        self.corner_p0 = 0
+        self.corner_src_pool = np.zeros(0, np.int32)
         # Any stencil-only buckets? (drives the optional stencil pass)
         self.has_stencil = False
 
@@ -209,6 +216,7 @@ class CKRenderContext(CKObject):
         # Compile cache
         self._compiled = CompiledScene()
         self._tex_planes = jnp.zeros((1, 4, 1, 1), jnp.float32)
+        self._tex_quad = None
         self._tex_hw = jnp.ones((1, 2), jnp.int32)
         # Stats
         self.stats = VxStats()
@@ -688,6 +696,83 @@ class CKRenderContext(CKObject):
         c.tri_valid = valid
         c.n_valid_tris = int(valid.sum())   # cached: stats read per frame
 
+        # --- corner-major post-pass (device gather elimination) ------------
+        # Triangles whose three stream vertices come from pool rows that no
+        # DEVICE stage rewrites (skins, billboards) are re-pointed at a
+        # corner-expanded static pool block appended to the pool: their
+        # vertex data then streams DENSELY through the vertex stage and
+        # triangle assembly becomes a reshape — removing the two ~3*IT-row
+        # gathers that dominated the frame at Ballance scale (~32 ms).
+        # Host-refreshed meshes (morphs, patch tessellation) stay eligible:
+        # _refresh_pool re-expands the corner rows from corner_src_pool.
+        written = np.zeros(pool_count, bool)
+        for d in skin_descs:
+            off = d["pool_offset"]
+            written[off:off + d["rest_pos"].shape[0]] = True
+        if c.extra_pool:
+            written[pool_count - c.extra_pool:] = True
+        if it:
+            src_tri = c.src_idx[c.tri_idx[:it]]              # (it, 3)
+            # Out-of-range stream/pool refs (inconsistent user meshes — the
+            # device path clamps them) stay on the gathered tail.
+            oob = (src_tri < 0) | (src_tri >= pool_count)
+            hit = written[np.clip(src_tri, 0, pool_count - 1)] | oob
+            eligible = ~hit.any(axis=1)
+        else:
+            eligible = np.zeros(0, bool)
+        itc = int(eligible.sum())
+        if itc:
+            order = np.concatenate([
+                np.nonzero(eligible)[0], np.nonzero(~eligible)[0],
+                np.arange(it, it_pad)])
+            c.tri_state = c.tri_state[order]
+            c.tri_valid = c.tri_valid[order]
+            tri_idx = c.tri_idx[order]
+            nc = 3 * itc
+            corner_src = c.src_idx[tri_idx[:itc]].reshape(-1)
+            c.corner_src_pool = corner_src.astype(np.int32)
+            p0 = c.positions.shape[0]
+            for attr in ("positions", "normals", "uv", "prelit",
+                         "prelit_spec"):
+                a = getattr(c, attr)
+                setattr(c, attr, np.concatenate([a, a[corner_src]]))
+            corner_iv = tri_idx[:itc].reshape(-1)            # old stream rows
+            # Trim the old stream to rows something still references (tail
+            # triangle corners, line endpoints) — every per-vertex op runs
+            # over the whole stream, so dead rows are pure vertex-stage cost.
+            used = np.zeros(iv_pad, bool)
+            if itc < it:
+                used[tri_idx[itc:it].reshape(-1)] = True
+            for seg in c.line_segments:
+                used[seg["i0"]] = True
+                used[seg["i1"]] = True
+            remap = np.full(iv_pad, -1, np.int32)
+            n_used = int(used.sum())
+            remap[used] = np.arange(n_used, dtype=np.int32)
+            new_iv_pad = _pad_to(max(nc + n_used, 1))
+
+            def restream(a, corner_vals):
+                out = np.zeros((new_iv_pad,) + a.shape[1:], a.dtype)
+                out[:nc] = corner_vals
+                out[nc:nc + n_used] = a[used]
+                return out
+
+            c.src_idx = restream(
+                c.src_idx, (p0 + np.arange(nc)).astype(np.int32))
+            c.vert_entity = restream(c.vert_entity, c.vert_entity[corner_iv])
+            c.vert_state = restream(c.vert_state, c.vert_state[corner_iv])
+            c.vert_lit = restream(c.vert_lit, c.vert_lit[corner_iv])
+            tri_new = np.where(tri_idx >= 0, nc + remap[tri_idx], 0)
+            tri_new[:itc] = np.arange(nc, dtype=np.int32).reshape(itc, 3)
+            tri_new[it:] = 0                       # pad tris: dead anyway
+            c.tri_idx = tri_new.astype(np.int32)
+            for seg in c.line_segments:
+                seg["i0"] = nc + int(remap[seg["i0"]])
+                seg["i1"] = nc + int(remap[seg["i1"]])
+            c.corner_nc = nc
+            c.corner_itc = itc
+            c.corner_p0 = p0
+
         # Static ordered-path cap: triangles of materials that cannot take the
         # deferred opaque reduce (mirror of raster/deferred.deferred_mask).
         from ..raster.types import VXCMP
@@ -725,6 +810,8 @@ class CKRenderContext(CKObject):
             return m._effect_texgen() if m is not None else 0
         c.want_cube = any(_tg(m, kind, b) == TEXGEN_CUBE
                           for m, kind, b in c.materials)
+        # Static gate for the whole vertex-stage TexGen/reflection block.
+        c.want_texgen = any(_tg(m, kind, b) != 0 for m, kind, b in c.materials)
 
         from ..pipeline.skinning import build_skin_bank
         c.skin_bank = build_skin_bank(skin_descs)
@@ -919,6 +1006,7 @@ class CKRenderContext(CKObject):
             dtype = jnp.bfloat16 if use_16 else jnp.float32
             self._tex_planes = jnp.asarray(planes, dtype)
             self._tex_hw = jnp.asarray(hw)
+            self._bake_tex_quads(c, planes, rects, dtype)
             c._tex_meta = {
                 "versions": [getattr(t, "data_version", 0)
                              for t in c.textures],
@@ -928,6 +1016,70 @@ class CKRenderContext(CKObject):
             self._tex_planes = jnp.zeros((1, 4, 1, 1), jnp.float32)
             self._tex_hw = jnp.ones((1, 2), jnp.int32)
             c._tex_meta = None
+            self._tex_quad = None
+            c._quad_ok = False
+
+
+    def _bake_tex_quads(self, c, planes, rects, dtype):
+        """Quad-texel table for one-gather bilinear sampling: each (y, x)
+        row holds the 2x2 block [c00, c10, c01, c11] with the +1 neighbors
+        baked per the texture's addressing mode (wrap rolls inside the
+        texture's own level region; clamp/border resolve to the edge texel
+        for the +1 neighbor — see raster/deferred's quad path). Disabled
+        (quad_ok False) when a texture is used with conflicting wrap-vs-
+        clamp modes, with MIRROR/MIRRORONCE, or the stack is too large."""
+        from ..raster.types import VXTEXTURE_ADDRESS as _TA
+
+        if planes.size * 16 > 512 * 1024 * 1024:       # quad table > 512 MB
+            self._tex_quad = None
+            c._quad_ok = False
+            return
+        slot_modes: dict[int, set] = {}
+        for mat, _kind, _b in c.materials:
+            if mat is None:
+                continue
+            am = int(mat.texture_address_mode)
+            for s in range(4):
+                t = mat.GetTexture(s)
+                if t is not None and id(t) in c.tex_slot:
+                    slot_modes.setdefault(c.tex_slot[id(t)], set()).add(am)
+        wrap_like = {int(_TA.WRAP)}
+        # MIRROR is NOT clamp-like for the +1 neighbor: in odd periods the
+        # adjacent tap is x-1, so a single baked neighbor cannot serve it.
+        clampish = {int(_TA.CLAMP), int(_TA.BORDER)}
+        quad = np.zeros(planes.shape[:1] + planes.shape[2:] + (16,),
+                        np.float32)                    # (NP, TH, TAW, 16)
+        for i, (pi, oy, ox, h, w, mip_col, levels) in enumerate(rects):
+            ms = slot_modes.get(i, set())
+            if not ms or ms <= clampish:
+                wrap = False
+            elif ms <= wrap_like:
+                wrap = True
+            else:
+                self._tex_quad = None
+                c._quad_ok = False
+                return
+            regions = [(oy, ox, h, w)]
+            lh, lw = h, w
+            for lv in range(1, levels):
+                nh, nw = max(lh // 2, 1), max(lw // 2, 1)
+                y_off = 0 if lv == 1 else h - (h >> (lv - 1))
+                regions.append((oy + y_off, ox + mip_col, nh, nw))
+                lh, lw = nh, nw
+            for (ry, rx, rh, rw) in regions:
+                sub = planes[pi, :, ry:ry + rh, rx:rx + rw]   # (4, rh, rw)
+                if wrap:
+                    xp = np.roll(sub, -1, axis=2)
+                    yp = np.roll(sub, -1, axis=1)
+                    xyp = np.roll(xp, -1, axis=1)
+                else:
+                    xp = np.concatenate([sub[:, :, 1:], sub[:, :, -1:]], 2)
+                    yp = np.concatenate([sub[:, 1:, :], sub[:, -1:, :]], 1)
+                    xyp = np.concatenate([xp[:, 1:, :], xp[:, -1:, :]], 1)
+                blk = np.concatenate([sub, xp, yp, xyp], axis=0)  # (16,..)
+                quad[pi, ry:ry + rh, rx:rx + rw, :] = np.moveaxis(blk, 0, -1)
+        self._tex_quad = jnp.asarray(quad.reshape(-1, 16), dtype)
+        c._quad_ok = True
 
     # -- per-frame dynamic state -----------------------------------------
     def _light_rows_np(self) -> dict:
@@ -1173,8 +1325,13 @@ class CKRenderContext(CKObject):
                     parts.append(m.channels[ci][chan_key])
                 else:
                     parts.append(getattr(m, attr))
-            parts.append(old[mc:])        # static tail (billboard rows)
-            return np.concatenate(parts).astype(np.float32)
+            # static billboard tail, then the corner-expanded block rebuilt
+            # from the refreshed base rows (corner-major post-pass)
+            parts.append(old[mc:mc + c.extra_pool])
+            base = np.concatenate(parts).astype(np.float32)
+            if c.corner_nc:
+                base = np.concatenate([base, base[c.corner_src_pool]])
+            return base
 
         c.positions = regather("positions", c.positions)
         c.normals = regather("normals", c.normals)
@@ -1262,6 +1419,7 @@ class CKRenderContext(CKObject):
             fog_color=np.asarray(self.fog_color, np.float32),
             tex_planes=self._tex_planes,
             tex_hw=self._tex_hw,
+            tex_quad=getattr(self, "_tex_quad", None),
             clear_color=np.asarray(self.background_color, np.float32),
             clear_z=np.float32(self.clear_z),
             clip_planes=(lambda p: p if p.shape[0] else None)(
@@ -1629,6 +1787,8 @@ class CKRenderContext(CKObject):
         static = dict(parent=jnp.asarray(ctx.entity_table.parent[:n]),
                       tex_planes=self._tex_planes, tex_hw=self._tex_hw,
                       **c._dev_pool, **c._dev_static)
+        if getattr(self, "_tex_quad", None) is not None:
+            static["tex_quad"] = self._tex_quad
         if vp[0]:
             static["texpatch_idx"] = jnp.asarray(vp[1])
         self._packed_static = static
@@ -1859,8 +2019,13 @@ class CKRenderContext(CKObject):
                 | (_filt == _TF.LINEARMIPNEAREST)
                 | (_filt == _TF.LINEARMIPLINEAR)
                 | (_filt == _TF.ANISOTROPIC))
+        quad_ok = (getattr(c, "_quad_ok", False)
+                   and getattr(self, "_tex_quad", None) is not None
+                   and not getattr(c, "video_ids", None)
+                   and not getattr(c, "dev_ids", None)
+                   and not texdev)
         sampler_profile = (bool(np.any(_texd & ~_lin)),
-                           bool(np.any(_texd & _mip)))
+                           bool(np.any(_texd & _mip)), quad_ok)
         params = dict(
             sampler_profile=sampler_profile,
             texdev=tuple(texdev) if texdev else None,
@@ -1873,7 +2038,9 @@ class CKRenderContext(CKObject):
             want_stencil=c.has_stencil, vertex_shader=self.vertex_shader,
             pixel_shader=self.pixel_shader,
             want_bump=getattr(c, "want_bump", False),
-            want_cube=getattr(c, "want_cube", False))
+            want_cube=getattr(c, "want_cube", False),
+            corner=(c.corner_nc, c.corner_itc, c.corner_p0),
+            want_texgen=getattr(c, "want_texgen", True))
         # Fresh copies: the staging buffers are reused next frame while this
         # frame's host->device transfer may still be in flight (async tunnel).
         return static, self._buf_f.copy(), self._buf_i.copy(), params
@@ -2083,7 +2250,10 @@ class CKRenderContext(CKObject):
                 vertex_shader=self.vertex_shader,
                 pixel_shader=self.pixel_shader,
                 want_bump=getattr(self._compiled, "want_bump", False),
-                want_cube=getattr(self._compiled, "want_cube", False))
+                want_cube=getattr(self._compiled, "want_cube", False),
+                corner=(self._compiled.corner_nc, self._compiled.corner_itc,
+                        self._compiled.corner_p0),
+                want_texgen=getattr(self._compiled, "want_texgen", True))
             fbs.append(fb)
         half_w = self.width // 2
         left = fbs[0][:, :, ::2][:, :, :half_w]

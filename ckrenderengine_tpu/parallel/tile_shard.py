@@ -52,7 +52,9 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
                                want_bump: bool = False,
                                want_cube: bool = False,
                                texdev=None, texdev_rects: tuple = (),
-                               sampler_profile=None):
+                               sampler_profile=None,
+                               corner: tuple = (0, 0, 0),
+                               want_texgen: bool = True):
     """One logical frame of ``height`` rows rendered as ``mesh.shape[axis]``
     horizontal bands, one per device. Returns (fb (4,H,W), zb (H,W)) sharded
     over H. ``height`` must divide evenly by the band count.
@@ -77,7 +79,8 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
             vertex_shader=vertex_shader, pixel_shader=pixel_shader,
             want_bump=want_bump,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
-            sampler_profile=sampler_profile, allow_pallas=False, y_shift=y0)
+            sampler_profile=sampler_profile, allow_pallas=False, y_shift=y0,
+            corner=corner, want_texgen=want_texgen)
         fb, zb = out
         return fb, zb
 
@@ -99,5 +102,6 @@ render_frame_packed_banded_jit = functools.partial(
     static_argnames=("layout", "levels", "height", "width", "mesh", "axis",
                      "ordered_cap", "chunk", "sort_transparent",
                      "vertex_shader", "pixel_shader", "want_bump",
-                     "want_cube", "texdev_rects", "sampler_profile"))(
+                     "want_cube", "texdev_rects", "sampler_profile",
+                     "corner", "want_texgen"))(
     render_frame_packed_banded)

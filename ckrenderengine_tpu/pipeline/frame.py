@@ -27,6 +27,7 @@ import numpy as np
 
 from ..math import vxmath as vx
 from ..raster import deferred as df
+from ..raster.deferred import take_small
 from ..raster import jax_backend as rb
 from ..raster.types import NUM_SF, NUM_SI, SI_ALPHABLEND, SI_ZWRITE
 from ..scene.entity_table import compose_world
@@ -109,10 +110,16 @@ class SceneDevice(NamedTuple):
     # src/CKRenderedScene.cpp:416-425). None = mode 0 (view-z fog).
     fog_proj: jnp.ndarray | None = None      # () int32
 
+    # Quad-texel table for one-gather bilinear sampling (see
+    # raster/deferred._sample_texture_core / manager._bake_tex_quads).
+    tex_quad: jnp.ndarray | None = None      # (NT*TH*TAW, 16)
+
 
 def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
                         vertex_shader=None, want_bump: bool = False,
-                        want_cube: bool = False):
+                        want_cube: bool = False,
+                        corner: tuple = (0, 0, 0),
+                        want_texgen: bool = True):
     """Vertex stage: world compose -> gather -> transform -> light -> project.
 
     Returns (clip (IV,4), color (IV,4), spec (IV,3), fog (IV,), world (N,4,4)).
@@ -130,9 +137,23 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
     # Row N = identity: world-space vertex sources (billboards) bind here.
     world_ext = jnp.concatenate(
         [world, jnp.eye(4, dtype=world.dtype)[None]], axis=0)
-    wm = jnp.take(world_ext, scene.vert_entity, axis=0)          # (IV,4,4)
-    pos = jnp.take(scene.positions, scene.src_idx, axis=0)       # (IV,3)
-    nrm = jnp.take(scene.normals, scene.src_idx, axis=0)
+    wm = take_small(world_ext, scene.vert_entity)                # (IV,4,4)
+
+    # Corner-major fast path: the first ``nc`` stream rows alias the dense
+    # corner-expanded pool block at [p0, p0+nc) — a static slice, not a
+    # gather (manager compile post-pass); only the tail (skinned /
+    # billboard / line rows) still gathers through src_idx.
+    nc, _itc, p0 = corner
+
+    def take_pool(a):
+        if not nc:
+            return jnp.take(a, scene.src_idx, axis=0)
+        tail = jnp.take(a, scene.src_idx[nc:], axis=0)
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(a, p0, p0 + nc, axis=0), tail], axis=0)
+
+    pos = take_pool(scene.positions)                             # (IV,3)
+    nrm = take_pool(scene.normals)
 
     posw = vx.transform_points(pos, wm)
     nrmw = vx.transform_vectors(nrm, wm)
@@ -145,19 +166,20 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
     clip = vx.transform_h4(posw4, viewproj)
     cam_z = vx.transform_h4(posw4, scene.view)[..., 2]
 
+    mat_cat = jnp.concatenate(
+        [scene.mat_diffuse, scene.mat_ambient, scene.mat_specular,
+         scene.mat_emissive, scene.mat_power[:, None]], axis=1)   # (S, 17)
+    mrow = take_small(mat_cat, scene.vert_state)
     mat = MaterialLighting(
-        diffuse=jnp.take(scene.mat_diffuse, scene.vert_state, axis=0),
-        ambient=jnp.take(scene.mat_ambient, scene.vert_state, axis=0),
-        specular=jnp.take(scene.mat_specular, scene.vert_state, axis=0),
-        emissive=jnp.take(scene.mat_emissive, scene.vert_state, axis=0),
-        power=jnp.take(scene.mat_power, scene.vert_state, axis=0),
+        diffuse=mrow[:, 0:4], ambient=mrow[:, 4:8], specular=mrow[:, 8:12],
+        emissive=mrow[:, 12:16], power=mrow[:, 16],
     )
     lit_diffuse, lit_spec = compute_vertex_lighting(
         posw, nrmw, mat, scene.lights, scene.global_ambient, scene.cam_pos)
 
     lit = scene.vert_lit[:, None]
-    color = jnp.where(lit, lit_diffuse, jnp.take(scene.prelit, scene.src_idx, axis=0))
-    spec = jnp.where(lit, lit_spec, jnp.take(scene.prelit_spec, scene.src_idx, axis=0))
+    color = jnp.where(lit, lit_diffuse, take_pool(scene.prelit))
+    spec = jnp.where(lit, lit_spec, take_pool(scene.prelit_spec))
     if scene.fog_proj is None:
         fog = fog_factor(cam_z, scene.fog_mode, scene.fog_start,
                          scene.fog_end, scene.fog_density)
@@ -196,9 +218,12 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
         SI_TEXGEN, TEXGEN_CHROME, TEXGEN_CUBE, TEXGEN_PLANAR, TEXGEN_REFLECT,
     )
 
-    uv = jnp.take(scene.uv, scene.src_idx, axis=0)               # (IV,2)
-    texgen = jnp.take(scene.state_i[:, SI_TEXGEN], scene.vert_state, axis=0)
-    if True:  # cheap when no texgen (XLA removes unused branches via select)
+    uv = take_pool(scene.uv)                                     # (IV,2)
+    rw = None
+    if want_texgen or want_cube:
+        # statically gated: scenes without TexGen materials skip the whole
+        # view-space/reflection block (it is NOT free at 2M stream rows)
+        texgen = take_small(scene.state_i[:, SI_TEXGEN], scene.vert_state)
         pos_v = vx.transform_points(posw, scene.view)            # view space
         nrm_v = vx.transform_vectors(nrmw, scene.view)
         nrm_v = nrm_v / jnp.maximum(
@@ -245,7 +270,7 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
         tex2 = jnp.take(scene.state_i[:, SI_TEX2], scene.vert_state, axis=0)
         bscale = jnp.take(scene.state_f[:, SF_BUMP_SCALE],
                           scene.vert_state, axis=0)
-        base_uv = jnp.take(scene.uv, scene.src_idx, axis=0)
+        base_uv = take_pool(scene.uv)
         texel = sample_texture_pp(
             scene.tex_planes, scene.tex_hw, jnp.maximum(tex2, 0),
             base_uv[..., 0], base_uv[..., 1],
@@ -266,35 +291,64 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
     # oct-encode per pixel — reflection vectors interpolate continuously
     # across the octahedral fold, so the atlas seam disappears.
     refl_v = None
-    if want_cube:
+    if want_cube and rw is not None:
         refl_v = jnp.where((texgen == TEXGEN_CUBE)[:, None], rw,
                            jnp.zeros_like(rw))
     return clip, color, spec, fog, world, uv, clipd_v, refl_v
 
 
 def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
-                       clipd_v=None, refl_v=None):
+                       clipd_v=None, refl_v=None, corner: tuple = (0, 0, 0)):
     """Triangle stage: gather per-corner attrs + cull. Returns the FULL
     DeviceBatch in stream (priority) order — no permutation: the deferred
     opaque reduce is order-independent (later draw index wins exact-depth
     ties), and the ordered remainder is compacted separately by
-    :func:`ordered_subset`."""
+    :func:`ordered_subset`.
+
+    ``corner`` = (nc, itc, p0): the first ``itc`` triangles index the first
+    ``nc = 3*itc`` stream rows CONSECUTIVELY (corner-major compile
+    post-pass), so their per-corner "gather" is a reshape; only the tail
+    (skinned / billboard triangles) pays the 3-row gathers."""
+    nc, itc, _p0 = corner
     i0, i1, i2 = scene.tri_idx[:, 0], scene.tri_idx[:, 1], scene.tri_idx[:, 2]
+    ti0 = i0[itc:]
+
+    def corner_take(a):
+        """(IV, ...) per-stream-row array -> (IT, 3, ...) per-corner."""
+        if not itc:
+            return jnp.stack([jnp.take(a, i0, axis=0),
+                              jnp.take(a, i1, axis=0),
+                              jnp.take(a, i2, axis=0)], axis=1)
+        head = jax.lax.slice_in_dim(a, 0, nc, axis=0)
+        head = head.reshape((itc, 3) + a.shape[1:])
+        tail = jnp.stack([jnp.take(a, i0[itc:], axis=0),
+                          jnp.take(a, i1[itc:], axis=0),
+                          jnp.take(a, i2[itc:], axis=0)], axis=1)
+        return jnp.concatenate([head, tail], axis=0)
+
+    def first_corner_take(a):
+        """(IV, ...) -> (IT, ...) value at each triangle's corner 0."""
+        if not itc:
+            return jnp.take(a, i0, axis=0)
+        head = jax.lax.slice_in_dim(a, 0, nc, axis=0)[::3]
+        return jnp.concatenate([head, jnp.take(a, ti0, axis=0)], axis=0)
 
     flags = vx.clip_flags(clip)
     # Whole-triangle rejection: all three corners outside one plane
     # (the AND-reduction of CKRasterizerContext::TransformVertices,
     # CKRasterizerLib/CKRasterizerContext.cpp:339-392, applied per-triangle).
-    reject = (flags[i0] & flags[i1] & flags[i2]) != 0
+    fl3 = corner_take(flags)
+    reject = (fl3[:, 0] & fl3[:, 1] & fl3[:, 2]) != 0
     # Entity-level visibility gate (identity row N is always visible).
     vis_ext = jnp.concatenate(
         [scene.entity_visible, jnp.ones((1,), bool)], axis=0)
-    ent_vis = jnp.take(vis_ext, jnp.take(scene.vert_entity, i0), axis=0)
+    tri_ent = first_corner_take(scene.vert_entity)
+    ent_vis = take_small(vis_ext, tri_ent)
     valid = scene.tri_valid & jnp.logical_not(reject) & ent_vis
     # User clip planes: cull triangles entirely outside any plane here;
     # per-pixel tests for straddlers happen in the ordered pass.
     if clipd_v is not None:
-        clipd = jnp.stack([clipd_v[i0], clipd_v[i1], clipd_v[i2]], axis=1)
+        clipd = corner_take(clipd_v)
         valid &= jnp.logical_not(jnp.any(jnp.all(clipd < 0, axis=1), axis=1))
     else:
         clipd = jnp.zeros((scene.tri_idx.shape[0], 3, 0), jnp.float32)
@@ -314,7 +368,7 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
     # identity row N gets the open rect.
     open_rect = jnp.array([[-1e9, -1e9, 1e9, 1e9]], jnp.float32)
     clip_ext = jnp.concatenate([scene.entity_clip, open_rect], axis=0)
-    tri_rect = jnp.take(clip_ext, jnp.take(scene.vert_entity, i0), axis=0)
+    tri_rect = take_small(clip_ext, tri_ent)
 
     if uv is None:
         uv = jnp.take(scene.uv, scene.src_idx, axis=0)
@@ -327,9 +381,7 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
     if n_refl:
         vparts.append(refl_v)
     vrow = jnp.concatenate(vparts, axis=-1)                      # (IV, 14+R)
-    corners = jnp.stack([jnp.take(vrow, i0, axis=0),
-                         jnp.take(vrow, i1, axis=0),
-                         jnp.take(vrow, i2, axis=0)], axis=1)    # (IT,3,14+R)
+    corners = corner_take(vrow)                                  # (IT,3,14+R)
     return rb.DeviceBatch(
         xyw=corners[..., 0:3], z=corners[..., 3],
         color=corners[..., 4:8], specular=corners[..., 8:11],
@@ -403,7 +455,9 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       want_cube: bool = False,
                       want_stats: bool = False,
                       sampler_profile=None,
-                      prev_fb=None, prev_zb=None):
+                      prev_fb=None, prev_zb=None,
+                      corner: tuple = (0, 0, 0),
+                      want_texgen: bool = True):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
     ``pixel_shader``: optional traced JAX fn replacing the fixed-function
@@ -443,19 +497,25 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 
     clip, color, spec, fog, _world, uv, clipd_v, refl_v = transform_and_light(
         scene, levels, world, vertex_shader=vertex_shader,
-        want_bump=want_bump, want_cube=want_cube)
+        want_bump=want_bump, want_cube=want_cube, corner=corner,
+        want_texgen=want_texgen)
     batch = assemble_triangles(scene, clip, color, spec, fog, uv, clipd_v,
-                               refl_v)
+                               refl_v, corner=corner)
 
-    defer_bucket = df.deferred_mask(scene.state_i)               # (S,)
-    defer_tri = jnp.take(defer_bucket, batch.state_idx) & batch.valid
+    from ..raster.types import SI_STENCIL
+    # One small-table row per triangle for all three bucket bits (the three
+    # separate narrow takes cost ~8 ns/row each at 500k triangles).
+    bucket_tbl = jnp.stack(
+        [df.deferred_mask(scene.state_i).astype(jnp.float32),
+         (scene.state_i[:, SI_ALPHABLEND] != 0).astype(jnp.float32),
+         (scene.state_i[:, SI_STENCIL] != 0).astype(jnp.float32)], axis=1)
+    tri_bits = take_small(bucket_tbl, batch.state_idx)           # (IT,3)
+    defer_tri = (tri_bits[:, 0] > 0.5) & batch.valid
     # User clip planes do NOT reroute straddlers to the ordered pass: the
     # per-pixel half-space test rides the deferred reduce (triangle_setup's
     # dplane — a clip-plane'd 500k-tri scene stays at full raster rate).
-    transparent = jnp.take(scene.state_i[:, SI_ALPHABLEND], batch.state_idx) != 0
-    from ..raster.types import SI_STENCIL
-    stencil_tri = (jnp.take(scene.state_i[:, SI_STENCIL], batch.state_idx)
-                   != 0) & batch.valid
+    transparent = tri_bits[:, 1] > 0.5
+    stencil_tri = (tri_bits[:, 2] > 0.5) & batch.valid
 
     # --- deferred opaque: depth argmin reduce + one shade per pixel --------
     setup = df.triangle_setup(batch.xyw, batch.z, batch.state_idx, batch.valid,
@@ -496,7 +556,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         batch.fog, batch.state_idx, scene.state_i, scene.state_f,
         scene.tex_planes, scene.tex_hw, scene.fog_color, clear_fb,
         height, width, batch_refl=batch.refl, pixel_shader=pixel_shader,
-        sampler_profile=sampler_profile)
+        sampler_profile=sampler_profile, tex_quad=scene.tex_quad)
     zb = best_depth
 
     # --- ordered remainder: cutouts, z-overrides, transparent (sorted) -----
@@ -553,7 +613,7 @@ render_frame = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
                               "chunk", "vertex_shader", "pixel_shader",
                               "want_bump", "want_cube", "want_stats",
-                              "sampler_profile")
+                              "sampler_profile", "corner", "want_texgen")
 )(render_frame_impl)
 
 
@@ -573,7 +633,9 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            want_cube: bool = False,
                            want_stats: bool = False,
                            sampler_profile=None,
-                           prev_fb=None, prev_zb=None):
+                           prev_fb=None, prev_zb=None,
+                           corner: tuple = (0, 0, 0),
+                           want_texgen: bool = True):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
@@ -634,7 +696,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                             want_cube=want_cube,
                             want_stats=want_stats,
                             sampler_profile=sampler_profile,
-                            prev_fb=prev_fb, prev_zb=prev_zb)
+                            prev_fb=prev_fb, prev_zb=prev_zb,
+                            corner=corner, want_texgen=want_texgen)
     stats = None
     if want_stats:
         out, stats = out[:-1], out[-1]
@@ -658,7 +721,8 @@ render_frame_full = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
                               "chunk", "sort_transparent", "want_stencil",
                               "vertex_shader", "pixel_shader", "want_bump",
-                              "want_cube", "want_stats", "sampler_profile")
+                              "want_cube", "want_stats", "sampler_profile",
+                              "corner", "want_texgen")
 )(render_frame_full_impl)
 
 
@@ -719,7 +783,9 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              prev_fb=None, prev_zb=None,
                              allow_pallas: bool = True,
                              y_shift=None,
-                             texdev=None, texdev_rects: tuple = ()):
+                             texdev=None, texdev_rects: tuple = (),
+                             corner: tuple = (0, 0, 0),
+                             want_texgen: bool = True):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -758,7 +824,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         want_bump=want_bump,
         want_cube=want_cube, want_stats=want_stats,
         sampler_profile=sampler_profile,
-        prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas)
+        prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas,
+        corner=corner, want_texgen=want_texgen)
 
 
 def unpack_scene(static: dict, dyn_f, dyn_i, layout: tuple,
@@ -815,7 +882,8 @@ def unpack_scene(static: dict, dyn_f, dyn_i, layout: tuple,
         clear_z=d["clear_z"],
         clip_planes=(d["clip_planes"]
                      if has_field(layout, "clip_planes") else None),
-        fog_proj=(d["fog_proj"] if has_field(layout, "fog_proj") else None))
+        fog_proj=(d["fog_proj"] if has_field(layout, "fog_proj") else None),
+        tex_quad=static.get("tex_quad"))
     sprites = None
     if sprites_static is not None:
         sprites = Sprite3DBank(
@@ -854,7 +922,8 @@ render_frame_packed = functools.partial(
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "want_stats", "sampler_profile",
-                     "allow_pallas", "texdev_rects"))(
+                     "allow_pallas", "texdev_rects", "corner",
+                     "want_texgen"))(
     render_frame_packed_impl)
 
 
@@ -863,7 +932,8 @@ render_frame_packed = functools.partial(
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
-                     "want_cube", "texdev_rects", "sampler_profile"))
+                     "want_cube", "texdev_rects", "sampler_profile",
+                     "corner", "want_texgen"))
 def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  levels: tuple, height: int, width: int,
                                  skin=None, anim=None,
@@ -877,7 +947,9 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  want_bump: bool = False,
                                  want_cube: bool = False,
                                  texdev=None, texdev_rects: tuple = (),
-                                 world_in=None, sampler_profile=None):
+                                 world_in=None, sampler_profile=None,
+                                 corner: tuple = (0, 0, 0),
+                                 want_texgen: bool = True):
     """Batched packed frames: ``dyn_f``/``dyn_i`` carry a leading context
     axis; statics (streams, pools, textures, banks topology) broadcast. This
     is the multi-context scale path with ONE f32 + ONE i32 host->device
@@ -897,7 +969,8 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
             vertex_shader=vertex_shader, pixel_shader=pixel_shader,
             want_bump=want_bump,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
-            sampler_profile=sampler_profile, allow_pallas=False)
+            sampler_profile=sampler_profile, allow_pallas=False,
+            corner=corner, want_texgen=want_texgen)
 
     if world_in is None:
         return jax.vmap(lambda df, di: one(df, di, None))(dyn_f, dyn_i)

@@ -38,6 +38,24 @@ from .types import (
 )
 
 
+def take_small(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather from a SMALL table via one-hot matmul.
+
+    XLA's general gather on this TPU costs ~8 ns/row regardless of table
+    size (docs/PERFORMANCE.md); for tables of <= 128 rows a one-hot f32
+    matmul runs dense on the MXU instead. Bit-exact vs the gather: each
+    output row accumulates exactly one finite table row (0*x terms vanish,
+    and int payloads stay below 2^24)."""
+    s = table.shape[0]
+    if s > 128 or s == 0 or idx.ndim != 1:
+        return jnp.take(table, idx, axis=0)
+    flat = table.reshape(s, -1).astype(jnp.float32)
+    oh = (idx[:, None] == jnp.arange(s, dtype=idx.dtype)[None, :])
+    out = jnp.matmul(oh.astype(jnp.float32), flat,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(idx.shape + table.shape[1:]).astype(table.dtype)
+
+
 def deferred_mask(state_i: jnp.ndarray) -> jnp.ndarray:
     """Per-state-bucket: eligible for the order-independent opaque reduce."""
     return (
@@ -71,7 +89,7 @@ def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None,
     s = jnp.where(det >= 0, 1.0, -1.0)
     degenerate = jnp.abs(det) < 1e-14
 
-    cull = state_i[state_idx, SI_CULL]
+    cull = take_small(state_i[:, SI_CULL], state_idx)
     front = det > 0
     keep = ((cull == VXCULL.NONE)
             | ((cull == VXCULL.CCW) & front)
@@ -312,17 +330,25 @@ def sample_texture_pp(tex_planes, tex_hw, tid, u, v, mode, filt, border_rgba,
 
 
 def _sample_texture_core(tex_planes, has_mips, prm, u, v, mode, filt,
-                         border_rgba, lod=None, profile=None):
+                         border_rgba, lod=None, profile=None, quad_flat=None):
     """Sampling core over precomputed per-element texture params (see
     :func:`_tex_params`).
 
-    ``profile``: optional STATIC (any_nearest, any_mip) sampler profile
-    derived from the frame's state table. Texel fetches are the dominant
-    per-pixel gather cost; when no state uses a nearest filter the nearest
-    fetch (1 tap/level) is skipped, and when no state uses a mip filter the
-    second mip level (5 taps) is skipped. Conservative when None."""
+    ``profile``: optional STATIC (any_nearest, any_mip[, quad_ok]) sampler
+    profile derived from the frame's state table. Texel fetches are the
+    dominant per-pixel gather cost; when no state uses a nearest filter the
+    nearest fetch (1 tap/level) is skipped, and when no state uses a mip
+    filter the second mip level is skipped. Conservative when None.
+
+    ``quad_flat``: optional (NT*TH*TAW, 16) quad-texel table — each row
+    holds the 2x2 texel block [c00, c10, c01, c11] with +1 neighbors baked
+    per the texture's addressing mode (manager._bake_tex_quads). When the
+    static profile asserts quad_ok, the bilinear fetch is ONE row gather
+    instead of four (per-pixel gathers cost ~8 ns/row on this TPU)."""
     any_nearest = profile is None or bool(profile[0])
     any_mip = profile is None or bool(profile[1])
+    use_quad = (quad_flat is not None and profile is not None
+                and len(profile) > 2 and bool(profile[2]))
     nt, _, th, taw = tex_planes.shape
     flat = tex_planes.transpose(0, 2, 3, 1).reshape(nt * th * taw, 4)
     h0 = prm["h0"]
@@ -370,12 +396,33 @@ def _sample_texture_core(tex_planes, has_mips, prm, u, v, mode, filt,
         v0_ = jnp.floor(fv)
         du = fu - u0_
         dv = fv - v0_
-        c00 = fetch(u0_, v0_)
-        c10 = fetch(u0_ + 1.0, v0_)
-        c01 = fetch(u0_, v0_ + 1.0)
-        c11 = fetch(u0_ + 1.0, v0_ + 1.0)
-        lin = [c00[c] * (1 - du) * (1 - dv) + c10[c] * du * (1 - dv)
-               + c01[c] * (1 - du) * dv + c11[c] * du * dv for c in range(4)]
+        if use_quad:
+            # ONE quad-row gather: the 2x2 block with baked +1 neighbors.
+            iu = jnp.clip(_address_pp(u0_, w, mode), 0, w - 1) + x_off
+            iv = jnp.clip(_address_pp(v0_, h, mode), 0, h - 1) + y_off
+            idx = (plane * (th * taw) + iv.astype(jnp.int32) * taw
+                   + iu.astype(jnp.int32))
+            q = jnp.take(quad_flat, idx.reshape(-1), axis=0).reshape(
+                idx.shape + (16,)).astype(jnp.float32)
+            # Clamp-family modes send a below-range base and its +1 neighbor
+            # to the SAME edge texel; the baked neighbor is the interior one,
+            # so zero the fraction there (wrap keeps it — its baked neighbor
+            # IS the wrapped tap).
+            wrapm = mode == VXTEXTURE_ADDRESS.WRAP
+            du_e = jnp.where(~wrapm & (u0_ < 0), 0.0, du)
+            dv_e = jnp.where(~wrapm & (v0_ < 0), 0.0, dv)
+            lin = [q[..., c] * (1 - du_e) * (1 - dv_e)
+                   + q[..., 4 + c] * du_e * (1 - dv_e)
+                   + q[..., 8 + c] * (1 - du_e) * dv_e
+                   + q[..., 12 + c] * du_e * dv_e for c in range(4)]
+        else:
+            c00 = fetch(u0_, v0_)
+            c10 = fetch(u0_ + 1.0, v0_)
+            c01 = fetch(u0_, v0_ + 1.0)
+            c11 = fetch(u0_ + 1.0, v0_ + 1.0)
+            lin = [c00[c] * (1 - du) * (1 - dv) + c10[c] * du * (1 - dv)
+                   + c01[c] * (1 - du) * dv + c11[c] * du * dv
+                   for c in range(4)]
         if any_nearest:
             near = fetch(tu, tv)
             out = [jnp.where(linear, lin[c], near[c]) for c in range(4)]
@@ -453,7 +500,7 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
                    batch_uv, batch_fog, batch_state, state_i, state_f,
                    tex_planes, tex_hw, fog_color, clear_fb,
                    height: int, width: int, batch_refl=None,
-                   pixel_shader=None, sampler_profile=None):
+                   pixel_shader=None, sampler_profile=None, tex_quad=None):
     """One shading evaluation per pixel on the winning triangle.
 
     Fixed-function frames take :func:`_shade_deferred_fast`: every
@@ -482,7 +529,7 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
             best_id, batch_xyw, batch_color, batch_spec, batch_uv,
             batch_fog, batch_state, state_i, state_f, tex_planes, tex_hw,
             fog_color, clear_fb, height, width, batch_refl=batch_refl,
-            sampler_profile=sampler_profile)
+            sampler_profile=sampler_profile, tex_quad=tex_quad)
     return _shade_deferred_ps(
         best_id, batch_xyw, batch_z, batch_color, batch_spec, batch_uv,
         batch_fog, batch_state, state_i, state_f, tex_planes, tex_hw,
@@ -494,7 +541,7 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
                          batch_uv, batch_fog, batch_state, state_i, state_f,
                          tex_planes, tex_hw, fog_color, clear_fb,
                          height: int, width: int, batch_refl=None,
-                         sampler_profile=None):
+                         sampler_profile=None, tex_quad=None):
     """Packed-row fixed-function deferred shade (see shade_deferred)."""
     from ..math.vxmath import oct_encode
     from .types import SF_CONST_R, SI_COLORWRITE, SI_TEXGEN, TEXGEN_CUBE
@@ -641,7 +688,7 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
     texel = _sample_texture_core(
         tex_planes, has_mips, prm, uvil[0], uvil[1],
         si(SI_TEXADDR).astype(jnp.int32), si(SI_TEXFILTER).astype(jnp.int32),
-        border, lod=lod, profile=sampler_profile)
+        border, lod=lod, profile=sampler_profile, quad_flat=tex_quad)
     const = [sf(SF_CONST_R + c) for c in range(3)]
     blended = tex_blend_pp(si(SI_TEXBLEND).astype(jnp.int32), texel, colorp,
                            const)

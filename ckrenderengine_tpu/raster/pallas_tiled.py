@@ -351,10 +351,26 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     pbits = int(lg).bit_length()
     assert (n_tiles + 1) << pbits <= 2 ** 32, \
         "tile x slab key space exceeds u32 (raise tile size or lower caps)"
-    a_tx0 = jnp.take(tx0, safe)
-    a_ty0 = jnp.take(ty0, safe)
-    a_sw = jnp.take(span_w, safe)
-    a_span = jnp.take(span, safe)
+    # ONE narrow gather for the four bin fields: per-row gather cost is flat
+    # (~8 ns) regardless of width, so pack (tx0, ty0, span_w, span) into one
+    # i32 word on the dense side and unpack after the gather.
+    txb = max((tx_n - 1).bit_length(), 1)
+    tyb = max((ty_n - 1).bit_length(), 1)
+    swb = txb + 1
+    spb = txb + tyb + 1                    # span <= n_tiles < 2^(txb+tyb)
+    if txb + tyb + swb + spb < 31:
+        packed = (tx0 | (ty0 << txb) | (span_w << (txb + tyb))
+                  | (span << (txb + tyb + swb)))
+        a_pack = jnp.take(packed, safe)
+        a_tx0 = a_pack & ((1 << txb) - 1)
+        a_ty0 = (a_pack >> txb) & ((1 << tyb) - 1)
+        a_sw = (a_pack >> (txb + tyb)) & ((1 << swb) - 1)
+        a_span = a_pack >> (txb + tyb + swb)
+    else:                                  # huge framebuffers: 4 gathers
+        a_tx0 = jnp.take(tx0, safe)
+        a_ty0 = jnp.take(ty0, safe)
+        a_sw = jnp.take(span_w, safe)
+        a_span = jnp.take(span, safe)
 
     def pair_keys(sl, nslots):
         di = jnp.arange(nslots, dtype=jnp.int32)
