@@ -562,8 +562,10 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
                SI_PERSPECTIVE, SI_TEXGEN, SI_COLORWRITE)
     sf_cols = (SF_BORDER_R, SF_BORDER_R + 1, SF_BORDER_R + 2,
                SF_BORDER_R + 3, SF_CONST_R, SF_CONST_R + 1, SF_CONST_R + 2)
-    st_t = jnp.take(_shade_state_rows(state_i, state_f, tex_hw),
-                    batch_state, axis=0)                           # (T,22)
+    # One-hot matmul join: a plain take here is a 527k-row x 22-col gather
+    # (~8 ms at Ballance scale); the state bank is tiny, so the MXU does it.
+    st_t = take_small(_shade_state_rows(state_i, state_f, tex_hw),
+                      batch_state)                                 # (T,22)
 
     # column layout
     _EC = slice(0, 9)
@@ -599,10 +601,14 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
     )
     hit = best_id >= 0
     tid = jnp.clip(best_id, 0, t - 1)
-    # Gather rows then transpose ONCE to channel-major (C,H,W): every later
-    # per-column read is then a contiguous plane instead of a 4*C-byte
-    # strided sweep over the whole 200 MB row buffer.
-    row = jnp.take(tbl, tid.reshape(-1), axis=0).T.reshape(
+    # Transpose the table ONCE (channel-major), fence it, and gather along
+    # the row axis so the result lands channel-major (C,H,W) directly.
+    # The barrier stops XLA from fusing the concat INTO the gather — fused,
+    # the "one wide row gather" decomposes back into a dozen narrow gathers
+    # (measured 28 ms vs 12 ms for the single 786k-row gather at 1024x768);
+    # gather cost here is per ROW, nearly independent of width.
+    tblT = jax.lax.optimization_barrier(tbl.T)
+    row = jnp.take(tblT, tid.reshape(-1), axis=1).reshape(
         (tbl.shape[1], height, width))
 
     si_pos = {c: i for i, c in enumerate(si_cols)}

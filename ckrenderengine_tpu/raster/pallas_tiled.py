@@ -341,7 +341,11 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         full_cols.append(dplane_t.reshape(t, 3 * n_planes))
     if nrow > ncol:
         full_cols.append(jnp.zeros((t, nrow - ncol), jnp.float32))
-    full_rows = jnp.concatenate(full_cols, axis=1)             # (T, nrow)
+    # Fence the packed table: fused with the concat, XLA decomposes the
+    # row gathers below back into one narrow gather per source column
+    # (each ~flat per-row cost — 8x the single wide-row gather).
+    full_rows = jax.lax.optimization_barrier(
+        jnp.concatenate(full_cols, axis=1))                    # (T, nrow)
     slab_rows = jnp.take(full_rows, safe, axis=0)              # (LG, nrow)
     fl = slab_rows[:, _C_FL].astype(jnp.int32)
     fl = (fl & 7) + 8 * ((fl >= 8) & all_ok).astype(jnp.int32)
@@ -414,8 +418,8 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     src_p = jnp.where(live_pos,
                       jnp.take(sorted_p, jnp.clip(src, 0, stream_len - 1)),
                       lg)
-    slab_pad = jnp.concatenate(
-        [slab_rows, jnp.zeros((1, nrow), jnp.float32)], axis=0)
+    slab_pad = jax.lax.optimization_barrier(jnp.concatenate(
+        [slab_rows, jnp.zeros((1, nrow), jnp.float32)], axis=0))
     stream_rows = jnp.take(slab_pad, src_p, axis=0)            # (SLA, nrow)
 
     # Leftover rows (streamed by EVERY tile inside the kernel): (a) the

@@ -336,7 +336,10 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     ]
     if n_planes:
         full_cols.append(dplane_t.reshape(t, 3 * n_planes))
-    full_rows = jnp.concatenate(full_cols, axis=1)         # (T, ncol)
+    # Fence: keep the concat materialized so the row gather stays ONE wide
+    # gather (fused, XLA splits it into a narrow gather per source column).
+    full_rows = jax.lax.optimization_barrier(
+        jnp.concatenate(full_cols, axis=1))                # (T, ncol)
     rows = jnp.take(full_rows, safe, axis=0)               # (LG, ncol)
     # slab validity replaces the full-table validity bit (dead pad entries)
     fl = rows[:, _C_FL].astype(jnp.int32)
