@@ -251,12 +251,14 @@ def _scan_place(astarts, starts, ends, counts, sl_aligned, n_tiles):
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile", "max_span", "chunk", "span2",
-                     "g_cap", "slab_cap", "kchunk", "interpret", "_probe"))
+                     "g_cap", "slab_cap", "pair_cap", "kchunk", "interpret",
+                     "_probe"))
 def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                               height: int, width: int, tile: int = 32,
                               max_span: int = 2, chunk: int = 32,
                               span2: int = 16, g_cap: int = 8192,
-                              slab_cap: int = 131072, kchunk: int = 128,
+                              slab_cap: int = 131072, pair_cap: int = 65536,
+                              kchunk: int = 128,
                               interpret: bool = False,
                               _probe: str | None = None):
     """Tile-binned argmin depth reduce, Pallas phase B (exact).
@@ -408,12 +410,26 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     # THE one stream gather: packed rows in sorted-pair order, each tile's
     # range start padded up to 8 rows so DMA slices land on whole native
     # (8, 128) tiles. Dead filler rows carry flags=0.
+    #
+    # The stream buffer is sized by ``pair_cap`` (LIVE pairs), not by the
+    # static key capacity: the key arrays cover the worst case
+    # (slab_cap*max_span + g_cap*span2 ~ 400k entries) while an ordinary
+    # frame bins a few tens of thousands of live pairs — building and
+    # gathering the full-capacity stream cost ~17 ms of the solve at
+    # Ballance scale. Tiles whose aligned range does not fit the cap (a
+    # suffix, since aligned starts are increasing) keep kernel count 0 and
+    # their sorted tail streams through the exact all-tiles fallback below.
     rcounts = ((counts + 7) // 8) * 8
     abounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(rcounts).astype(jnp.int32)])
     astarts = abounds[:-1]
-    sl_aligned = -(-(stream_len + n_tiles * 8) // kchunk) * kchunk
-    src, live_pos = _scan_place(astarts, starts, starts + counts, counts,
+    sl_aligned = min(-(-(stream_len + n_tiles * 8) // kchunk) * kchunk,
+                     -(-(pair_cap + n_tiles * 8) // kchunk) * kchunk)
+    fits = (astarts + rcounts) <= sl_aligned
+    kcounts = jnp.where(fits, counts, 0)
+    n_live = bounds[-1].astype(jnp.int32)      # total live (non-sentinel) pairs
+    cut_pos = jnp.min(jnp.where(~fits & (counts > 0), starts, n_live))
+    src, live_pos = _scan_place(astarts, starts, starts + kcounts, kcounts,
                                 sl_aligned, n_tiles)
     src_p = jnp.where(live_pos,
                       jnp.take(sorted_p, jnp.clip(src, 0, stream_len - 1)),
@@ -454,7 +470,7 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         [stream_rows, left_rows, jnp.zeros((kchunk, nrow), jnp.float32)],
         axis=0)
     stream_rows = jnp.pad(stream_rows, ((0, 0), (0, 128 - nrow)))
-    starts_k = astarts
+    starts_k = jnp.where(fits, astarts, 0)     # truncated tiles: count 0
     leftn = jnp.stack([jnp.minimum(g_count, gcap),
                        jnp.minimum(s_over, scap)]).astype(jnp.int32)
     if _probe == "phase_a":   # perf probe: binning + stream build only
@@ -510,7 +526,7 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
             jax.ShapeDtypeStruct((n_tiles, 8, npix), jnp.int32),
         ),
         interpret=interpret,
-    )(starts_k, counts, leftn, vp6, init_d, stream_rows)
+    )(starts_k, kcounts, leftn, vp6, init_d, stream_rows)
     best_d = best_d[:, 0].reshape(n_tiles, tile, tile)
     best_i = best_i[:, 0].reshape(n_tiles, tile, tile)
     if _probe == "kernel":    # perf probe: skip the beyond-cap fallbacks
@@ -548,11 +564,33 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
             lambda st: st[0] * chunk < count, body, (jnp.int32(0), carry))
         return carry
 
+    def stream_sorted_tail(carry, start, count):
+        """Exact remainder for tiles truncated by ``pair_cap``: stream the
+        sorted-pair tail to ALL tiles (each row's own rect/coverage math
+        restricts it — binning is a perf optimization, not correctness)."""
+        all_id_pad = jnp.concatenate([all_id, jnp.full((1,), t, jnp.int32)])
+
+        def body(st):
+            c, car = st
+            idx = start + c * chunk + slot_c
+            sp = jnp.take(sorted_p, jnp.clip(idx, 0, stream_len - 1))
+            ids = jnp.where(idx - start < count,
+                            jnp.take(all_id_pad, jnp.clip(sp, 0, lg)), t)
+            rws = jnp.broadcast_to(rows_for(ids)[None, :, :ncol],
+                                   (n_tiles, chunk, ncol))
+            return c + 1, _reduce_rows(car, rws, n_planes, px, py, scissor)
+
+        _, carry = lax.while_loop(
+            lambda st: st[0] * chunk < count, body, (jnp.int32(0), carry))
+        return carry
+
     carry = (best_d, best_i)
     carry = stream_all_tiles(carry, g_start + gcap,
                              jnp.maximum(g_count - gcap, 0))
     carry = stream_all_tiles(carry, jnp.int32(slab_l + scap),
                              jnp.maximum(s_over - scap, 0))
+    carry = stream_sorted_tail(carry, cut_pos,
+                               jnp.maximum(n_live - cut_pos, 0))
     best_d, best_i = carry
 
     full_h, full_w = ty_n * tile, tx_n * tile

@@ -132,3 +132,23 @@ def test_pallas_tiled_nondivisible_framebuffer():
         setup, defer, 1.0, viewport, xyw, h, w, tile=16, interpret=True)
     np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_f))
     np.testing.assert_allclose(np.asarray(bd_p), np.asarray(bd_f), atol=4e-6)
+
+
+def test_pallas_tiled_pair_cap_truncation_exact():
+    """A tiny ``pair_cap`` truncates most tiles out of the kernel stream;
+    the sorted-pair tail must replay through the exact all-tiles fallback
+    so the result still matches the flat reduce bit for bit."""
+    h = w = 64
+    t = 260
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=3)
+    setup = _setup_for(xyw, z, t)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    for cap in (0, 64, 256):
+        bi_p, bd_p, _ = depth_reduce_tiled_pallas(
+            setup, defer, 1.0, viewport, xyw, h, w, tile=16, max_span=4,
+            span2=16, pair_cap=cap, interpret=True)
+        np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_f))
+        np.testing.assert_allclose(np.asarray(bd_p), np.asarray(bd_f),
+                                   atol=4e-6)
