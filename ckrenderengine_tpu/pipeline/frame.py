@@ -524,21 +524,42 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     # Visibility solve: flat reduce for small scenes, tile-binned for large
     # (static shape decision -> part of the jit cache key).
     tile_peak = jnp.int32(0)
-    if batch.valid.shape[0] > 4096:
-        if allow_pallas and jax.default_backend() == "tpu":
-            # Pallas phase-B solve: per-tile contiguous row streaming with
-            # the carry resident in VMEM (raster/pallas_tiled.py).
-            from ..raster.pallas_tiled import depth_reduce_tiled_pallas
+    fetched_rows = None
+    t_count = batch.valid.shape[0]
+    on_tpu = allow_pallas and jax.default_backend() == "tpu"
+    big = t_count > 4096
+    # The binned kernel beats the flat O(T*H*W) reduce well below the 4096
+    # triangle cap once the framebuffer is large (config 2: 3k tris at
+    # 640x480 measured ~20 ms flat vs ~3 ms binned).
+    tiled_on_tpu = on_tpu and (big or t_count * height * width > (1 << 26))
+    if tiled_on_tpu:
+        # Pallas phase-B solve: per-tile contiguous row streaming with
+        # the carry resident in VMEM (raster/pallas_tiled.py). Without a
+        # pixel shader, the shade row table rides the stream and the
+        # kernel's fetch pass replaces the deferred shade's 786k-row
+        # per-pixel gather (~12.6 ms at 1024x768 -> ~3 ms of MXU matmuls).
+        from ..raster.pallas_tiled import depth_reduce_tiled_pallas
 
+        if pixel_shader is None:
+            refl = batch.refl if batch.refl.shape[-1] else None
+            shade_tbl = df.shade_row_table(
+                batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
+                batch.state_idx, scene.state_i, scene.state_f, scene.tex_hw,
+                batch_refl=refl)
+            best_id, best_depth, tile_peak, fetched_rows = \
+                depth_reduce_tiled_pallas(
+                    setup, defer_tri, z_init, scene.viewport, batch.xyw,
+                    height, width, shade_tbl=shade_tbl)
+        else:
             best_id, best_depth, tile_peak = depth_reduce_tiled_pallas(
                 setup, defer_tri, z_init, scene.viewport, batch.xyw,
                 height, width)
-        else:
-            from ..raster.tiled import depth_reduce_tiled
+    elif big:
+        from ..raster.tiled import depth_reduce_tiled
 
-            best_id, best_depth, tile_peak = depth_reduce_tiled(
-                setup, defer_tri, z_init, scene.viewport, batch.xyw,
-                height, width)
+        best_id, best_depth, tile_peak = depth_reduce_tiled(
+            setup, defer_tri, z_init, scene.viewport, batch.xyw,
+            height, width)
     elif (allow_pallas and prev_zb is None and batch.clipd.shape[-1] == 0
           and jax.default_backend() == "tpu" and width % 128 == 0):
         # Flat reduce as a Pallas kernel: the (H,W) carry stays in VMEM
@@ -551,12 +572,19 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         best_id, best_depth = df.depth_reduce(
             setup, defer_tri, z_init, scene.viewport, height, width,
             chunk=chunk)
-    fb = df.shade_deferred(
-        best_id, batch.xyw, batch.z, batch.color, batch.specular, batch.uv,
-        batch.fog, batch.state_idx, scene.state_i, scene.state_f,
-        scene.tex_planes, scene.tex_hw, scene.fog_color, clear_fb,
-        height, width, batch_refl=batch.refl, pixel_shader=pixel_shader,
-        sampler_profile=sampler_profile, tex_quad=scene.tex_quad)
+    if fetched_rows is not None:
+        fb = df.shade_rows(
+            fetched_rows, best_id >= 0, scene.tex_planes, scene.tex_hw,
+            scene.fog_color, clear_fb, height, width,
+            sampler_profile=sampler_profile, tex_quad=scene.tex_quad)
+    else:
+        fb = df.shade_deferred(
+            best_id, batch.xyw, batch.z, batch.color, batch.specular,
+            batch.uv, batch.fog, batch.state_idx, scene.state_i,
+            scene.state_f, scene.tex_planes, scene.tex_hw, scene.fog_color,
+            clear_fb, height, width, batch_refl=batch.refl,
+            pixel_shader=pixel_shader,
+            sampler_profile=sampler_profile, tex_quad=scene.tex_quad)
     zb = best_depth
 
     # --- ordered remainder: cutouts, z-overrides, transparent (sorted) -----

@@ -537,52 +537,67 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
         pixel_shader=pixel_shader)
 
 
-def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
-                         batch_uv, batch_fog, batch_state, state_i, state_f,
-                         tex_planes, tex_hw, fog_color, clear_fb,
-                         height: int, width: int, batch_refl=None,
-                         sampler_profile=None, tex_quad=None):
-    """Packed-row fixed-function deferred shade (see shade_deferred)."""
-    from ..math.vxmath import oct_encode
-    from .types import SF_CONST_R, SI_COLORWRITE, SI_TEXGEN, TEXGEN_CUBE
+# Shade row-table column layout (shared by the per-pixel gather path here
+# and the Pallas in-kernel one-hot fetch, raster/pallas_tiled.py): everything
+# one pixel needs to shade its winning triangle, in ONE wide f32 row.
+SH_EC = slice(0, 9)      # edge-plane coefficients (adjoint rows; any
+                         # consistent sign — shade uses ratios only)
+SH_WS = slice(9, 12)     # vertex w's
+SH_IVD = 12              # inverse determinant (same sign convention as EC)
+SH_COL = slice(13, 25)   # corner colors (3 x RGBA)
+SH_SPC = slice(25, 34)   # corner speculars (3 x RGB)
+SH_UV = slice(34, 40)    # corner UVs (3 x 2)
+SH_FOG = slice(40, 43)   # corner fog factors
+SH_SI = 43               # 8 int state cols, order = _SH_SI_COLS
+SH_SF = 51               # 7 f32 state cols, order = _SH_SF_COLS
+SH_TP = 58               # 7 texture-params cols, order = _TEX_PARAM_KEYS
+SH_RFL = slice(65, 74)   # corner world reflection vectors (cube env only)
+SH_NCOL = 65             # without refl; 74 with
 
-    t = batch_xyw.shape[0]
-    has_refl = batch_refl is not None and batch_refl.shape[-1] > 0
-    has_mips = tex_hw.shape[1] in (3, 5)
 
-    # --- per-triangle shade row table (dense build, one wide row) ---------
-    v0, v1, v2 = batch_xyw[:, 0], batch_xyw[:, 1], batch_xyw[:, 2]
-    adj0 = jnp.cross(v1, v2)
-    adj1 = jnp.cross(v2, v0)
-    adj2 = jnp.cross(v0, v1)
-    det = jnp.sum(v0 * adj0, axis=-1)
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+def _sh_cols():
+    from .types import SF_CONST_R, SI_COLORWRITE, SI_TEXGEN
 
     si_cols = (SI_TEX, SI_TEXADDR, SI_TEXFILTER, SI_TEXBLEND, SI_FOG,
                SI_PERSPECTIVE, SI_TEXGEN, SI_COLORWRITE)
     sf_cols = (SF_BORDER_R, SF_BORDER_R + 1, SF_BORDER_R + 2,
                SF_BORDER_R + 3, SF_CONST_R, SF_CONST_R + 1, SF_CONST_R + 2)
+    return si_cols, sf_cols
+
+
+def shade_row_table(batch_xyw, batch_color, batch_spec, batch_uv, batch_fog,
+                    batch_state, state_i, state_f, tex_hw, batch_refl=None,
+                    e_coef=None, inv_det_s=None):
+    """(T, SH_NCOL[+9]) packed shade rows (dense build, one wide row).
+
+    ``e_coef``/``inv_det_s``: optional SIGNED edge coefficients + inverse
+    determinant from triangle_setup — the shade math only uses ratios, so
+    the signed pair from the solve works identically and saves recomputing
+    the cross products."""
+    t = batch_xyw.shape[0]
+    has_refl = batch_refl is not None and batch_refl.shape[-1] > 0
+
+    if e_coef is not None:
+        ec9 = e_coef.reshape(t, 9)
+        ivd = inv_det_s[:, None]
+    else:
+        v0, v1, v2 = batch_xyw[:, 0], batch_xyw[:, 1], batch_xyw[:, 2]
+        adj0 = jnp.cross(v1, v2)
+        adj1 = jnp.cross(v2, v0)
+        adj2 = jnp.cross(v0, v1)
+        det = jnp.sum(v0 * adj0, axis=-1)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        ec9 = jnp.concatenate([adj0, adj1, adj2], axis=1)
+        ivd = inv_det[:, None]
+
     # One-hot matmul join: a plain take here is a 527k-row x 22-col gather
     # (~8 ms at Ballance scale); the state bank is tiny, so the MXU does it.
     st_t = take_small(_shade_state_rows(state_i, state_f, tex_hw),
                       batch_state)                                 # (T,22)
-
-    # column layout
-    _EC = slice(0, 9)
-    _WS = slice(9, 12)
-    _IVD = 12
-    _COL = slice(13, 25)
-    _SPC = slice(25, 34)
-    _UV = slice(34, 40)
-    _FOG = slice(40, 43)
-    _SI = 43            # 8 cols, order = si_cols
-    _SF = 51            # 7 cols, order = sf_cols
-    _TP = 58            # 7 cols, order = _TEX_PARAM_KEYS
-    _RFL = slice(65, 74)
     cols = [
-        adj0, adj1, adj2,
+        ec9,
         batch_xyw[..., 2],
-        inv_det[:, None],
+        ivd,
         batch_color.reshape(t, 12),
         batch_spec.reshape(t, 9),
         batch_uv.reshape(t, 6),
@@ -591,14 +606,21 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
     ]
     if has_refl:
         cols.append(batch_refl.reshape(t, 9))
-    tbl = jnp.concatenate(cols, axis=1)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
+                         batch_uv, batch_fog, batch_state, state_i, state_f,
+                         tex_planes, tex_hw, fog_color, clear_fb,
+                         height: int, width: int, batch_refl=None,
+                         sampler_profile=None, tex_quad=None):
+    """Packed-row fixed-function deferred shade (see shade_deferred)."""
+    t = batch_xyw.shape[0]
+    tbl = shade_row_table(batch_xyw, batch_color, batch_spec, batch_uv,
+                          batch_fog, batch_state, state_i, state_f, tex_hw,
+                          batch_refl=batch_refl)
 
     # --- ONE wide per-pixel gather ----------------------------------------
-    py, px = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32) + 0.5,
-        jnp.arange(width, dtype=jnp.float32) + 0.5,
-        indexing="ij",
-    )
     hit = best_id >= 0
     tid = jnp.clip(best_id, 0, t - 1)
     # Transpose the table ONCE (channel-major), fence it, and gather along
@@ -610,7 +632,39 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
     tblT = jax.lax.optimization_barrier(tbl.T)
     row = jnp.take(tblT, tid.reshape(-1), axis=1).reshape(
         (tbl.shape[1], height, width))
+    return shade_rows(row, hit, tex_planes, tex_hw, fog_color, clear_fb,
+                      height, width, sampler_profile=sampler_profile,
+                      tex_quad=tex_quad)
 
+
+def shade_rows(row, hit, tex_planes, tex_hw, fog_color, clear_fb,
+               height: int, width: int, sampler_profile=None, tex_quad=None):
+    """Fixed-function shade over per-pixel winner ROWS (C,H,W) in the
+    shade_row_table layout — the per-pixel half of the deferred shade,
+    shared by the gather path and the Pallas in-kernel fetch path."""
+    from ..math.vxmath import oct_encode
+    from .types import SF_CONST_R, SI_COLORWRITE, SI_TEXGEN, TEXGEN_CUBE
+
+    has_refl = row.shape[0] > SH_NCOL
+    has_mips = tex_hw.shape[1] in (3, 5)
+    _EC = SH_EC
+    _WS = SH_WS
+    _IVD = SH_IVD
+    _COL = SH_COL
+    _SPC = SH_SPC
+    _UV = SH_UV
+    _FOG = SH_FOG
+    _SI = SH_SI
+    _SF = SH_SF
+    _TP = SH_TP
+    _RFL = SH_RFL
+    si_cols, sf_cols = _sh_cols()
+
+    py, px = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(width, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
     si_pos = {c: i for i, c in enumerate(si_cols)}
     sf_pos = {c: i for i, c in enumerate(sf_cols)}
 

@@ -55,9 +55,10 @@ _BIG = 3.0e38
 
 
 def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
-                  rows_hbm, outd_ref, outi_ref, rbuf, sems, *, kchunk: int,
+                  rows_hbm, outd_ref, outi_ref, *rest, kchunk: int,
                   nrow: int, tile: int, tx_n: int, n_planes: int,
-                  gbase: int, gcap_chunks: int, scap_chunks: int):
+                  gbase: int, gcap_chunks: int, scap_chunks: int,
+                  sh_base: int = 0, sh_w: int = 0):
     """One screen tile: stream [start, start+count) packed rows from HBM
     through a double-buffered VMEM slab, reducing (depth, id) into a
     register-resident (1, tile*tile) carry.
@@ -74,7 +75,18 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
     (unbounded straddlers / span overflow, then slab overflow) — the
     carry-resident replacement for the XLA all-tiles fallback loops;
     ``leftn_ref`` holds their live row counts. Both are empty on ordinary
-    scenes."""
+    scenes.
+
+    ``sh_w`` > 0 enables the FETCH pass: after the solve, the stream is
+    DMA'd through VMEM a second time and the winning row's columns
+    [sh_base, sh_base+sh_w) accumulate per pixel via one-hot MXU matmuls
+    ((128, kchunk) @ (kchunk, npix) per chunk) — replacing the per-pixel
+    HBM row gather of the deferred shade (measured 12.6 ms at 1024x768;
+    the in-kernel fetch is ~3 ms of MXU work at Ballance scale)."""
+    if sh_w:
+        outr_ref, rbuf, sems, facc = rest
+    else:
+        rbuf, sems = rest
     npix = tile * tile
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -174,6 +186,55 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
     outd_ref[0] = jnp.broadcast_to(best_d, (8, npix))
     outi_ref[0] = jnp.broadcast_to(best_i, (8, npix))
 
+    if sh_w:
+        # --- fetch pass: one-hot MXU accumulate of the winner's row -------
+        # Exactly one stream row matches each pixel's winner id (classes are
+        # disjoint and a triangle bins once per tile), so the accumulated
+        # sum IS that row's columns; background pixels (-1) match nothing.
+        bestf = best_i.astype(jnp.float32)                 # (1, npix)
+        facc[:] = jnp.zeros((facc.shape[0], npix), jnp.float32)
+        pos_k = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0)
+
+        def fetch_process(slot_lit, c):
+            _, nhere = seg(c)
+            r = rbuf[slot_lit]                             # (kchunk, 128)
+            fl = r[:, _C_FL:_C_FL + 1].astype(jnp.int32)
+            # Over-read rows past nhere belong to the NEXT tile — mask them.
+            ok = ((fl & 8) != 0) & (pos_k < nhere)
+            oh = jnp.where(ok & (r[:, _C_ID:_C_ID + 1] == bestf), 1.0, 0.0)
+            facc[:] += jax.lax.dot_general(
+                r[:, sh_base:sh_base + sh_w], oh,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(total > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        def fetch_pair(cp, carry):
+            c0 = 2 * cp
+
+            @pl.when(c0 + 1 < total)
+            def _():
+                get_dma(1, c0 + 1).start()
+
+            get_dma(0, c0).wait()
+            fetch_process(0, c0)
+
+            @pl.when(c0 + 2 < total)
+            def _():
+                get_dma(0, c0 + 2).start()
+
+            @pl.when(c0 + 1 < total)
+            def _():
+                get_dma(1, c0 + 1).wait()
+                fetch_process(1, c0 + 1)
+
+            return carry
+
+        jax.lax.fori_loop(0, (total + 1) // 2, fetch_pair, jnp.int32(0))
+        outr_ref[0] = facc[:]
+
 
 def _merge(a, b):
     """(depth, id) lattice merge: lower depth wins, exact ties to larger id
@@ -183,6 +244,27 @@ def _merge(a, b):
     dm, tid = b
     better = (dm < bd) | ((dm == bd) & (tid > bi))
     return (jnp.where(better, dm, bd), jnp.where(better, tid, bi))
+
+
+def _reduce_rows_fetch(carry, rows, n_planes, px, py, scissor,
+                       sh_base: int, sh_w: int):
+    """Fetch-carrying variant of tiled._reduce_rows for the beyond-cap XLA
+    fallback streams: wherever a chunk row becomes a pixel's new winner, the
+    row's shade columns replace the fetched-attr carry (keeping the kernel's
+    fetch output exact even on pathological overflow scenes)."""
+    best_d, best_i, fac = carry
+    nd, ni = _reduce_rows((best_d, best_i), rows, n_planes, px, py, scissor)
+    changed = ni != best_i                                   # (S,h,w)
+    ids = rows[..., _C_ID].astype(jnp.int32)                 # (S,C)
+    sel = (ids[..., None, None] == ni[:, None]) & changed[:, None]
+    # Dedupe within the chunk: the sorted-pair tail may carry the same
+    # triangle for several truncated tiles — keep the first copy only.
+    selc = sel & (jnp.cumsum(sel.astype(jnp.int32), axis=1) == 1)
+    win = jnp.einsum("schw,scv->svhw", selc.astype(jnp.float32),
+                     rows[..., sh_base:sh_base + sh_w],
+                     preferred_element_type=jnp.float32)
+    fac = jnp.where(changed[:, None], win, fac)
+    return nd, ni, fac
 
 
 def _group_eval(r8, px, py, n_planes, live):
@@ -260,11 +342,20 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                               slab_cap: int = 131072, pair_cap: int = 65536,
                               kchunk: int = 128,
                               interpret: bool = False,
-                              _probe: str | None = None):
+                              _probe: str | None = None,
+                              shade_tbl=None):
     """Tile-binned argmin depth reduce, Pallas phase B (exact).
 
     Same contract as tiled.depth_reduce_tiled: returns (best_id (H,W) int32,
-    best_depth (H,W) f32, peak () int32)."""
+    best_depth (H,W) f32, peak () int32).
+
+    ``shade_tbl``: optional (T, C<=~90) per-triangle shade row table
+    (deferred.shade_row_table layout). When given, the stream rows carry the
+    shade columns too (rows are lane-padded to 128 anyway, so the extra
+    columns ride the binning for free) and the kernel's fetch pass returns
+    the winner's shade row per pixel — the return becomes a 4-tuple
+    (best_id, best_depth, peak, rows (C,H,W)) and the deferred shade skips
+    its 786k-row per-pixel gather entirely."""
     t = setup["e_coef"].shape[0]
     ty_n = (height + tile - 1) // tile
     tx_n = (width + tile - 1) // tile
@@ -276,8 +367,15 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     if dplane_t is None:
         dplane_t = jnp.zeros((t, 0, 3), jnp.float32)
     n_planes = dplane_t.shape[1]
-    ncol = _NCOL + 3 * n_planes
-    nrow = 32 if ncol <= 32 else 64
+    ncol_solve = _NCOL + 3 * n_planes
+    sh_base = ncol_solve
+    if shade_tbl is not None:
+        sh_w = ((shade_tbl.shape[1] + 7) // 8) * 8
+        ncol = ncol_solve + sh_w
+    else:
+        sh_w = 0
+        ncol = ncol_solve
+    nrow = 32 if ncol <= 32 else (64 if ncol <= 64 else 128)
     assert ncol <= nrow, "too many user clip planes for the packed row"
     per_row = 128 // nrow
     assert kchunk % per_row == 0
@@ -341,6 +439,11 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     ]
     if n_planes:
         full_cols.append(dplane_t.reshape(t, 3 * n_planes))
+    if sh_w:
+        full_cols.append(shade_tbl.astype(jnp.float32))
+        if sh_w > shade_tbl.shape[1]:
+            full_cols.append(
+                jnp.zeros((t, sh_w - shade_tbl.shape[1]), jnp.float32))
     if nrow > ncol:
         full_cols.append(jnp.zeros((t, nrow - ncol), jnp.float32))
     # Fence the packed table: fused with the concat, XLA decomposes the
@@ -497,7 +600,29 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     kernel = functools.partial(
         _solve_kernel, kchunk=kchunk, nrow=nrow, tile=tile, tx_n=tx_n,
         n_planes=n_planes, gbase=sl_aligned,
-        gcap_chunks=lrows // kchunk, scap_chunks=lrows // kchunk)
+        gcap_chunks=lrows // kchunk, scap_chunks=lrows // kchunk,
+        sh_base=sh_base, sh_w=sh_w)
+    out_specs = [
+        pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_tiles, 8, npix), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 8, npix), jnp.int32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, kchunk, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if sh_w:
+        out_specs.append(
+            pl.BlockSpec((1, sh_w, npix), lambda i, s, c, l: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_tiles, sh_w, npix), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((sh_w, npix), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -507,26 +632,17 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                          memory_space=pltpu.VMEM),             # init_d
             pl.BlockSpec(memory_space=pl.ANY),                 # stream (HBM)
         ],
-        out_specs=(
-            pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, kchunk, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch_shapes,
     )
-    best_d, best_i = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 8, npix), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 8, npix), jnp.int32),
-        ),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
     )(starts_k, kcounts, leftn, vp6, init_d, stream_rows)
+    best_d, best_i = outs[0], outs[1]
+    fetched = outs[2].reshape(n_tiles, sh_w, tile, tile) if sh_w else None
     best_d = best_d[:, 0].reshape(n_tiles, tile, tile)
     best_i = best_i[:, 0].reshape(n_tiles, tile, tile)
     if _probe == "kernel":    # perf probe: skip the beyond-cap fallbacks
@@ -549,6 +665,14 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
 
     slot_c = jnp.arange(chunk, dtype=jnp.int32)
 
+    if sh_w:
+        def red(car, rws):
+            return _reduce_rows_fetch(car, rws, n_planes, px, py, scissor,
+                                      sh_base, sh_w)
+    else:
+        def red(car, rws):
+            return _reduce_rows(car, rws, n_planes, px, py, scissor)
+
     def stream_all_tiles(carry, start, count):
         def body(st):
             c, car = st
@@ -558,7 +682,7 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                             t)
             rws = jnp.broadcast_to(rows_for(ids)[None, :, :ncol],
                                    (n_tiles, chunk, ncol))
-            return c + 1, _reduce_rows(car, rws, n_planes, px, py, scissor)
+            return c + 1, red(car, rws)
 
         _, carry = lax.while_loop(
             lambda st: st[0] * chunk < count, body, (jnp.int32(0), carry))
@@ -578,24 +702,29 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                             jnp.take(all_id_pad, jnp.clip(sp, 0, lg)), t)
             rws = jnp.broadcast_to(rows_for(ids)[None, :, :ncol],
                                    (n_tiles, chunk, ncol))
-            return c + 1, _reduce_rows(car, rws, n_planes, px, py, scissor)
+            return c + 1, red(car, rws)
 
         _, carry = lax.while_loop(
             lambda st: st[0] * chunk < count, body, (jnp.int32(0), carry))
         return carry
 
-    carry = (best_d, best_i)
+    carry = (best_d, best_i, fetched) if sh_w else (best_d, best_i)
     carry = stream_all_tiles(carry, g_start + gcap,
                              jnp.maximum(g_count - gcap, 0))
     carry = stream_all_tiles(carry, jnp.int32(slab_l + scap),
                              jnp.maximum(s_over - scap, 0))
     carry = stream_sorted_tail(carry, cut_pos,
                                jnp.maximum(n_live - cut_pos, 0))
-    best_d, best_i = carry
+    best_d, best_i = carry[0], carry[1]
 
     full_h, full_w = ty_n * tile, tx_n * tile
     bd = best_d.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3)
     bd = bd.reshape(full_h, full_w)[:height, :width]
     bi = best_i.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3)
     bi = bi.reshape(full_h, full_w)[:height, :width]
-    return bi, bd, peak
+    if not sh_w:
+        return bi, bd, peak
+    fr = carry[2].reshape(ty_n, tx_n, sh_w, tile, tile)
+    fr = fr.transpose(2, 0, 3, 1, 4).reshape(sh_w, full_h, full_w)
+    fr = fr[:shade_tbl.shape[1], :height, :width]
+    return bi, bd, peak, fr

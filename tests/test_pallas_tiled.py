@@ -152,3 +152,97 @@ def test_pallas_tiled_pair_cap_truncation_exact():
         np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_f))
         np.testing.assert_allclose(np.asarray(bd_p), np.asarray(bd_f),
                                    atol=4e-6)
+
+
+def _fake_shade_tbl(t, width=65, seed=11):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(0, 1, (t, width)).astype(np.float32))
+
+
+@pytest.mark.parametrize("shw", [65, 74])
+def test_pallas_tiled_fetch_matches_gather(shw):
+    """The kernel's one-hot fetch pass must return EXACTLY the winner's
+    shade row per pixel (the per-pixel gather it replaces)."""
+    h, w = 48, 96
+    t = 260
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=2)
+    setup = _setup_for(xyw, z, t)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    tbl = _fake_shade_tbl(t, shw)
+    bi, bd, peak, rows = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, max_span=4,
+        span2=16, interpret=True, shade_tbl=tbl)
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(bi_f))
+    want = np.where(np.asarray(bi)[None] >= 0,
+                    np.asarray(jnp.take(tbl.T, jnp.clip(bi, 0, t - 1)
+                                        .reshape(-1), axis=1)
+                               .reshape(shw, h, w)), 0.0)
+    np.testing.assert_allclose(np.asarray(rows), want, atol=1e-6)
+
+
+def test_pallas_tiled_fetch_exact_through_fallbacks():
+    """Fetch stays exact when overflow reroutes triangles through the XLA
+    fallback loops (tiny caps) and when pair_cap truncates tiles."""
+    h = w = 64
+    t = 300
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=5, big_frac=0.3)
+    setup = _setup_for(xyw, z, t)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    tbl = _fake_shade_tbl(t)
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    for caps in (dict(g_cap=16, slab_cap=64),
+                 dict(pair_cap=64),
+                 dict(pair_cap=0)):
+        bi, bd, _, rows = depth_reduce_tiled_pallas(
+            setup, defer, 1.0, viewport, xyw, h, w, tile=16, max_span=2,
+            span2=4, interpret=True, shade_tbl=tbl, **caps)
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(bi_f))
+        want = np.where(np.asarray(bi)[None] >= 0,
+                        np.asarray(jnp.take(tbl.T, jnp.clip(bi, 0, t - 1)
+                                            .reshape(-1), axis=1)
+                                   .reshape(tbl.shape[1], h, w)), 0.0)
+        np.testing.assert_allclose(np.asarray(rows), want, atol=1e-6)
+
+
+def test_fetch_shade_matches_gather_shade():
+    """End to end: shade_rows on the kernel-fetched rows == shade_deferred
+    (the per-pixel gather path) on the same winners."""
+    from ckrenderengine_tpu.raster.deferred import shade_row_table, shade_rows
+
+    h, w = 48, 96
+    t = 180
+    rng = np.random.default_rng(7)
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=7)
+    si, sf = pack_states([RasterState()])
+    si = jnp.asarray(si)
+    sf = jnp.asarray(sf)
+    setup = df.triangle_setup(xyw, z, jnp.zeros(t, jnp.int32),
+                              jnp.ones(t, bool), si)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+
+    color = jnp.asarray(rng.uniform(0, 1, (t, 3, 4)).astype(np.float32))
+    spec = jnp.asarray(rng.uniform(0, 0.3, (t, 3, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0, 1, (t, 3, 2)).astype(np.float32))
+    fog = jnp.ones((t, 3), jnp.float32)
+    tex_planes = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    tex_hw = jnp.asarray([[8, 8]], jnp.int32)
+    fog_color = jnp.zeros(3, jnp.float32)
+    clear_fb = jnp.zeros((4, h, w), jnp.float32)
+
+    tbl = shade_row_table(xyw, color, spec, uv, fog, jnp.zeros(t, jnp.int32),
+                          si, sf, tex_hw,
+                          e_coef=setup["e_coef"], inv_det_s=setup["inv_det_s"])
+    bi, bd, _, rows = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, interpret=True,
+        shade_tbl=tbl)
+    fb_fetch = shade_rows(rows, bi >= 0, tex_planes, tex_hw, fog_color,
+                          clear_fb, h, w)
+    fb_gather = df.shade_deferred(
+        bi, xyw, z, color, spec, uv, fog, jnp.zeros(t, jnp.int32), si, sf,
+        tex_planes, tex_hw, fog_color, clear_fb, h, w)
+    np.testing.assert_allclose(np.asarray(fb_fetch), np.asarray(fb_gather),
+                               atol=2e-5)
