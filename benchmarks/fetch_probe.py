@@ -1,0 +1,131 @@
+"""Isolate the solve-vs-fetch kernel costs on the config-5 scene (TPU)."""
+
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.stages import build_packed
+    from ckrenderengine_tpu.pipeline import frame as fr
+    from ckrenderengine_tpu.raster import deferred as df
+    from ckrenderengine_tpu.raster.pallas_tiled import depth_reduce_tiled_pallas
+
+    rc, static, dyn_f, dyn_i, params = build_packed("config5")
+    layout = params["layout"]
+    levels = params["levels"]
+    height, width = params["height"], params["width"]
+    corner = params.get("corner", (0, 0, 0))
+
+    def upto_setup(st, f, i):
+        scene, _sp, _d = fr.unpack_scene(st, f, i, layout)
+        world = fr.compose_world(scene.local, scene.parent, levels)
+        clip, color, spec, fog, _w, uv, clipd_v, refl_v = \
+            fr.transform_and_light(scene, levels, world, corner=corner)
+        batch = fr.assemble_triangles(scene, clip, color, spec, fog, uv,
+                                      clipd_v, refl_v, corner=corner)
+        setup = df.triangle_setup(batch.xyw, batch.z, batch.state_idx,
+                                  batch.valid, scene.state_i,
+                                  clip_rect=batch.clip_rect, clipd=batch.clipd)
+        defer_tri = jnp.take(df.deferred_mask(scene.state_i),
+                             batch.state_idx) & batch.valid
+        return scene, batch, setup, defer_tri
+
+    def tbl_of(scene, batch):
+        refl = batch.refl if batch.refl.shape[-1] else None
+        return df.shade_row_table(
+            batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
+            batch.state_idx, scene.state_i, scene.state_f, scene.tex_hw,
+            batch_refl=refl)
+
+    def mk(name):
+        def probe_keys(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            r = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                _probe="keys")
+            return sum(x.sum() for x in r)
+
+        def probe_sort(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            r = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                _probe="sort")
+            return sum(x.sum() for x in r)
+
+        def probe_phase_a(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            r = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                _probe="phase_a")
+            return sum(x.sum() for x in r)
+
+        def solve_nofetch(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width)
+            return bi.sum() + bd.sum()
+
+        def tblbuild(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            return tbl_of(s, b).sum()
+
+        def kernel_fetch(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, fetched = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                shade_tbl=tbl_of(s, b), _probe="kernel")
+            return bi.sum() + fetched.sum()
+
+        def full_fetch(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk, frr = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                shade_tbl=tbl_of(s, b))
+            return bi.sum() + frr.sum()
+
+        def shade_fetch(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk, frr = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                shade_tbl=tbl_of(s, b))
+            clear_fb = jnp.broadcast_to(
+                s.clear_color[:, None, None].astype(jnp.float32),
+                (4, height, width))
+            fb = df.shade_rows(frr, bi >= 0, s.tex_planes, s.tex_hw,
+                               s.fog_color, clear_fb, height, width,
+                               sampler_profile=params.get("sampler_profile"),
+                               tex_quad=s.tex_quad)
+            return fb.sum()
+
+        return locals()[name]
+
+    prev = 0.0
+    names = sys.argv[1:] or ["solve_nofetch", "tblbuild", "kernel_fetch",
+                             "full_fetch", "shade_fetch"]
+    for name in names:
+        fn = jax.jit(mk(name))
+        t0 = time.perf_counter()
+        r = fn(static, dyn_f, dyn_i)
+        np.asarray(jax.device_get(r)).sum()
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        iters = 6
+        for _ in range(iters):
+            r = fn(static, dyn_f, dyn_i)
+        np.asarray(jax.device_get(r))
+        ms = (time.perf_counter() - t0) / iters * 1000
+        print(f"{name:14s} {ms:9.2f} ms (+{ms - prev:8.2f})  "
+              f"[compile {t_compile:.0f}s]", flush=True)
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,9 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
     HBM row gather of the deferred shade (measured 12.6 ms at 1024x768;
     the in-kernel fetch is ~3 ms of MXU work at Ballance scale)."""
     if sh_w:
-        outr_ref, rbuf, sems, facc = rest
+        (ids_hbm, outd_2, outi_2, outr_ref, rbuf, sems,
+         idbuf, sems_id, facc) = (outd_ref, outi_ref) + rest
+        outd_ref, outi_ref = outd_2, outi_2
     else:
         rbuf, sems = rest
     npix = tile * tile
@@ -190,44 +192,58 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
         # --- fetch pass: one-hot MXU accumulate of the winner's row -------
         # Exactly one stream row matches each pixel's winner id (classes are
         # disjoint and a triangle bins once per tile), so the accumulated
-        # sum IS that row's columns; background pixels (-1) match nothing.
-        bestf = best_i.astype(jnp.float32)                 # (1, npix)
-        facc[:] = jnp.zeros((facc.shape[0], npix), jnp.float32)
-        pos_k = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0)
+        # sum IS that row's shade columns. Dead rows carry id -1 in
+        # ``ids_hbm``; uncovered pixels' winner is remapped to -2 so they
+        # match nothing. Orientation is MXU-NATIVE end to end: the pixel
+        # axis lives in sublanes (one (1,npix)->(npix,1) relayout of the
+        # winner vector, ONCE per tile), the chunk axis in lanes, and the
+        # matmul is (npix, k) @ (k, sh_w) with zero per-chunk transposes
+        # (a transposed-operand dot here measured ~5x the matmul cost).
+        bestf = jnp.where(best_i >= 0, best_i.astype(jnp.float32),
+                          jnp.float32(-2.0))               # (1, npix)
+        best_col = bestf.reshape(npix, 1)
+        facc[:] = jnp.zeros((npix, sh_w), jnp.float32)
+
+        def get_id_dma(slot, c):
+            row, _ = seg(c)
+            ordn = row // kchunk
+            return pltpu.make_async_copy(
+                ids_hbm.at[pl.ds(ordn, 1), :],
+                idbuf.at[slot], sems_id.at[slot])
+
+        def fetch_start(slot, c):
+            get_dma(slot, c).start()
+            get_id_dma(slot, c).start()
 
         def fetch_process(slot_lit, c):
-            _, nhere = seg(c)
-            r = rbuf[slot_lit]                             # (kchunk, 128)
-            fl = r[:, _C_FL:_C_FL + 1].astype(jnp.int32)
-            # Over-read rows past nhere belong to the NEXT tile — mask them.
-            ok = ((fl & 8) != 0) & (pos_k < nhere)
-            oh = jnp.where(ok & (r[:, _C_ID:_C_ID + 1] == bestf), 1.0, 0.0)
-            facc[:] += jax.lax.dot_general(
-                r[:, sh_base:sh_base + sh_w], oh,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            oh = jnp.where(best_col == idbuf[slot_lit], 1.0, 0.0)
+            r_sh = rbuf[slot_lit][:, sh_base:sh_base + sh_w]  # (k, sh_w)
+            facc[:] += jnp.dot(oh, r_sh,
+                               preferred_element_type=jnp.float32)
 
         @pl.when(total > 0)
         def _():
-            get_dma(0, 0).start()
+            fetch_start(0, 0)
 
         def fetch_pair(cp, carry):
             c0 = 2 * cp
 
             @pl.when(c0 + 1 < total)
             def _():
-                get_dma(1, c0 + 1).start()
+                fetch_start(1, c0 + 1)
 
             get_dma(0, c0).wait()
+            get_id_dma(0, c0).wait()
             fetch_process(0, c0)
 
             @pl.when(c0 + 2 < total)
             def _():
-                get_dma(0, c0 + 2).start()
+                fetch_start(0, c0 + 2)
 
             @pl.when(c0 + 1 < total)
             def _():
                 get_dma(1, c0 + 1).wait()
+                get_id_dma(1, c0 + 1).wait()
                 fetch_process(1, c0 + 1)
 
             return carry
@@ -244,27 +260,6 @@ def _merge(a, b):
     dm, tid = b
     better = (dm < bd) | ((dm == bd) & (tid > bi))
     return (jnp.where(better, dm, bd), jnp.where(better, tid, bi))
-
-
-def _reduce_rows_fetch(carry, rows, n_planes, px, py, scissor,
-                       sh_base: int, sh_w: int):
-    """Fetch-carrying variant of tiled._reduce_rows for the beyond-cap XLA
-    fallback streams: wherever a chunk row becomes a pixel's new winner, the
-    row's shade columns replace the fetched-attr carry (keeping the kernel's
-    fetch output exact even on pathological overflow scenes)."""
-    best_d, best_i, fac = carry
-    nd, ni = _reduce_rows((best_d, best_i), rows, n_planes, px, py, scissor)
-    changed = ni != best_i                                   # (S,h,w)
-    ids = rows[..., _C_ID].astype(jnp.int32)                 # (S,C)
-    sel = (ids[..., None, None] == ni[:, None]) & changed[:, None]
-    # Dedupe within the chunk: the sorted-pair tail may carry the same
-    # triangle for several truncated tiles — keep the first copy only.
-    selc = sel & (jnp.cumsum(sel.astype(jnp.int32), axis=1) == 1)
-    win = jnp.einsum("schw,scv->svhw", selc.astype(jnp.float32),
-                     rows[..., sh_base:sh_base + sh_w],
-                     preferred_element_type=jnp.float32)
-    fac = jnp.where(changed[:, None], win, fac)
-    return nd, ni, fac
 
 
 def _group_eval(r8, px, py, n_planes, live):
@@ -522,12 +517,16 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     # Ballance scale. Tiles whose aligned range does not fit the cap (a
     # suffix, since aligned starts are increasing) keep kernel count 0 and
     # their sorted tail streams through the exact all-tiles fallback below.
-    rcounts = ((counts + 7) // 8) * 8
+    # Starts align to 8 rows (whole native DMA tiles); with the fetch pass
+    # they align to the full kchunk so every chunk ordinal maps 1:1 to a
+    # block of the pre-transposed shade stream below.
+    align = kchunk if sh_w else 8
+    rcounts = ((counts + align - 1) // align) * align
     abounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(rcounts).astype(jnp.int32)])
     astarts = abounds[:-1]
-    sl_aligned = min(-(-(stream_len + n_tiles * 8) // kchunk) * kchunk,
-                     -(-(pair_cap + n_tiles * 8) // kchunk) * kchunk)
+    sl_aligned = min(-(-(stream_len + n_tiles * align) // kchunk) * kchunk,
+                     -(-(pair_cap + n_tiles * align) // kchunk) * kchunk)
     fits = (astarts + rcounts) <= sl_aligned
     kcounts = jnp.where(fits, counts, 0)
     n_live = bounds[-1].astype(jnp.int32)      # total live (non-sentinel) pairs
@@ -576,6 +575,16 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     starts_k = jnp.where(fits, astarts, 0)     # truncated tiles: count 0
     leftn = jnp.stack([jnp.minimum(g_count, gcap),
                        jnp.minimum(s_over, scap)]).astype(jnp.int32)
+    if sh_w:
+        # Pass-2 companion: ids_row (n_chunks, kchunk) — each chunk's
+        # triangle ids along LANES (-1 on dead rows, so they never match a
+        # winner id), DMA'd as one (1, kchunk) line per chunk. Starts are
+        # kchunk-aligned above, so chunk ordinal = row // kchunk exactly.
+        fl_s = stream_rows[:, _C_FL].astype(jnp.int32)
+        ids_flat = jnp.where((fl_s & 8) != 0, stream_rows[:, _C_ID],
+                             jnp.float32(-1.0))
+        ids_row = jax.lax.optimization_barrier(
+            ids_flat.reshape(stream_rows.shape[0] // kchunk, kchunk))
     if _probe == "phase_a":   # perf probe: binning + stream build only
         return stream_rows.sum(), astarts.sum(), peak
 
@@ -616,22 +625,30 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         pltpu.VMEM((2, kchunk, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # vp6
+        pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
+                     memory_space=pltpu.VMEM),             # init_d
+        pl.BlockSpec(memory_space=pl.ANY),                 # stream (HBM)
+    ]
+    args = [starts_k, kcounts, leftn, vp6, init_d, stream_rows]
     if sh_w:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # ids_row (HBM)
+        args.append(ids_row)
         out_specs.append(
-            pl.BlockSpec((1, sh_w, npix), lambda i, s, c, l: (i, 0, 0),
+            pl.BlockSpec((1, npix, sh_w), lambda i, s, c, l: (i, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shapes.append(
-            jax.ShapeDtypeStruct((n_tiles, sh_w, npix), jnp.float32))
-        scratch_shapes.append(pltpu.VMEM((sh_w, npix), jnp.float32))
+            jax.ShapeDtypeStruct((n_tiles, npix, sh_w), jnp.float32))
+        scratch_shapes += [
+            pltpu.VMEM((2, 1, kchunk), jnp.float32),          # idbuf
+            pltpu.SemaphoreType.DMA((2,)),                    # sems_id
+            pltpu.VMEM((npix, sh_w), jnp.float32),            # facc
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # vp6
-            pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
-                         memory_space=pltpu.VMEM),             # init_d
-            pl.BlockSpec(memory_space=pl.ANY),                 # stream (HBM)
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch_shapes,
     )
@@ -640,13 +657,14 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(starts_k, kcounts, leftn, vp6, init_d, stream_rows)
+    )(*args)
     best_d, best_i = outs[0], outs[1]
-    fetched = outs[2].reshape(n_tiles, sh_w, tile, tile) if sh_w else None
+    fetched = outs[2] if sh_w else None          # (n_tiles, npix, sh_w)
     best_d = best_d[:, 0].reshape(n_tiles, tile, tile)
     best_i = best_i[:, 0].reshape(n_tiles, tile, tile)
     if _probe == "kernel":    # perf probe: skip the beyond-cap fallbacks
-        return best_i, best_d, peak
+        return (best_i, best_d, peak) if not sh_w else (best_i, best_d,
+                                                        fetched)
 
     # --- beyond-cap remainders: all-tiles XLA fallback (pathological only) --
     ly_pix = jnp.arange(tile, dtype=jnp.float32) + 0.5
@@ -665,13 +683,8 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
 
     slot_c = jnp.arange(chunk, dtype=jnp.int32)
 
-    if sh_w:
-        def red(car, rws):
-            return _reduce_rows_fetch(car, rws, n_planes, px, py, scissor,
-                                      sh_base, sh_w)
-    else:
-        def red(car, rws):
-            return _reduce_rows(car, rws, n_planes, px, py, scissor)
+    def red(car, rws):
+        return _reduce_rows(car, rws, n_planes, px, py, scissor)
 
     def stream_all_tiles(carry, start, count):
         def body(st):
@@ -708,14 +721,15 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
             lambda st: st[0] * chunk < count, body, (jnp.int32(0), carry))
         return carry
 
-    carry = (best_d, best_i, fetched) if sh_w else (best_d, best_i)
+    kernel_i = best_i
+    carry = (best_d, best_i)
     carry = stream_all_tiles(carry, g_start + gcap,
                              jnp.maximum(g_count - gcap, 0))
     carry = stream_all_tiles(carry, jnp.int32(slab_l + scap),
                              jnp.maximum(s_over - scap, 0))
     carry = stream_sorted_tail(carry, cut_pos,
                                jnp.maximum(n_live - cut_pos, 0))
-    best_d, best_i = carry[0], carry[1]
+    best_d, best_i = carry
 
     full_h, full_w = ty_n * tile, tx_n * tile
     bd = best_d.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3)
@@ -724,7 +738,22 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     bi = bi.reshape(full_h, full_w)[:height, :width]
     if not sh_w:
         return bi, bd, peak
-    fr = carry[2].reshape(ty_n, tx_n, sh_w, tile, tile)
-    fr = fr.transpose(2, 0, 3, 1, 4).reshape(sh_w, full_h, full_w)
-    fr = fr[:shade_tbl.shape[1], :height, :width]
+    shn = shade_tbl.shape[1]
+    fr = fetched.reshape(ty_n, tx_n, tile, tile, sh_w)
+    fr = fr.transpose(4, 0, 2, 1, 3).reshape(sh_w, full_h, full_w)
+    fr = fr[:shn, :height, :width]
+    # The beyond-cap fallback streams only update (best_d, best_i); if they
+    # changed ANY winner (pathological overflow scenes — zero iterations on
+    # ordinary frames), re-fetch the whole frame's rows with the per-pixel
+    # gather the kernel normally replaces. lax.cond skips it otherwise.
+    changed = jnp.any(best_i != kernel_i)
+
+    def refetch(_):
+        tid = jnp.clip(bi, 0, t - 1).reshape(-1)
+        tblT = jax.lax.optimization_barrier(
+            full_rows[:, sh_base:sh_base + shn].T)
+        rowp = jnp.take(tblT, tid, axis=1).reshape(shn, height, width)
+        return jnp.where((bi >= 0)[None], rowp, 0.0)
+
+    fr = lax.cond(changed, refetch, lambda _: fr, 0)
     return bi, bd, peak, fr
