@@ -84,6 +84,39 @@ def main():
                 shade_tbl=tbl_of(s, b), _probe="kernel")
             return bi.sum() + fetched.sum()
 
+        def fetch_phase_a(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            r = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                shade_tbl=tbl_of(s, b), _probe="phase_a")
+            return sum(x.sum() for x in r)
+
+        def fetch_w8(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk, frr = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                shade_tbl=tbl_of(s, b)[:, :8])
+            return bi.sum() + frr.sum()
+
+        def fetch_lowprec(st, f, i):
+            from ckrenderengine_tpu.raster import pallas_tiled as pt
+            pt._FETCH_PRECISION = jax.lax.Precision.DEFAULT
+            s, b, setup, defer = upto_setup(st, f, i)
+            # _probe="lowprec" is unhandled (acts like None) but keys a
+            # separate jit cache entry so the global actually applies.
+            bi, bd, pk, frr = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                shade_tbl=tbl_of(s, b), _probe="lowprec")
+            pt._FETCH_PRECISION = jax.lax.Precision.HIGHEST
+            return bi.sum() + frr.sum()
+
+        def fetch_out8(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            r = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                shade_tbl=tbl_of(s, b), _probe="fetch_out8")
+            return sum(x.sum() for x in r)
+
         def full_fetch(st, f, i):
             s, b, setup, defer = upto_setup(st, f, i)
             bi, bd, pk, frr = depth_reduce_tiled_pallas(

@@ -71,6 +71,10 @@ def main():
         scene, _sp, _d = fr.unpack_scene(st, f, i, layout)
         return scene
 
+    def stage_floor(st, f, i):
+        """Measurement floor: per-frame transfer + dispatch, ~zero compute."""
+        return f.sum() + i.sum()
+
     def stage_unpack(st, f, i):
         s = scene_of(st, f, i)
         return s.local.sum() + s.state_f.sum()
@@ -153,6 +157,7 @@ def main():
         return sum(x.sum() for x in out if x is not None)
 
     stages = {
+        "floor": stage_floor,
         "unpack": stage_unpack, "vertex": stage_vertex,
         "assemble": stage_assemble, "setup": stage_setup,
         "solve": stage_solve, "shade": stage_shade, "full": stage_full,

@@ -52,13 +52,17 @@ from .tiled import (
 )
 
 _BIG = 3.0e38
+# MXU precision of the one-hot fetch matmul. HIGHEST reconstructs f32
+# exactly (bf16x6 passes; the one-hot operand is bf16-exact so products are
+# exact); perf probes may lower it to measure the pass-count cost.
+_FETCH_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
                   rows_hbm, outd_ref, outi_ref, *rest, kchunk: int,
                   nrow: int, tile: int, tx_n: int, n_planes: int,
                   gbase: int, gcap_chunks: int, scap_chunks: int,
-                  sh_base: int = 0, sh_w: int = 0):
+                  sh_w: int = 0, sh_out: int = 0):
     """One screen tile: stream [start, start+count) packed rows from HBM
     through a double-buffered VMEM slab, reducing (depth, id) into a
     register-resident (1, tile*tile) carry.
@@ -77,15 +81,20 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
     ``leftn_ref`` holds their live row counts. Both are empty on ordinary
     scenes.
 
-    ``sh_w`` > 0 enables the FETCH pass: after the solve, the stream is
-    DMA'd through VMEM a second time and the winning row's columns
-    [sh_base, sh_base+sh_w) accumulate per pixel via one-hot MXU matmuls
-    ((128, kchunk) @ (kchunk, npix) per chunk) — replacing the per-pixel
-    HBM row gather of the deferred shade (measured 12.6 ms at 1024x768;
-    the in-kernel fetch is ~3 ms of MXU work at Ballance scale)."""
+    ``sh_w`` > 0 enables the FUSED FETCH: each chunk's local winner
+    (depth, id) is computed first, its shade row is pulled from the
+    pre-transposed shade stream by ONE one-hot MXU matmul
+    ((sh_w, kchunk) @ (kchunk, npix)), and (depth, id, shade-row) merge
+    into the running carry together. Every operand sits in its native
+    orientation — ids as a sublane column, the winner as a lane row, the
+    shade slab pre-transposed by phase A — so the fetch adds zero
+    relayouts and zero extra stream passes (the previous two-pass variant
+    re-streamed the rows and measured ~25 ms/frame at 1024x768; fused it
+    is ~2 ms of MXU work). It replaces the deferred shade's per-pixel
+    HBM row gather (measured 12.6 ms at 1024x768)."""
     if sh_w:
-        (ids_hbm, outd_2, outi_2, outr_ref, rbuf, sems,
-         idbuf, sems_id, facc) = (outd_ref, outi_ref) + rest
+        (sh_hbm, outd_2, outi_2, outr_ref, rbuf, sems,
+         shbuf, sems_sh, facc) = (outd_ref, outi_ref) + rest
         outd_ref, outi_ref = outd_2, outi_2
     else:
         rbuf, sems = rest
@@ -131,11 +140,33 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
             rows_hbm.at[pl.ds(row, kchunk), :],
             rbuf.at[slot], sems.at[slot])
 
+    def get_sh_dma(slot, c):
+        row, _ = seg(c)
+        ordn = row // kchunk
+        return pltpu.make_async_copy(
+            sh_hbm.at[ordn], shbuf.at[slot], sems_sh.at[slot])
+
+    def start_dma(slot, c):
+        get_dma(slot, c).start()
+        if sh_w:
+            get_sh_dma(slot, c).start()
+
+    def wait_dma(slot, c):
+        get_dma(slot, c).wait()
+        if sh_w:
+            get_sh_dma(slot, c).wait()
+
     @pl.when(total > 0)
     def _():
-        get_dma(0, 0).start()
+        start_dma(0, 0)
 
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    if sh_w:
+        # Accumulate in a SCRATCH buffer and copy to the output window once
+        # per tile: reading+rewriting the output block per chunk forces a
+        # window revision per chunk (measured ~0.36 ms per shade column per
+        # frame at 1024x768 — the whole fetch cost).
+        facc[:] = jnp.zeros((sh_w, npix), jnp.float32)
 
     def process(slot_lit, c, carry):
         """Consume one chunk from VMEM buffer ``slot_lit`` (a Python int so
@@ -143,7 +174,9 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
         read, four static 8-row sub-groups evaluated independently and
         tournament-merged — so loop/branch machinery amortizes over 32
         triangles (a per-8-row fori measured ~2x the eval cost in pure
-        overhead)."""
+        overhead). The merge lattice is associative and commutative, so
+        reducing chunk-locally first (required by the fused fetch) gives
+        bit-identical winners."""
         _, nhere = seg(c)
 
         def sg_body(gi, car):
@@ -158,7 +191,33 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
             cd = _merge(parts[2], parts[3])
             return _merge(car, _merge(ab, cd))
 
-        return jax.lax.fori_loop(0, (nhere + 31) // 32, sg_body, carry)
+        local = (jnp.full((1, npix), _BIG, jnp.float32),
+                 jnp.full((1, npix), -1, jnp.int32))
+        cd_, ci_ = jax.lax.fori_loop(0, (nhere + 31) // 32, sg_body, local)
+        bd, bi = carry
+        better = (cd_ < bd) | ((cd_ == bd) & (ci_ > bi))   # (1, npix)
+        if sh_w:
+            # Fused fetch: the chunk winner's shade row via ONE one-hot MXU
+            # matmul, all operands in native orientation. Exactly one live
+            # row matches each covered pixel's chunk winner (a triangle
+            # bins once per tile); dead rows carry id -1 and uncovered
+            # pixels remap to -2, so they match nothing.
+            fl_c = rbuf[slot_lit][:, _C_FL:_C_FL + 1].astype(jnp.int32)
+            idm = jnp.where((fl_c & 8) != 0,
+                            rbuf[slot_lit][:, _C_ID:_C_ID + 1],
+                            jnp.float32(-1.0))             # (kchunk, 1)
+            cif = jnp.where(ci_ >= 0, ci_.astype(jnp.float32),
+                            jnp.float32(-2.0))             # (1, npix)
+            oh = jnp.where(idm == cif, 1.0, 0.0)           # (kchunk, npix)
+            # HIGHEST precision: the MXU truncates f32 operands to bf16 by
+            # default, which rounds every fetched shade value (~3e-3 rel —
+            # visibly wrong edge coefficients). The multi-pass decomposition
+            # reconstructs f32 exactly (the one-hot side is bf16-exact 0/1).
+            crow = jnp.dot(shbuf[slot_lit], oh,
+                           preferred_element_type=jnp.float32,
+                           precision=_FETCH_PRECISION)
+            facc[:] = jnp.where(better, crow, facc[:])
+        return (jnp.where(better, cd_, bd), jnp.where(better, ci_, bi))
 
     def pair_body(cp, carry):
         """Two chunks per step so buffer slots stay STATIC (0 then 1)."""
@@ -166,17 +225,17 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
 
         @pl.when(c0 + 1 < total)
         def _():
-            get_dma(1, c0 + 1).start()
+            start_dma(1, c0 + 1)
 
-        get_dma(0, c0).wait()
+        wait_dma(0, c0)
         carry = process(0, c0, carry)
 
         @pl.when(c0 + 2 < total)
         def _():
-            get_dma(0, c0 + 2).start()
+            start_dma(0, c0 + 2)
 
         def odd(car):
-            get_dma(1, c0 + 1).wait()
+            wait_dma(1, c0 + 1)
             return process(1, c0 + 1, car)
 
         return jax.lax.cond(c0 + 1 < total, odd, lambda car: car, carry)
@@ -187,69 +246,8 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
     best_i = jnp.where(scissor, best_i, jnp.int32(-1))
     outd_ref[0] = jnp.broadcast_to(best_d, (8, npix))
     outi_ref[0] = jnp.broadcast_to(best_i, (8, npix))
-
     if sh_w:
-        # --- fetch pass: one-hot MXU accumulate of the winner's row -------
-        # Exactly one stream row matches each pixel's winner id (classes are
-        # disjoint and a triangle bins once per tile), so the accumulated
-        # sum IS that row's shade columns. Dead rows carry id -1 in
-        # ``ids_hbm``; uncovered pixels' winner is remapped to -2 so they
-        # match nothing. Orientation is MXU-NATIVE end to end: the pixel
-        # axis lives in sublanes (one (1,npix)->(npix,1) relayout of the
-        # winner vector, ONCE per tile), the chunk axis in lanes, and the
-        # matmul is (npix, k) @ (k, sh_w) with zero per-chunk transposes
-        # (a transposed-operand dot here measured ~5x the matmul cost).
-        bestf = jnp.where(best_i >= 0, best_i.astype(jnp.float32),
-                          jnp.float32(-2.0))               # (1, npix)
-        best_col = bestf.reshape(npix, 1)
-        facc[:] = jnp.zeros((npix, sh_w), jnp.float32)
-
-        def get_id_dma(slot, c):
-            row, _ = seg(c)
-            ordn = row // kchunk
-            return pltpu.make_async_copy(
-                ids_hbm.at[pl.ds(ordn, 1), :],
-                idbuf.at[slot], sems_id.at[slot])
-
-        def fetch_start(slot, c):
-            get_dma(slot, c).start()
-            get_id_dma(slot, c).start()
-
-        def fetch_process(slot_lit, c):
-            oh = jnp.where(best_col == idbuf[slot_lit], 1.0, 0.0)
-            r_sh = rbuf[slot_lit][:, sh_base:sh_base + sh_w]  # (k, sh_w)
-            facc[:] += jnp.dot(oh, r_sh,
-                               preferred_element_type=jnp.float32)
-
-        @pl.when(total > 0)
-        def _():
-            fetch_start(0, 0)
-
-        def fetch_pair(cp, carry):
-            c0 = 2 * cp
-
-            @pl.when(c0 + 1 < total)
-            def _():
-                fetch_start(1, c0 + 1)
-
-            get_dma(0, c0).wait()
-            get_id_dma(0, c0).wait()
-            fetch_process(0, c0)
-
-            @pl.when(c0 + 2 < total)
-            def _():
-                fetch_start(0, c0 + 2)
-
-            @pl.when(c0 + 1 < total)
-            def _():
-                get_dma(1, c0 + 1).wait()
-                get_id_dma(1, c0 + 1).wait()
-                fetch_process(1, c0 + 1)
-
-            return carry
-
-        jax.lax.fori_loop(0, (total + 1) // 2, fetch_pair, jnp.int32(0))
-        outr_ref[0] = facc[:]
+        outr_ref[0] = facc[: (sh_out or sh_w)]
 
 
 def _merge(a, b):
@@ -576,16 +574,19 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     leftn = jnp.stack([jnp.minimum(g_count, gcap),
                        jnp.minimum(s_over, scap)]).astype(jnp.int32)
     if sh_w:
-        # Pass-2 companion: ids_row (n_chunks, kchunk) — each chunk's
-        # triangle ids along LANES (-1 on dead rows, so they never match a
-        # winner id), DMA'd as one (1, kchunk) line per chunk. Starts are
-        # kchunk-aligned above, so chunk ordinal = row // kchunk exactly.
-        fl_s = stream_rows[:, _C_FL].astype(jnp.int32)
-        ids_flat = jnp.where((fl_s & 8) != 0, stream_rows[:, _C_ID],
-                             jnp.float32(-1.0))
-        ids_row = jax.lax.optimization_barrier(
-            ids_flat.reshape(stream_rows.shape[0] // kchunk, kchunk))
+        # Fused-fetch companion: the stream's shade columns PRE-TRANSPOSED
+        # per chunk — (n_chunks, sh_w, kchunk), shade channels in sublanes,
+        # the chunk's triangles in lanes — so the kernel's one-hot matmul
+        # ((sh_w, kchunk) @ (kchunk, npix)) runs with zero in-kernel
+        # relayouts. Starts are kchunk-aligned above, so chunk ordinal =
+        # row // kchunk exactly.
+        sh_t = jax.lax.optimization_barrier(
+            stream_rows[:, sh_base:sh_base + sh_w]
+            .reshape(stream_rows.shape[0] // kchunk, kchunk, sh_w)
+            .transpose(0, 2, 1))
     if _probe == "phase_a":   # perf probe: binning + stream build only
+        if sh_w:
+            return stream_rows.sum(), sh_t.sum(), peak
         return stream_rows.sum(), astarts.sum(), peak
 
     # Init carry: clear scalar or kept (H,W) z-buffer, tile-ified. Only
@@ -606,11 +607,12 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         jnp.asarray(viewport, jnp.float32).reshape(4),
         jnp.asarray([width, height], jnp.float32)])
 
+    sh_out = 8 if _probe == "fetch_out8" else sh_w
     kernel = functools.partial(
         _solve_kernel, kchunk=kchunk, nrow=nrow, tile=tile, tx_n=tx_n,
         n_planes=n_planes, gbase=sl_aligned,
         gcap_chunks=lrows // kchunk, scap_chunks=lrows // kchunk,
-        sh_base=sh_base, sh_w=sh_w)
+        sh_w=sh_w, sh_out=sh_out)
     out_specs = [
         pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -633,17 +635,17 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     ]
     args = [starts_k, kcounts, leftn, vp6, init_d, stream_rows]
     if sh_w:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # ids_row (HBM)
-        args.append(ids_row)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # sh_t (HBM)
+        args.append(sh_t)
         out_specs.append(
-            pl.BlockSpec((1, npix, sh_w), lambda i, s, c, l: (i, 0, 0),
+            pl.BlockSpec((1, sh_out, npix), lambda i, s, c, l: (i, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shapes.append(
-            jax.ShapeDtypeStruct((n_tiles, npix, sh_w), jnp.float32))
+            jax.ShapeDtypeStruct((n_tiles, sh_out, npix), jnp.float32))
         scratch_shapes += [
-            pltpu.VMEM((2, 1, kchunk), jnp.float32),          # idbuf
-            pltpu.SemaphoreType.DMA((2,)),                    # sems_id
-            pltpu.VMEM((npix, sh_w), jnp.float32),            # facc
+            pltpu.VMEM((2, sh_w, kchunk), jnp.float32),       # shbuf
+            pltpu.SemaphoreType.DMA((2,)),                    # sems_sh
+            pltpu.VMEM((sh_w, npix), jnp.float32),            # facc
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -659,10 +661,10 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         interpret=interpret,
     )(*args)
     best_d, best_i = outs[0], outs[1]
-    fetched = outs[2] if sh_w else None          # (n_tiles, npix, sh_w)
+    fetched = outs[2] if sh_w else None          # (n_tiles, sh_w, npix)
     best_d = best_d[:, 0].reshape(n_tiles, tile, tile)
     best_i = best_i[:, 0].reshape(n_tiles, tile, tile)
-    if _probe == "kernel":    # perf probe: skip the beyond-cap fallbacks
+    if _probe in ("kernel", "fetch_out8"):   # perf probes: kernel only
         return (best_i, best_d, peak) if not sh_w else (best_i, best_d,
                                                         fetched)
 
@@ -739,8 +741,8 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     if not sh_w:
         return bi, bd, peak
     shn = shade_tbl.shape[1]
-    fr = fetched.reshape(ty_n, tx_n, tile, tile, sh_w)
-    fr = fr.transpose(4, 0, 2, 1, 3).reshape(sh_w, full_h, full_w)
+    fr = fetched.reshape(ty_n, tx_n, sh_w, tile, tile)
+    fr = fr.transpose(2, 0, 3, 1, 4).reshape(sh_w, full_h, full_w)
     fr = fr[:shn, :height, :width]
     # The beyond-cap fallback streams only update (best_d, best_i); if they
     # changed ANY winner (pathological overflow scenes — zero iterations on
