@@ -542,14 +542,19 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 
         if pixel_shader is None:
             refl = batch.refl if batch.refl.shape[-1] else None
-            shade_tbl = df.shade_row_table(
+            # Compact table: per-state columns re-join per PIXEL after the
+            # kernel (expand_rows_compact) — the fetch cost scales with the
+            # shipped width, so 44 columns beat 65.
+            shade_tbl = df.shade_row_table_compact(
                 batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
-                batch.state_idx, scene.state_i, scene.state_f, scene.tex_hw,
-                batch_refl=refl)
+                batch.state_idx, batch_refl=refl,
+                e_coef=setup["e_coef"], inv_det_s=setup["inv_det_s"])
             best_id, best_depth, tile_peak, fetched_rows = \
                 depth_reduce_tiled_pallas(
                     setup, defer_tri, z_init, scene.viewport, batch.xyw,
                     height, width, shade_tbl=shade_tbl)
+            fetched_rows = df.expand_rows_compact(
+                fetched_rows, scene.state_i, scene.state_f, scene.tex_hw)
         else:
             best_id, best_depth, tile_peak = depth_reduce_tiled_pallas(
                 setup, defer_tri, z_init, scene.viewport, batch.xyw,

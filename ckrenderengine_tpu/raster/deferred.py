@@ -51,8 +51,13 @@ def take_small(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         return jnp.take(table, idx, axis=0)
     flat = table.reshape(s, -1).astype(jnp.float32)
     oh = (idx[:, None] == jnp.arange(s, dtype=idx.dtype)[None, :])
+    # HIGHEST precision: the TPU MXU truncates f32 operands to bf16 at
+    # DEFAULT precision, which would round every joined value (world
+    # matrices, material colors) by ~3e-3 rel. The multi-pass decomposition
+    # is exact here: the one-hot side is bf16-exact 0/1.
     out = jnp.matmul(oh.astype(jnp.float32), flat,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape(idx.shape + table.shape[1:]).astype(table.dtype)
 
 
@@ -607,6 +612,70 @@ def shade_row_table(batch_xyw, batch_color, batch_spec, batch_uv, batch_fog,
     if has_refl:
         cols.append(batch_refl.reshape(t, 9))
     return jnp.concatenate(cols, axis=1)
+
+
+# Compact shade-row layout: the 22 per-STATE columns (8 si + 7 sf + 7 tex
+# params) are replaced by ONE state-index column and re-joined per PIXEL
+# from the tiny state bank (expand_rows_compact). The Pallas fused fetch's
+# cost is proportional to the fetched width (~0.2 ms per column per frame at
+# 1024x768 — docs/PERFORMANCE.md), so shipping 44 instead of 65 columns
+# through the kernel saves ~1/3 of the fetch cost for a ~0.3 ms pixel join.
+SH_C_STIDX = 43          # after EC(9) WS(3) IVD(1) COL(12) SPC(9) UV(6) FOG(3)
+SH_C_NCOL = 44           # without refl; 53 with
+SH_C_RFL = slice(44, 53)
+
+
+def shade_row_table_compact(batch_xyw, batch_color, batch_spec, batch_uv,
+                            batch_fog, batch_state, batch_refl=None,
+                            e_coef=None, inv_det_s=None):
+    """(T, 44[+9]) compact shade rows: per-triangle data + state INDEX."""
+    t = batch_xyw.shape[0]
+    has_refl = batch_refl is not None and batch_refl.shape[-1] > 0
+    if e_coef is not None:
+        ec9 = e_coef.reshape(t, 9)
+        ivd = inv_det_s[:, None]
+    else:
+        v0, v1, v2 = batch_xyw[:, 0], batch_xyw[:, 1], batch_xyw[:, 2]
+        adj0 = jnp.cross(v1, v2)
+        adj1 = jnp.cross(v2, v0)
+        adj2 = jnp.cross(v0, v1)
+        det = jnp.sum(v0 * adj0, axis=-1)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        ec9 = jnp.concatenate([adj0, adj1, adj2], axis=1)
+        ivd = inv_det[:, None]
+    cols = [
+        ec9,
+        batch_xyw[..., 2],
+        ivd,
+        batch_color.reshape(t, 12),
+        batch_spec.reshape(t, 9),
+        batch_uv.reshape(t, 6),
+        batch_fog.reshape(t, 3),
+        batch_state.astype(jnp.float32)[:, None],
+    ]
+    if has_refl:
+        cols.append(batch_refl.reshape(t, 9))
+    return jnp.concatenate(cols, axis=1)
+
+
+def expand_rows_compact(rows_c, state_i, state_f, tex_hw):
+    """Compact per-pixel rows (44[+9], H, W) -> full shade_rows layout
+    (65[+9], H, W): join the 22 per-state columns per pixel via a
+    channel-major one-hot matmul over the tiny state bank."""
+    st = _shade_state_rows(state_i, state_f, tex_hw)          # (S, 22)
+    s = st.shape[0]
+    h, w = rows_c.shape[1], rows_c.shape[2]
+    stidx = rows_c[SH_C_STIDX].astype(jnp.int32).reshape(-1)  # (HW,)
+    oh = (jnp.arange(s, dtype=jnp.int32)[:, None] == stidx[None, :])
+    # HIGHEST precision: exact (one-hot is bf16-exact; see take_small).
+    st_px = jnp.matmul(st.T, oh.astype(jnp.float32),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)   # (22, HW)
+    return jnp.concatenate([
+        rows_c[:SH_C_STIDX],
+        st_px.reshape(22, h, w),
+        rows_c[SH_C_NCOL:],
+    ], axis=0)
 
 
 def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,

@@ -246,3 +246,48 @@ def test_fetch_shade_matches_gather_shade():
         tex_planes, tex_hw, fog_color, clear_fb, h, w)
     np.testing.assert_allclose(np.asarray(fb_fetch), np.asarray(fb_gather),
                                atol=2e-5)
+
+
+def test_compact_fetch_shade_matches_gather_shade():
+    """The production fetch path (compact table -> kernel -> per-pixel state
+    expansion -> shade_rows) must equal shade_deferred exactly."""
+    from ckrenderengine_tpu.raster.deferred import (
+        expand_rows_compact, shade_row_table_compact, shade_rows,
+    )
+
+    h, w = 48, 96
+    t = 180
+    rng = np.random.default_rng(9)
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=9)
+    si, sf = pack_states([RasterState()])
+    si = jnp.asarray(si)
+    sf = jnp.asarray(sf)
+    setup = df.triangle_setup(xyw, z, jnp.zeros(t, jnp.int32),
+                              jnp.ones(t, bool), si)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+
+    color = jnp.asarray(rng.uniform(0, 1, (t, 3, 4)).astype(np.float32))
+    spec = jnp.asarray(rng.uniform(0, 0.3, (t, 3, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0, 1, (t, 3, 2)).astype(np.float32))
+    fog = jnp.asarray(rng.uniform(0.4, 1, (t, 3)).astype(np.float32))
+    tex_planes = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    tex_hw = jnp.asarray([[8, 8]], jnp.int32)
+    fog_color = jnp.asarray([0.2, 0.3, 0.4], jnp.float32)
+    clear_fb = jnp.zeros((4, h, w), jnp.float32)
+
+    tbl = shade_row_table_compact(
+        xyw, color, spec, uv, fog, jnp.zeros(t, jnp.int32),
+        e_coef=setup["e_coef"], inv_det_s=setup["inv_det_s"])
+    assert tbl.shape[1] == 44
+    bi, bd, _, rows_c = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, interpret=True,
+        shade_tbl=tbl)
+    rows = expand_rows_compact(rows_c, si, sf, tex_hw)
+    fb_fetch = shade_rows(rows, bi >= 0, tex_planes, tex_hw, fog_color,
+                          clear_fb, h, w)
+    fb_gather = df.shade_deferred(
+        bi, xyw, z, color, spec, uv, fog, jnp.zeros(t, jnp.int32), si, sf,
+        tex_planes, tex_hw, fog_color, clear_fb, h, w)
+    np.testing.assert_allclose(np.asarray(fb_fetch), np.asarray(fb_gather),
+                               atol=2e-5)
