@@ -33,13 +33,20 @@ def main():
                                       clipd_v, refl_v, corner=corner)
         setup = df.triangle_setup(batch.xyw, batch.z, batch.state_idx,
                                   batch.valid, scene.state_i,
-                                  clip_rect=batch.clip_rect, clipd=batch.clipd)
+                                  clip_rect=batch.clip_rect, clipd=batch.clipd,
+                                  planar=batch.planar)
         defer_tri = jnp.take(df.deferred_mask(scene.state_i),
                              batch.state_idx) & batch.valid
         return scene, batch, setup, defer_tri
 
-    def tbl_of(scene, batch):
+    def tbl_of(scene, batch, setup=None):
         refl = batch.refl if batch.refl.shape[-1] else None
+        if setup is not None:   # production compact table
+            return df.shade_row_table_compact(
+                batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
+                batch.state_idx, batch_refl=refl,
+                e_coef=setup.get("e9", setup["e_coef"]),
+                inv_det_s=setup["inv_det_s"], planar=batch.planar)
         return df.shade_row_table(
             batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
             batch.state_idx, scene.state_i, scene.state_f, scene.tex_hw,
@@ -70,18 +77,20 @@ def main():
         def solve_nofetch(st, f, i):
             s, b, setup, defer = upto_setup(st, f, i)
             bi, bd, pk = depth_reduce_tiled_pallas(
-                setup, defer, s.clear_z, s.viewport, b.xyw, height, width)
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                planar=b.planar)
             return bi.sum() + bd.sum()
 
         def tblbuild(st, f, i):
             s, b, setup, defer = upto_setup(st, f, i)
-            return tbl_of(s, b).sum()
+            return tbl_of(s, b, setup).sum()
 
         def kernel_fetch(st, f, i):
             s, b, setup, defer = upto_setup(st, f, i)
             bi, bd, fetched = depth_reduce_tiled_pallas(
                 setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
-                shade_tbl=tbl_of(s, b), _probe="kernel")
+                shade_tbl=tbl_of(s, b, setup), _probe="kernel",
+                planar=b.planar)
             return bi.sum() + fetched.sum()
 
         def fetch_phase_a(st, f, i):
@@ -121,18 +130,27 @@ def main():
             s, b, setup, defer = upto_setup(st, f, i)
             bi, bd, pk, frr = depth_reduce_tiled_pallas(
                 setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
-                shade_tbl=tbl_of(s, b))
+                shade_tbl=tbl_of(s, b, setup), planar=b.planar)
             return bi.sum() + frr.sum()
+
+        def expand_fetch(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk, frr = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                shade_tbl=tbl_of(s, b, setup), planar=b.planar)
+            rows = df.expand_rows_compact(frr, s.state_i, s.state_f, s.tex_hw)
+            return bi.sum() + rows.sum()
 
         def shade_fetch(st, f, i):
             s, b, setup, defer = upto_setup(st, f, i)
             bi, bd, pk, frr = depth_reduce_tiled_pallas(
                 setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
-                shade_tbl=tbl_of(s, b))
+                shade_tbl=tbl_of(s, b, setup), planar=b.planar)
+            rows = df.expand_rows_compact(frr, s.state_i, s.state_f, s.tex_hw)
             clear_fb = jnp.broadcast_to(
                 s.clear_color[:, None, None].astype(jnp.float32),
                 (4, height, width))
-            fb = df.shade_rows(frr, bi >= 0, s.tex_planes, s.tex_hw,
+            fb = df.shade_rows(rows, bi >= 0, s.tex_planes, s.tex_hw,
                                s.fog_color, clear_fb, height, width,
                                sampler_profile=params.get("sampler_profile"),
                                tex_quad=s.tex_quad)
@@ -142,7 +160,7 @@ def main():
 
     prev = 0.0
     names = sys.argv[1:] or ["solve_nofetch", "tblbuild", "kernel_fetch",
-                             "full_fetch", "shade_fetch"]
+                             "full_fetch", "expand_fetch", "shade_fetch"]
     for name in names:
         fn = jax.jit(mk(name))
         t0 = time.perf_counter()

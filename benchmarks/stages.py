@@ -107,7 +107,8 @@ def main():
         s, batch = upto_assemble(st, f, i)
         setup = df.triangle_setup(batch.xyw, batch.z, batch.state_idx,
                                   batch.valid, s.state_i,
-                                  clip_rect=batch.clip_rect, clipd=batch.clipd)
+                                  clip_rect=batch.clip_rect, clipd=batch.clipd,
+                                  planar=batch.planar)
         defer_tri = jnp.take(df.deferred_mask(s.state_i),
                              batch.state_idx) & batch.valid
         return s, batch, setup, defer_tri
@@ -125,8 +126,12 @@ def main():
         else:
             from ckrenderengine_tpu.raster.tiled import (
                 depth_reduce_tiled as solve)
+        kw = {}
+        if _jax.default_backend() == "tpu":
+            kw["planar"] = batch.planar
         best_id, best_depth, peak = solve(
-            setup, defer_tri, s.clear_z, s.viewport, batch.xyw, height, width)
+            setup, defer_tri, s.clear_z, s.viewport, batch.xyw, height, width,
+            **kw)
         return s, batch, best_id, best_depth
 
     def stage_solve(st, f, i):

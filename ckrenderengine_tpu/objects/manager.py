@@ -729,14 +729,20 @@ class CKRenderContext(CKObject):
             c.tri_valid = c.tri_valid[order]
             tri_idx = c.tri_idx[order]
             nc = 3 * itc
-            corner_src = c.src_idx[tri_idx[:itc]].reshape(-1)
+            # PLANAR corner order: stream rows [0,itc) are corner 0 of every
+            # eligible triangle, [itc,2*itc) corner 1, [2*itc,3*itc) corner 2.
+            # Per-corner vertex data is then a contiguous 2D SLICE of the
+            # stream — rank-3 (IT,3,C) corner arrays never materialize on
+            # device (their trailing (3,C) dims pad to native (8,128) tiles,
+            # a 16x traffic blow-up measured at ~12 ms/frame at 527k tris).
+            corner_src = c.src_idx[tri_idx[:itc]].T.reshape(-1)
             c.corner_src_pool = corner_src.astype(np.int32)
             p0 = c.positions.shape[0]
             for attr in ("positions", "normals", "uv", "prelit",
                          "prelit_spec"):
                 a = getattr(c, attr)
                 setattr(c, attr, np.concatenate([a, a[corner_src]]))
-            corner_iv = tri_idx[:itc].reshape(-1)            # old stream rows
+            corner_iv = tri_idx[:itc].T.reshape(-1)          # old stream rows
             # Trim the old stream to rows something still references (tail
             # triangle corners, line endpoints) — every per-vertex op runs
             # over the whole stream, so dead rows are pure vertex-stage cost.
@@ -763,7 +769,8 @@ class CKRenderContext(CKObject):
             c.vert_state = restream(c.vert_state, c.vert_state[corner_iv])
             c.vert_lit = restream(c.vert_lit, c.vert_lit[corner_iv])
             tri_new = np.where(tri_idx >= 0, nc + remap[tri_idx], 0)
-            tri_new[:itc] = np.arange(nc, dtype=np.int32).reshape(itc, 3)
+            ar = np.arange(itc, dtype=np.int32)
+            tri_new[:itc] = np.stack([ar, itc + ar, 2 * itc + ar], axis=1)
             tri_new[it:] = 0                       # pad tris: dead anyway
             c.tri_idx = tri_new.astype(np.int32)
             for seg in c.line_segments:

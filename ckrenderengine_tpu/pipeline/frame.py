@@ -305,40 +305,47 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
     ties), and the ordered remainder is compacted separately by
     :func:`ordered_subset`.
 
-    ``corner`` = (nc, itc, p0): the first ``itc`` triangles index the first
-    ``nc = 3*itc`` stream rows CONSECUTIVELY (corner-major compile
-    post-pass), so their per-corner "gather" is a reshape; only the tail
-    (skinned / billboard triangles) pays the 3-row gathers."""
+    ``corner`` = (nc, itc, p0): the first ``itc`` triangles read the first
+    ``nc = 3*itc`` stream rows in PLANAR order — rows [k*itc, (k+1)*itc)
+    hold corner ``k`` of every head triangle (corner-major compile
+    post-pass) — so each per-corner array is a contiguous 2D slice; only
+    the tail (skinned / billboard triangles) pays the 3-row gathers.
+    Rank-3 (IT,3,C) arrays are built ONLY as lazy stacks of the planar
+    slices: on TPU their trailing (3,C) dims pad to native (8,128) tiles
+    (16x the traffic), so every hot consumer reads ``batch.planar``."""
     nc, itc, _p0 = corner
     i0, i1, i2 = scene.tri_idx[:, 0], scene.tri_idx[:, 1], scene.tri_idx[:, 2]
     ti0 = i0[itc:]
 
+    def corner_planar(a):
+        """(IV, ...) per-stream-row array -> 3 x (IT, ...) per-corner."""
+        if not itc:
+            return (jnp.take(a, i0, axis=0), jnp.take(a, i1, axis=0),
+                    jnp.take(a, i2, axis=0))
+        outs = []
+        for k, idx in enumerate((i0, i1, i2)):
+            head = jax.lax.slice_in_dim(a, k * itc, (k + 1) * itc, axis=0)
+            tail = jnp.take(a, idx[itc:], axis=0)
+            outs.append(jnp.concatenate([head, tail], axis=0))
+        return tuple(outs)
+
     def corner_take(a):
         """(IV, ...) per-stream-row array -> (IT, 3, ...) per-corner."""
-        if not itc:
-            return jnp.stack([jnp.take(a, i0, axis=0),
-                              jnp.take(a, i1, axis=0),
-                              jnp.take(a, i2, axis=0)], axis=1)
-        head = jax.lax.slice_in_dim(a, 0, nc, axis=0)
-        head = head.reshape((itc, 3) + a.shape[1:])
-        tail = jnp.stack([jnp.take(a, i0[itc:], axis=0),
-                          jnp.take(a, i1[itc:], axis=0),
-                          jnp.take(a, i2[itc:], axis=0)], axis=1)
-        return jnp.concatenate([head, tail], axis=0)
+        return jnp.stack(corner_planar(a), axis=1)
 
     def first_corner_take(a):
         """(IV, ...) -> (IT, ...) value at each triangle's corner 0."""
         if not itc:
             return jnp.take(a, i0, axis=0)
-        head = jax.lax.slice_in_dim(a, 0, nc, axis=0)[::3]
+        head = jax.lax.slice_in_dim(a, 0, itc, axis=0)
         return jnp.concatenate([head, jnp.take(a, ti0, axis=0)], axis=0)
 
     flags = vx.clip_flags(clip)
     # Whole-triangle rejection: all three corners outside one plane
     # (the AND-reduction of CKRasterizerContext::TransformVertices,
     # CKRasterizerLib/CKRasterizerContext.cpp:339-392, applied per-triangle).
-    fl3 = corner_take(flags)
-    reject = (fl3[:, 0] & fl3[:, 1] & fl3[:, 2]) != 0
+    fl0, fl1, fl2 = corner_planar(flags)
+    reject = (fl0 & fl1 & fl2) != 0
     # Entity-level visibility gate (identity row N is always visible).
     vis_ext = jnp.concatenate(
         [scene.entity_visible, jnp.ones((1,), bool)], axis=0)
@@ -348,9 +355,13 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
     # User clip planes: cull triangles entirely outside any plane here;
     # per-pixel tests for straddlers happen in the ordered pass.
     if clipd_v is not None:
-        clipd = corner_take(clipd_v)
-        valid &= jnp.logical_not(jnp.any(jnp.all(clipd < 0, axis=1), axis=1))
+        clipd_p = corner_planar(clipd_v)
+        d0, d1, d2 = clipd_p
+        valid &= jnp.logical_not(
+            jnp.any((d0 < 0) & (d1 < 0) & (d2 < 0), axis=1))
+        clipd = jnp.stack(clipd_p, axis=1)
     else:
+        clipd_p = None
         clipd = jnp.zeros((scene.tri_idx.shape[0], 3, 0), jnp.float32)
 
     # Screen-homogeneous coords (raster/types.py convention).
@@ -381,14 +392,19 @@ def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
     if n_refl:
         vparts.append(refl_v)
     vrow = jnp.concatenate(vparts, axis=-1)                      # (IV, 14+R)
-    corners = corner_take(vrow)                                  # (IT,3,14+R)
+    cp = corner_planar(vrow)                                     # 3x(IT,14+R)
+
+    def stack3(sl):
+        return jnp.stack([c[:, sl] for c in cp], axis=1)
+
     return rb.DeviceBatch(
-        xyw=corners[..., 0:3], z=corners[..., 3],
-        color=corners[..., 4:8], specular=corners[..., 8:11],
-        uv=corners[..., 11:13], fog=corners[..., 13],
+        xyw=stack3(slice(0, 3)), z=stack3(3),
+        color=stack3(slice(4, 8)), specular=stack3(slice(8, 11)),
+        uv=stack3(slice(11, 13)), fog=stack3(13),
         state_idx=scene.tri_state, valid=valid, clip_rect=tri_rect,
         clipd=clipd,
-        refl=corners[..., 14:14 + n_refl],
+        refl=stack3(slice(14, 14 + n_refl)),
+        planar={"c": cp, "clipd": clipd_p},
     )
 
 
@@ -409,8 +425,19 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
     """
     it = batch.valid.shape[0]
     ordered = batch.valid & jnp.logical_not(defer_tri)
-    safe_w = jnp.where(jnp.abs(batch.xyw[..., 2]) < 1e-12, 1e-12, batch.xyw[..., 2])
-    depth_mean = jnp.mean(batch.z / safe_w, axis=1)
+    if batch.planar is not None:
+        # Planar form: the mean over corners as 1D column math (the rank-3
+        # fields are lazy stacks; touching them here would materialize the
+        # full-size (IT,3,C) padded arrays just to feed a gather).
+        zw = []
+        for c in batch.planar["c"]:
+            w_ = c[:, 2]
+            zw.append(c[:, 3] / jnp.where(jnp.abs(w_) < 1e-12, 1e-12, w_))
+        depth_mean = (zw[0] + zw[1] + zw[2]) / 3.0
+    else:
+        safe_w = jnp.where(jnp.abs(batch.xyw[..., 2]) < 1e-12, 1e-12,
+                           batch.xyw[..., 2])
+        depth_mean = jnp.mean(batch.z / safe_w, axis=1)
 
     arange = jnp.arange(it, dtype=jnp.int32)
     big = jnp.float32(3.0e38)
@@ -434,6 +461,26 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
     def take(a):
         return jnp.take(a, perm, axis=0)
 
+    if batch.planar is not None:
+        # Gather the ordered_cap-sized subset from the 2D planar wide rows
+        # (3 row gathers), then stack the small rank-3 fields from those.
+        cp = [take(c) for c in batch.planar["c"]]
+
+        def stack3(sl):
+            return jnp.stack([c[:, sl] for c in cp], axis=1)
+
+        dp = batch.planar.get("clipd")
+        n_refl = batch.refl.shape[-1]
+        return rb.DeviceBatch(
+            xyw=stack3(slice(0, 3)), z=stack3(3),
+            color=stack3(slice(4, 8)), specular=stack3(slice(8, 11)),
+            uv=stack3(slice(11, 13)), fog=stack3(13),
+            state_idx=take(batch.state_idx), valid=sel_valid,
+            clip_rect=take(batch.clip_rect),
+            clipd=(jnp.stack([take(d) for d in dp], axis=1) if dp is not None
+                   else take(batch.clipd)),
+            refl=stack3(slice(14, 14 + n_refl)),
+        )
     return rb.DeviceBatch(
         xyw=take(batch.xyw), z=take(batch.z), color=take(batch.color),
         specular=take(batch.specular), uv=take(batch.uv), fog=take(batch.fog),
@@ -520,7 +567,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     # --- deferred opaque: depth argmin reduce + one shade per pixel --------
     setup = df.triangle_setup(batch.xyw, batch.z, batch.state_idx, batch.valid,
                               scene.state_i, clip_rect=batch.clip_rect,
-                              clipd=batch.clipd)
+                              clipd=batch.clipd, planar=batch.planar)
     # Visibility solve: flat reduce for small scenes, tile-binned for large
     # (static shape decision -> part of the jit cache key).
     tile_peak = jnp.int32(0)
@@ -548,17 +595,18 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             shade_tbl = df.shade_row_table_compact(
                 batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
                 batch.state_idx, batch_refl=refl,
-                e_coef=setup["e_coef"], inv_det_s=setup["inv_det_s"])
+                e_coef=setup.get("e9", setup["e_coef"]),
+                inv_det_s=setup["inv_det_s"], planar=batch.planar)
             best_id, best_depth, tile_peak, fetched_rows = \
                 depth_reduce_tiled_pallas(
                     setup, defer_tri, z_init, scene.viewport, batch.xyw,
-                    height, width, shade_tbl=shade_tbl)
+                    height, width, shade_tbl=shade_tbl, planar=batch.planar)
             fetched_rows = df.expand_rows_compact(
                 fetched_rows, scene.state_i, scene.state_f, scene.tex_hw)
         else:
             best_id, best_depth, tile_peak = depth_reduce_tiled_pallas(
                 setup, defer_tri, z_init, scene.viewport, batch.xyw,
-                height, width)
+                height, width, planar=batch.planar)
     elif big:
         from ..raster.tiled import depth_reduce_tiled
 

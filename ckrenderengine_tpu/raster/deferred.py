@@ -73,7 +73,7 @@ def deferred_mask(state_i: jnp.ndarray) -> jnp.ndarray:
 
 
 def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None,
-                   clipd=None):
+                   clipd=None, planar=None):
     """Per-triangle setup: adjoint edge coeffs, depth plane, cull, flags.
 
     xyw: (T,3,3) screen-homogeneous verts; z: (T,3) clip z.
@@ -84,13 +84,36 @@ def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None,
     requires signed esum > 0, so the per-pixel keep test reduces to the SIGN
     of the affine plane sum_i e_i(p) d_i — clip planes ride the deferred
     reduce at full rate, no ordered-pass rerouting of straddlers.
-    Returns dict of (T,...) arrays.
+
+    ``planar``: optional PLANAR corner payload (DeviceBatch.planar) — when
+    given, every per-corner quantity reads the 2D wide rows instead of the
+    rank-3 ``xyw``/``z``/``clipd`` (whose (3,C) trailing dims pad to native
+    (8,128) tiles on TPU — 16x the HBM traffic, ~12 ms/frame at 527k tris).
+    Identical arithmetic either way.
+    Returns dict of (T,...) arrays (plus 2D twins ``e9``/``dplane9``).
     """
-    v0, v1, v2 = xyw[:, 0], xyw[:, 1], xyw[:, 2]
-    adj0 = jnp.cross(v1, v2)          # (T,3): coeffs [a_x, a_y, c]
-    adj1 = jnp.cross(v2, v0)
-    adj2 = jnp.cross(v0, v1)
-    det = jnp.sum(v0 * adj0, axis=-1)                 # (T,)
+    t = xyw.shape[0] if planar is None else planar["c"][0].shape[0]
+    if planar is not None:
+        c0, c1, c2 = planar["c"]
+        v0c = (c0[:, 0], c0[:, 1], c0[:, 2])
+        v1c = (c1[:, 0], c1[:, 1], c1[:, 2])
+        v2c = (c2[:, 0], c2[:, 1], c2[:, 2])
+        z3 = (c0[:, 3], c1[:, 3], c2[:, 3])
+    else:
+        v0c = tuple(xyw[:, 0, k] for k in range(3))
+        v1c = tuple(xyw[:, 1, k] for k in range(3))
+        v2c = tuple(xyw[:, 2, k] for k in range(3))
+        z3 = tuple(z[:, i] for i in range(3))
+
+    def cross_c(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    adj0c = cross_c(v1c, v2c)         # 3 x (T,): coeffs [a_x, a_y, c]
+    adj1c = cross_c(v2c, v0c)
+    adj2c = cross_c(v0c, v1c)
+    det = v0c[0] * adj0c[0] + v0c[1] * adj0c[1] + v0c[2] * adj0c[2]   # (T,)
     s = jnp.where(det >= 0, 1.0, -1.0)
     degenerate = jnp.abs(det) < 1e-14
 
@@ -102,9 +125,12 @@ def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None,
 
     inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
     # depth(p) = sum_j e_j(p) * z_j / det  — affine plane in (x, y, 1).
-    zplane = (adj0 * z[:, 0:1] + adj1 * z[:, 1:2] + adj2 * z[:, 2:3]) * inv_det[:, None]
+    zplane = jnp.stack(
+        [(adj0c[k] * z3[0] + adj1c[k] * z3[1] + adj2c[k] * z3[2]) * inv_det
+         for k in range(3)], axis=1)
     # esum(p) = det / w(p) — also affine; its sign (vs s) rejects behind-eye px.
-    esum_plane = adj0 + adj1 + adj2
+    esum_plane = jnp.stack(
+        [adj0c[k] + adj1c[k] + adj2c[k] for k in range(3)], axis=1)
     # For bit-exact agreement with the ordered pass (jax_backend._one_triangle
     # computes depth as (e0*z0+e1*z1+e2*z2)*inv_det per pixel), the reduce
     # must use the SAME arithmetic; with signed e's the factor s cancels:
@@ -112,10 +138,16 @@ def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None,
     inv_det_s = jnp.where(det >= 0, 1.0, -1.0) * inv_det
 
     # Signed edge coeffs and top-left flags (fill convention of the oracle).
-    e_coef = jnp.stack([adj0, adj1, adj2], axis=1) * s[:, None, None]   # (T,3,3)
-    a = e_coef[..., 0]
-    b = e_coef[..., 1]
-    top_left = (b > 0) | ((b == 0) & (a > 0))          # (T,3)
+    e0s = tuple(adj0c[k] * s for k in range(3))
+    e1s = tuple(adj1c[k] * s for k in range(3))
+    e2s = tuple(adj2c[k] * s for k in range(3))
+    # 2D twin consumed by the packed-row builders (phase A, shade table);
+    # the rank-3 ``e_coef`` below is the same values as a lazy stack.
+    e9 = jnp.stack(e0s + e1s + e2s, axis=1)                          # (T,9)
+    e_coef = e9.reshape(t, 3, 3)
+    top_left = jnp.stack(
+        [(es[1] > 0) | ((es[1] == 0) & (es[0] > 0))
+         for es in (e0s, e1s, e2s)], axis=1)                         # (T,3)
 
     # Sub-epsilon screen-area slivers (collinear verts): their edge functions
     # are ~0 along an entire line, so exact float zeros + the top-left rule
@@ -123,30 +155,42 @@ def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None,
     # bbox). A zero-area triangle covers no pixel centers — cull it, like any
     # hardware rasterizer. w-crossing triangles keep their validity (screen
     # coords are meaningless pre-clip there).
-    w = xyw[..., 2]
-    wmin = jnp.min(w, axis=1)
-    safe_w = jnp.where(jnp.abs(w) < 1e-6, 1e-6, w)
-    sx = xyw[..., 0] / safe_w
-    sy = xyw[..., 1] / safe_w
-    area2 = jnp.abs((sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0])
-                    - (sx[:, 2] - sx[:, 0]) * (sy[:, 1] - sy[:, 0]))
+    w3 = (v0c[2], v1c[2], v2c[2])
+    wmin = jnp.minimum(jnp.minimum(w3[0], w3[1]), w3[2])
+    sw = tuple(jnp.where(jnp.abs(wi) < 1e-6, 1e-6, wi) for wi in w3)
+    sx = (v0c[0] / sw[0], v1c[0] / sw[1], v2c[0] / sw[2])
+    sy = (v0c[1] / sw[0], v1c[1] / sw[1], v2c[1] / sw[2])
+    area2 = jnp.abs((sx[1] - sx[0]) * (sy[2] - sy[0])
+                    - (sx[2] - sx[0]) * (sy[1] - sy[0]))
     sliver = (wmin > 1e-6) & (area2 < 1e-6)
 
     tvalid = valid & ~degenerate & keep & ~sliver
     if clip_rect is None:
         big = 1.0e9
         clip_rect = jnp.tile(jnp.array([[-big, -big, big, big]], jnp.float32),
-                             (xyw.shape[0], 1))
-    if clipd is None or clipd.shape[-1] == 0:
-        dplane = jnp.zeros((xyw.shape[0], 0, 3), jnp.float32)
+                             (t, 1))
+    d3 = planar.get("clipd") if planar is not None else None
+    if d3 is None and clipd is not None and clipd.shape[-1] > 0:
+        d3 = (clipd[:, 0], clipd[:, 1], clipd[:, 2])
+    if d3 is None:
+        dplane9 = jnp.zeros((t, 0), jnp.float32)
+        dplane = jnp.zeros((t, 0, 3), jnp.float32)
     else:
         # (T,P,3): affine screen-space coefficients of sum_i e_i(p) * d_i
         # per plane (signed e's — consistent with the signed esum in cov).
-        dplane = jnp.einsum("tic,tip->tpc", e_coef, clipd)
-    return dict(e_coef=e_coef, top_left=top_left, zplane=zplane,
+        n_planes = d3[0].shape[1]
+        cols = []
+        for p in range(n_planes):
+            for k in range(3):
+                cols.append(e0s[k] * d3[0][:, p] + e1s[k] * d3[1][:, p]
+                            + e2s[k] * d3[2][:, p])
+        dplane9 = jnp.stack(cols, axis=1)                   # (T, 3P) p-major
+        dplane = dplane9.reshape(t, n_planes, 3)
+    zout = jnp.stack(z3, axis=1) if planar is not None else z
+    return dict(e_coef=e_coef, e9=e9, top_left=top_left, zplane=zplane,
                 esum_plane=esum_plane, s=s, det=det, inv_det=inv_det,
-                inv_det_s=inv_det_s, z=z, valid=tvalid, clip_rect=clip_rect,
-                dplane=dplane)
+                inv_det_s=inv_det_s, z=zout, valid=tvalid,
+                clip_rect=clip_rect, dplane=dplane, dplane9=dplane9)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk"))
@@ -627,12 +671,36 @@ SH_C_RFL = slice(44, 53)
 
 def shade_row_table_compact(batch_xyw, batch_color, batch_spec, batch_uv,
                             batch_fog, batch_state, batch_refl=None,
-                            e_coef=None, inv_det_s=None):
-    """(T, 44[+9]) compact shade rows: per-triangle data + state INDEX."""
-    t = batch_xyw.shape[0]
+                            e_coef=None, inv_det_s=None, planar=None):
+    """(T, 44[+9]) compact shade rows: per-triangle data + state INDEX.
+
+    ``planar``: optional DeviceBatch.planar payload — the column groups are
+    then built from the 2D per-corner wide rows by concat (identical values
+    and layout; avoids rank-3 (T,3,K) reshapes that pad to (8,128) tiles)."""
     has_refl = batch_refl is not None and batch_refl.shape[-1] > 0
+    if planar is not None:
+        cp = planar["c"]
+        t = cp[0].shape[0]
+
+        def cat3(sl):
+            return jnp.concatenate([c[:, sl] for c in cp], axis=1)
+
+        ws3 = jnp.stack([c[:, 2] for c in cp], axis=1)            # (T,3)
+        color12 = cat3(slice(4, 8))
+        spec9 = cat3(slice(8, 11))
+        uv6 = cat3(slice(11, 13))
+        fog3 = jnp.stack([c[:, 13] for c in cp], axis=1)
+        refl9 = cat3(slice(14, 17)) if has_refl else None
+    else:
+        t = batch_xyw.shape[0]
+        ws3 = batch_xyw[..., 2]
+        color12 = batch_color.reshape(t, 12)
+        spec9 = batch_spec.reshape(t, 9)
+        uv6 = batch_uv.reshape(t, 6)
+        fog3 = batch_fog.reshape(t, 3)
+        refl9 = batch_refl.reshape(t, 9) if has_refl else None
     if e_coef is not None:
-        ec9 = e_coef.reshape(t, 9)
+        ec9 = e_coef.reshape(t, 9) if e_coef.ndim == 3 else e_coef
         ivd = inv_det_s[:, None]
     else:
         v0, v1, v2 = batch_xyw[:, 0], batch_xyw[:, 1], batch_xyw[:, 2]
@@ -645,16 +713,16 @@ def shade_row_table_compact(batch_xyw, batch_color, batch_spec, batch_uv,
         ivd = inv_det[:, None]
     cols = [
         ec9,
-        batch_xyw[..., 2],
+        ws3,
         ivd,
-        batch_color.reshape(t, 12),
-        batch_spec.reshape(t, 9),
-        batch_uv.reshape(t, 6),
-        batch_fog.reshape(t, 3),
+        color12,
+        spec9,
+        uv6,
+        fog3,
         batch_state.astype(jnp.float32)[:, None],
     ]
     if has_refl:
-        cols.append(batch_refl.reshape(t, 9))
+        cols.append(refl9)
     return jnp.concatenate(cols, axis=1)
 
 

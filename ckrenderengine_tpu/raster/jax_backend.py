@@ -58,6 +58,14 @@ class DeviceBatch(NamedTuple):
     refl: jnp.ndarray        # (T,3,3) per-corner world reflection vectors
                              # for per-pixel cube-env UV (empty (T,3,0)
                              # when no TEXGEN_CUBE state is present)
+    planar: dict | None = None
+                             # optional PLANAR corner payload (pipeline
+                             # assemble_triangles): {"c": (c0,c1,c2) wide
+                             # (T,14+R) rows, "clipd": (d0,d1,d2) | None}.
+                             # Hot TPU stages read these 2D forms; the
+                             # rank-3 fields above are lazy stacks of them
+                             # (their (3,C) trailing dims pad to (8,128)
+                             # native tiles — 16x the HBM traffic).
 
     @staticmethod
     def from_host(b: TriangleBatch, pad_to_multiple: int = 8) -> "DeviceBatch":
@@ -488,7 +496,9 @@ def render_pass(
     # reshape to (nchunks, chunk, ...)
     def rs(a):
         return a.reshape((nchunks, chunk) + a.shape[1:])
-    xs = tuple(rs(a) for a in batch)
+    # batch[:11] = the 11 per-triangle array fields (excludes ``planar``,
+    # the optional payload dict consumed only by the deferred hot path).
+    xs = tuple(rs(a) for a in batch[:11])
 
     def body(carry, tri_chunk):
         fb, zb = carry
@@ -605,7 +615,7 @@ def render_pass_tiled(
         ids = search(inc_t, ks + 1)                                 # (TILES,C)
         ids = jnp.where(ks[None, :] < counts[:, None], ids, t)
         for j in range(chunk):
-            tri = tuple(a[ids[:, j]] for a in bpad)
+            tri = tuple(a[ids[:, j]] for a in bpad[:11])
             fbt, zbt = tri_vmap(px, py, fbt, zbt, tri, state_i, state_f,
                                 tex_planes, tex_hw, fog_color, scissor)
         return c + 1, fbt, zbt

@@ -336,7 +336,7 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                               kchunk: int = 128,
                               interpret: bool = False,
                               _probe: str | None = None,
-                              shade_tbl=None):
+                              shade_tbl=None, planar=None):
     """Tile-binned argmin depth reduce, Pallas phase B (exact).
 
     Same contract as tiled.depth_reduce_tiled: returns (best_id (H,W) int32,
@@ -374,7 +374,14 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     assert kchunk % per_row == 0
 
     # --- phase A: classify, compact, bin (identical math to tiled.py) -----
-    x0, y0, x1, y1, unbounded, empty = _screen_bbox(xyw, setup["z"])
+    if planar is not None:
+        cp = planar["c"]
+        bbox_cols = (tuple(c[:, 0] for c in cp), tuple(c[:, 1] for c in cp),
+                     tuple(c[:, 2] for c in cp), tuple(c[:, 3] for c in cp))
+    else:
+        bbox_cols = None
+    x0, y0, x1, y1, unbounded, empty = _screen_bbox(xyw, setup["z"],
+                                                    planar=bbox_cols)
     tx0 = jnp.clip(jnp.floor(x0 / tile).astype(jnp.int32), 0, tx_n - 1)
     tx1 = jnp.clip(jnp.floor(x1 / tile).astype(jnp.int32), 0, tx_n - 1)
     ty0 = jnp.clip(jnp.floor(y0 / tile).astype(jnp.int32), 0, ty_n - 1)
@@ -420,8 +427,9 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     flags_t = (tlf[:, 0].astype(jnp.int32) + 2 * tlf[:, 1].astype(jnp.int32)
                + 4 * tlf[:, 2].astype(jnp.int32)
                + 8 * tvalid.astype(jnp.int32)).astype(jnp.float32)
+    e9 = setup.get("e9")
     full_cols = [
-        setup["e_coef"].reshape(t, 9),
+        e9 if e9 is not None else setup["e_coef"].reshape(t, 9),
         setup["z"],
         setup["inv_det_s"][:, None],
         setup["esum_plane"],
@@ -431,7 +439,9 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         jnp.arange(t, dtype=jnp.float32)[:, None],
     ]
     if n_planes:
-        full_cols.append(dplane_t.reshape(t, 3 * n_planes))
+        dp9 = setup.get("dplane9")
+        full_cols.append(dp9 if dp9 is not None
+                         else dplane_t.reshape(t, 3 * n_planes))
     if sh_w:
         full_cols.append(shade_tbl.astype(jnp.float32))
         if sh_w > shade_tbl.shape[1]:

@@ -77,7 +77,7 @@ def _pow2ceil(n: int) -> int:
     return 1 << max(0, int(n - 1).bit_length())
 
 
-def _screen_bbox(xyw, z, eps=1e-6):
+def _screen_bbox(xyw, z, eps=1e-6, planar=None):
     """Per-triangle pixel bbox, with near/far-plane clipping for straddlers.
 
     xyw (T,3,3) screen-homogeneous; z (T,3) clip z. For triangles with all
@@ -91,81 +91,101 @@ def _screen_bbox(xyw, z, eps=1e-6):
     projection is unbounded and the triangle stays exact via the global bin.
 
     Returns (x0, y0, x1, y1, unbounded, empty), each (T,).
+
+    ``planar``: optional per-corner column payload ((hx0,hx1,hx2),
+    (hy0,hy1,hy2), (w0,w1,w2), (z0,z1,z2)) — when given, all math runs on
+    1D (T,) columns (rank-2/3 per-corner arrays pad their tiny trailing
+    dims to native 128-lane tiles on TPU). Same arithmetic either way.
     """
-    w = xyw[..., 2]                                    # (T,3)
-    wcross = jnp.any(w <= eps, axis=1)
+    if planar is not None:
+        hxc, hyc, wc, hzc = planar
+    else:
+        hxc = tuple(xyw[:, i, 0] for i in range(3))
+        hyc = tuple(xyw[:, i, 1] for i in range(3))
+        wc = tuple(xyw[:, i, 2] for i in range(3))
+        hzc = tuple(z[:, i] for i in range(3))
+    wcross = (wc[0] <= eps) | (wc[1] <= eps) | (wc[2] <= eps)
+
+    def min3(a, b, c):
+        return jnp.minimum(jnp.minimum(a, b), c)
+
+    def max3(a, b, c):
+        return jnp.maximum(jnp.maximum(a, b), c)
 
     # --- fast path: plain projected hull --------------------------------
-    safe_w = jnp.where(jnp.abs(w) < eps, eps, w)
-    sx = xyw[..., 0] / safe_w
-    sy = xyw[..., 1] / safe_w
-    px0 = jnp.min(sx, axis=1)
-    px1 = jnp.max(sx, axis=1)
-    py0 = jnp.min(sy, axis=1)
-    py1 = jnp.max(sy, axis=1)
+    sw = tuple(jnp.where(jnp.abs(wi) < eps, eps, wi) for wi in wc)
+    sx = tuple(hxc[i] / sw[i] for i in range(3))
+    sy = tuple(hyc[i] / sw[i] for i in range(3))
+    px0 = min3(*sx)
+    px1 = max3(*sx)
+    py0 = min3(*sy)
+    py1 = max3(*sy)
 
     # --- straddler path: candidates of the {z>=0, z<=w} clipped region --
     # Each candidate: (hx, hy, hw, hz) linear over the triangle. 3 vertices
     # + 3 edge ^ {z=0} + 3 edge ^ {z=w}.
-    hx = xyw[..., 0]
-    hy = xyw[..., 1]
-    hz = z
-    d0 = hz                                            # z >= 0 halfspace
-    d1 = w - hz                                        # z <= w halfspace
-    scale = (jnp.max(jnp.abs(hz), axis=1)
-             + jnp.max(jnp.abs(w), axis=1) + 1e-30)    # (T,)
+    d0c = hzc                                          # z >= 0 halfspace
+    d1c = tuple(wc[i] - hzc[i] for i in range(3))      # z <= w halfspace
+    scale = (max3(*(jnp.abs(zi) for zi in hzc))
+             + max3(*(jnp.abs(wi) for wi in wc)) + 1e-30)   # (T,)
     tol = 1e-5 * scale
 
-    cand_x = [hx[:, i] for i in range(3)]
-    cand_y = [hy[:, i] for i in range(3)]
-    cand_w = [w[:, i] for i in range(3)]
+    cand_x = [hxc[i] for i in range(3)]
+    cand_y = [hyc[i] for i in range(3)]
+    cand_w = [wc[i] for i in range(3)]
     # vertex in-region (generous: inclusion only GROWS the bbox — safe)
-    cand_ok = [(d0[:, i] >= -tol) & (d1[:, i] >= -tol) for i in range(3)]
+    cand_ok = [(d0c[i] >= -tol) & (d1c[i] >= -tol) for i in range(3)]
     z0_edge_w = []                                     # w at z=0 cut points
     z0_edge_ok = []
     for (a, b) in ((0, 1), (1, 2), (2, 0)):
-        for dplane in (d0, d1):
-            da, db = dplane[:, a], dplane[:, b]
+        for dplane in (d0c, d1c):
+            da, db = dplane[a], dplane[b]
             crosses = (da * db) < 0
             tt = da / jnp.where(jnp.abs(da - db) < 1e-30, 1e-30, da - db)
             tt = jnp.clip(tt, 0.0, 1.0)
-            ix = hx[:, a] + tt * (hx[:, b] - hx[:, a])
-            iy = hy[:, a] + tt * (hy[:, b] - hy[:, a])
-            iw = w[:, a] + tt * (w[:, b] - w[:, a])
-            iz = hz[:, a] + tt * (hz[:, b] - hz[:, a])
-            other = (iw - iz >= -tol) if dplane is d0 else (iz >= -tol)
+            ix = hxc[a] + tt * (hxc[b] - hxc[a])
+            iy = hyc[a] + tt * (hyc[b] - hyc[a])
+            iw = wc[a] + tt * (wc[b] - wc[a])
+            iz = hzc[a] + tt * (hzc[b] - hzc[a])
+            other = (iw - iz >= -tol) if dplane is d0c else (iz >= -tol)
             cand_x.append(ix)
             cand_y.append(iy)
             cand_w.append(iw)
             cand_ok.append(crosses & other)
-            if dplane is d0:
+            if dplane is d0c:
                 z0_edge_w.append(iw)
                 z0_edge_ok.append(crosses & other)
 
-    cx = jnp.stack(cand_x, axis=1)                     # (T,9)
-    cy = jnp.stack(cand_y, axis=1)
-    cw = jnp.stack(cand_w, axis=1)
-    cok = jnp.stack(cand_ok, axis=1)
-    any_cand = jnp.any(cok, axis=1)
-    wmin_in = jnp.min(jnp.where(cok, cw, jnp.inf), axis=1)
+    inf = jnp.float32(jnp.inf)
+    any_cand = functools.reduce(jnp.logical_or, cand_ok)
+    wmin_in = functools.reduce(
+        jnp.minimum, (jnp.where(ok, w_, inf)
+                      for ok, w_ in zip(cand_ok, cand_w)))
     # z=0 cut endpoints straddling w sign => a w=0 point lies ON the
     # clipped region's boundary => projection unbounded.
-    zw = jnp.stack(z0_edge_w, axis=1)
-    zok = jnp.stack(z0_edge_ok, axis=1)
-    z0_wmin = jnp.min(jnp.where(zok, zw, jnp.inf), axis=1)
+    z0_wmin = functools.reduce(
+        jnp.minimum, (jnp.where(ok, w_, inf)
+                      for ok, w_ in zip(z0_edge_ok, z0_edge_w)))
     unbounded = wcross & ((wmin_in <= eps) | (z0_wmin <= eps))
     empty_straddle = wcross & ~any_cand
 
-    cwm = jnp.where(cok, jnp.maximum(cw, eps), 1.0)
-    csx = cx / cwm
-    csy = cy / cwm
     big = jnp.float32(1.0e9)
+    csx = []
+    csy = []
+    for ok, x_, y_, w_ in zip(cand_ok, cand_x, cand_y, cand_w):
+        cwm = jnp.where(ok, jnp.maximum(w_, eps), 1.0)
+        csx.append((ok, x_ / cwm))
+        csy.append((ok, y_ / cwm))
     # +1px conservative pad: the straddler hull is computed through lerped
     # intersections whose rounding differs from the per-pixel edge test.
-    sx0 = jnp.min(jnp.where(cok, csx, big), axis=1) - 1.0
-    sx1 = jnp.max(jnp.where(cok, csx, -big), axis=1) + 1.0
-    sy0 = jnp.min(jnp.where(cok, csy, big), axis=1) - 1.0
-    sy1 = jnp.max(jnp.where(cok, csy, -big), axis=1) + 1.0
+    sx0 = functools.reduce(
+        jnp.minimum, (jnp.where(ok, v, big) for ok, v in csx)) - 1.0
+    sx1 = functools.reduce(
+        jnp.maximum, (jnp.where(ok, v, -big) for ok, v in csx)) + 1.0
+    sy0 = functools.reduce(
+        jnp.minimum, (jnp.where(ok, v, big) for ok, v in csy)) - 1.0
+    sy1 = functools.reduce(
+        jnp.maximum, (jnp.where(ok, v, -big) for ok, v in csy)) + 1.0
 
     x0 = jnp.where(wcross, jnp.where(unbounded, -big, sx0), px0)
     x1 = jnp.where(wcross, jnp.where(unbounded, big, sx1), px1)
