@@ -57,22 +57,29 @@ def main():
             s, b, setup, defer = upto_setup(st, f, i)
             r = depth_reduce_tiled_pallas(
                 setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
-                _probe="keys")
+                _probe="keys", planar=b.planar)
             return sum(x.sum() for x in r)
 
         def probe_sort(st, f, i):
             s, b, setup, defer = upto_setup(st, f, i)
             r = depth_reduce_tiled_pallas(
                 setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
-                _probe="sort")
+                _probe="sort", planar=b.planar)
             return sum(x.sum() for x in r)
 
         def probe_phase_a(st, f, i):
             s, b, setup, defer = upto_setup(st, f, i)
             r = depth_reduce_tiled_pallas(
                 setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
-                _probe="phase_a")
+                _probe="phase_a", planar=b.planar)
             return sum(x.sum() for x in r)
+
+        def kernel_only(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                _probe="kernel", planar=b.planar)
+            return bi.sum() + bd.sum()
 
         def solve_nofetch(st, f, i):
             s, b, setup, defer = upto_setup(st, f, i)
@@ -140,6 +147,31 @@ def main():
                 shade_tbl=tbl_of(s, b, setup), planar=b.planar)
             rows = df.expand_rows_compact(frr, s.state_i, s.state_f, s.tex_hw)
             return bi.sum() + rows.sum()
+
+        def gather_shade(st, f, i):
+            """Alternative: solve WITHOUT fetch + per-pixel compact-row
+            gather + expand + shade (the pre-fetch design, compact table)."""
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                planar=b.planar)
+            tbl = tbl_of(s, b, setup)                      # (T, 44)
+            t = tbl.shape[0]
+            tblT = jax.lax.optimization_barrier(tbl.T)
+            tid = jnp.clip(bi, 0, t - 1).reshape(-1)
+            rows_c = jnp.take(tblT, tid, axis=1).reshape(
+                tbl.shape[1], height, width)
+            rows_c = jnp.where((bi >= 0)[None], rows_c, 0.0)
+            rows = df.expand_rows_compact(rows_c, s.state_i, s.state_f,
+                                          s.tex_hw)
+            clear_fb = jnp.broadcast_to(
+                s.clear_color[:, None, None].astype(jnp.float32),
+                (4, height, width))
+            fb = df.shade_rows(rows, bi >= 0, s.tex_planes, s.tex_hw,
+                               s.fog_color, clear_fb, height, width,
+                               sampler_profile=params.get("sampler_profile"),
+                               tex_quad=s.tex_quad)
+            return fb.sum()
 
         def shade_fetch(st, f, i):
             s, b, setup, defer = upto_setup(st, f, i)

@@ -582,31 +582,36 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     if tiled_on_tpu:
         # Pallas phase-B solve: per-tile contiguous row streaming with
         # the carry resident in VMEM (raster/pallas_tiled.py). Without a
-        # pixel shader, the shade row table rides the stream and the
-        # kernel's fetch pass replaces the deferred shade's 786k-row
-        # per-pixel gather (~12.6 ms at 1024x768 -> ~3 ms of MXU matmuls).
+        # pixel shader, the winner's shade row is fetched AFTER the solve
+        # by a per-pixel gather of the compact 44-column table + a
+        # per-pixel state re-join (expand_rows_compact). The in-kernel
+        # fused one-hot fetch was measured 30 ms SLOWER at 1024x768
+        # (65.8 vs 35.6 ms full path: the (n_tiles, 48, 1024) fetched
+        # output + per-chunk scratch selects cost far more than the
+        # 786k-row gather they replaced); keep the solve lean instead.
         from ..raster.pallas_tiled import depth_reduce_tiled_pallas
 
+        best_id, best_depth, tile_peak = depth_reduce_tiled_pallas(
+            setup, defer_tri, z_init, scene.viewport, batch.xyw,
+            height, width, planar=batch.planar)
         if pixel_shader is None:
             refl = batch.refl if batch.refl.shape[-1] else None
             # Compact table: per-state columns re-join per PIXEL after the
-            # kernel (expand_rows_compact) — the fetch cost scales with the
-            # shipped width, so 44 columns beat 65.
+            # row gather — 44 columns ship through the gather, the 22
+            # state columns join from the tiny state bank via one MXU
+            # one-hot matmul.
             shade_tbl = df.shade_row_table_compact(
                 batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
                 batch.state_idx, batch_refl=refl,
                 e_coef=setup.get("e9", setup["e_coef"]),
                 inv_det_s=setup["inv_det_s"], planar=batch.planar)
-            best_id, best_depth, tile_peak, fetched_rows = \
-                depth_reduce_tiled_pallas(
-                    setup, defer_tri, z_init, scene.viewport, batch.xyw,
-                    height, width, shade_tbl=shade_tbl, planar=batch.planar)
+            tblT = jax.lax.optimization_barrier(shade_tbl.T)
+            tid = jnp.clip(best_id, 0, t_count - 1).reshape(-1)
+            rows_c = jnp.take(tblT, tid, axis=1).reshape(
+                shade_tbl.shape[1], height, width)
+            rows_c = jnp.where((best_id >= 0)[None], rows_c, 0.0)
             fetched_rows = df.expand_rows_compact(
-                fetched_rows, scene.state_i, scene.state_f, scene.tex_hw)
-        else:
-            best_id, best_depth, tile_peak = depth_reduce_tiled_pallas(
-                setup, defer_tri, z_init, scene.viewport, batch.xyw,
-                height, width, planar=batch.planar)
+                rows_c, scene.state_i, scene.state_f, scene.tex_hw)
     elif big:
         from ..raster.tiled import depth_reduce_tiled
 
