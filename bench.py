@@ -134,28 +134,40 @@ def build_scene(width: int, height: int):
 
 
 def honest_fps(rc, tick, windows: int = 2, target_s: float = 6.0,
-               max_frames: int = 48) -> float:
+               max_frames: int = 96) -> float:
     """Frame rate with REAL device completion per window.
 
     `jax.block_until_ready` on the axon TPU tunnel does not fully wait (a
     "blocked" loop measured 0.8 ms/frame while the final readback drained a
     380 s backlog) AND it costs a ~26 ms RPC round trip per call — so the
     window must neither trust it nor pay it per frame. Honest protocol:
-    drain via a full `device_get` BEFORE each window, queue the window's
-    frames with no per-frame sync (the device executes programs in order),
-    then one final full readback — it cannot complete until every frame in
-    the window has truly rendered. Window length adapts to the measured
-    frame time so slow scenes don't run for minutes, and is capped so the
-    dispatch queue never grows hundreds deep."""
+    drain BEFORE each window, queue the window's frames with no per-frame
+    sync (the device executes programs in order), then fence with a
+    device-side SCALAR reduction of the final framebuffer — the 4-byte
+    readback cannot produce a value until every queued frame has truly
+    rendered, without paying the 12 MB / ~220 ms full-image readback
+    (device->host runs ~55 MB/s through the tunnel; the reference presents
+    frames on-GPU and never reads back either). Window length adapts to the
+    measured frame time so slow scenes don't run for minutes, and is capped
+    so the dispatch queue never grows hundreds deep (a deep backlog executes
+    ~20x slower — docs/PERFORMANCE.md)."""
     import jax
+    import jax.numpy as jnp
+
+    fence_sum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
+
+    def fence():
+        v = float(jax.device_get(fence_sum(rc.fb)))
+        assert v == v or True    # consume; NaNs still count as completion
+        return v
 
     tick(0)
     rc.Render()
-    np.asarray(jax.device_get(rc.fb))          # drain any backlog
+    np.asarray(jax.device_get(rc.fb))          # drain + validate readback
     t0 = time.perf_counter()
     tick(1)
     rc.Render()
-    np.asarray(jax.device_get(rc.fb))
+    fence()
     frame_s = max(time.perf_counter() - t0, 1e-4)
     n = max(3, min(max_frames, int(target_s / frame_s)))
     best = 0.0
@@ -166,7 +178,7 @@ def honest_fps(rc, tick, windows: int = 2, target_s: float = 6.0,
             tick(k)
             k += 1
             rc.Render()
-        np.asarray(jax.device_get(rc.fb))      # force true completion
+        fence()                                # forces true completion
         best = max(best, n / (time.perf_counter() - t0))
     return best
 

@@ -148,6 +148,37 @@ def main():
             rows = df.expand_rows_compact(frr, s.state_i, s.state_f, s.tex_hw)
             return bi.sum() + rows.sum()
 
+        def gather_only(st, f, i):
+            """Solve + the 786k-row per-pixel compact-row gather only."""
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                planar=b.planar)
+            tbl = tbl_of(s, b, setup)                      # (T, 44)
+            t = tbl.shape[0]
+            tblT = jax.lax.optimization_barrier(tbl.T)
+            tid = jnp.clip(bi, 0, t - 1).reshape(-1)
+            rows_c = jnp.take(tblT, tid, axis=1).reshape(
+                tbl.shape[1], height, width)
+            return bi.sum() + rows_c.sum()
+
+        def gather_expand(st, f, i):
+            """gather_only + the per-pixel state re-join."""
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                planar=b.planar)
+            tbl = tbl_of(s, b, setup)                      # (T, 44)
+            t = tbl.shape[0]
+            tblT = jax.lax.optimization_barrier(tbl.T)
+            tid = jnp.clip(bi, 0, t - 1).reshape(-1)
+            rows_c = jnp.take(tblT, tid, axis=1).reshape(
+                tbl.shape[1], height, width)
+            rows_c = jnp.where((bi >= 0)[None], rows_c, 0.0)
+            rows = df.expand_rows_compact(rows_c, s.state_i, s.state_f,
+                                          s.tex_hw)
+            return bi.sum() + rows.sum()
+
         def gather_shade(st, f, i):
             """Alternative: solve WITHOUT fetch + per-pixel compact-row
             gather + expand + shade (the pre-fetch design, compact table)."""

@@ -92,6 +92,105 @@ def probe_gather(rows=786432):
         print(f"col gather  {rows} x W{w:<4d}    {msT:8.2f} ms")
 
 
+def probe_cliff(rows=786432):
+    """Shape of the row-gather width cliff: lanes vs bytes, dtype, and
+    whether two independent gathers in one program pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    t = 527744
+    idx = jnp.asarray(np.random.randint(0, t, rows), jnp.int32)
+    for w, dt in ((16, jnp.float32), (20, jnp.float32), (24, jnp.float32),
+                  (28, jnp.float32), (32, jnp.float32),
+                  (32, jnp.bfloat16), (44, jnp.bfloat16),
+                  (64, jnp.bfloat16), (64, jnp.int8), (128, jnp.int8)):
+        tbl = jnp.zeros((t, w), dt)
+        fn = jax.jit(lambda tb, ix: jnp.take(
+            jax.lax.optimization_barrier(tb), ix, axis=0).sum(
+                dtype=jnp.float32))
+        ms = timeit(fn, tbl, idx)
+        print(f"row gather {rows} x W{w:<4d}{dt.__name__:<9s} {ms:8.2f} ms "
+              f"({rows / ms / 1e3:7.0f} Mrows/s, "
+              f"{w * dt(0).dtype.itemsize:4d} B/row)", flush=True)
+
+    # Two INDEPENDENT W16 gathers in one program: do they pipeline?
+    tbl16 = jnp.zeros((t, 16), jnp.float32)
+    idx2 = jnp.asarray(np.random.randint(0, t, rows), jnp.int32)
+    fn2 = jax.jit(lambda tb, ia, ib: jnp.take(tb, ia, axis=0).sum()
+                  + jnp.take(tb, ib, axis=0).sum())
+    print(f"2 indep W16 gathers          {timeit(fn2, tbl16, idx, idx2):8.2f}"
+          " ms", flush=True)
+    # One W16 + one W28 (the split-44 candidate).
+    tbl28 = jnp.zeros((t, 28), jnp.float32)
+    fn3 = jax.jit(lambda ta, tb, ia: jnp.take(ta, ia, axis=0).sum()
+                  + jnp.take(tb, ia, axis=0).sum())
+    print(f"W16 + W28 gathers            {timeit(fn3, tbl16, tbl28, idx):8.2f}"
+          " ms", flush=True)
+
+
+def probe_int8(rows=786432):
+    """int8-bytes row gather + bitcast back to f32: the fast-fetch candidate.
+    Validates speed AND bit-exactness vs the f32 gather."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    t = 527744
+    rng = np.random.default_rng(3)
+    tbl_np = rng.standard_normal((t, 44), np.float32)
+    idx_np = rng.integers(0, t, rows).astype(np.int32)
+    tbl = jnp.asarray(tbl_np)
+    idx = jnp.asarray(idx_np)
+
+    def f32_gather(tb, ix):
+        return jnp.take(jax.lax.optimization_barrier(tb), ix, axis=0)
+
+    def i8_row(tb, ix):
+        b = jax.lax.optimization_barrier(
+            lax.bitcast_convert_type(tb, jnp.uint8).reshape(t, 44 * 4))
+        g = jnp.take(b, ix, axis=0)                       # (R, 176) u8
+        return lax.bitcast_convert_type(g.reshape(-1, 44, 4), jnp.float32)
+
+    def i8_col(tb, ix):
+        b = jax.lax.optimization_barrier(
+            lax.bitcast_convert_type(tb, jnp.uint8).reshape(t, 176).T)
+        g = jnp.take(b, ix, axis=1)                       # (176, R) u8
+        w = g.reshape(44, 4, -1).astype(jnp.int32)
+        word = (w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16)
+                | (w[:, 3] << 24))                        # (44, R) i32
+        return lax.bitcast_convert_type(word, jnp.float32)
+
+    # bit-exactness
+    want = tbl_np[idx_np]
+    got_r = np.asarray(jax.jit(i8_row)(tbl, idx))
+    got_c = np.asarray(jax.jit(i8_col)(tbl, idx)).T
+    print(f"i8 row bit-exact: {np.array_equal(want, got_r)}  "
+          f"i8 col bit-exact: {np.array_equal(want, got_c)}", flush=True)
+
+    for name, fn in (("f32 W44 gather", f32_gather), ("i8 row+bitcast", i8_row),
+                     ("i8 col+repack", i8_col)):
+        ms = timeit(jax.jit(lambda tb, ix, f=fn: f(tb, ix).sum()), tbl, idx)
+        print(f"{name:22s} {ms:8.2f} ms", flush=True)
+
+    # solve-phase shape: 139k x W128 f32 slab gather as int8
+    t2, r2 = 139264, 139264
+    tbl2 = jnp.asarray(rng.standard_normal((t2, 128), np.float32))
+    idx2 = jnp.asarray(rng.integers(0, t2, r2).astype(np.int32))
+    ms = timeit(jax.jit(lambda tb, ix: jnp.take(
+        jax.lax.optimization_barrier(tb), ix, axis=0).sum()), tbl2, idx2)
+    print(f"slab f32 W128 139k     {ms:8.2f} ms", flush=True)
+
+    def i8_slab(tb, ix):
+        b = jax.lax.optimization_barrier(
+            lax.bitcast_convert_type(tb, jnp.uint8).reshape(t2, 512))
+        g = jnp.take(b, ix, axis=0)
+        return lax.bitcast_convert_type(
+            g.reshape(-1, 128, 4), jnp.float32).sum()
+
+    ms = timeit(jax.jit(i8_slab), tbl2, idx2)
+    print(f"slab i8  W512 139k     {ms:8.2f} ms", flush=True)
+
+
 def probe_onehot():
     import jax
     import jax.numpy as jnp

@@ -2031,8 +2031,12 @@ class CKRenderContext(CKObject):
                    and not getattr(c, "video_ids", None)
                    and not getattr(c, "dev_ids", None)
                    and not texdev)
+        from ..raster.types import SI_PERSPECTIVE
+        # 4th element: every state interpolates perspective-correct — the
+        # quantized shade row then drops its (ws3, ivd) words entirely.
         sampler_profile = (bool(np.any(_texd & ~_lin)),
-                           bool(np.any(_texd & _mip)), quad_ok)
+                           bool(np.any(_texd & _mip)), quad_ok,
+                           bool(np.all(si[:, SI_PERSPECTIVE] != 0)))
         params = dict(
             sampler_profile=sampler_profile,
             texdev=tuple(texdev) if texdev else None,

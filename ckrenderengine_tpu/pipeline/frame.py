@@ -572,6 +572,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     # (static shape decision -> part of the jit cache key).
     tile_peak = jnp.int32(0)
     fetched_rows = None
+    shade_eplanes = None
     t_count = batch.valid.shape[0]
     on_tpu = allow_pallas and jax.default_backend() == "tpu"
     big = t_count > 4096
@@ -591,15 +592,44 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         # 786k-row gather they replaced); keep the solve lean instead.
         from ..raster.pallas_tiled import depth_reduce_tiled_pallas
 
-        best_id, best_depth, tile_peak = depth_reduce_tiled_pallas(
-            setup, defer_tri, z_init, scene.viewport, batch.xyw,
-            height, width, planar=batch.planar)
-        if pixel_shader is None:
-            refl = batch.refl if batch.refl.shape[-1] else None
+        refl = batch.refl if batch.refl.shape[-1] else None
+        # Quantized fast fetch: the per-pixel row-gather engine has a width
+        # cliff at 16 f32 lanes (118 vs 68 Mrows/s, micro.py probe_cliff),
+        # so when no state needs mip LOD the gathered row squeezes to <=16
+        # words — colors/spec/fog as u8x4 words (the reference's D3DCOLOR
+        # vertex precision) and NO edge coefficients: the kernel exports
+        # the winner's (e0, e1, e2) per pixel instead (want_eplanes).
+        quant = (pixel_shader is None and sampler_profile is not None
+                 and not sampler_profile[1])
+        if quant:
+            all_persp = len(sampler_profile) > 3 and bool(sampler_profile[3])
+            best_id, best_depth, tile_peak, epl = depth_reduce_tiled_pallas(
+                setup, defer_tri, z_init, scene.viewport, batch.xyw,
+                height, width, planar=batch.planar, want_eplanes=True)
+            shade_tbl = df.shade_row_table_quant(
+                batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
+                batch.state_idx, batch_refl=refl,
+                inv_det_s=setup["inv_det_s"], planar=batch.planar,
+                want_ws=not all_persp)
+            tblT = jax.lax.optimization_barrier(shade_tbl.T)
+            tid = jnp.clip(best_id, 0, t_count - 1).reshape(-1)
+            rows_q = jnp.take(tblT, tid, axis=1).reshape(
+                shade_tbl.shape[1], height, width)
+            rows_q = jnp.where((best_id >= 0)[None], rows_q, jnp.int32(0))
+            fetched_rows = df.expand_rows_quant(
+                rows_q, scene.state_i, scene.state_f, scene.tex_hw,
+                want_ws=not all_persp, has_refl=refl is not None)
+            shade_eplanes = (epl[0], epl[1], epl[2])
+        else:
+            best_id, best_depth, tile_peak = depth_reduce_tiled_pallas(
+                setup, defer_tri, z_init, scene.viewport, batch.xyw,
+                height, width, planar=batch.planar)
+        if pixel_shader is None and not quant:
             # Compact table: per-state columns re-join per PIXEL after the
             # row gather — 44 columns ship through the gather, the 22
             # state columns join from the tiny state bank via one MXU
-            # one-hot matmul.
+            # one-hot matmul. (The in-kernel fused one-hot fetch measured
+            # 30 ms SLOWER at 1024x768 than this gather.)
             shade_tbl = df.shade_row_table_compact(
                 batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
                 batch.state_idx, batch_refl=refl,
@@ -634,7 +664,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         fb = df.shade_rows(
             fetched_rows, best_id >= 0, scene.tex_planes, scene.tex_hw,
             scene.fog_color, clear_fb, height, width,
-            sampler_profile=sampler_profile, tex_quad=scene.tex_quad)
+            sampler_profile=sampler_profile, tex_quad=scene.tex_quad,
+            eplanes=shade_eplanes)
     else:
         fb = df.shade_deferred(
             best_id, batch.xyw, batch.z, batch.color, batch.specular,

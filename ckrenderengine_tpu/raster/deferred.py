@@ -726,6 +726,137 @@ def shade_row_table_compact(batch_xyw, batch_color, batch_spec, batch_uv,
     return jnp.concatenate(cols, axis=1)
 
 
+# Quantized shade-row layout (the TPU fast-fetch path): the per-pixel row
+# gather engine has a width cliff at 16 f32 lanes (118 Mrows/s at W16 vs 68
+# at W32+, benchmarks/micro.py probe_cliff), so the fetched row is squeezed
+# to <= 16 words for the common case. Colors, speculars and fog quantize to
+# u8 packed four-per-word — exactly the reference's D3D9 vertex precision
+# (D3DCOLOR DWORDs, saturated per vertex) — and the 9 edge coefficients
+# drop out entirely: the Pallas solve kernel exports the WINNER's
+# (e0, e1, e2) per pixel instead (pallas_tiled want_eplanes).
+SH_Q_UV = slice(0, 6)     # corner UVs (3 x 2), f32
+SH_Q_STIDX = 6            # state index, f32 integer
+SH_Q_COL = slice(7, 10)   # 3 words: corner RGBA as u8x4 (bitcast)
+SH_Q_SPF = slice(10, 13)  # 3 words: corner spec RGB + fog as u8x4
+SH_Q_NBASE = 13           # +4 (ws3, ivd) when any non-perspective state;
+                          # +9 refl when cube env; padded to a lane multiple
+
+
+def _q8(v):
+    """[0,1] f32 -> u8 as i32 (round-to-nearest, saturated) — the D3D9
+    vertex-color DWORD quantization (D3DCOLOR_COLORVALUE semantics)."""
+    return jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0).astype(jnp.int32)
+
+
+def _pack4(b0, b1, b2, b3):
+    return b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+
+
+def _unpack4(word):
+    inv = jnp.float32(1.0 / 255.0)
+    return ((word & 0xFF).astype(jnp.float32) * inv,
+            ((word >> 8) & 0xFF).astype(jnp.float32) * inv,
+            ((word >> 16) & 0xFF).astype(jnp.float32) * inv,
+            ((word >> 24) & 0xFF).astype(jnp.float32) * inv)
+
+
+def _f2i(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+
+def _i2f(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def shade_row_table_quant(batch_xyw, batch_color, batch_spec, batch_uv,
+                          batch_fog, batch_state, batch_refl=None,
+                          inv_det_s=None, planar=None,
+                          want_ws: bool = False):
+    """(T, <=28) quantized shade rows (see SH_Q_* layout).
+
+    ``want_ws``: include (ws3, ivd) f32 words — only needed when some render
+    state disables perspective-correct interpolation (SI_PERSPECTIVE = 0).
+
+    The table dtype is INT32: f32 columns travel bitcast. Packed u8 bytes
+    can alias NaN/denormal f32 bit patterns, which float-typed data
+    movement is allowed to canonicalize/flush; integer movement is
+    bit-transparent by construction."""
+    has_refl = batch_refl is not None and batch_refl.shape[-1] > 0
+    if planar is not None:
+        cp = planar["c"]
+        t = cp[0].shape[0]
+        ws3 = [cp[k][:, 2:3] for k in range(3)]                   # 3 x (T,1)
+        colk = [cp[k][:, 4:8] for k in range(3)]                  # (T,4) RGBA
+        spck = [cp[k][:, 8:11] for k in range(3)]                 # (T,3)
+        uv6 = jnp.concatenate([c[:, 11:13] for c in cp], axis=1)  # (T,6)
+        fogk = [cp[k][:, 13] for k in range(3)]                   # (T,)
+        reflc = ([c[:, 14:17] for c in cp] if has_refl else None)
+    else:
+        t = batch_xyw.shape[0]
+        ws3 = [batch_xyw[:, k, 2:3] for k in range(3)]
+        colk = [batch_color[:, k] for k in range(3)]
+        spck = [batch_spec[:, k] for k in range(3)]
+        uv6 = batch_uv.reshape(t, 6)
+        fogk = [batch_fog[:, k] for k in range(3)]
+        reflc = ([batch_refl[:, k] for k in range(3)] if has_refl else None)
+    cols = [_f2i(uv6), batch_state.astype(jnp.int32)[:, None]]
+    for k in range(3):
+        c = _q8(colk[k])
+        cols.append(_pack4(c[:, 0], c[:, 1], c[:, 2], c[:, 3])[:, None])
+    for k in range(3):
+        s = _q8(spck[k])
+        f = _q8(fogk[k])
+        cols.append(_pack4(s[:, 0], s[:, 1], s[:, 2], f)[:, None])
+    if want_ws:
+        cols += [_f2i(w3) for w3 in ws3]
+        cols.append(_f2i(inv_det_s[:, None]))
+    if has_refl:
+        cols += [_f2i(r) for r in reflc]
+    tbl = jnp.concatenate(cols, axis=1)
+    pad = (-tbl.shape[1]) % 4
+    if tbl.shape[1] <= 16:
+        pad = 16 - tbl.shape[1]
+    if pad:
+        tbl = jnp.pad(tbl, ((0, 0), (0, pad)))
+    return tbl
+
+
+def expand_rows_quant(rows_q, state_i, state_f, tex_hw,
+                      want_ws: bool, has_refl: bool):
+    """Quantized per-pixel INT32 rows (Wq, H, W) -> the full shade_rows
+    layout (65[+9], H, W) with ZERO edge-coefficient planes (shade_rows
+    must be called with ``eplanes`` so the EC block is never read)."""
+    h, w = rows_q.shape[1], rows_q.shape[2]
+    zeros9 = jnp.zeros((9, h, w), jnp.float32)
+    off = SH_Q_NBASE
+    if want_ws:
+        ws_ivd = _i2f(rows_q[off:off + 4])
+        off += 4
+    else:
+        ws_ivd = jnp.zeros((4, h, w), jnp.float32)
+    col12, spc9, fog3 = [], [], []
+    for k in range(3):
+        r, g, b, a = _unpack4(rows_q[SH_Q_COL.start + k])
+        col12 += [r, g, b, a]
+    for k in range(3):
+        r, g, b, f = _unpack4(rows_q[SH_Q_SPF.start + k])
+        spc9 += [r, g, b]
+        fog3.append(f)
+    st = _shade_state_rows(state_i, state_f, tex_hw)          # (S, 22)
+    s = st.shape[0]
+    stidx = rows_q[SH_Q_STIDX].reshape(-1)
+    oh = (jnp.arange(s, dtype=jnp.int32)[:, None] == stidx[None, :])
+    st_px = jnp.matmul(st.T, oh.astype(jnp.float32),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)   # (22, HW)
+    parts = [zeros9, ws_ivd, jnp.stack(col12), jnp.stack(spc9),
+             _i2f(rows_q[SH_Q_UV]), jnp.stack(fog3),
+             st_px.reshape(22, h, w)]
+    if has_refl:
+        parts.append(_i2f(rows_q[off:off + 9]))
+    return jnp.concatenate(parts, axis=0)
+
+
 def expand_rows_compact(rows_c, state_i, state_f, tex_hw):
     """Compact per-pixel rows (44[+9], H, W) -> full shade_rows layout
     (65[+9], H, W): join the 22 per-state columns per pixel via a
@@ -775,10 +906,17 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
 
 
 def shade_rows(row, hit, tex_planes, tex_hw, fog_color, clear_fb,
-               height: int, width: int, sampler_profile=None, tex_quad=None):
+               height: int, width: int, sampler_profile=None, tex_quad=None,
+               eplanes=None):
     """Fixed-function shade over per-pixel winner ROWS (C,H,W) in the
     shade_row_table layout — the per-pixel half of the deferred shade,
-    shared by the gather path and the Pallas in-kernel fetch path."""
+    shared by the gather path and the Pallas in-kernel fetch path.
+
+    ``eplanes``: optional (e0, e1, e2) per-pixel winner edge values exported
+    by the Pallas solve (want_eplanes). When given, the row's EC block is
+    never read (the quantized path ships zero planes there) and the
+    gradient-based mip LOD is unavailable — callers must be on a no-mip
+    sampler profile (frame.py gates this statically)."""
     from ..math.vxmath import oct_encode
     from .types import SF_CONST_R, SI_COLORWRITE, SI_TEXGEN, TEXGEN_CUBE
 
@@ -814,9 +952,12 @@ def shade_rows(row, hit, tex_planes, tex_hw, fog_color, clear_fb,
     def plane3(o):
         return row[o] * px + row[o + 1] * py + row[o + 2]
 
-    e0 = plane3(0)
-    e1 = plane3(3)
-    e2 = plane3(6)
+    if eplanes is not None:
+        e0, e1, e2 = eplanes
+    else:
+        e0 = plane3(0)
+        e1 = plane3(3)
+        e2 = plane3(6)
     esum = e0 + e1 + e2
     persp = si(SI_PERSPECTIVE) != 0
     inv_esum = 1.0 / jnp.where(jnp.abs(esum) < 1e-30, 1e-30, esum)
@@ -858,7 +999,7 @@ def shade_rows(row, hit, tex_planes, tex_hw, fog_color, clear_fb,
     # render-state cache).
     lod = None
     if tex_hw.shape[1] > 2 and (sampler_profile is None
-                                or sampler_profile[1]):
+                                or sampler_profile[1]) and eplanes is None:
 
         def uv_at(de0, de1, de2):
             e0n, e1n, e2n = e0 + de0, e1 + de1, e2 + de2

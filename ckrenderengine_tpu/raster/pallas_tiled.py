@@ -62,7 +62,7 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
                   rows_hbm, outd_ref, outi_ref, *rest, kchunk: int,
                   nrow: int, tile: int, tx_n: int, n_planes: int,
                   gbase: int, gcap_chunks: int, scap_chunks: int,
-                  sh_w: int = 0, sh_out: int = 0):
+                  sh_w: int = 0, sh_out: int = 0, want_e: bool = False):
     """One screen tile: stream [start, start+count) packed rows from HBM
     through a double-buffered VMEM slab, reducing (depth, id) into a
     register-resident (1, tile*tile) carry.
@@ -186,15 +186,20 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
             for k in range(4):
                 r8 = r32[k * 8:(k + 1) * 8]
                 live = (off + k * 8 + sub8) < nhere        # (8, 1)
-                parts.append(_group_eval(r8, px, py, n_planes, live))
+                parts.append(_group_eval(r8, px, py, n_planes, live,
+                                         want_e=want_e))
             ab = _merge(parts[0], parts[1])
             cd = _merge(parts[2], parts[3])
             return _merge(car, _merge(ab, cd))
 
         local = (jnp.full((1, npix), _BIG, jnp.float32),
                  jnp.full((1, npix), -1, jnp.int32))
-        cd_, ci_ = jax.lax.fori_loop(0, (nhere + 31) // 32, sg_body, local)
-        bd, bi = carry
+        if want_e:
+            local += tuple(jnp.zeros((1, npix), jnp.float32)
+                           for _ in range(3))
+        loc = jax.lax.fori_loop(0, (nhere + 31) // 32, sg_body, local)
+        cd_, ci_ = loc[0], loc[1]
+        bd, bi = carry[0], carry[1]
         better = (cd_ < bd) | ((cd_ == bd) & (ci_ > bi))   # (1, npix)
         if sh_w:
             # Fused fetch: the chunk winner's shade row via ONE one-hot MXU
@@ -217,7 +222,7 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
                            preferred_element_type=jnp.float32,
                            precision=_FETCH_PRECISION)
             facc[:] = jnp.where(better, crow, facc[:])
-        return (jnp.where(better, cd_, bd), jnp.where(better, ci_, bi))
+        return tuple(jnp.where(better, y, x) for x, y in zip(carry, loc))
 
     def pair_body(cp, carry):
         """Two chunks per step so buffer slots stay STATIC (0 then 1)."""
@@ -241,29 +246,44 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
         return jax.lax.cond(c0 + 1 < total, odd, lambda car: car, carry)
 
     init = (initd_ref[0][0:1], jnp.full((1, npix), -1, jnp.int32))
-    best_d, best_i = jax.lax.fori_loop(0, (total + 1) // 2, pair_body, init)
-    best_d = jnp.where(scissor, best_d, initd_ref[0][0:1])
-    best_i = jnp.where(scissor, best_i, jnp.int32(-1))
-    outd_ref[0] = jnp.broadcast_to(best_d, (8, npix))
+    if want_e:
+        init += tuple(jnp.zeros((1, npix), jnp.float32) for _ in range(3))
+    fin = jax.lax.fori_loop(0, (total + 1) // 2, pair_body, init)
+    best_d = jnp.where(scissor, fin[0], initd_ref[0][0:1])
+    best_i = jnp.where(scissor, fin[1], jnp.int32(-1))
+    if want_e:
+        # Sublane-packed output: [depth, e0, e1, e2] ride the depth block's
+        # otherwise-dead sublanes (the (8, npix) shape only exists because a
+        # (1, npix) block is not a legal TPU block mapping).
+        ep = [jnp.where(scissor, fin[2 + k], 0.0) for k in range(3)]
+        outd_ref[0] = jnp.concatenate(
+            [best_d] + ep + [best_d, best_d, best_d, best_d], axis=0)
+    else:
+        outd_ref[0] = jnp.broadcast_to(best_d, (8, npix))
     outi_ref[0] = jnp.broadcast_to(best_i, (8, npix))
     if sh_w:
         outr_ref[0] = facc[: (sh_out or sh_w)]
 
 
 def _merge(a, b):
-    """(depth, id) lattice merge: lower depth wins, exact ties to larger id
-    — associative, so any merge order matches the sequential reduce bit for
-    bit."""
-    bd, bi = a
-    dm, tid = b
+    """(depth, id, *extras) lattice merge: lower depth wins, exact ties to
+    larger id — associative, so any merge order matches the sequential
+    reduce bit for bit. Extra fields ride the same select."""
+    bd, bi = a[0], a[1]
+    dm, tid = b[0], b[1]
     better = (dm < bd) | ((dm == bd) & (tid > bi))
-    return (jnp.where(better, dm, bd), jnp.where(better, tid, bi))
+    return tuple(jnp.where(better, y, x) for x, y in zip(a, b))
 
 
-def _group_eval(r8, px, py, n_planes, live):
+def _group_eval(r8, px, py, n_planes, live, want_e: bool = False):
     """Evaluate 8 packed triangle rows (sublanes of ``r8``) against the
     tile's pixel lanes -> group winner (depth (1, npix), id (1, npix)) —
-    exactly deferred.depth_reduce's per-pixel arithmetic."""
+    exactly deferred.depth_reduce's per-pixel arithmetic.
+
+    ``want_e``: also return the winner's raw edge values (e0, e1, e2) per
+    pixel — the shade stage's perspective weights come from these, so the
+    quantized fetch path (deferred.SH_Q_*) can drop the 9 edge-coefficient
+    columns from the per-pixel gather."""
 
     def col(i):                                            # (8, 1)
         return r8[:, i:i + 1]
@@ -292,7 +312,16 @@ def _group_eval(r8, px, py, n_planes, live):
     idv = jnp.where(cov, tid, jnp.int32(-1))
     dmin = jnp.min(dm, axis=0, keepdims=True)              # (1, npix)
     idw = jnp.max(jnp.where(dm == dmin, idv, -1), axis=0, keepdims=True)
-    return dmin, idw
+    if not want_e:
+        return dmin, idw
+    # The winner row is unique ((dm == dmin) & (idv == idw)); exactly one
+    # sublane contributes, so the masked sum reproduces its e-values
+    # exactly (0 + v == v in f32 for all finite v).
+    m = (dm == dmin) & (idv == idw)
+    e0w = jnp.sum(jnp.where(m, e0, 0.0), axis=0, keepdims=True)
+    e1w = jnp.sum(jnp.where(m, e1, 0.0), axis=0, keepdims=True)
+    e2w = jnp.sum(jnp.where(m, e2, 0.0), axis=0, keepdims=True)
+    return dmin, idw, e0w, e1w, e2w
 
 
 def _scan_place(astarts, starts, ends, counts, sl_aligned, n_tiles):
@@ -327,7 +356,7 @@ def _scan_place(astarts, starts, ends, counts, sl_aligned, n_tiles):
     jax.jit,
     static_argnames=("height", "width", "tile", "max_span", "chunk", "span2",
                      "g_cap", "slab_cap", "pair_cap", "kchunk", "interpret",
-                     "_probe"))
+                     "_probe", "want_eplanes"))
 def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                               height: int, width: int, tile: int = 32,
                               max_span: int = 2, chunk: int = 32,
@@ -336,11 +365,17 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                               kchunk: int = 128,
                               interpret: bool = False,
                               _probe: str | None = None,
-                              shade_tbl=None, planar=None):
+                              shade_tbl=None, planar=None,
+                              want_eplanes: bool = False):
     """Tile-binned argmin depth reduce, Pallas phase B (exact).
 
     Same contract as tiled.depth_reduce_tiled: returns (best_id (H,W) int32,
     best_depth (H,W) f32, peak () int32).
+
+    ``want_eplanes``: additionally return the winner's raw per-pixel edge
+    values as a 4th result (3, H, W) — consumed by the quantized shade path
+    (deferred.expand_rows_quant / shade_rows(eplanes=...)), which then needs
+    no edge-coefficient columns in its per-pixel gather.
 
     ``shade_tbl``: optional (T, C<=~90) per-triangle shade row table
     (deferred.shade_row_table layout). When given, the stream rows carry the
@@ -622,7 +657,7 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         _solve_kernel, kchunk=kchunk, nrow=nrow, tile=tile, tx_n=tx_n,
         n_planes=n_planes, gbase=sl_aligned,
         gcap_chunks=lrows // kchunk, scap_chunks=lrows // kchunk,
-        sh_w=sh_w, sh_out=sh_out)
+        sh_w=sh_w, sh_out=sh_out, want_e=want_eplanes)
     out_specs = [
         pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -672,6 +707,8 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     )(*args)
     best_d, best_i = outs[0], outs[1]
     fetched = outs[2] if sh_w else None          # (n_tiles, sh_w, npix)
+    if want_eplanes:
+        epl_t = outs[0][:, 1:4].reshape(n_tiles, 3, tile, tile)
     best_d = best_d[:, 0].reshape(n_tiles, tile, tile)
     best_i = best_i[:, 0].reshape(n_tiles, tile, tile)
     if _probe in ("kernel", "fetch_out8"):   # perf probes: kernel only
@@ -748,6 +785,28 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     bd = bd.reshape(full_h, full_w)[:height, :width]
     bi = best_i.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3)
     bi = bi.reshape(full_h, full_w)[:height, :width]
+    if want_eplanes:
+        ep = epl_t.reshape(ty_n, tx_n, 3, tile, tile)
+        ep = ep.transpose(2, 0, 3, 1, 4).reshape(3, full_h, full_w)
+        ep = ep[:, :height, :width]
+        # Beyond-cap fallback streams update only (best_d, best_i); if any
+        # winner changed (pathological overflow — zero iterations on real
+        # frames), recompute the winner e-values per pixel from the full
+        # row table. lax.cond skips it otherwise.
+        changed_e = jnp.any(best_i != kernel_i)
+
+        def recompute_e(_):
+            tid = jnp.clip(bi, 0, t - 1).reshape(-1)
+            ecT = jax.lax.optimization_barrier(full_rows[:, 0:9].T)
+            ec = jnp.take(ecT, tid, axis=1).reshape(9, height, width)
+            pxh = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+            pyh = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+            e = jnp.stack([ec[3 * k] * pxh + ec[3 * k + 1] * pyh
+                           + ec[3 * k + 2] for k in range(3)])
+            return jnp.where((bi >= 0)[None], e, 0.0)
+
+        ep = lax.cond(changed_e, recompute_e, lambda _: ep, 0)
+        return bi, bd, peak, ep
     if not sh_w:
         return bi, bd, peak
     shn = shade_tbl.shape[1]

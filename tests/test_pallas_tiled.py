@@ -297,3 +297,110 @@ def test_compact_fetch_shade_matches_gather_shade():
     # the two differ by float rounding; 3e-5 covers the worst pixel.
     np.testing.assert_allclose(np.asarray(fb_fetch), np.asarray(fb_gather),
                                atol=3e-5)
+
+
+def test_quant_fetch_shade_matches_gather_shade():
+    """The quantized fast-fetch path (<=16-word table + kernel e-plane
+    export + per-pixel unpack, frame.py quant branch) must match
+    shade_deferred within the u8 quantization step (colors/spec/fog round
+    to 1/255 per corner — the reference's D3DCOLOR vertex precision)."""
+    from ckrenderengine_tpu.raster.deferred import (
+        SH_Q_NBASE, expand_rows_quant, shade_row_table_quant, shade_rows,
+    )
+
+    h, w = 48, 96
+    t = 180
+    rng = np.random.default_rng(11)
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=11)
+    si, sf = pack_states([RasterState()])
+    si = jnp.asarray(si)
+    sf = jnp.asarray(sf)
+    setup = df.triangle_setup(xyw, z, jnp.zeros(t, jnp.int32),
+                              jnp.ones(t, bool), si)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+
+    color = jnp.asarray(rng.uniform(0, 1, (t, 3, 4)).astype(np.float32))
+    spec = jnp.asarray(rng.uniform(0, 0.3, (t, 3, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0, 1, (t, 3, 2)).astype(np.float32))
+    fog = jnp.asarray(rng.uniform(0.4, 1, (t, 3)).astype(np.float32))
+    tex_planes = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    tex_hw = jnp.asarray([[8, 8]], jnp.int32)
+    fog_color = jnp.asarray([0.2, 0.3, 0.4], jnp.float32)
+    clear_fb = jnp.zeros((4, h, w), jnp.float32)
+
+    bi, bd, _, epl = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, interpret=True,
+        want_eplanes=True)
+
+    # e-planes must equal the winner's own edge values recomputed from the
+    # setup coefficients (exactly, modulo FMA contraction).
+    bi_np = np.asarray(bi)
+    ec = np.asarray(setup["e_coef"]).reshape(t, 9)
+    pxh = np.arange(w, dtype=np.float32)[None, :] + 0.5
+    pyh = np.arange(h, dtype=np.float32)[:, None] + 0.5
+    tidn = np.clip(bi_np, 0, t - 1)
+    want_e = np.stack([ec[tidn, 3 * k] * pxh + ec[tidn, 3 * k + 1] * pyh
+                       + ec[tidn, 3 * k + 2] for k in range(3)])
+    want_e = np.where((bi_np >= 0)[None], want_e, 0.0)
+    # FMA contraction differs between the kernel and numpy; the absolute
+    # wobble scales with the edge-function TERM magnitude (a*px), which the
+    # per-pixel row maximum approximates (near an edge e itself cancels to
+    # ~0 while the terms stay large).
+    scale = np.maximum(np.abs(want_e).max(axis=0, keepdims=True), 1.0)
+    np.testing.assert_allclose(np.asarray(epl) / scale, want_e / scale,
+                               atol=2e-4)
+
+    tbl = shade_row_table_quant(
+        xyw, color, spec, uv, fog, jnp.zeros(t, jnp.int32),
+        inv_det_s=setup["inv_det_s"], want_ws=False)
+    assert tbl.shape[1] == 16 and SH_Q_NBASE == 13
+    tblT = jnp.asarray(tbl).T
+    tid = jnp.clip(bi, 0, t - 1).reshape(-1)
+    rows_q = jnp.take(tblT, tid, axis=1).reshape(tbl.shape[1], h, w)
+    rows_q = jnp.where((bi >= 0)[None], rows_q, jnp.int32(0))
+    rows = expand_rows_quant(rows_q, si, sf, tex_hw,
+                             want_ws=False, has_refl=False)
+    fb_q = shade_rows(rows, bi >= 0, tex_planes, tex_hw, fog_color,
+                      clear_fb, h, w,
+                      eplanes=(epl[0], epl[1], epl[2]))
+    fb_gather = df.shade_deferred(
+        bi, xyw, z, color, spec, uv, fog, jnp.zeros(t, jnp.int32), si, sf,
+        tex_planes, tex_hw, fog_color, clear_fb, h, w)
+    # u8 corner quantization bounds the interpolated error by 0.5/255 per
+    # corner; spec adds on top -> < 3/255 total.
+    np.testing.assert_allclose(np.asarray(fb_q), np.asarray(fb_gather),
+                               atol=3.0 / 255.0)
+
+
+def test_quant_table_ws_and_refl_layout():
+    """Layout variants: want_ws appends (ws3, ivd); refl appends 9 f32."""
+    from ckrenderengine_tpu.raster.deferred import shade_row_table_quant
+
+    t = 32
+    rng = np.random.default_rng(3)
+    xyw = jnp.asarray(rng.normal(0, 1, (t, 3, 3)).astype(np.float32))
+    color = jnp.asarray(rng.uniform(0, 1, (t, 3, 4)).astype(np.float32))
+    spec = jnp.asarray(rng.uniform(0, 1, (t, 3, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0, 1, (t, 3, 2)).astype(np.float32))
+    fog = jnp.asarray(rng.uniform(0, 1, (t, 3)).astype(np.float32))
+    refl = jnp.asarray(rng.normal(0, 1, (t, 3, 3)).astype(np.float32))
+    ivd = jnp.asarray(rng.uniform(0.5, 2, (t,)).astype(np.float32))
+    st = jnp.zeros(t, jnp.int32)
+
+    t16 = shade_row_table_quant(xyw, color, spec, uv, fog, st, inv_det_s=ivd)
+    assert t16.shape == (t, 16) and t16.dtype == jnp.int32
+    t_ws = shade_row_table_quant(xyw, color, spec, uv, fog, st,
+                                 inv_det_s=ivd, want_ws=True)
+    assert t_ws.shape == (t, 20)
+    np.testing.assert_array_equal(
+        np.asarray(t_ws[:, 13:16]).view(np.float32), np.asarray(xyw[..., 2]))
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(np.asarray(t_ws[:, 16])).view(np.float32),
+        np.asarray(ivd))
+    t_rf = shade_row_table_quant(xyw, color, spec, uv, fog, st,
+                                 inv_det_s=ivd, batch_refl=refl)
+    assert t_rf.shape == (t, 24)
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(np.asarray(t_rf[:, 13:22])).view(np.float32),
+        np.asarray(refl.reshape(t, 9)))
