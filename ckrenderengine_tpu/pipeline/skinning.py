@@ -83,7 +83,15 @@ def apply_skin(world: jnp.ndarray, positions: jnp.ndarray, normals: jnp.ndarray,
     if bank.pool_idx.shape[0] == 0:
         return positions, normals
     bmats = bone_matrices(world, bank)                       # (B,4,4)
-    vb = jnp.take(bmats, bank.bone_idx, axis=0)              # (SV,K,4,4)
+    # Bone-matrix fetch through the one-hot MXU join (bit-exact, see
+    # deferred.take_small): the general gather costs ~8 ns/row regardless
+    # of table size — at 60k verts x 4 bones that is ~2 ms/frame, vs ~0.2
+    # ms of dense one-hot matmul against the tiny (B<=128, 16) bank.
+    from ..raster.deferred import take_small
+
+    sv, k = bank.bone_idx.shape
+    vb = take_small(bmats.reshape(-1, 16),
+                    bank.bone_idx.reshape(-1)).reshape(sv, k, 4, 4)
 
     p4 = jnp.concatenate(
         [bank.rest_pos, jnp.ones(bank.rest_pos.shape[:-1] + (1,), jnp.float32)], -1)
