@@ -148,6 +148,49 @@ def main():
             rows = df.expand_rows_compact(frr, s.state_i, s.state_f, s.tex_hw)
             return bi.sum() + rows.sum()
 
+        def quant_shade(st, f, i):
+            """Production quant path: solve w/ e-planes + 16-word int32
+            gather + unpack + shade."""
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk, epl = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                planar=b.planar, want_eplanes=True)
+            refl = b.refl if b.refl.shape[-1] else None
+            tbl = df.shade_row_table_quant(
+                b.xyw, b.color, b.specular, b.uv, b.fog, b.state_idx,
+                batch_refl=refl, inv_det_s=setup["inv_det_s"],
+                planar=b.planar, want_ws=False)
+            tblT = jax.lax.optimization_barrier(tbl.T)
+            tid = jnp.clip(bi, 0, tbl.shape[0] - 1).reshape(-1)
+            rows_q = jnp.take(tblT, tid, axis=1).reshape(
+                tbl.shape[1], height, width)
+            rows_q = jnp.where((bi >= 0)[None], rows_q, jnp.int32(0))
+            rows = df.expand_rows_quant(rows_q, s.state_i, s.state_f,
+                                        s.tex_hw, want_ws=False,
+                                        has_refl=refl is not None)
+            clear_fb = jnp.broadcast_to(
+                s.clear_color[:, None, None].astype(jnp.float32),
+                (4, height, width))
+            fb = df.shade_rows(rows, bi >= 0, s.tex_planes, s.tex_hw,
+                               s.fog_color, clear_fb, height, width,
+                               sampler_profile=params.get("sampler_profile"),
+                               tex_quad=s.tex_quad,
+                               eplanes=(epl[0], epl[1], epl[2]))
+            return fb.sum()
+
+        def quant_nogather(st, f, i):
+            """Solve w/ e-planes + table build only (no per-pixel work)."""
+            s, b, setup, defer = upto_setup(st, f, i)
+            bi, bd, pk, epl = depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                planar=b.planar, want_eplanes=True)
+            refl = b.refl if b.refl.shape[-1] else None
+            tbl = df.shade_row_table_quant(
+                b.xyw, b.color, b.specular, b.uv, b.fog, b.state_idx,
+                batch_refl=refl, inv_det_s=setup["inv_det_s"],
+                planar=b.planar, want_ws=False)
+            return bi.sum() + epl.sum() + tbl.sum()
+
         def gather_only(st, f, i):
             """Solve + the 786k-row per-pixel compact-row gather only."""
             s, b, setup, defer = upto_setup(st, f, i)

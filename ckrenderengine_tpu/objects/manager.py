@@ -2034,9 +2034,12 @@ class CKRenderContext(CKObject):
         from ..raster.types import SI_PERSPECTIVE
         # 4th element: every state interpolates perspective-correct — the
         # quantized shade row then drops its (ws3, ivd) words entirely.
+        # 5th: any state binds a texture at all — false compiles the whole
+        # per-pixel sampling stage away (deferred.shade_rows).
         sampler_profile = (bool(np.any(_texd & ~_lin)),
                            bool(np.any(_texd & _mip)), quad_ok,
-                           bool(np.all(si[:, SI_PERSPECTIVE] != 0)))
+                           bool(np.all(si[:, SI_PERSPECTIVE] != 0)),
+                           bool(np.any(_texd)))
         params = dict(
             sampler_profile=sampler_profile,
             texdev=tuple(texdev) if texdev else None,

@@ -1022,15 +1022,24 @@ def shade_rows(row, hit, tex_planes, tex_hw, fog_color, clear_fb,
                      + ((uy[1] - uvil[1]) * th_) ** 2))
         lod = jnp.log2(jnp.maximum(rho, 1.0))
 
-    prm = {k: row[_TP + i] for i, k in enumerate(_TEX_PARAM_KEYS)}
-    texel = _sample_texture_core(
-        tex_planes, has_mips, prm, uvil[0], uvil[1],
-        si(SI_TEXADDR).astype(jnp.int32), si(SI_TEXFILTER).astype(jnp.int32),
-        border, lod=lod, profile=sampler_profile, quad_flat=tex_quad)
-    const = [sf(SF_CONST_R + c) for c in range(3)]
-    blended = tex_blend_pp(si(SI_TEXBLEND).astype(jnp.int32), texel, colorp,
-                           const)
-    colorp = [jnp.where(has_tex, blended[c], colorp[c]) for c in range(4)]
+    # Static any-textured gate (sampler_profile[4]): jnp.where masks VALUES,
+    # not execution — an untextured frame would still pay the full per-pixel
+    # texel gather (~6.6 ms at 1024x768). When the state bank proves no
+    # state binds a texture, the sampling stage compiles away entirely.
+    any_tex = (sampler_profile is None or len(sampler_profile) < 5
+               or bool(sampler_profile[4]))
+    if any_tex:
+        prm = {k: row[_TP + i] for i, k in enumerate(_TEX_PARAM_KEYS)}
+        texel = _sample_texture_core(
+            tex_planes, has_mips, prm, uvil[0], uvil[1],
+            si(SI_TEXADDR).astype(jnp.int32),
+            si(SI_TEXFILTER).astype(jnp.int32),
+            border, lod=lod, profile=sampler_profile, quad_flat=tex_quad)
+        const = [sf(SF_CONST_R + c) for c in range(3)]
+        blended = tex_blend_pp(si(SI_TEXBLEND).astype(jnp.int32), texel,
+                               colorp, const)
+        colorp = [jnp.where(has_tex, blended[c], colorp[c])
+                  for c in range(4)]
 
     spec = interp(_SPC, 3)
     for c in range(3):
