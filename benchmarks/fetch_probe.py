@@ -148,6 +148,12 @@ def main():
             rows = df.expand_rows_compact(frr, s.state_i, s.state_f, s.tex_hw)
             return bi.sum() + rows.sum()
 
+        def probe_bins(st, f, i):
+            s, b, setup, defer = upto_setup(st, f, i)
+            return depth_reduce_tiled_pallas(
+                setup, defer, s.clear_z, s.viewport, b.xyw, height, width,
+                _probe="bins", planar=b.planar)
+
         def quant_shade(st, f, i):
             """Production quant path: solve w/ e-planes + 16-word int32
             gather + unpack + shade."""
@@ -279,8 +285,13 @@ def main():
             r = fn(static, dyn_f, dyn_i)
         np.asarray(jax.device_get(r))
         ms = (time.perf_counter() - t0) / iters * 1000
+        extra = ""
+        if name == "probe_bins":
+            v = np.asarray(jax.device_get(r))
+            extra = (f"  [n_small={v[0]} n_mid={v[1]} n_glob={v[2]}"
+                     f" n_live_pairs={v[3]} peak={v[4]}]")
         print(f"{name:14s} {ms:9.2f} ms (+{ms - prev:8.2f})  "
-              f"[compile {t_compile:.0f}s]", flush=True)
+              f"[compile {t_compile:.0f}s]{extra}", flush=True)
         prev = ms
 
 

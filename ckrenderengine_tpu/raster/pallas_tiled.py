@@ -489,10 +489,12 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     # (each ~flat per-row cost — 8x the single wide-row gather).
     full_rows = jax.lax.optimization_barrier(
         jnp.concatenate(full_cols, axis=1))                    # (T, nrow)
-    slab_rows = jnp.take(full_rows, safe, axis=0)              # (LG, nrow)
-    fl = slab_rows[:, _C_FL].astype(jnp.int32)
-    fl = (fl & 7) + 8 * ((fl >= 8) & all_ok).astype(jnp.int32)
-    slab_rows = slab_rows.at[:, _C_FL].set(fl.astype(jnp.float32))
+    # Slab slot -> triangle id with the dead/overflow mask BAKED IN: slots
+    # whose class bit says dead map to the zero pad row (flags 0 -> never
+    # covers). The stream gather below then pulls rows straight from
+    # full_rows — the old (LG, nrow) intermediate slab gather was 139k
+    # wide-row gathers (~2 ms at Ballance scale) spent mostly on dead slots.
+    safe_ok = jnp.where(all_ok & (all_id < t), safe, t)        # (LG,)
 
     # Pair keys + ONE u32 sort -> per-tile contiguous stream ranges.
     pbits = int(lg).bit_length()
@@ -534,7 +536,7 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     k1 = pair_keys(slice(0, slab_l), max_span)
     k2 = pair_keys(slice(slab_l, lg), span2)
     if _probe == "keys":      # perf probe: classify + slab build + pair keys
-        return k1.sum(), k2.sum(), slab_rows.sum()
+        return k1.sum(), k2.sum(), safe_ok.sum()
     sorted_key = jnp.sort(jnp.concatenate([k1.reshape(-1), k2.reshape(-1)]))
     stream_len = sorted_key.shape[0]
     sorted_p = (sorted_key & jnp.uint32((1 << pbits) - 1)).astype(jnp.int32)
@@ -547,6 +549,9 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     peak = jnp.max(counts)
     if _probe == "sort":      # perf probe: + the pair-key sort & ranges
         return sorted_key.sum(), counts.sum(), peak
+    if _probe == "bins":      # diagnostic: class/bin occupancy counters
+        return jnp.stack([n_small, n_mid, n_glob,
+                          bounds[-1].astype(jnp.int32), peak])
 
     # THE one stream gather: packed rows in sorted-pair order, each tile's
     # range start padded up to 8 rows so DMA slices land on whole native
@@ -579,9 +584,13 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     src_p = jnp.where(live_pos,
                       jnp.take(sorted_p, jnp.clip(src, 0, stream_len - 1)),
                       lg)
-    slab_pad = jax.lax.optimization_barrier(jnp.concatenate(
-        [slab_rows, jnp.zeros((1, nrow), jnp.float32)], axis=0))
-    stream_rows = jnp.take(slab_pad, src_p, axis=0)            # (SLA, nrow)
+    # Stream-position -> triangle id (two cheap ELEMENT gathers), then ONE
+    # wide-row gather straight from the full table; row t is the dead pad.
+    safe_ok_pad = jnp.concatenate([safe_ok, jnp.full((1,), t, jnp.int32)])
+    sid_stream = jnp.take(safe_ok_pad, src_p)                  # (SLA,)
+    full_pad = jax.lax.optimization_barrier(jnp.concatenate(
+        [full_rows, jnp.zeros((1, nrow), jnp.float32)], axis=0))
+    stream_rows = jnp.take(full_pad, sid_stream, axis=0)       # (SLA, nrow)
 
     # Leftover rows (streamed by EVERY tile inside the kernel): (a) the
     # global class — unbounded straddlers, spans past span2, mid overflow
