@@ -2031,15 +2031,37 @@ class CKRenderContext(CKObject):
                    and not getattr(c, "video_ids", None)
                    and not getattr(c, "dev_ids", None)
                    and not texdev)
-        from ..raster.types import SI_PERSPECTIVE
+        from ..raster.types import (
+            SI_ALPHABLEND, SI_ALPHATEST, SI_BLENDOP, SI_DSTBLEND,
+            SI_PERSPECTIVE, SI_SRCBLEND, SI_STENCIL, SI_ZFUNC, SI_ZWRITE,
+            VXBLEND, VXBLENDOP, VXCMP,
+        )
         # 4th element: every state interpolates perspective-correct — the
         # quantized shade row then drops its (ws3, ivd) words entirely.
         # 5th: any state binds a texture at all — false compiles the whole
         # per-pixel sampling stage away (deferred.shade_rows).
+        # 6th: every potentially-ORDERED state (not deferred-eligible, not
+        # stencil-only) is inside the affine ordered-blend kernel's
+        # exactness envelope — untextured, zwrite-off, and alpha-over
+        # (SRCALPHA, INVSRCALPHA, ADD) or blend-off replace
+        # (raster/pallas_ordered.py); the frame then blends transparency
+        # at full rate instead of the sequential XLA composite.
+        _deferred_ok = ((si[:, SI_ALPHABLEND] == 0)
+                        & (si[:, SI_ALPHATEST] == 0)
+                        & (si[:, SI_ZWRITE] != 0)
+                        & ((si[:, SI_ZFUNC] == int(VXCMP.LESSEQUAL))
+                           | (si[:, SI_ZFUNC] == int(VXCMP.LESS))))
+        _ordered = ~_deferred_ok & (si[:, SI_STENCIL] == 0)
+        _blend_over = ((si[:, SI_SRCBLEND] == int(VXBLEND.SRCALPHA))
+                       & (si[:, SI_DSTBLEND] == int(VXBLEND.INVSRCALPHA))
+                       & (si[:, SI_BLENDOP] == int(VXBLENDOP.ADD)))
+        _okernel = ((si[:, SI_ZWRITE] == 0) & ~_texd
+                    & ((si[:, SI_ALPHABLEND] == 0) | _blend_over))
+        ordered_kernel_ok = bool(np.all(~_ordered | _okernel))
         sampler_profile = (bool(np.any(_texd & ~_lin)),
                            bool(np.any(_texd & _mip)), quad_ok,
                            bool(np.all(si[:, SI_PERSPECTIVE] != 0)),
-                           bool(np.any(_texd)))
+                           bool(np.any(_texd)), ordered_kernel_ok)
         params = dict(
             sampler_profile=sampler_profile,
             texdev=tuple(texdev) if texdev else None,

@@ -695,21 +695,53 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         # per triangle (fine for small transparent counts); past ~64M
         # pixel-triangles the tile-binned ordered pass wins (order-identical
         # per pixel, work proportional to per-tile occupancy).
+        ordered_kernel_ok = (sampler_profile is not None
+                             and len(sampler_profile) > 5
+                             and bool(sampler_profile[5]))
         if ordered_cap * height * width > (1 << 26):
             tile_o = 64
             while (ordered_cap * (((height + tile_o - 1) // tile_o)
                                   * ((width + tile_o - 1) // tile_o))
                    > (1 << 26) and tile_o < max(height, width)):
                 tile_o *= 2
-            fb, zb = rb.render_pass_tiled(
-                fb, zb, obatch, scene.state_i, scene.state_f,
-                scene.tex_planes, scene.tex_hw, scene.fog_color,
-                scene.viewport, tile=tile_o, pixel_shader=pixel_shader)
+            if on_tpu and ordered_kernel_ok and pixel_shader is None:
+                # Affine ordered-blend kernel (raster/pallas_ordered.py):
+                # full-rate transparency when every ordered state is in the
+                # exactness envelope; span/capacity overflow replays the
+                # exact XLA pass under lax.cond (zero cost when not taken).
+                from ..raster.pallas_ordered import ordered_blend_tiled_pallas
+
+                a_o, b_o, bad_o = ordered_blend_tiled_pallas(
+                    obatch.xyw, obatch.z, obatch.valid, obatch.color,
+                    obatch.specular, obatch.uv, obatch.fog,
+                    obatch.state_idx, obatch.clip_rect, obatch.clipd,
+                    scene.state_i, scene.state_f, scene.fog_color, zb,
+                    scene.viewport, height, width)
+
+                def _xla_replay(opnd):
+                    fb0, zb0 = opnd
+                    return rb.render_pass_tiled(
+                        fb0, zb0, obatch, scene.state_i, scene.state_f,
+                        scene.tex_planes, scene.tex_hw, scene.fog_color,
+                        scene.viewport, tile=tile_o,
+                        pixel_shader=pixel_shader,
+                        sampler_profile=sampler_profile)
+
+                fb, zb = jax.lax.cond(
+                    bad_o, _xla_replay,
+                    lambda opnd: (a_o * opnd[0] + b_o, opnd[1]), (fb, zb))
+            else:
+                fb, zb = rb.render_pass_tiled(
+                    fb, zb, obatch, scene.state_i, scene.state_f,
+                    scene.tex_planes, scene.tex_hw, scene.fog_color,
+                    scene.viewport, tile=tile_o, pixel_shader=pixel_shader,
+                    sampler_profile=sampler_profile)
         else:
             fb, zb = rb.render_pass(
                 fb, zb, obatch, scene.state_i, scene.state_f,
                 scene.tex_planes, scene.tex_hw, scene.fog_color,
                 scene.viewport, chunk=1, pixel_shader=pixel_shader,
+                sampler_profile=sampler_profile,
             )
     if want_stencil:
         # Stencil mask: z-tested coverage of stencil-only draws
