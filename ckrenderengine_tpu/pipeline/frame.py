@@ -601,11 +601,20 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         # the winner's (e0, e1, e2) per pixel instead (want_eplanes).
         quant = (pixel_shader is None and sampler_profile is not None
                  and not sampler_profile[1])
+        # Static caps scale with the submitted triangle count: a 2M-tri
+        # frame bins ~135k live pairs — past the default 65536 the cut tail
+        # replays through the exact-but-slow all-tiles fallback (measured
+        # 1.2 s/frame). t_count is static, so bigger scenes simply compile
+        # with bigger stream buffers.
+        solve_caps = dict(
+            pair_cap=65536 if t_count <= (1 << 19) else 262144,
+            slab_cap=131072 if t_count <= (1 << 21) else 262144)
         if quant:
             all_persp = len(sampler_profile) > 3 and bool(sampler_profile[3])
             best_id, best_depth, tile_peak, epl = depth_reduce_tiled_pallas(
                 setup, defer_tri, z_init, scene.viewport, batch.xyw,
-                height, width, planar=batch.planar, want_eplanes=True)
+                height, width, planar=batch.planar, want_eplanes=True,
+                **solve_caps)
             shade_tbl = df.shade_row_table_quant(
                 batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
                 batch.state_idx, batch_refl=refl,
@@ -623,7 +632,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         else:
             best_id, best_depth, tile_peak = depth_reduce_tiled_pallas(
                 setup, defer_tri, z_init, scene.viewport, batch.xyw,
-                height, width, planar=batch.planar)
+                height, width, planar=batch.planar, **solve_caps)
         if pixel_shader is None and not quant:
             # Compact table: per-state columns re-join per PIXEL after the
             # row gather — 44 columns ship through the gather, the 22
