@@ -606,8 +606,10 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         # replays through the exact-but-slow all-tiles fallback (measured
         # 1.2 s/frame). t_count is static, so bigger scenes simply compile
         # with bigger stream buffers.
+        # Live pairs measure ~t/11..t/15 on real scenes (probe_bins: 46k at
+        # 527k submitted, 136k at 2.1M); 65536 covers ~600k submitted.
         solve_caps = dict(
-            pair_cap=65536 if t_count <= (1 << 19) else 262144,
+            pair_cap=65536 if t_count <= 600_000 else 262144,
             slab_cap=131072 if t_count <= (1 << 21) else 262144)
         if quant:
             all_persp = len(sampler_profile) > 3 and bool(sampler_profile[3])
