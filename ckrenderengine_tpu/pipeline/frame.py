@@ -599,8 +599,13 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         # words — colors/spec/fog as u8x4 words (the reference's D3DCOLOR
         # vertex precision) and NO edge coefficients: the kernel exports
         # the winner's (e0, e1, e2) per pixel instead (want_eplanes).
+        # Mip frames ride the quant path too when the framebuffer is even-
+        # sized: LOD then comes from 2x2-quad finite differences (D3D9's
+        # hardware derivative model) instead of the analytic gradients the
+        # edge-coefficient path computes (deferred.shade_rows).
         quant = (pixel_shader is None and sampler_profile is not None
-                 and not sampler_profile[1])
+                 and (not sampler_profile[1]
+                      or (height % 2 == 0 and width % 2 == 0)))
         # Static caps scale with the submitted triangle count: a 2M-tri
         # frame bins ~135k live pairs — past the default 65536 the cut tail
         # replays through the exact-but-slow all-tiles fallback (measured

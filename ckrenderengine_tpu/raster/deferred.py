@@ -998,8 +998,31 @@ def shade_rows(row, hit, tex_planes, tex_hw, fog_color, clear_fb,
     # SURVEY §7; profile changes recompile, mirroring the reference's
     # render-state cache).
     lod = None
-    if tex_hw.shape[1] > 2 and (sampler_profile is None
-                                or sampler_profile[1]) and eplanes is None:
+    if tex_hw.shape[1] > 2 and (sampler_profile is not None
+                                and sampler_profile[1]) \
+            and eplanes is not None and height % 2 == 0 and width % 2 == 0:
+        # Quad finite-difference LOD (the quantized fast path carries no
+        # edge coefficients): per-2x2-quad UV derivatives, shared by the
+        # quad's four pixels — EXACTLY D3D9's hardware derivative model
+        # (the analytic per-pixel gradient of the slow path is the more
+        # precise deviation). Quads straddling triangle boundaries read a
+        # neighbor's UV, like real hardware.
+        def quad_dd(p):
+            ddx = p[:, 1::2] - p[:, 0::2]                 # (H, W/2)
+            ddx = jnp.repeat(ddx, 2, axis=1)
+            ddy = p[1::2, :] - p[0::2, :]                 # (H/2, W)
+            ddy = jnp.repeat(ddy, 2, axis=0)
+            return ddx, ddy
+
+        tw_, th_ = row[_TP + 1], row[_TP + 0]
+        dux, duy = quad_dd(uvil[0])
+        dvx, dvy = quad_dd(uvil[1])
+        rho = jnp.maximum(
+            jnp.sqrt((dux * tw_) ** 2 + (dvx * th_) ** 2),
+            jnp.sqrt((duy * tw_) ** 2 + (dvy * th_) ** 2))
+        lod = jnp.log2(jnp.maximum(rho, 1.0))
+    elif tex_hw.shape[1] > 2 and (sampler_profile is None
+                                  or sampler_profile[1]) and eplanes is None:
 
         def uv_at(de0, de1, de2):
             e0n, e1n, e2n = e0 + de0, e1 + de1, e2 + de2

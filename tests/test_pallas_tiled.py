@@ -450,3 +450,84 @@ def test_any_tex_gate_matches_sampled_path():
                           sampler_profile=(False, False, False, True, False))
     np.testing.assert_array_equal(np.asarray(fb_gated),
                                   np.asarray(fb_sampled))
+
+
+def test_quant_fd_lod_matches_analytic_on_affine_uv():
+    """Quad finite-difference LOD (the quant path's mip model) must agree
+    with the analytic-gradient path when screen-space UV is affine (w == 1
+    corners => perspective weights are screen-linear): interior pixels pick
+    the same mip level, so the shaded frames match within quantization."""
+    from ckrenderengine_tpu.raster.deferred import (
+        expand_rows_quant, shade_row_table_quant, shade_rows,
+    )
+
+    h, w = 64, 128
+    # One large screen-space triangle with w=1 (affine UV), highly minified
+    # UV so trilinear actually blends mips.
+    xyw = jnp.asarray([[[2.0, 2.0, 1.0], [126.0, 2.0, 1.0],
+                        [2.0, 62.0, 1.0]]], jnp.float32)
+    z = jnp.full((1, 3), 0.5, jnp.float32)
+    uv = jnp.asarray([[[0.0, 0.0], [16.0, 0.0], [0.0, 8.0]]], jnp.float32)
+    color = jnp.ones((1, 3, 4), jnp.float32)
+    spec = jnp.zeros((1, 3, 3), jnp.float32)
+    fog = jnp.ones((1, 3), jnp.float32)
+    t = 1
+
+    from ckrenderengine_tpu.raster.types import (
+        VXTEXTURE_FILTER, RasterState, pack_states,
+    )
+    st = RasterState(tex=0, tex_filter=int(VXTEXTURE_FILTER.LINEARMIPLINEAR))
+    si, sf = pack_states([st])
+    si = jnp.asarray(si)
+    sf = jnp.asarray(sf)
+
+    # 16x16 base + 2 mip levels in an atlas column (tex_hw: h, w, mip_col).
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0, 1, (16, 16, 4)).astype(np.float32)
+    planes = np.zeros((1, 4, 16, 16 + 8), np.float32)
+    planes[0, :, :16, :16] = np.moveaxis(base, -1, 0)
+    m1 = base.reshape(8, 2, 8, 2, 4).mean((1, 3))
+    planes[0, :, :8, 16:24] = np.moveaxis(m1, -1, 0)
+    m2 = m1.reshape(4, 2, 4, 2, 4).mean((1, 3))
+    planes[0, :, 8:12, 16:20] = np.moveaxis(m2, -1, 0)
+    tex_planes = jnp.asarray(planes)
+    tex_hw = jnp.asarray([[16, 16, 16]], jnp.int32)   # (h, w, mip col)
+
+    setup = df.triangle_setup(xyw, z, jnp.zeros(t, jnp.int32),
+                              jnp.ones(t, bool), si)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    profile = (False, True, False, True, True)        # mips on, textured
+
+    bi, bd, _, epl = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, interpret=True,
+        want_eplanes=True)
+    tbl = shade_row_table_quant(xyw, color, spec, uv, fog,
+                                jnp.zeros(t, jnp.int32),
+                                inv_det_s=setup["inv_det_s"], want_ws=False)
+    tid = jnp.clip(bi, 0, t - 1).reshape(-1)
+    rows_q = jnp.take(tbl.T, tid, axis=1).reshape(tbl.shape[1], h, w)
+    rows_q = jnp.where((bi >= 0)[None], rows_q, jnp.int32(0))
+    rows = expand_rows_quant(rows_q, si, sf, tex_hw,
+                             want_ws=False, has_refl=False)
+    clear_fb = jnp.zeros((4, h, w), jnp.float32)
+    fog_color = jnp.zeros(3, jnp.float32)
+    fb_fd = shade_rows(rows, bi >= 0, tex_planes, tex_hw, fog_color,
+                       clear_fb, h, w, sampler_profile=profile,
+                       eplanes=(epl[0], epl[1], epl[2]))
+    fb_an = df.shade_deferred(
+        bi, xyw, z, color, spec, uv, fog, jnp.zeros(t, jnp.int32), si, sf,
+        tex_planes, tex_hw, fog_color, clear_fb, h, w,
+        sampler_profile=profile)
+    d = np.abs(np.asarray(fb_fd) - np.asarray(fb_an))
+    hit = np.asarray(bi) >= 0
+    # Affine UV: FD == analytic everywhere except quads straddling the
+    # triangle edge (the hardware artifact); interior must match within
+    # the u8 color quantization.
+    interior = hit.copy()
+    interior[:-2] &= hit[2:]
+    interior[2:] &= hit[:-2]
+    interior[:, :-2] &= hit[:, 2:]
+    interior[:, 2:] &= hit[:, :-2]
+    assert interior.sum() > 500
+    assert d[:, interior].max() < 3.0 / 255.0 + 1e-3
