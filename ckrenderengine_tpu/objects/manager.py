@@ -2062,7 +2062,15 @@ class CKRenderContext(CKObject):
                            bool(np.any(_texd & _mip)), quad_ok,
                            bool(np.all(si[:, SI_PERSPECTIVE] != 0)),
                            bool(np.any(_texd)), ordered_kernel_ok)
+        # Antialias option -> ordered 2x2 supersample + box resolve (the TPU
+        # mapping of the reference's multisample device setup,
+        # /root/reference/src/CKRenderManager.cpp:117,668 ->
+        # CKDX9RasterizerContext.cpp:469-491). Nonzero option = 4 ordered
+        # samples per pixel; part of the jit cache key, like a device reset.
+        _rm = self.context.render_manager
+        _aa = int(_rm.options.get("Antialias", 0) or 0) if _rm else 0
         params = dict(
+            ss=2 if _aa else 1,
             sampler_profile=sampler_profile,
             texdev=tuple(texdev) if texdev else None,
             texdev_rects=tuple(texdev_rects),
@@ -2088,11 +2096,12 @@ class CKRenderContext(CKObject):
         accumulate = not (self._frame_flags & CK_RENDER_CLEARBACKBUFFER) \
             or not (self._frame_flags & CK_RENDER_CLEARZBUFFER)
         if (self._tile_mesh is not None and not params["want_stencil"]
-                and not accumulate):
+                and not accumulate and params.get("ss", 1) == 1):
             from ..parallel.tile_shard import render_frame_packed_banded_jit
 
             p = dict(params)
             p.pop("want_stencil")
+            p.pop("ss", None)
             return render_frame_packed_banded_jit(
                 static, dyn_f, dyn_i, mesh=self._tile_mesh, **p)
         rm = self.context.render_manager
@@ -3720,6 +3729,7 @@ class CKRenderManager(CKObject):
                params["pixel_shader"] is not filled[0][3]["pixel_shader"] or \
                params["anim"] is not filled[0][3]["anim"] or \
                params["sampler_profile"] != filled[0][3]["sampler_profile"] or \
+               params.get("ss", 1) != filled[0][3].get("ss", 1) or \
                params["sort_transparent"] != filled[0][3]["sort_transparent"]:
                 return False
         static, _f0, _i0, params = filled[0]

@@ -627,6 +627,12 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                 batch.state_idx, batch_refl=refl,
                 inv_det_s=setup["inv_det_s"], planar=batch.planar,
                 want_ws=not all_persp)
+            # Winner rows via the per-pixel gather of the channel-major
+            # table. The Pallas in-kernel fused fetch (sh_pack=2) was
+            # REMEASURED round 3 and stays off: in situ this gather costs
+            # ~1 ms (XLA overlaps it), while carrying the shade columns
+            # through the binned stream costs +6 ms of phase-A work
+            # (benchmarks/fused_probe.py; bench 41.9 -> 33.9 fps fused).
             tblT = jax.lax.optimization_barrier(shade_tbl.T)
             tid = jnp.clip(best_id, 0, t_count - 1).reshape(-1)
             rows_q = jnp.take(tblT, tid, axis=1).reshape(
@@ -950,7 +956,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              y_shift=None,
                              texdev=None, texdev_rects: tuple = (),
                              corner: tuple = (0, 0, 0),
-                             want_texgen: bool = True):
+                             want_texgen: bool = True,
+                             ss: int = 1):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -959,13 +966,20 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
     ``y_shift``: traced row offset for framebuffer band sharding
     (parallel/tile_shard.py): renders rows [y_shift, y_shift+height) of the
     logical frame by shifting every pixel-space quantity (viewport, entity
-    scissors, 2D quad rects) — the raster math itself is unchanged."""
+    scissors, 2D quad rects) — the raster math itself is unchanged.
+
+    ``ss``: Antialias supersample factor (see unpack_scene): the frame
+    renders at (ss*height, ss*width) and box-resolves to (height, width) —
+    the ordered-supersample mapping of the reference's multisample option
+    (src/CKRenderManager.cpp:117,668). zb resolves by window MIN (nearest
+    covered sample keeps overlay z-tests conservative), the stencil mask by
+    window MAX (any covered sample)."""
     from .overlay import QuadBank
     from .packing import has_field
 
     scene, sprites, d = unpack_scene(
         static, dyn_f, dyn_i, layout, sprites_static=sprites_static,
-        y_shift=y_shift, texdev=texdev, texdev_rects=texdev_rects)
+        y_shift=y_shift, texdev=texdev, texdev_rects=texdev_rects, ss=ss)
 
     def quad_bank(prefix):
         if not has_field(layout, f"{prefix}_rect"):
@@ -975,12 +989,21 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
             color=d[f"{prefix}_color"], tex=d[f"{prefix}_tex"],
             blend=d[f"{prefix}_blend"], valid=d[f"{prefix}_valid"] != 0)
 
+    rh, rw = height * ss, width * ss
+    if ss > 1:
+        # Accumulate-mode buffers arrive at display size; repeat-upsample so
+        # box-resolve(render over repeat(prev)) == prev where untouched.
+        if prev_fb is not None:
+            prev_fb = jnp.repeat(jnp.repeat(prev_fb, ss, axis=-2), ss, axis=-1)
+        if prev_zb is not None:
+            prev_zb = jnp.repeat(jnp.repeat(prev_zb, ss, axis=-2), ss, axis=-1)
+
     # Device animation: the bound clip's bank evaluates INSIDE the frame
     # program at the packed scalar time (host cost per frame = 4 bytes).
     anim_t = d["anim_t"] if (anim is not None
                              and has_field(layout, "anim_t")) else 0.0
-    return render_frame_full_impl(
-        scene, levels, height, width, skin=skin, sprites=sprites,
+    out = render_frame_full_impl(
+        scene, levels, rh, rw, skin=skin, sprites=sprites,
         anim=anim, anim_t=anim_t, world_in=world_in,
         quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
         ordered_cap=ordered_cap, chunk=chunk,
@@ -991,19 +1014,48 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         sampler_profile=sampler_profile,
         prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas,
         corner=corner, want_texgen=want_texgen)
+    if ss == 1:
+        return out
+
+    def _win(x):
+        return x.reshape(x.shape[:-2] + (height, ss, width, ss))
+
+    stats = None
+    if want_stats:
+        out, stats = out[:-1], out[-1]
+    fb = _win(out[0]).mean(axis=(-3, -1))
+    zb = _win(out[1]).min(axis=(-3, -1))
+    ret = (fb, zb)
+    if want_stencil:
+        ret = ret + (_win(out[2]).max(axis=(-3, -1)),)
+    return ret + (stats,) if want_stats else ret
 
 
 def unpack_scene(static: dict, dyn_f, dyn_i, layout: tuple,
                  sprites_static=None, y_shift=None,
-                 texdev=None, texdev_rects: tuple = ()):
+                 texdev=None, texdev_rects: tuple = (), ss: int = 1):
     """Packed buffers -> (SceneDevice, Sprite3DBank | None, raw field dict).
 
     The device-side inverse of CKRenderContext._fill_packed; also used by
-    the staged perf probe (benchmarks/stages.py)."""
+    the staged perf probe (benchmarks/stages.py).
+
+    ``ss``: supersample factor (the Antialias option, reference
+    src/CKRenderManager.cpp:117,668 -> multisample setup in
+    CKDX9RasterizerContext.cpp:469-491; the TPU mapping is ordered ss x ss
+    supersampling with a box resolve). Every pixel-space dynamic quantity
+    (viewport, entity scissors, 2D quad rects) scales by ss so the frame
+    renders at (ss*H, ss*W); the raster math itself is unchanged."""
     from .overlay import Sprite3DBank
     from .packing import has_field, unpack
 
     d = unpack(dyn_f, dyn_i, layout)
+    if ss > 1:
+        d = dict(d)
+        d["viewport"] = d["viewport"] * np.float32(ss)
+        d["entity_clip"] = d["entity_clip"] * np.float32(ss)
+        for prefix in ("qbg", "qfg"):
+            if has_field(layout, f"{prefix}_rect"):
+                d[f"{prefix}_rect"] = d[f"{prefix}_rect"] * np.float32(ss)
     if y_shift is not None:
         ys = jnp.asarray(y_shift, jnp.float32)
         d = dict(d)
@@ -1088,7 +1140,7 @@ render_frame_packed = functools.partial(
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "want_stats", "sampler_profile",
                      "allow_pallas", "texdev_rects", "corner",
-                     "want_texgen"))(
+                     "want_texgen", "ss"))(
     render_frame_packed_impl)
 
 
@@ -1098,7 +1150,7 @@ render_frame_packed = functools.partial(
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "texdev_rects", "sampler_profile",
-                     "corner", "want_texgen"))
+                     "corner", "want_texgen", "ss"))
 def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  levels: tuple, height: int, width: int,
                                  skin=None, anim=None,
@@ -1114,7 +1166,8 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  texdev=None, texdev_rects: tuple = (),
                                  world_in=None, sampler_profile=None,
                                  corner: tuple = (0, 0, 0),
-                                 want_texgen: bool = True):
+                                 want_texgen: bool = True,
+                                 ss: int = 1):
     """Batched packed frames: ``dyn_f``/``dyn_i`` carry a leading context
     axis; statics (streams, pools, textures, banks topology) broadcast. This
     is the multi-context scale path with ONE f32 + ONE i32 host->device
@@ -1135,7 +1188,7 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
             want_bump=want_bump,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             sampler_profile=sampler_profile, allow_pallas=False,
-            corner=corner, want_texgen=want_texgen)
+            corner=corner, want_texgen=want_texgen, ss=ss)
 
     if world_in is None:
         return jax.vmap(lambda df, di: one(df, di, None))(dyn_f, dyn_i)

@@ -62,7 +62,8 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
                   rows_hbm, outd_ref, outi_ref, *rest, kchunk: int,
                   nrow: int, tile: int, tx_n: int, n_planes: int,
                   gbase: int, gcap_chunks: int, scap_chunks: int,
-                  sh_w: int = 0, sh_out: int = 0, want_e: bool = False):
+                  sh_w: int = 0, sh_out: int = 0, want_e: bool = False,
+                  sh_pack: int = 0):
     """One screen tile: stream [start, start+count) packed rows from HBM
     through a double-buffered VMEM slab, reducing (depth, id) into a
     register-resident (1, tile*tile) carry.
@@ -251,6 +252,15 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
     fin = jax.lax.fori_loop(0, (total + 1) // 2, pair_body, init)
     best_d = jnp.where(scissor, fin[0], initd_ref[0][0:1])
     best_i = jnp.where(scissor, fin[1], jnp.int32(-1))
+    if sh_w and sh_pack == 2:
+        # Quantized-table mode: the stream carried each i32 shade word as
+        # two exact u16 halves (f32 values <= 65535 — the one-hot HIGHEST
+        # matmul reconstructs them exactly); recombine to i32 words ONCE per
+        # tile here, so the HBM output is half the width of the halves.
+        wq = sh_w // 2
+        lo = facc[0:wq].astype(jnp.int32)
+        hi = facc[wq:sh_w].astype(jnp.int32)
+        outr_ref[0] = (hi << 16) | lo
     if want_e:
         # Sublane-packed output: [depth, e0, e1, e2] ride the depth block's
         # otherwise-dead sublanes (the (8, npix) shape only exists because a
@@ -261,7 +271,7 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
     else:
         outd_ref[0] = jnp.broadcast_to(best_d, (8, npix))
     outi_ref[0] = jnp.broadcast_to(best_i, (8, npix))
-    if sh_w:
+    if sh_w and not sh_pack:
         outr_ref[0] = facc[: (sh_out or sh_w)]
 
 
@@ -356,7 +366,7 @@ def _scan_place(astarts, starts, ends, counts, sl_aligned, n_tiles):
     jax.jit,
     static_argnames=("height", "width", "tile", "max_span", "chunk", "span2",
                      "g_cap", "slab_cap", "pair_cap", "kchunk", "interpret",
-                     "_probe", "want_eplanes"))
+                     "_probe", "want_eplanes", "sh_pack"))
 def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                               height: int, width: int, tile: int = 32,
                               max_span: int = 2, chunk: int = 32,
@@ -366,7 +376,8 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                               interpret: bool = False,
                               _probe: str | None = None,
                               shade_tbl=None, planar=None,
-                              want_eplanes: bool = False):
+                              want_eplanes: bool = False,
+                              sh_pack: int = 0):
     """Tile-binned argmin depth reduce, Pallas phase B (exact).
 
     Same contract as tiled.depth_reduce_tiled: returns (best_id (H,W) int32,
@@ -383,7 +394,15 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     columns ride the binning for free) and the kernel's fetch pass returns
     the winner's shade row per pixel — the return becomes a 4-tuple
     (best_id, best_depth, peak, rows (C,H,W)) and the deferred shade skips
-    its 786k-row per-pixel gather entirely."""
+    its 786k-row per-pixel gather entirely.
+
+    ``sh_pack=2``: ``shade_tbl`` is the QUANTIZED int32 table
+    (deferred.shade_row_table_quant). Its words travel the stream as two
+    exact u16-half f32 columns each (packed u8 bytes can alias NaN/denormal
+    f32 patterns, and NaN would poison the one-hot matmul through 0*NaN;
+    u16 integers are exact, boring f32 values), and the kernel recombines
+    the fetched halves to (C, H, W) int32 rows. With ``want_eplanes`` the
+    return is a 5-tuple (best_id, best_depth, peak, eplanes, rows)."""
     t = setup["e_coef"].shape[0]
     ty_n = (height + tile - 1) // tile
     tx_n = (width + tile - 1) // tile
@@ -398,7 +417,9 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     ncol_solve = _NCOL + 3 * n_planes
     sh_base = ncol_solve
     if shade_tbl is not None:
-        sh_w = ((shade_tbl.shape[1] + 7) // 8) * 8
+        if sh_pack:
+            assert sh_pack == 2 and shade_tbl.dtype == jnp.int32
+        sh_w = ((shade_tbl.shape[1] * (sh_pack or 1) + 7) // 8) * 8
         ncol = ncol_solve + sh_w
     else:
         sh_w = 0
@@ -478,10 +499,16 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         full_cols.append(dp9 if dp9 is not None
                          else dplane_t.reshape(t, 3 * n_planes))
     if sh_w:
-        full_cols.append(shade_tbl.astype(jnp.float32))
-        if sh_w > shade_tbl.shape[1]:
+        if sh_pack == 2:
+            full_cols.append((shade_tbl & 0xFFFF).astype(jnp.float32))
             full_cols.append(
-                jnp.zeros((t, sh_w - shade_tbl.shape[1]), jnp.float32))
+                ((shade_tbl >> 16) & 0xFFFF).astype(jnp.float32))
+            sh_cols = 2 * shade_tbl.shape[1]
+        else:
+            full_cols.append(shade_tbl.astype(jnp.float32))
+            sh_cols = shade_tbl.shape[1]
+        if sh_w > sh_cols:
+            full_cols.append(jnp.zeros((t, sh_w - sh_cols), jnp.float32))
     if nrow > ncol:
         full_cols.append(jnp.zeros((t, nrow - ncol), jnp.float32))
     # Fence the packed table: fused with the concat, XLA decomposes the
@@ -661,12 +688,18 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         jnp.asarray(viewport, jnp.float32).reshape(4),
         jnp.asarray([width, height], jnp.float32)])
 
-    sh_out = 8 if _probe == "fetch_out8" else sh_w
+    if sh_pack == 2:
+        assert sh_w == 2 * shade_tbl.shape[1]
+        sh_out = sh_w // 2
+        sh_dtype = jnp.int32
+    else:
+        sh_out = 8 if _probe == "fetch_out8" else sh_w
+        sh_dtype = jnp.float32
     kernel = functools.partial(
         _solve_kernel, kchunk=kchunk, nrow=nrow, tile=tile, tx_n=tx_n,
         n_planes=n_planes, gbase=sl_aligned,
         gcap_chunks=lrows // kchunk, scap_chunks=lrows // kchunk,
-        sh_w=sh_w, sh_out=sh_out, want_e=want_eplanes)
+        sh_w=sh_w, sh_out=sh_out, want_e=want_eplanes, sh_pack=sh_pack)
     out_specs = [
         pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -695,7 +728,7 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
             pl.BlockSpec((1, sh_out, npix), lambda i, s, c, l: (i, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shapes.append(
-            jax.ShapeDtypeStruct((n_tiles, sh_out, npix), jnp.float32))
+            jax.ShapeDtypeStruct((n_tiles, sh_out, npix), sh_dtype))
         scratch_shapes += [
             pltpu.VMEM((2, sh_w, kchunk), jnp.float32),       # shbuf
             pltpu.SemaphoreType.DMA((2,)),                    # sems_sh
@@ -794,6 +827,7 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     bd = bd.reshape(full_h, full_w)[:height, :width]
     bi = best_i.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3)
     bi = bi.reshape(full_h, full_w)[:height, :width]
+    changed = jnp.any(best_i != kernel_i)
     if want_eplanes:
         ep = epl_t.reshape(ty_n, tx_n, 3, tile, tile)
         ep = ep.transpose(2, 0, 3, 1, 4).reshape(3, full_h, full_w)
@@ -802,7 +836,6 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         # winner changed (pathological overflow — zero iterations on real
         # frames), recompute the winner e-values per pixel from the full
         # row table. lax.cond skips it otherwise.
-        changed_e = jnp.any(best_i != kernel_i)
 
         def recompute_e(_):
             tid = jnp.clip(bi, 0, t - 1).reshape(-1)
@@ -814,26 +847,34 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                            + ec[3 * k + 2] for k in range(3)])
             return jnp.where((bi >= 0)[None], e, 0.0)
 
-        ep = lax.cond(changed_e, recompute_e, lambda _: ep, 0)
-        return bi, bd, peak, ep
+        ep = lax.cond(changed, recompute_e, lambda _: ep, 0)
+        if not sh_w:
+            return bi, bd, peak, ep
     if not sh_w:
         return bi, bd, peak
     shn = shade_tbl.shape[1]
-    fr = fetched.reshape(ty_n, tx_n, sh_w, tile, tile)
-    fr = fr.transpose(2, 0, 3, 1, 4).reshape(sh_w, full_h, full_w)
+    fr = fetched.reshape(ty_n, tx_n, sh_out, tile, tile)
+    fr = fr.transpose(2, 0, 3, 1, 4).reshape(sh_out, full_h, full_w)
     fr = fr[:shn, :height, :width]
     # The beyond-cap fallback streams only update (best_d, best_i); if they
     # changed ANY winner (pathological overflow scenes — zero iterations on
     # ordinary frames), re-fetch the whole frame's rows with the per-pixel
     # gather the kernel normally replaces. lax.cond skips it otherwise.
-    changed = jnp.any(best_i != kernel_i)
 
     def refetch(_):
         tid = jnp.clip(bi, 0, t - 1).reshape(-1)
         tblT = jax.lax.optimization_barrier(
-            full_rows[:, sh_base:sh_base + shn].T)
-        rowp = jnp.take(tblT, tid, axis=1).reshape(shn, height, width)
+            full_rows[:, sh_base:sh_base + sh_w].T)
+        rowp = jnp.take(tblT, tid, axis=1).reshape(sh_w, height, width)
+        if sh_pack == 2:
+            lo = rowp[0:shn].astype(jnp.int32)
+            hi = rowp[shn:2 * shn].astype(jnp.int32)
+            rowp = (hi << 16) | lo
+            return jnp.where((bi >= 0)[None], rowp, jnp.int32(0))
+        rowp = rowp[:shn]
         return jnp.where((bi >= 0)[None], rowp, 0.0)
 
     fr = lax.cond(changed, refetch, lambda _: fr, 0)
+    if want_eplanes:
+        return bi, bd, peak, ep, fr
     return bi, bd, peak, fr

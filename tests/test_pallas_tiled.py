@@ -531,3 +531,57 @@ def test_quant_fd_lod_matches_analytic_on_affine_uv():
     interior[:, 2:] &= hit[:, :-2]
     assert interior.sum() > 500
     assert d[:, interior].max() < 3.0 / 255.0 + 1e-3
+
+
+def test_pallas_tiled_fetch_quant_packed_exact():
+    """sh_pack=2: the kernel fetches QUANTIZED int32 rows bit-exactly via
+    u16-half matmuls — including words whose bit patterns alias f32 NaNs /
+    denormals (the reason the packed table cannot ride the f32 fetch)."""
+    h, w = 48, 96
+    t = 260
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=2)
+    setup = _setup_for(xyw, z, t)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    rng = np.random.default_rng(13)
+    words = rng.integers(-2**31, 2**31, (t, 16), dtype=np.int64)
+    words[:, 3] = np.int64(0x7FC00001 - 2**32)   # f32 NaN bit pattern
+    words[:, 5] = 1                              # f32 denormal bit pattern
+    tbl = jnp.asarray(words.astype(np.int32))
+    bi, bd, peak, ep, rows = depth_reduce_tiled_pallas(
+        setup, defer, 1.0, viewport, xyw, h, w, tile=16, max_span=4,
+        span2=16, interpret=True, shade_tbl=tbl, sh_pack=2,
+        want_eplanes=True)
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(bi_f))
+    want = np.where(np.asarray(bi)[None] >= 0,
+                    np.asarray(jnp.take(tbl.T, jnp.clip(bi, 0, t - 1)
+                                        .reshape(-1), axis=1)
+                               .reshape(16, h, w)), 0)
+    np.testing.assert_array_equal(np.asarray(rows), want)
+    assert np.asarray(rows).dtype == np.int32
+
+
+def test_pallas_tiled_fetch_quant_packed_fallbacks():
+    """sh_pack=2 stays bit-exact when tiny caps reroute triangles through
+    the XLA fallback streams (the refetch path recombines halves too)."""
+    h = w = 64
+    t = 300
+    xyw, z, state_idx, valid = _random_batch(t, h, w, seed=5, big_frac=0.3)
+    setup = _setup_for(xyw, z, t)
+    defer = jnp.ones(t, bool)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    rng = np.random.default_rng(17)
+    tbl = jnp.asarray(rng.integers(-2**31, 2**31, (t, 16),
+                                   dtype=np.int64).astype(np.int32))
+    bi_f, bd_f = df.depth_reduce(setup, defer, 1.0, viewport, h, w)
+    for caps in (dict(g_cap=16, slab_cap=64), dict(pair_cap=64)):
+        bi, bd, _, rows = depth_reduce_tiled_pallas(
+            setup, defer, 1.0, viewport, xyw, h, w, tile=16, max_span=2,
+            span2=4, interpret=True, shade_tbl=tbl, sh_pack=2, **caps)
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(bi_f))
+        want = np.where(np.asarray(bi)[None] >= 0,
+                        np.asarray(jnp.take(tbl.T, jnp.clip(bi, 0, t - 1)
+                                            .reshape(-1), axis=1)
+                                   .reshape(16, h, w)), 0)
+        np.testing.assert_array_equal(np.asarray(rows), want)
