@@ -49,18 +49,18 @@ def make_terrain(n: int, extent: float, amp: float):
     uv = np.stack([(gx + extent) / (2 * extent) * 24,
                    (gz + extent) / (2 * extent) * 24],
                   -1).reshape(-1, 2).astype(np.float32)
-    faces = []
-    for r in range(n):
-        base = r * (n + 1)
-        for c in range(n):
-            a = base + c
-            faces += [[a, a + 1, a + n + 2], [a, a + n + 2, a + n + 1]]
-    return verts, uv, np.asarray(faces, np.int32)
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    a = (rr * (n + 1) + cc).reshape(-1)
+    f1 = np.stack([a, a + 1, a + n + 2], -1)
+    f2 = np.stack([a, a + n + 2, a + n + 1], -1)
+    faces = np.concatenate([f1[:, None], f2[:, None]], 1).reshape(-1, 3)
+    return verts, uv, faces.astype(np.int32)
 
 
 def build_scene(width: int, height: int):
     from ckrenderengine_tpu.objects import (
-        CKContext, CK3dObject, CKCamera, CKLight, CKMaterial, CKMesh, CKTexture,
+        CKContext, CK3dObject, CKCamera, CKLight, CKMaterial, CKMesh,
+        CKPlace, CKTexture,
     )
     from ckrenderengine_tpu.raster.types import VXLIGHT
 
@@ -73,6 +73,17 @@ def build_scene(width: int, height: int):
     cam.SetFrontPlane(1.0)
     cam.SetBackPlane(4000.0)
     rc.AttachViewpointToCamera(cam)
+
+    # Places + portals (BASELINE config 5 spec): the world lives in
+    # place_main; an annex room is reachable through a portal window (its
+    # content draws scissored to the portal's screen rect), and an
+    # UNCONNECTED room's content must be culled entirely by the BFS portal
+    # traversal (reference RCKPlace portals, src/CKPlace.cpp + viewport
+    # clip application src/CKSceneGraph.cpp:113-128).
+    place_main = CKPlace(ctx, "place_main")
+    place_annex = CKPlace(ctx, "place_annex")
+    place_hidden = CKPlace(ctx, "place_hidden")
+    cam.SetParent(place_main)
     rc.SetFogMode(3)
     rc.SetFogStart(60.0)
     rc.SetFogEnd(400.0)
@@ -97,6 +108,7 @@ def build_scene(width: int, height: int):
     terrain_mesh.ApplyGlobalMaterial(tmat)
     terrain = CK3dObject(ctx, "terrain")
     terrain.SetCurrentMesh(terrain_mesh)
+    terrain.SetParent(place_main)
 
     # A field of spheres (shared mesh, instanced per entity).
     spts, suv, sfaces = make_sphere(12, 18, 1.6)
@@ -111,6 +123,7 @@ def build_scene(width: int, height: int):
     sphere_mesh.ApplyGlobalMaterial(smat)
     rng = np.random.default_rng(7)
     spinner = CK3dObject(ctx, "spinner")   # rotating parent: animates field
+    spinner.SetParent(place_main)
     movers = []
     for i in range(64):
         ball = CK3dObject(ctx, f"ball{i}")
@@ -129,6 +142,46 @@ def build_scene(width: int, height: int):
     bulb.SetPosition((0.0, 25.0, 0.0))
     bulb.SetColor((0.5, 0.6, 1.0, 1.0))
     bulb.SetRange(250.0)
+
+    # Annex room content (visible through the portal, scissored): a stack
+    # of crates floating in view beyond the portal window.
+    crate_mesh = CKMesh(ctx, "crate")
+    s = 1.8
+    cverts = np.array([[x, y, z] for x in (-s, s) for y in (-s, s)
+                       for z in (-s, s)], np.float32)
+    cfaces = np.array([
+        [0, 2, 3], [0, 3, 1], [4, 5, 7], [4, 7, 6], [0, 1, 5], [0, 5, 4],
+        [2, 6, 7], [2, 7, 3], [0, 4, 6], [0, 6, 2], [1, 3, 7], [1, 7, 5],
+    ], np.int32)
+    crate_mesh.SetPositions(cverts)
+    crate_mesh.SetFaces(cfaces)
+    crate_mesh.BuildNormals()
+    cmat = CKMaterial(ctx, "cratemat")
+    cmat.SetDiffuse((0.8, 0.65, 0.3, 1.0))
+    crate_mesh.ApplyGlobalMaterial(cmat)
+    for i in range(24):
+        crate = CK3dObject(ctx, f"crate{i}")
+        crate.SetCurrentMesh(crate_mesh)
+        crate.SetParent(place_annex)
+        crate.SetPosition((-30.0 + (i % 6) * 5.0, 12.0 + (i // 6) * 5.0,
+                           60.0))
+    # Unconnected room content: portal traversal must cull it entirely.
+    for i in range(8):
+        ghost = CK3dObject(ctx, f"ghost{i}")
+        ghost.SetCurrentMesh(crate_mesh)
+        ghost.SetParent(place_hidden)
+        ghost.SetPosition((i * 4.0 - 16.0, 10.0, 20.0))
+
+    # Portal window from the main place into the annex.
+    door = CK3dObject(ctx, "door")
+    dm = CKMesh(ctx, "doorm")
+    dm.SetPositions(np.array(
+        [[-45.0, 2.0, 30.0], [-10.0, 2.0, 30.0],
+         [-10.0, 30.0, 30.0], [-45.0, 30.0, 30.0]], np.float32))
+    dm.SetFaces(np.zeros((0, 3), np.int32))    # portal geometry only
+    door.SetCurrentMesh(dm)
+    place_main.AddPortal(place_annex, door)
+    rc.EnablePortalTraversal(True)
 
     return ctx, rc, spinner
 
@@ -183,6 +236,81 @@ def honest_fps(rc, tick, windows: int = 2, target_s: float = 6.0,
     return best
 
 
+def run_batched_metric(n_ctx: int = 8, size: int = 256) -> dict:
+    """ProcessBatched throughput: ``n_ctx`` same-topology contexts rendered
+    as ONE vmapped program (the BASELINE '64 contexts per v5e slice' scale
+    axis, run at the context count that fits the one available chip).
+    Reports contexts/sec with the honest completion protocol."""
+    import jax
+    from ckrenderengine_tpu.objects import (
+        CKContext, CK3dObject, CKCamera, CKLight, CKMaterial, CKMesh,
+    )
+    from ckrenderengine_tpu.raster.types import VXLIGHT
+
+    ctx = CKContext()
+    rm = ctx.GetRenderManager()
+    spts, suv, sfaces = make_sphere(12, 18, 1.6)
+    mesh = CKMesh(ctx, "sphere")
+    mesh.SetPositions(spts)
+    mesh.SetUVs(suv)
+    mesh.SetFaces(sfaces)
+    mesh.BuildNormals()
+    mat = CKMaterial(ctx, "m")
+    mat.SetDiffuse((0.8, 0.4, 0.2, 1.0))
+    mat.SetPower(24.0)
+    mesh.ApplyGlobalMaterial(mat)
+    rng = np.random.default_rng(3)
+    root = CK3dObject(ctx, "root")
+    for i in range(48):
+        b = CK3dObject(ctx, f"b{i}")
+        b.SetCurrentMesh(mesh)
+        b.SetParent(root)
+        x, z = rng.uniform(-24, 24, 2)
+        b.SetPosition((x, rng.uniform(-4, 8), z + 30), ref=root)
+    sun = CKLight(ctx, "sun")
+    sun.SetType(int(VXLIGHT.DIREC))
+    sun.SetOrientation((0.4, -1.0, 0.3))
+
+    rcs = []
+    for k in range(n_ctx):
+        rc = rm.CreateRenderContext(size, size)
+        cam = CKCamera(ctx, f"cam{k}")
+        ang = k * (2 * np.pi / n_ctx)
+        cam.SetPosition((np.sin(ang) * 10.0, 6.0, -np.cos(ang) * 10.0))
+        cam.SetOrientation((-np.sin(ang) * 0.3, -0.15, np.cos(ang)))
+        rc.AttachViewpointToCamera(cam)
+        rcs.append(rc)
+
+    rm.ProcessBatched()
+    jax.block_until_ready(rcs[-1].fb)
+
+    def fence():
+        return float(jax.device_get(rcs[-1].fb.sum()))
+
+    fence()
+    t0 = time.perf_counter()
+    rm.ProcessBatched()
+    fence()
+    batch_s = max(time.perf_counter() - t0, 1e-4)
+    n = max(3, min(48, int(4.0 / batch_s)))
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _i in range(n):
+            root.Rotate((0, 1, 0), 0.01)
+            rm.ProcessBatched()
+        fence()
+        best = max(best, n * n_ctx / (time.perf_counter() - t0))
+    return {
+        "metric": f"contexts_per_sec_batched_{n_ctx}x{size}",
+        "value": round(best, 2),
+        # 64 contexts at 60 fps over an 8-chip v5e slice = 480 ctx/s/chip;
+        # this one-chip batch reports against that per-chip rate.
+        "vs_baseline": round(best / 480.0, 3),
+        "unit": "contexts/sec",
+    }
+
+
 def main():
     import os
 
@@ -205,24 +333,52 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 3),
     }
-    print(json.dumps(result), flush=True)
-
-    # Configs 1-4 (one JSON line each, benchmarks/baseline.py scenes) so the
-    # driver artifact tracks the whole BASELINE suite, not just the headline.
-    # CK_BENCH_HEADLINE_ONLY=1 skips them (quick runs).
-    if os.environ.get("CK_BENCH_HEADLINE_ONLY"):
-        return
     del ctx, rc, spinner
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from benchmarks.baseline import run as run_config
 
-    for name in ("config1", "config2", "config3", "config4"):
+    # On-TPU Mosaic==XLA parity gate for every Pallas kernel (seconds; a
+    # lowering divergence must fail the artifact, not ship wrong pixels).
+    from benchmarks.parity_tpu_check import run_parity
+    try:
+        parity = run_parity()
+    except Exception as e:
+        parity = {"error": str(e)[:200]}
+    parity_ok = bool(parity and all(v is True for v in parity.values()))
+    print(json.dumps({"metric": "pallas_parity_tpu",
+                      "value": 1.0 if parity_ok else 0.0,
+                      "unit": "bool", "vs_baseline": 1.0 if parity_ok else 0.0,
+                      "checks": parity}), flush=True)
+    result["parity"] = parity
+
+    # Configs 1-4 + the ProcessBatched metric; CK_BENCH_HEADLINE_ONLY=1
+    # skips them (quick runs). The headline line prints LAST with every
+    # sub-metric embedded under "configs", so a consumer of the final line
+    # sees the full suite, not just the flagship number.
+    if not os.environ.get("CK_BENCH_HEADLINE_ONLY"):
+        from benchmarks.baseline import run as run_config
+
+        configs = {}
+        for name in ("config1", "config2", "config3", "config4"):
+            try:
+                line = run_config(name, 60, False)
+            except Exception as e:  # a broken sub-config must not kill the line
+                line = {"metric": f"fps_{name}", "value": 0.0,
+                        "unit": "frames/sec", "vs_baseline": 0.0,
+                        "error": str(e)[:200]}
+            print(json.dumps(line), flush=True)
+            configs[name] = line
         try:
-            print(json.dumps(run_config(name, 60, False)), flush=True)
-        except Exception as e:  # a broken sub-config must not kill the line
-            print(json.dumps({"metric": f"fps_{name}", "value": 0.0,
-                              "unit": "frames/sec", "vs_baseline": 0.0,
-                              "error": str(e)[:200]}), flush=True)
+            batched = run_batched_metric()
+        except Exception as e:
+            batched = {"metric": "contexts_per_sec_batched_8x256",
+                       "value": 0.0, "unit": "contexts/sec",
+                       "vs_baseline": 0.0, "error": str(e)[:200]}
+        print(json.dumps(batched), flush=True)
+        configs["batched"] = batched
+        configs["config5"] = {k: result[k] for k in
+                              ("metric", "value", "unit", "vs_baseline")}
+        result["configs"] = configs
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

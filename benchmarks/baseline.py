@@ -320,8 +320,61 @@ def make_skinned_tube(ctx, n_bones=128, rings_per_bone=4, ring_verts=120):
     return obj, mesh, skin, bones, clip
 
 
+def make_patch_sheet(ctx, n: int = 6, iterations: int = 5,
+                     extent: float = 12.0, amp: float = 1.2):
+    """An n x n grid of Bezier quad patches forming a wavy ground sheet
+    (BASELINE config 4's "patch tessellation" component; reference
+    RCKPatchMesh runtime tessellation, include/RCKPatchMesh.h:151-205)."""
+    from ckrenderengine_tpu.objects.patchmesh import CKPatch, CKPatchMesh
+
+    pm = CKPatchMesh(ctx, "patchsheet")
+
+    def height(x, y):
+        return amp * (np.sin(x * 0.6) * np.cos(y * 0.5))
+
+    xs = np.linspace(-extent, extent, n + 1)
+    corners = np.array([[x, height(x, y), y] for y in xs for x in xs],
+                       np.float32)
+    pm.SetVerts(corners)
+    vecs = []
+    patches = []
+
+    def pt(x, y):
+        return np.array([x, height(x, y), y], np.float32)
+
+    for r in range(n):
+        for c in range(n):
+            i00 = r * (n + 1) + c
+            quad = [i00, i00 + 1, i00 + n + 2, i00 + n + 1]
+            x0, x1 = xs[c], xs[c + 1]
+            y0, y1 = xs[r], xs[r + 1]
+            base = len(vecs)
+            # 8 edge control points (1/3, 2/3 along each edge), sampled off
+            # the analytic surface so tessellation reconstructs the waves.
+            for (ax, ay), (bx, by) in (((x0, y0), (x1, y0)),
+                                       ((x1, y0), (x1, y1)),
+                                       ((x1, y1), (x0, y1)),
+                                       ((x0, y1), (x0, y0))):
+                for tpar in (1 / 3, 2 / 3):
+                    vecs.append(pt(ax + (bx - ax) * tpar,
+                                   ay + (by - ay) * tpar))
+            for (u, v) in ((1 / 3, 1 / 3), (2 / 3, 1 / 3), (2 / 3, 2 / 3),
+                           (1 / 3, 2 / 3)):
+                vecs.append(pt(x0 + (x1 - x0) * u, y0 + (y1 - y0) * v))
+            patches.append(CKPatch(quad, list(range(base, base + 8)),
+                                   list(range(base + 8, base + 12))))
+    pm.SetVecs(np.asarray(vecs, np.float32))
+    for p in patches:
+        pm.AddPatch(p)
+    pm.SetIterationCount(iterations)
+    pm.BuildRenderMesh()
+    return pm
+
+
 def build_config4():
-    """128-bone / 60k-vert skinned tube + keyed clip, 1024x768."""
+    """Skinned character path per BASELINE.md: 128-bone / 60k-vert skinned
+    tube + keyed (device-bound) clip + Bezier PATCH TESSELLATION sheet,
+    1024x768."""
     (CKContext, CK3dObject, CKCamera, CKLight, CKMaterial, CKMesh,
      CKTexture, VXLIGHT) = _objects()
     ctx = CKContext()
@@ -338,6 +391,19 @@ def build_config4():
     sun.SetOrientation((0.3, -1.0, 0.4))
     sun.SetSpecularFlag(True)
 
+    # Patch-tessellated ground sheet under the character (the BASELINE
+    # config-4 component the round-2 scene omitted): 36 bicubic patches
+    # tessellated at iteration 5 (3,600 faces) through the RCKPatchMesh
+    # runtime path, drawn with its own lit material.
+    pmesh = make_patch_sheet(ctx)
+    pmat = CKMaterial(ctx, "patchmat")
+    pmat.SetDiffuse((0.45, 0.55, 0.75, 1.0))
+    pmat.SetPower(16.0)
+    pmesh.ApplyGlobalMaterial(pmat)
+    ground = CK3dObject(ctx, "patchground")
+    ground.SetCurrentMesh(pmesh)
+    ground.SetPosition((0.0, -3.5, 0.0))
+
     # Device-bound clip: track evaluation fuses into the frame program
     # (animate -> compose -> skin -> render); SetFrame ships one scalar.
     assert rc.BindAnimation(clip)
@@ -348,7 +414,7 @@ def build_config4():
         state["t"] = (state["t"] + 0.5) % clip.GetLength()
         clip.SetFrame(state["t"])
 
-    return rc, tick, "skinned_128bone_60kvert_1024x768"
+    return rc, tick, "skinned_128bone_60kvert_patchtess_1024x768"
 
 
 def build_config5():
