@@ -58,12 +58,13 @@ _BIG = 3.0e38
 _FETCH_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
+def _solve_kernel(starts_ref, counts_ref, shifts_ref, leftn_ref, vp_ref,
+                  initd_ref,
                   rows_hbm, outd_ref, outi_ref, *rest, kchunk: int,
                   nrow: int, tile: int, tx_n: int, n_planes: int,
                   gbase: int, gcap_chunks: int, scap_chunks: int,
                   sh_w: int = 0, sh_out: int = 0, want_e: bool = False,
-                  sh_pack: int = 0):
+                  sh_pack: int = 0, sh_base: int = 0):
     """One screen tile: stream [start, start+count) packed rows from HBM
     through a double-buffered VMEM slab, reducing (depth, id) into a
     register-resident (1, tile*tile) carry.
@@ -94,15 +95,17 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
     is ~2 ms of MXU work). It replaces the deferred shade's per-pixel
     HBM row gather (measured 12.6 ms at 1024x768)."""
     if sh_w:
-        (sh_hbm, outd_2, outi_2, outr_ref, rbuf, sems,
-         shbuf, sems_sh, facc) = (outd_ref, outi_ref) + rest
-        outd_ref, outi_ref = outd_2, outi_2
+        outr_ref, rbuf, sems, facc = rest
     else:
         rbuf, sems = rest
     npix = tile * tile
     t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
+    start = starts_ref[t]       # 8-aligned DMA base (floor of the true start)
+    count = counts_ref[t]       # shift + true count (rows to stream)
+    shift = shifts_ref[t]       # true start - base: over-read prefix rows,
+    # masked dead below (they belong to the PREVIOUS tile's range and could
+    # duplicate a row of this tile's own range — a duplicate would break the
+    # fused fetch's one-hot sum, so the semantics stay purely binned).
 
     pxl = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
     ty = t // tx_n
@@ -141,21 +144,11 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
             rows_hbm.at[pl.ds(row, kchunk), :],
             rbuf.at[slot], sems.at[slot])
 
-    def get_sh_dma(slot, c):
-        row, _ = seg(c)
-        ordn = row // kchunk
-        return pltpu.make_async_copy(
-            sh_hbm.at[ordn], shbuf.at[slot], sems_sh.at[slot])
-
     def start_dma(slot, c):
         get_dma(slot, c).start()
-        if sh_w:
-            get_sh_dma(slot, c).start()
 
     def wait_dma(slot, c):
         get_dma(slot, c).wait()
-        if sh_w:
-            get_sh_dma(slot, c).wait()
 
     @pl.when(total > 0)
     def _():
@@ -179,6 +172,11 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
         reducing chunk-locally first (required by the fused fetch) gives
         bit-identical winners."""
         _, nhere = seg(c)
+        # Main-range chunk 0 may carry up to 7 over-read prefix rows (the
+        # unaligned true start rounded down to the 8-row DMA grid); leftover
+        # segments start aligned (lo = 0 there and for chunks past 0).
+        lo = jnp.where(c < (count + kchunk - 1) // kchunk,
+                       shift - c * kchunk, jnp.int32(0))
 
         def sg_body(gi, car):
             off = pl.multiple_of(gi * 32, 32)
@@ -186,7 +184,8 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
             parts = []
             for k in range(4):
                 r8 = r32[k * 8:(k + 1) * 8]
-                live = (off + k * 8 + sub8) < nhere        # (8, 1)
+                idx8 = off + k * 8 + sub8
+                live = (idx8 < nhere) & (idx8 >= lo)       # (8, 1)
                 parts.append(_group_eval(r8, px, py, n_planes, live,
                                          want_e=want_e))
             ab = _merge(parts[0], parts[1])
@@ -204,24 +203,33 @@ def _solve_kernel(starts_ref, counts_ref, leftn_ref, vp_ref, initd_ref,
         better = (cd_ < bd) | ((cd_ == bd) & (ci_ > bi))   # (1, npix)
         if sh_w:
             # Fused fetch: the chunk winner's shade row via ONE one-hot MXU
-            # matmul, all operands in native orientation. Exactly one live
-            # row matches each covered pixel's chunk winner (a triangle
-            # bins once per tile); dead rows carry id -1 and uncovered
-            # pixels remap to -2, so they match nothing.
+            # contraction over the chunk's rows. The shade columns ride the
+            # SAME stream row (lanes [sh_base, sh_base+sh_w) — the row is
+            # lane-padded to 128 anyway, so their transport is free and no
+            # second DMA stream / chunk alignment is needed). Exactly one
+            # live row matches each covered pixel's chunk winner (a triangle
+            # bins once per tile; over-read boundary rows re-evaluate
+            # idempotently but a duplicate row match still fetches the SAME
+            # row); dead rows carry id -1 and uncovered pixels remap to -2,
+            # so they match nothing.
             fl_c = rbuf[slot_lit][:, _C_FL:_C_FL + 1].astype(jnp.int32)
-            idm = jnp.where((fl_c & 8) != 0,
+            idxk = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0)
+            livek = ((fl_c & 8) != 0) & (idxk >= lo) & (idxk < nhere)
+            idm = jnp.where(livek,
                             rbuf[slot_lit][:, _C_ID:_C_ID + 1],
                             jnp.float32(-1.0))             # (kchunk, 1)
             cif = jnp.where(ci_ >= 0, ci_.astype(jnp.float32),
                             jnp.float32(-2.0))             # (1, npix)
             oh = jnp.where(idm == cif, 1.0, 0.0)           # (kchunk, npix)
+            r_sh = rbuf[slot_lit][:, sh_base:sh_base + sh_w]
             # HIGHEST precision: the MXU truncates f32 operands to bf16 by
             # default, which rounds every fetched shade value (~3e-3 rel —
             # visibly wrong edge coefficients). The multi-pass decomposition
             # reconstructs f32 exactly (the one-hot side is bf16-exact 0/1).
-            crow = jnp.dot(shbuf[slot_lit], oh,
-                           preferred_element_type=jnp.float32,
-                           precision=_FETCH_PRECISION)
+            crow = jax.lax.dot_general(
+                r_sh, oh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_FETCH_PRECISION)                # (sh_w, npix)
             facc[:] = jnp.where(better, crow, facc[:])
         return tuple(jnp.where(better, y, x) for x, y in zip(carry, loc))
 
@@ -580,37 +588,31 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         return jnp.stack([n_small, n_mid, n_glob,
                           bounds[-1].astype(jnp.int32), peak])
 
-    # THE one stream gather: packed rows in sorted-pair order, each tile's
-    # range start padded up to 8 rows so DMA slices land on whole native
-    # (8, 128) tiles. Dead filler rows carry flags=0.
+    # THE one stream gather: packed rows in sorted-pair order, gathered
+    # DIRECTLY as the live prefix of the sorted key array — no aligned
+    # re-layout. Per-tile DMA rounds the (unaligned) range start DOWN to the
+    # 8-row grid; the over-read prefix rows are masked in-kernel via the
+    # ``shifts`` prefetch (they belong to the previous tile's range).
     #
     # The stream buffer is sized by ``pair_cap`` (LIVE pairs), not by the
     # static key capacity: the key arrays cover the worst case
     # (slab_cap*max_span + g_cap*span2 ~ 400k entries) while an ordinary
-    # frame bins a few tens of thousands of live pairs — building and
-    # gathering the full-capacity stream cost ~17 ms of the solve at
-    # Ballance scale. Tiles whose aligned range does not fit the cap (a
-    # suffix, since aligned starts are increasing) keep kernel count 0 and
-    # their sorted tail streams through the exact all-tiles fallback below.
-    # Starts align to 8 rows (whole native DMA tiles); with the fetch pass
-    # they align to the full kchunk so every chunk ordinal maps 1:1 to a
-    # block of the pre-transposed shade stream below.
-    align = kchunk if sh_w else 8
-    rcounts = ((counts + align - 1) // align) * align
-    abounds = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(rcounts).astype(jnp.int32)])
-    astarts = abounds[:-1]
-    sl_aligned = min(-(-(stream_len + n_tiles * align) // kchunk) * kchunk,
-                     -(-(pair_cap + n_tiles * align) // kchunk) * kchunk)
-    fits = (astarts + rcounts) <= sl_aligned
-    kcounts = jnp.where(fits, counts, 0)
+    # frame bins a few tens of thousands of live pairs. Tiles whose range
+    # does not fit the cap (a suffix, since starts are increasing) keep
+    # kernel count 0 and their sorted tail streams through the exact
+    # all-tiles fallback below.
+    sl_main = -(-min(stream_len, pair_cap) // kchunk) * kchunk
     n_live = bounds[-1].astype(jnp.int32)      # total live (non-sentinel) pairs
-    cut_pos = jnp.min(jnp.where(~fits & (counts > 0), starts, n_live))
-    src, live_pos = _scan_place(astarts, starts, starts + kcounts, kcounts,
-                                sl_aligned, n_tiles)
-    src_p = jnp.where(live_pos,
-                      jnp.take(sorted_p, jnp.clip(src, 0, stream_len - 1)),
+    pos = jnp.arange(sl_main, dtype=jnp.int32)
+    src_p = jnp.where(pos < jnp.minimum(n_live, sl_main),
+                      jnp.take(sorted_p, jnp.clip(pos, 0, stream_len - 1)),
                       lg)
+    fits = (starts + counts) <= sl_main
+    base8 = (starts // 8) * 8
+    kcounts = jnp.where(fits, counts + (starts - base8), 0)
+    starts_k = jnp.where(fits, base8, 0)
+    shifts_k = jnp.where(fits, starts - base8, 0)
+    cut_pos = jnp.min(jnp.where(~fits & (counts > 0), starts, n_live))
     # Stream-position -> triangle id (two cheap ELEMENT gathers), then ONE
     # wide-row gather straight from the full table; row t is the dead pad.
     safe_ok_pad = jnp.concatenate([safe_ok, jnp.full((1,), t, jnp.int32)])
@@ -651,24 +653,10 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         [stream_rows, left_rows, jnp.zeros((kchunk, nrow), jnp.float32)],
         axis=0)
     stream_rows = jnp.pad(stream_rows, ((0, 0), (0, 128 - nrow)))
-    starts_k = jnp.where(fits, astarts, 0)     # truncated tiles: count 0
     leftn = jnp.stack([jnp.minimum(g_count, gcap),
                        jnp.minimum(s_over, scap)]).astype(jnp.int32)
-    if sh_w:
-        # Fused-fetch companion: the stream's shade columns PRE-TRANSPOSED
-        # per chunk — (n_chunks, sh_w, kchunk), shade channels in sublanes,
-        # the chunk's triangles in lanes — so the kernel's one-hot matmul
-        # ((sh_w, kchunk) @ (kchunk, npix)) runs with zero in-kernel
-        # relayouts. Starts are kchunk-aligned above, so chunk ordinal =
-        # row // kchunk exactly.
-        sh_t = jax.lax.optimization_barrier(
-            stream_rows[:, sh_base:sh_base + sh_w]
-            .reshape(stream_rows.shape[0] // kchunk, kchunk, sh_w)
-            .transpose(0, 2, 1))
     if _probe == "phase_a":   # perf probe: binning + stream build only
-        if sh_w:
-            return stream_rows.sum(), sh_t.sum(), peak
-        return stream_rows.sum(), astarts.sum(), peak
+        return stream_rows.sum(), starts_k.sum(), peak
 
     # Init carry: clear scalar or kept (H,W) z-buffer, tile-ified. Only
     # sublane 0 is meaningful; the (8, npix) block shape exists because a
@@ -697,13 +685,14 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
         sh_dtype = jnp.float32
     kernel = functools.partial(
         _solve_kernel, kchunk=kchunk, nrow=nrow, tile=tile, tx_n=tx_n,
-        n_planes=n_planes, gbase=sl_aligned,
+        n_planes=n_planes, gbase=sl_main,
         gcap_chunks=lrows // kchunk, scap_chunks=lrows // kchunk,
-        sh_w=sh_w, sh_out=sh_out, want_e=want_eplanes, sh_pack=sh_pack)
+        sh_w=sh_w, sh_out=sh_out, want_e=want_eplanes, sh_pack=sh_pack,
+        sh_base=sh_base)
     out_specs = [
-        pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
+        pl.BlockSpec((1, 8, npix), lambda i, s, c, sh, l: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
+        pl.BlockSpec((1, 8, npix), lambda i, s, c, sh, l: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shapes = [
@@ -716,26 +705,21 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     ]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),             # vp6
-        pl.BlockSpec((1, 8, npix), lambda i, s, c, l: (i, 0, 0),
+        pl.BlockSpec((1, 8, npix), lambda i, s, c, sh, l: (i, 0, 0),
                      memory_space=pltpu.VMEM),             # init_d
         pl.BlockSpec(memory_space=pl.ANY),                 # stream (HBM)
     ]
-    args = [starts_k, kcounts, leftn, vp6, init_d, stream_rows]
+    args = [starts_k, kcounts, shifts_k, leftn, vp6, init_d, stream_rows]
     if sh_w:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # sh_t (HBM)
-        args.append(sh_t)
         out_specs.append(
-            pl.BlockSpec((1, sh_out, npix), lambda i, s, c, l: (i, 0, 0),
+            pl.BlockSpec((1, sh_out, npix), lambda i, s, c, sh, l: (i, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shapes.append(
             jax.ShapeDtypeStruct((n_tiles, sh_out, npix), sh_dtype))
-        scratch_shapes += [
-            pltpu.VMEM((2, sh_w, kchunk), jnp.float32),       # shbuf
-            pltpu.SemaphoreType.DMA((2,)),                    # sems_sh
-            pltpu.VMEM((sh_w, npix), jnp.float32),            # facc
-        ]
+        scratch_shapes.append(
+            pltpu.VMEM((sh_w, npix), jnp.float32))            # facc
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
