@@ -1885,10 +1885,19 @@ class CKRenderContext(CKObject):
         _okernel = ((si[:, SI_ZWRITE] == 0) & ~_texd
                     & ((si[:, SI_ALPHABLEND] == 0) | _blend_over))
         ordered_kernel_ok = bool(np.all(~_ordered | _okernel))
+        # 7th: the TEXTURED ordered envelope — same as the affine kernel's
+        # minus the untextured requirement: the layer-peel path
+        # (pallas_ordered.ordered_peel_tiled_pallas) handles textured
+        # alpha-over/replace/alpha-test draws at K bounded per-pixel layers
+        # with exact fallback on overflow.
+        _opeel = ((si[:, SI_ZWRITE] == 0)
+                  & ((si[:, SI_ALPHABLEND] == 0) | _blend_over))
+        ordered_peel_ok = bool(np.all(~_ordered | _opeel))
         sampler_profile = (bool(np.any(_texd & ~_lin)),
                            bool(np.any(_texd & _mip)), quad_ok,
                            bool(np.all(si[:, SI_PERSPECTIVE] != 0)),
-                           bool(np.any(_texd)), ordered_kernel_ok)
+                           bool(np.any(_texd)), ordered_kernel_ok,
+                           ordered_peel_ok)
         # Antialias option -> ordered 2x2 supersample + box resolve (the TPU
         # mapping of the reference's multisample device setup,
         # /root/reference/src/CKRenderManager.cpp:117,668 ->

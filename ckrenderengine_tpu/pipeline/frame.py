@@ -490,6 +490,80 @@ def ordered_subset(batch: rb.DeviceBatch, defer_tri: jnp.ndarray,
     )
 
 
+def _composite_peeled(fb, obatch: rb.DeviceBatch, lids, les, scene,
+                      sampler_profile, height: int, width: int):
+    """Shade + blend the peeled ordered layers (draw order per pixel).
+
+    ``lids``/``les``: ordered_peel_tiled_pallas outputs — per layer the
+    covering draw's index and raw edge values. Each layer shades ONCE per
+    pixel through the same quantized row machinery as the deferred shade
+    (texture sampling included), then composites with the draw's blend mode
+    (alpha-over / replace) after its alpha test — the semantics of the
+    sequential XLA pass (jax_backend.render_pass), evaluated as K dense
+    passes instead of one pass per triangle."""
+    from ..raster.types import (
+        SF_ALPHAREF, SI_ALPHABLEND, SI_ALPHAFUNC, SI_ALPHATEST,
+    )
+
+    t = obatch.valid.shape[0]
+    refl = obatch.refl if obatch.refl.shape[-1] else None
+    all_persp = (sampler_profile is not None and len(sampler_profile) > 3
+                 and bool(sampler_profile[3]))
+    if all_persp:
+        inv_det_s = None
+    else:
+        v0, v1, v2 = obatch.xyw[:, 0], obatch.xyw[:, 1], obatch.xyw[:, 2]
+        det = jnp.sum(v0 * jnp.cross(v1, v2), axis=-1)
+        inv_det_s = 1.0 / jnp.maximum(jnp.abs(det), 1e-30)
+    tbl = df.shade_row_table_quant(
+        obatch.xyw, obatch.color, obatch.specular, obatch.uv, obatch.fog,
+        obatch.state_idx, batch_refl=refl, inv_det_s=inv_det_s,
+        want_ws=not all_persp)
+    tblT = jax.lax.optimization_barrier(tbl.T)
+    # Per-pixel alpha/blend state join (tiny bank, one-hot MXU).
+    st4 = jnp.stack([
+        (scene.state_i[:, SI_ALPHABLEND] != 0).astype(jnp.float32),
+        scene.state_i[:, SI_ALPHAFUNC].astype(jnp.float32),
+        scene.state_f[:, SF_ALPHAREF],
+        (scene.state_i[:, SI_ALPHATEST] != 0).astype(jnp.float32),
+    ], axis=1)                                             # (S, 4)
+    k_layers = lids.shape[0]
+    for s in range(k_layers):
+        hit = lids[s] >= 0
+        tid = jnp.clip(lids[s], 0, t - 1).reshape(-1)
+        rows_q = jnp.take(tblT, tid, axis=1).reshape(
+            tbl.shape[1], height, width)
+        rows_q = jnp.where(hit[None], rows_q, jnp.int32(0))
+        full = df.expand_rows_quant(rows_q, scene.state_i, scene.state_f,
+                                    scene.tex_hw, want_ws=not all_persp,
+                                    has_refl=refl is not None)
+        src = df.shade_rows(full, hit, scene.tex_planes, scene.tex_hw,
+                            scene.fog_color,
+                            jnp.zeros((4, height, width), jnp.float32),
+                            height, width, sampler_profile=sampler_profile,
+                            tex_quad=scene.tex_quad,
+                            eplanes=(les[s, 0], les[s, 1], les[s, 2]))
+        stidx = rows_q[df.SH_Q_STIDX].reshape(-1)
+        oh = (jnp.arange(st4.shape[0], dtype=jnp.int32)[:, None]
+              == stidx[None, :])
+        stp = jnp.matmul(st4.T, oh.astype(jnp.float32),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        stp = stp.reshape(4, height, width)
+        blend_on = stp[0] != 0
+        at_on = stp[3] != 0
+        sa = src[3]
+        at_ok = rb.compare_op(stp[1].astype(jnp.int32), sa, stp[2])
+        keep = hit & (at_ok | ~at_on)
+        # shade_rows zeroed colorwrite-off pixels via its own hit mask;
+        # the peel kernel already drops colorwrite-off rows.
+        a = jnp.where(keep, jnp.where(blend_on, 1.0 - sa, 0.0), 1.0)
+        b = jnp.where(keep[None],
+                      jnp.where(blend_on[None], src * sa[None], src), 0.0)
+        fb = a[None] * fb + b
+    return fb
+
+
 def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int,
                       ordered_cap: int | None = None, chunk: int = 64,
                       world=None, background=None,
@@ -726,6 +800,21 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                                   * ((width + tile_o - 1) // tile_o))
                    > (1 << 26) and tile_o < max(height, width)):
                 tile_o *= 2
+            ordered_peel_ok = (sampler_profile is not None
+                               and len(sampler_profile) > 6
+                               and bool(sampler_profile[6])
+                               and (not sampler_profile[1]
+                                    or (height % 2 == 0 and width % 2 == 0)))
+
+            def _xla_replay(opnd):
+                fb0, zb0 = opnd
+                return rb.render_pass_tiled(
+                    fb0, zb0, obatch, scene.state_i, scene.state_f,
+                    scene.tex_planes, scene.tex_hw, scene.fog_color,
+                    scene.viewport, tile=tile_o,
+                    pixel_shader=pixel_shader,
+                    sampler_profile=sampler_profile)
+
             if on_tpu and ordered_kernel_ok and pixel_shader is None:
                 # Affine ordered-blend kernel (raster/pallas_ordered.py):
                 # full-rate transparency when every ordered state is in the
@@ -740,18 +829,31 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                     scene.state_i, scene.state_f, scene.fog_color, zb,
                     scene.viewport, height, width)
 
-                def _xla_replay(opnd):
-                    fb0, zb0 = opnd
-                    return rb.render_pass_tiled(
-                        fb0, zb0, obatch, scene.state_i, scene.state_f,
-                        scene.tex_planes, scene.tex_hw, scene.fog_color,
-                        scene.viewport, tile=tile_o,
-                        pixel_shader=pixel_shader,
-                        sampler_profile=sampler_profile)
-
                 fb, zb = jax.lax.cond(
                     bad_o, _xla_replay,
                     lambda opnd: (a_o * opnd[0] + b_o, opnd[1]), (fb, zb))
+            elif on_tpu and ordered_peel_ok and pixel_shader is None:
+                # TEXTURED ordered path: draw-order layer peeling in the
+                # Pallas kernel + K dense shade/blend passes in XLA
+                # (raster/pallas_ordered.ordered_peel_tiled_pallas). A pixel
+                # with more than K ordered fragments, or phase-A overflow,
+                # replays the exact sequential pass under lax.cond.
+                from ..raster.pallas_ordered import ordered_peel_tiled_pallas
+
+                lids, les, bad_p = ordered_peel_tiled_pallas(
+                    obatch.xyw, obatch.z, obatch.valid, obatch.color,
+                    obatch.specular, obatch.uv, obatch.fog,
+                    obatch.state_idx, obatch.clip_rect, obatch.clipd,
+                    scene.state_i, scene.state_f, zb,
+                    scene.viewport, height, width)
+
+                def _peeled(opnd):
+                    fb0, zb0 = opnd
+                    return (_composite_peeled(
+                        fb0, obatch, lids, les, scene, sampler_profile,
+                        height, width), zb0)
+
+                fb, zb = jax.lax.cond(bad_p, _xla_replay, _peeled, (fb, zb))
             else:
                 fb, zb = rb.render_pass_tiled(
                     fb, zb, obatch, scene.state_i, scene.state_f,

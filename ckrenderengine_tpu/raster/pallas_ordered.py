@@ -65,7 +65,8 @@ _OC_ZF = 47                 # z compare func
 _OC_AF = 48                 # alpha compare func
 _OC_AREF = 49               # alpha ref
 _OC_WS = slice(50, 53)      # corner w (non-perspective weights)
-_OC_NCOL = 53               # + 3 per user clip plane
+_OC_ID = 53                 # draw index (exact in f32 below 2^24)
+_OC_NCOL = 54               # + 3 per user clip plane
 
 
 def _compare(func, a, b):
@@ -245,32 +246,16 @@ def _blend_kernel(starts_ref, counts_ref, vp_ref, initz_ref, rows_hbm,
     out_ref[0] = jnp.concatenate(a4 + b4, axis=0)            # (8, npix)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("height", "width", "tile", "windows", "pair_cap",
-                     "kchunk", "interpret"))
-def ordered_blend_tiled_pallas(obatch_xyw, obatch_z, obatch_valid,
-                               obatch_color, obatch_spec, obatch_uv,
-                               obatch_fog, obatch_state, obatch_rect,
-                               obatch_clipd, state_i, state_f, fog_color,
-                               zb, viewport, height: int, width: int,
-                               tile: int = 32,
-                               windows: tuple = ((65536, 4), (4096, 16),
-                                                 (1024, 128), (64, -1)),
-                               pair_cap: int = 131072,
-                               kchunk: int = 128, interpret: bool = False):
-    """Ordered alpha blend over the opaque frame, as per-pixel affine maps.
-
-    Inputs are the ordered_subset batch fields IN DRAW ORDER (slot k draws
-    k-th). Returns (A (4,H,W), B (4,H,W), bad ()): the caller composites
-    ``fb' = A*fb + B`` — or replays the exact XLA pass when ``bad`` (span
-    or capacity overflow; binning is never a correctness cap).
-
-    ``windows``: static ((capacity, span_limit), ...) span classes — small
-    triangles fill big windows with tiny key fans, full-screen glass panes
-    fill a tiny window with an every-tile fan (span_limit -1 = n_tiles).
-    A class count over its capacity, or any unbounded row, raises ``bad``.
-    """
+def _ordered_phase_a(obatch_xyw, obatch_z, obatch_valid,
+                     obatch_color, obatch_spec, obatch_uv,
+                     obatch_fog, obatch_state, obatch_rect,
+                     obatch_clipd, state_i, state_f,
+                     zb, height: int, width: int, tile: int,
+                     windows: tuple, pair_cap: int, kchunk: int):
+    """Shared ordered-stream build: triangle setup, draw-order packed rows,
+    span-window classification, pair-key sort, per-tile contiguous stream
+    ranges, tiled opaque z-buffer, and the overflow ``bad`` flag. Used by
+    BOTH ordered kernels (affine blend + layer peel)."""
     from .deferred import take_small, triangle_setup
 
     t = obatch_xyw.shape[0]
@@ -318,6 +303,7 @@ def ordered_blend_tiled_pallas(obatch_xyw, obatch_z, obatch_valid,
         obatch_fog.reshape(t, 3),
         st_t,
         obatch_xyw[..., 2],
+        jnp.arange(t, dtype=jnp.float32)[:, None],
     ]
     if n_planes:
         full_cols.append(setup.get(
@@ -438,7 +424,6 @@ def ordered_blend_tiled_pallas(obatch_xyw, obatch_z, obatch_valid,
            | jnp.any(~fits & (counts > 0))
            | (n_live_pairs > pair_cap))
 
-    # --- kernel ------------------------------------------------------------
     assert npix % 8 == 0
     zp = jnp.pad(jnp.asarray(zb, jnp.float32),
                  ((0, ty_n * tile - height), (0, tx_n * tile - width)),
@@ -446,13 +431,51 @@ def ordered_blend_tiled_pallas(obatch_xyw, obatch_z, obatch_valid,
     init_flat = zp.reshape(ty_n, tile, tx_n, tile).transpose(0, 2, 1, 3)
     init_z = jnp.broadcast_to(
         init_flat.reshape(n_tiles, npix)[:, None, :], (n_tiles, 8, npix))
+    starts_k = jnp.where(fits, astarts, 0)
+    return dict(stream_rows=stream_rows, starts_k=starts_k, kcounts=kcounts,
+                init_z=init_z, bad=bad, n_planes=n_planes, setup=setup,
+                ty_n=ty_n, tx_n=tx_n, n_tiles=n_tiles, npix=npix)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile", "windows", "pair_cap",
+                     "kchunk", "interpret"))
+def ordered_blend_tiled_pallas(obatch_xyw, obatch_z, obatch_valid,
+                               obatch_color, obatch_spec, obatch_uv,
+                               obatch_fog, obatch_state, obatch_rect,
+                               obatch_clipd, state_i, state_f, fog_color,
+                               zb, viewport, height: int, width: int,
+                               tile: int = 32,
+                               windows: tuple = ((65536, 4), (4096, 16),
+                                                 (1024, 128), (64, -1)),
+                               pair_cap: int = 131072,
+                               kchunk: int = 128, interpret: bool = False):
+    """Ordered alpha blend over the opaque frame, as per-pixel affine maps.
+
+    Inputs are the ordered_subset batch fields IN DRAW ORDER (slot k draws
+    k-th). Returns (A (4,H,W), B (4,H,W), bad ()): the caller composites
+    ``fb' = A*fb + B`` — or replays the exact XLA pass when ``bad`` (span
+    or capacity overflow; binning is never a correctness cap).
+
+    ``windows``: static ((capacity, span_limit), ...) span classes — small
+    triangles fill big windows with tiny key fans, full-screen glass panes
+    fill a tiny window with an every-tile fan (span_limit -1 = n_tiles).
+    A class count over its capacity, or any unbounded row, raises ``bad``.
+    """
+    pa = _ordered_phase_a(obatch_xyw, obatch_z, obatch_valid, obatch_color,
+                          obatch_spec, obatch_uv, obatch_fog, obatch_state,
+                          obatch_rect, obatch_clipd, state_i, state_f,
+                          zb, height, width, tile, windows, pair_cap, kchunk)
+    n_tiles, npix, ty_n, tx_n = (pa["n_tiles"], pa["npix"], pa["ty_n"],
+                                 pa["tx_n"])
     vp9 = jnp.concatenate([
         jnp.asarray(viewport, jnp.float32).reshape(4),
         jnp.asarray([width, height], jnp.float32),
         jnp.asarray(fog_color, jnp.float32).reshape(3)])
 
     kernel = functools.partial(_blend_kernel, kchunk=kchunk, tile=tile,
-                               tx_n=tx_n, n_planes=n_planes)
+                               tx_n=tx_n, n_planes=pa["n_planes"])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -471,16 +494,237 @@ def ordered_blend_tiled_pallas(obatch_xyw, obatch_z, obatch_valid,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    starts_k = jnp.where(fits, astarts, 0)
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_tiles, 8, npix), jnp.float32),),
         interpret=interpret,
-    )(starts_k, kcounts, vp9, init_z, stream_rows)
+    )(pa["starts_k"], pa["kcounts"], vp9, pa["init_z"], pa["stream_rows"])
 
     full_h, full_w = ty_n * tile, tx_n * tile
     ab = out.reshape(ty_n, tx_n, 8, tile, tile)
     ab = ab.transpose(2, 0, 3, 1, 4).reshape(8, full_h, full_w)
     ab = ab[:, :height, :width]
-    return ab[0:4], ab[4:8], bad
+    return ab[0:4], ab[4:8], pa["bad"]
+
+
+def _peel_kernel(starts_ref, counts_ref, vp_ref, initz_ref, rows_hbm,
+                 out_ref, rbuf, sems, *, kchunk: int, tile: int,
+                 tx_n: int, n_planes: int, k_layers: int):
+    """One screen tile: stream draw-ordered rows and record, per pixel, the
+    first ``k_layers`` covering fragments IN DRAW ORDER — (draw id, raw
+    e0/e1/e2) per layer — plus an overflow mask when a pixel sees more.
+
+    This is the textured-transparency half of the ordered path: the kernel
+    cannot sample textures (no per-lane HBM gather on TPU), so it peels the
+    draw-order fragment layers at full streaming rate and the XLA composite
+    then shades each layer ONCE per pixel (texture, alpha test, blend) —
+    K dense passes instead of one sequential pass per triangle. Coverage
+    semantics (top-left rule, esum sign, depth clamp, scissor, rect, user
+    clip planes, z test vs the opaque z-buffer with the 2-ULP tie window,
+    colorwrite) are exactly the affine kernel's; alpha test is NOT applied
+    here (it needs the sampled texel) — a failing fragment composites as
+    identity in the XLA stage, exactly like the sequential pass."""
+    npix = tile * tile
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+
+    pxl = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    ty = t // tx_n
+    tx = t - ty * tx_n
+    px = (pxl % tile + tx * tile).astype(jnp.float32) + 0.5
+    py = (pxl // tile + ty * tile).astype(jnp.float32) + 0.5
+    vx0 = vp_ref[0]
+    vy0 = vp_ref[1]
+    scissor = ((px >= vx0) & (px < vx0 + vp_ref[2])
+               & (py >= vy0) & (py < vy0 + vp_ref[3])
+               & (px < vp_ref[4]) & (py < vp_ref[5]))
+    zb0 = initz_ref[0][0:1]                                  # (1, npix)
+    zb_bits = jax.lax.bitcast_convert_type(zb0, jnp.int32)
+
+    nchunks = (count + kchunk - 1) // kchunk
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(start + c * kchunk, kchunk), :],
+            rbuf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def group_cov(r8, live):
+        """8 rows -> (cov (8,npix), e0, e1, e2, tid (8,1))."""
+        def col(i):
+            return r8[:, i:i + 1]
+
+        def icol(i):
+            return r8[:, i:i + 1].astype(jnp.int32)
+
+        e0 = col(0) * px + col(1) * py + col(2)
+        e1 = col(3) * px + col(4) * py + col(5)
+        e2 = col(6) * px + col(7) * py + col(8)
+        fl = icol(_OC_FL)
+        c0 = (e0 > 0) | (((fl & 1) != 0) & (e0 == 0))
+        c1 = (e1 > 0) | (((fl & 2) != 0) & (e1 == 0))
+        c2 = (e2 > 0) | (((fl & 4) != 0) & (e2 == 0))
+        esum_p = (col(_OC_EP.start) * px + col(_OC_EP.start + 1) * py
+                  + col(_OC_EP.start + 2)) * col(_OC_SS)
+        depth = (e0 * col(_OC_Z.start) + e1 * col(_OC_Z.start + 1)
+                 + e2 * col(_OC_Z.start + 2)) * col(_OC_IVS)
+        cov = c0 & c1 & c2 & (esum_p > 0) & (depth >= 0.0) & (depth <= 1.0)
+        cov &= ((px >= col(_OC_RECT.start)) & (py >= col(_OC_RECT.start + 1))
+                & (px < col(_OC_RECT.start + 2))
+                & (py < col(_OC_RECT.start + 3)))
+        for p in range(n_planes):
+            cp = _OC_NCOL + 3 * p
+            cov &= (col(cp) * px + col(cp + 1) * py + col(cp + 2)) >= 0
+        cov &= ((fl & 8) != 0) & live & scissor
+
+        zf = icol(_OC_ZF)
+        dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
+        near = jnp.abs(dbits - zb_bits) <= 2
+        strict = _compare(zf, depth, zb0)
+        eq_incl = ((zf == VXCMP.LESSEQUAL) | (zf == VXCMP.EQUAL)
+                   | (zf == VXCMP.GREATEREQUAL))
+        cov &= strict | (eq_incl & near)
+        bits = icol(_OC_BITS)
+        cov &= (bits & 4) != 0                       # colorwrite
+        return cov, e0, e1, e2, col(_OC_ID)
+
+    def process(slot_lit, c, carry):
+        nhere = jnp.clip(count - c * kchunk, 0, kchunk)
+
+        def sg_body(gi, car):
+            lid, le0, le1, le2, cnt, ovf = car
+            off = pl.multiple_of(gi * 8, 8)
+            r8 = rbuf.at[slot_lit][pl.ds(off, 8), :]
+            live = (off + sub8) < nhere
+            cov8, e0, e1, e2, tid = group_cov(r8, live)
+            for k in range(8):                 # draw order is sublane order
+                m = cov8[k:k + 1]              # (1, npix)
+                ovf = ovf | (m & (cnt >= k_layers))
+                for s in range(k_layers):
+                    sel = m & (cnt == s)
+                    lid[s] = jnp.where(sel, tid[k:k + 1], lid[s])
+                    le0[s] = jnp.where(sel, e0[k:k + 1], le0[s])
+                    le1[s] = jnp.where(sel, e1[k:k + 1], le1[s])
+                    le2[s] = jnp.where(sel, e2[k:k + 1], le2[s])
+                cnt = cnt + m.astype(jnp.int32)
+            return lid, le0, le1, le2, cnt, ovf
+
+        return jax.lax.fori_loop(0, (nhere + 7) // 8, sg_body, carry)
+
+    def pair_body(cp, carry):
+        c0 = 2 * cp
+
+        @pl.when(c0 + 1 < nchunks)
+        def _():
+            get_dma(1, c0 + 1).start()
+
+        get_dma(0, c0).wait()
+        carry = process(0, c0, carry)
+
+        @pl.when(c0 + 2 < nchunks)
+        def _():
+            get_dma(0, c0 + 2).start()
+
+        def odd(car):
+            get_dma(1, c0 + 1).wait()
+            return process(1, c0 + 1, car)
+
+        return jax.lax.cond(c0 + 1 < nchunks, odd, lambda car: car, carry)
+
+    ident = ([jnp.full((1, npix), -1.0, jnp.float32)
+              for _ in range(k_layers)],
+             [jnp.zeros((1, npix), jnp.float32) for _ in range(k_layers)],
+             [jnp.zeros((1, npix), jnp.float32) for _ in range(k_layers)],
+             [jnp.zeros((1, npix), jnp.float32) for _ in range(k_layers)],
+             jnp.zeros((1, npix), jnp.int32),
+             jnp.zeros((1, npix), bool))
+    lid, le0, le1, le2, cnt, ovf = jax.lax.fori_loop(
+        0, (nchunks + 1) // 2, pair_body, ident)
+    # Layer block s: [id, e0, e1, e2, ovf|count, id, id, id] (8 sublanes).
+    blocks = []
+    for s in range(k_layers):
+        extra = (ovf.astype(jnp.float32) if s == 0
+                 else cnt.astype(jnp.float32))
+        blocks += [lid[s], le0[s], le1[s], le2[s], extra,
+                   lid[s], lid[s], lid[s]]
+    out_ref[0] = jnp.concatenate(blocks, axis=0)     # (8*K, npix)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile", "windows", "pair_cap",
+                     "kchunk", "k_layers", "interpret"))
+def ordered_peel_tiled_pallas(obatch_xyw, obatch_z, obatch_valid,
+                              obatch_color, obatch_spec, obatch_uv,
+                              obatch_fog, obatch_state, obatch_rect,
+                              obatch_clipd, state_i, state_f,
+                              zb, viewport, height: int, width: int,
+                              tile: int = 32,
+                              windows: tuple = ((65536, 4), (4096, 16),
+                                                (1024, 128), (64, -1)),
+                              pair_cap: int = 131072,
+                              kchunk: int = 128, k_layers: int = 4,
+                              interpret: bool = False):
+    """Draw-order fragment peeling for the TEXTURED ordered path.
+
+    Returns (lids (K,H,W) int32 [-1 = none], les (K,3,H,W) f32 raw winner
+    edge values, bad ()). ``bad`` includes per-pixel layer overflow (more
+    than K ordered fragments on some pixel) and the phase-A capacity flags;
+    the caller must then replay the exact sequential XLA pass.
+    Reference behavior: transparent sort then per-fragment textured blend
+    (/root/reference/src/CKSceneGraph.cpp:618-752 +
+    CKDX9RasterizerContext::DrawPrimitive texturing)."""
+    pa = _ordered_phase_a(obatch_xyw, obatch_z, obatch_valid, obatch_color,
+                          obatch_spec, obatch_uv, obatch_fog, obatch_state,
+                          obatch_rect, obatch_clipd, state_i, state_f,
+                          zb, height, width, tile, windows, pair_cap, kchunk)
+    n_tiles, npix, ty_n, tx_n = (pa["n_tiles"], pa["npix"], pa["ty_n"],
+                                 pa["tx_n"])
+    vp6 = jnp.concatenate([
+        jnp.asarray(viewport, jnp.float32).reshape(4),
+        jnp.asarray([width, height], jnp.float32)])
+
+    kernel = functools.partial(_peel_kernel, kchunk=kchunk, tile=tile,
+                               tx_n=tx_n, n_planes=pa["n_planes"],
+                               k_layers=k_layers)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # vp6
+            pl.BlockSpec((1, 8, npix), lambda i, s, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # init_z
+            pl.BlockSpec(memory_space=pl.ANY),               # stream (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8 * k_layers, npix), lambda i, s, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, kchunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, 8 * k_layers, npix),
+                                        jnp.float32),),
+        interpret=interpret,
+    )(pa["starts_k"], pa["kcounts"], vp6, pa["init_z"], pa["stream_rows"])
+
+    full_h, full_w = ty_n * tile, tx_n * tile
+    o = out.reshape(ty_n, tx_n, 8 * k_layers, tile, tile)
+    o = o.transpose(2, 0, 3, 1, 4).reshape(8 * k_layers, full_h, full_w)
+    o = o[:, :height, :width]
+    lids = jnp.stack([o[8 * s].astype(jnp.int32) for s in range(k_layers)])
+    les = jnp.stack([o[8 * s + 1:8 * s + 4] for s in range(k_layers)])
+    ovf = jnp.any(o[4] > 0.5)
+    return lids, les, pa["bad"] | ovf

@@ -9,10 +9,10 @@ docs/PERFORMANCE.md:
 
   Phase A (XLA)   — classify + compact triangles, bin (tile, slab-pos) pairs
                     by ONE u32 key sort, then gather the packed rows into
-                    sorted-stream order ONCE (a single dense wide gather).
-                    Per-tile stream placement is computed with scatter +
-                    prefix-scan (no per-position searchsorted / table
-                    gathers).
+                    sorted-stream order ONCE (a single dense wide gather of
+                    the live prefix — no aligned re-layout; per-tile DMA
+                    bases round down to the 8-row grid and the kernel masks
+                    the over-read prefix via a per-tile shift prefetch).
   Phase B (Pallas)— grid over screen tiles. Each tile's row range is
                     CONTIGUOUS in the stream, so the kernel streams it
                     through VMEM with double-buffered async DMA (no gather
@@ -69,8 +69,10 @@ def _solve_kernel(starts_ref, counts_ref, shifts_ref, leftn_ref, vp_ref,
     through a double-buffered VMEM slab, reducing (depth, id) into a
     register-resident (1, tile*tile) carry.
 
-    The stream ships one triangle per 128-lane row, and per-tile starts are
-    8-row aligned, so DMA slices are whole native (8, 128) tiles. Triangles
+    The stream ships one triangle per 128-lane row; per-tile DMA bases are
+    the true range starts rounded DOWN to the 8-row grid (``shifts_ref``
+    masks the over-read prefix), so slices are whole native (8, 128) tiles
+    without any aligned re-layout of the stream itself. Triangles
     evaluate EIGHT at a time — triangle axis in sublanes, the tile's pixels
     in lanes — so coefficients load as ONE (8, 128) vector read per group
     and broadcast as (8, 1) columns; nothing touches SMEM scalars (measured
@@ -84,16 +86,14 @@ def _solve_kernel(starts_ref, counts_ref, shifts_ref, leftn_ref, vp_ref,
     scenes.
 
     ``sh_w`` > 0 enables the FUSED FETCH: each chunk's local winner
-    (depth, id) is computed first, its shade row is pulled from the
-    pre-transposed shade stream by ONE one-hot MXU matmul
-    ((sh_w, kchunk) @ (kchunk, npix)), and (depth, id, shade-row) merge
-    into the running carry together. Every operand sits in its native
-    orientation — ids as a sublane column, the winner as a lane row, the
-    shade slab pre-transposed by phase A — so the fetch adds zero
-    relayouts and zero extra stream passes (the previous two-pass variant
-    re-streamed the rows and measured ~25 ms/frame at 1024x768; fused it
-    is ~2 ms of MXU work). It replaces the deferred shade's per-pixel
-    HBM row gather (measured 12.6 ms at 1024x768)."""
+    (depth, id) is computed first, its shade row is pulled from the SAME
+    stream row's shade lanes ([sh_base, sh_base+sh_w) — free transport in
+    the 128-lane pad) by ONE one-hot MXU contraction over the chunk's
+    rows, and (depth, id, shade-row) merge into the running carry
+    together. NOTE (round 3): the fused path is kept OFF in the frame
+    pipeline — in situ the per-pixel winner gather it replaces costs ~1-4
+    ms while the fetch's stream/table overheads measured larger
+    (docs/PERFORMANCE.md, benchmarks/fused_probe.py)."""
     if sh_w:
         outr_ref, rbuf, sems, facc = rest
     else:
