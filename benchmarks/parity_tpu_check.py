@@ -168,11 +168,91 @@ def check_ordered():
                             and np.allclose(fb_k, fb_ref, atol=1e-4))}
 
 
+def check_peel():
+    """Layer-peel kernel vs the sequential pass on a bounded-depth textured
+    alpha scene (compiled Mosaic on TPU; the CPU suite runs it in interpret
+    mode only)."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    import numpy as np
+    from ckrenderengine_tpu.pipeline.frame import _composite_peeled
+    from ckrenderengine_tpu.raster import jax_backend as rb
+    from ckrenderengine_tpu.raster.pallas_ordered import (
+        ordered_peel_tiled_pallas,
+    )
+    from ckrenderengine_tpu.raster.types import (
+        RasterState, VXBLEND, VXCMP, VXCULL, VXTEXTURE_FILTER, pack_states,
+    )
+
+    h, w = 96, 128
+    rng = np.random.default_rng(21)
+    tex_over = RasterState(alpha_blend=True, src_blend=int(VXBLEND.SRCALPHA),
+                           dst_blend=int(VXBLEND.INVSRCALPHA), z_write=False,
+                           cull=int(VXCULL.NONE), fog=True, tex=0,
+                           tex_filter=int(VXTEXTURE_FILTER.LINEAR))
+    plain = RasterState(alpha_blend=True, src_blend=int(VXBLEND.SRCALPHA),
+                        dst_blend=int(VXBLEND.INVSRCALPHA), z_write=False,
+                        cull=int(VXCULL.NONE))
+    si, sf = pack_states([tex_over, plain])
+    pts = []
+    spacing, rad = 24, 9.0
+    for l in range(3):
+        for cy in range(spacing // 2, h, spacing):
+            for cx in range(spacing // 2, w, spacing):
+                ang = rng.uniform(0, 2 * np.pi, 3)
+                r = rng.uniform(rad * 0.5, rad, 3)
+                pts.append(np.stack([cx + np.cos(ang) * r,
+                                     cy + np.sin(ang) * r], -1))
+    pts = np.asarray(pts, np.float32)
+    t = pts.shape[0]
+    wgt = rng.uniform(0.5, 2.0, (t, 3, 1)).astype(np.float32)
+    xyw = jnp.asarray(np.concatenate([pts * wgt, wgt], -1))
+    z = jnp.asarray(rng.uniform(0.05, 0.5, (t, 3)).astype(np.float32))
+    batch = rb.DeviceBatch(
+        xyw=xyw, z=z,
+        color=jnp.asarray(rng.uniform(0, 1, (t, 3, 4)).astype(np.float32)),
+        specular=jnp.asarray(
+            rng.uniform(0, 0.2, (t, 3, 3)).astype(np.float32)),
+        uv=jnp.asarray(rng.uniform(0, 1, (t, 3, 2)).astype(np.float32)),
+        fog=jnp.asarray(rng.uniform(0.3, 1, (t, 3)).astype(np.float32)),
+        state_idx=jnp.asarray(rng.integers(0, 2, t).astype(np.int32)),
+        valid=jnp.ones(t, bool),
+        clip_rect=jnp.asarray(np.tile(
+            np.array([[-1e9, -1e9, 1e9, 1e9]], np.float32), (t, 1))),
+        clipd=jnp.zeros((t, 3, 0), jnp.float32),
+        refl=jnp.zeros((t, 3, 0), jnp.float32))
+    tex_planes = jnp.asarray(
+        rng.uniform(0.1, 1.0, (1, 4, 8, 8)).astype(np.float32))
+    tex_hw = jnp.asarray([[8, 8]], np.int32)
+    fb = jnp.asarray(rng.uniform(0, 1, (4, h, w)).astype(np.float32))
+    zb = jnp.asarray(rng.uniform(0.6, 1.0, (h, w)).astype(np.float32))
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    scene = SimpleNamespace(
+        state_i=jnp.asarray(si), state_f=jnp.asarray(sf),
+        tex_planes=tex_planes, tex_hw=tex_hw,
+        fog_color=jnp.asarray([0.2, 0.3, 0.4], jnp.float32), tex_quad=None)
+    profile = (True, False, False, True, True, False, True)
+    fb_ref, _ = rb.render_pass(fb, zb, batch, jnp.asarray(si),
+                               jnp.asarray(sf), tex_planes, tex_hw,
+                               scene.fog_color, viewport, chunk=1,
+                               sampler_profile=profile)
+    lids, les, bad = ordered_peel_tiled_pallas(
+        batch.xyw, batch.z, batch.valid, batch.color, batch.specular,
+        batch.uv, batch.fog, batch.state_idx, batch.clip_rect, batch.clipd,
+        jnp.asarray(si), jnp.asarray(sf), zb, viewport, h, w)
+    fb_k = _composite_peeled(fb, batch, lids, les, scene, profile, h, w)
+    return {"peel": bool(not bool(bad)
+                         and np.allclose(np.asarray(fb_k),
+                                         np.asarray(fb_ref), atol=0.02))}
+
+
 def run_parity() -> dict:
     """All kernel parity checks on the CURRENT jax backend. {name: bool}."""
     out = {}
     out.update(check_solve_and_fetch())
     out.update(check_ordered())
+    out.update(check_peel())
     return out
 
 

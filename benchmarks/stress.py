@@ -142,6 +142,7 @@ def case_tris2m():
 
 
 CASES = {"clipplane": case_clipplane, "alpha50k": case_alpha50k,
+         "alpha_tex50k": case_alpha_tex50k,
          "tris2m": case_tris2m}
 
 
@@ -170,3 +171,75 @@ def main():
 if __name__ == "__main__":
     import bench  # noqa: F401  (case builders use bench helpers)
     main()
+
+
+def case_alpha_tex50k():
+    """Textured transparency at scale: ~50k TEXTURED alpha-over triangles
+    in 4 stacked sheets over an opaque floor — bounded per-pixel depth
+    (<= 4 + floor), so the frame rides the layer-peel kernel path
+    (raster/pallas_ordered.ordered_peel_tiled_pallas) instead of the
+    sequential per-triangle composite."""
+    import bench
+    from ckrenderengine_tpu.objects import (
+        CK3dObject, CKCamera, CKContext, CKLight, CKMaterial, CKMesh,
+        CKTexture,
+    )
+    from ckrenderengine_tpu.raster.types import VXBLEND, VXLIGHT
+
+    ctx = CKContext()
+    rc = ctx.GetRenderManager().CreateRenderContext(1024, 768)
+    cam = CKCamera(ctx, "cam")
+    cam.SetPosition((0.0, 14.0, -40.0))
+    cam.SetOrientation((0.0, -0.3, 1.0))
+    cam.SetBackPlane(500.0)
+    rc.AttachViewpointToCamera(cam)
+    sun = CKLight(ctx, "sun")
+    sun.SetType(int(VXLIGHT.DIREC))
+    sun.SetOrientation((0.2, -1.0, 0.3))
+
+    fverts, fuv, ffaces = bench.make_terrain(40, 60.0, 1.0)
+    floor_mesh = CKMesh(ctx, "floor")
+    floor_mesh.SetPositions(fverts)
+    floor_mesh.SetUVs(fuv)
+    floor_mesh.SetFaces(ffaces)
+    floor_mesh.BuildNormals()
+    fmat = CKMaterial(ctx, "floormat")
+    fmat.SetDiffuse((0.4, 0.45, 0.5, 1.0))
+    floor_mesh.ApplyGlobalMaterial(fmat)
+    floor = CK3dObject(ctx, "floor")
+    floor.SetCurrentMesh(floor_mesh)
+
+    tex = CKTexture(ctx, "glasstex")
+    img = (np.indices((16, 16)).sum(0) % 2).astype(np.float32)
+    tex.SetImage(np.stack([img * 0.3 + 0.6, img * 0.2 + 0.7,
+                           img * 0.2 + 0.75, img * 0.3 + 0.55], -1))
+
+    rng = np.random.default_rng(13)
+    n_sheets = 4
+    sheet_verts, sheet_uv, sheet_faces = bench.make_terrain(79, 30.0, 0.4)
+    amat = CKMaterial(ctx, "texglass")
+    amat.SetDiffuse((0.9, 0.95, 1.0, 0.45))
+    amat.SetTexture(tex)
+    amat.EnableAlphaBlend(True)
+    amat.SetSourceBlend(int(VXBLEND.SRCALPHA))
+    amat.SetDestBlend(int(VXBLEND.INVSRCALPHA))
+    amat.EnableZWrite(False)
+    sheet_mesh = CKMesh(ctx, "texsheet")
+    sheet_mesh.SetPositions(sheet_verts)
+    sheet_mesh.SetUVs(sheet_uv)
+    sheet_mesh.SetFaces(sheet_faces)
+    sheet_mesh.BuildNormals()
+    sheet_mesh.ApplyGlobalMaterial(amat)
+    spinner = CK3dObject(ctx, "spin")
+    for i in range(n_sheets):
+        s = CK3dObject(ctx, f"texsheet{i}")
+        s.SetCurrentMesh(sheet_mesh)
+        s.SetParent(spinner)
+        s.SetPosition((rng.uniform(-3, 3), 3.0 + i * 1.5,
+                       rng.uniform(-3, 3)), ref=spinner)
+
+    def tick(i):
+        spinner.Rotate((0, 1, 0), 0.02)
+
+    n_alpha = n_sheets * sheet_faces.shape[0]
+    return rc, tick, f"alpha_textured{n_alpha}_1024x768"

@@ -71,19 +71,27 @@ def build_quad_bank(quads: list[dict], pad: int = 4) -> QuadBank | None:
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
 def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
-                    tex_hw: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """Composite quads onto fb (4,H,W) in bank order. Returns new fb."""
+                    tex_hw: jnp.ndarray, height: int, width: int,
+                    win_cap: int = 256) -> jnp.ndarray:
+    """Composite quads onto fb (4,H,W) in bank order. Returns new fb.
+
+    Per-quad texel fetches are WINDOWED: a quad smaller than
+    ``win_cap`` x ``win_cap`` composites inside a dynamically-sliced static
+    window around its rect, so the texel gather touches ~win_cap^2 pixels
+    instead of the whole frame (a full-frame element gather costs ~6 ms at
+    1024x768 PER QUAD on this TPU — two HUD quads were worth 13 ms/frame).
+    Quads larger than the cap take the dense full-frame branch under
+    lax.cond — identical math, just unwindowed."""
     if bank.rect.shape[0] == 0:
         return fb
-    py, px = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32) + 0.5,
-        jnp.arange(width, dtype=jnp.float32) + 0.5,
-        indexing="ij",
-    )
     nt, _, th, tw = tex_planes.shape
     flat = tex_planes.transpose(0, 2, 3, 1).reshape(nt * th * tw, 4)
+    wh = min(win_cap, height)
+    ww = min(win_cap, width)
 
-    def one(fb, q):
+    def quad_math(sub, px, py, q):
+        """Composite ONE quad onto the (4, h, w) block ``sub`` whose pixel
+        centers are (px, py)."""
         rect, uvrect, color, tex, blend, valid = q
         x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
         inside = (px >= x0) & (px < x1) & (py >= y0) & (py < y1) & valid
@@ -104,19 +112,52 @@ def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
             idx = iv * tw + iu
         else:
             idx = tid * (th * tw) + iv * tw + iu
-        texel = jnp.take(flat, idx.reshape(-1), axis=0).reshape(height, width, 4)
+        texel = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            px.shape + (4,))
         has_tex = tex >= 0
         src = [jnp.where(has_tex, texel[..., c] * color[c],
-                         jnp.broadcast_to(color[c], (height, width)))
+                         jnp.broadcast_to(color[c], px.shape))
                for c in range(4)]
         alpha = jnp.where(blend != 0, src[3], 1.0)
         out = []
         for c in range(3):
             out.append(jnp.where(inside,
-                                 src[c] * alpha + fb[c] * (1.0 - alpha),
-                                 fb[c]))
-        out.append(jnp.where(inside, jnp.maximum(fb[3], alpha), fb[3]))
+                                 src[c] * alpha + sub[c] * (1.0 - alpha),
+                                 sub[c]))
+        out.append(jnp.where(inside, jnp.maximum(sub[3], alpha), sub[3]))
         return jnp.stack(out)
+
+    py_full, px_full = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(width, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+
+    def one(fb, q):
+        rect = q[0]
+        valid = q[5]
+        x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
+        small = ((x1 - x0 <= ww) & (y1 - y0 <= wh)) | ~valid
+
+        def windowed(fb):
+            ox = jnp.clip(jnp.floor(x0).astype(jnp.int32), 0, width - ww)
+            oy = jnp.clip(jnp.floor(y0).astype(jnp.int32), 0, height - wh)
+            sub = jax.lax.dynamic_slice(fb, (0, oy, ox), (4, wh, ww))
+            pxw = (ox.astype(jnp.float32)
+                   + jnp.arange(ww, dtype=jnp.float32)[None, :] + 0.5)
+            pyw = (oy.astype(jnp.float32)
+                   + jnp.arange(wh, dtype=jnp.float32)[:, None] + 0.5)
+            pxw = jnp.broadcast_to(pxw, (wh, ww))
+            pyw = jnp.broadcast_to(pyw, (wh, ww))
+            out = quad_math(sub, pxw, pyw, q)
+            return jax.lax.dynamic_update_slice(fb, out, (0, oy, ox))
+
+        def dense(fb):
+            return quad_math(fb, px_full, py_full, q)
+
+        if wh >= height and ww >= width:
+            return dense(fb)
+        return jax.lax.cond(small, windowed, dense, fb)
 
     q = bank.rect.shape[0]
     if q <= 64:
