@@ -532,6 +532,11 @@ class CKRenderContext(CKObject):
         # gathers that dominated the frame at Ballance scale (~32 ms).
         # Host-refreshed meshes (morphs, patch tessellation) stay eligible:
         # _refresh_pool re-expands the corner rows from corner_src_pool.
+        # (Round-3 note: making skinned rows corner-eligible by extending
+        # the skin bank to the expanded copies was tried and measured 4x
+        # SLOWER — the duplicated bone table left take_small's <=128-row
+        # one-hot envelope and the 3x skin stream outweighed the gathers it
+        # removed. Skinned rows stay on the gathered tail.)
         written = np.zeros(pool_count, bool)
         for d in skin_descs:
             off = d["pool_offset"]

@@ -681,14 +681,18 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                  and (not sampler_profile[1]
                       or (height % 2 == 0 and width % 2 == 0)))
         # Static caps scale with the submitted triangle count: a 2M-tri
-        # frame bins ~135k live pairs — past the default 65536 the cut tail
-        # replays through the exact-but-slow all-tiles fallback (measured
+        # frame bins ~135k live pairs — past the cap the cut tail replays
+        # through the exact-but-slow all-tiles fallback (measured
         # 1.2 s/frame). t_count is static, so bigger scenes simply compile
         # with bigger stream buffers.
-        # Live pairs measure ~t/11..t/15 on real scenes (probe_bins: 46k at
-        # 527k submitted, 136k at 2.1M); 65536 covers ~600k submitted.
+        # Live pairs measure ~t/11..t/15 on SPARSE scenes (probe_bins: 46k
+        # at 527k submitted, 136k at 2.1M) but a screen-filling character
+        # bins ~0.6 pairs/tri (config 4: 73k pairs from 124k tris at some
+        # poses — a hard 65536 cap put every animated frame in the
+        # all-tiles fallback, 47 -> 14 fps). 96k gives dense mid-size
+        # scenes margin for ~0.25 ms of extra stream build.
         solve_caps = dict(
-            pair_cap=65536 if t_count <= 600_000 else 262144,
+            pair_cap=98304 if t_count <= 600_000 else 262144,
             slab_cap=131072 if t_count <= (1 << 21) else 262144)
         if quant:
             all_persp = len(sampler_profile) > 3 and bool(sampler_profile[3])

@@ -606,7 +606,10 @@ def _peel_kernel(starts_ref, counts_ref, vp_ref, initz_ref, rows_hbm,
             cov8, e0, e1, e2, tid = group_cov(r8, live)
             for k in range(8):                 # draw order is sublane order
                 m = cov8[k:k + 1]              # (1, npix)
-                ovf = ovf | (m & (cnt >= k_layers))
+                # ovf carried as i32: an i1 plane in the fori/cond carry
+                # fails Mosaic layout inference (vector<...xi1> in scf).
+                ovf = jnp.maximum(
+                    ovf, (m & (cnt >= k_layers)).astype(jnp.int32))
                 for s in range(k_layers):
                     sel = m & (cnt == s)
                     lid[s] = jnp.where(sel, tid[k:k + 1], lid[s])
@@ -644,14 +647,13 @@ def _peel_kernel(starts_ref, counts_ref, vp_ref, initz_ref, rows_hbm,
              [jnp.zeros((1, npix), jnp.float32) for _ in range(k_layers)],
              [jnp.zeros((1, npix), jnp.float32) for _ in range(k_layers)],
              jnp.zeros((1, npix), jnp.int32),
-             jnp.zeros((1, npix), bool))
+             jnp.zeros((1, npix), jnp.int32))
     lid, le0, le1, le2, cnt, ovf = jax.lax.fori_loop(
         0, (nchunks + 1) // 2, pair_body, ident)
     # Layer block s: [id, e0, e1, e2, ovf|count, id, id, id] (8 sublanes).
     blocks = []
     for s in range(k_layers):
-        extra = (ovf.astype(jnp.float32) if s == 0
-                 else cnt.astype(jnp.float32))
+        extra = (ovf if s == 0 else cnt).astype(jnp.float32)
         blocks += [lid[s], le0[s], le1[s], le2[s], extra,
                    lid[s], lid[s], lid[s]]
     out_ref[0] = jnp.concatenate(blocks, axis=0)     # (8*K, npix)
