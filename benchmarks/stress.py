@@ -142,7 +142,6 @@ def case_tris2m():
 
 
 CASES = {"clipplane": case_clipplane, "alpha50k": case_alpha50k,
-         "alpha_tex50k": case_alpha_tex50k,
          "tris2m": case_tris2m}
 
 
@@ -243,3 +242,6 @@ def case_alpha_tex50k():
 
     n_alpha = n_sheets * sheet_faces.shape[0]
     return rc, tick, f"alpha_textured{n_alpha}_1024x768"
+
+
+CASES["alpha_tex50k"] = case_alpha_tex50k
