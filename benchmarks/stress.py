@@ -167,11 +167,6 @@ def main():
         }), flush=True)
 
 
-if __name__ == "__main__":
-    import bench  # noqa: F401  (case builders use bench helpers)
-    main()
-
-
 def case_alpha_tex50k():
     """Textured transparency at scale: ~50k TEXTURED alpha-over triangles
     in 4 stacked sheets over an opaque floor — bounded per-pixel depth
@@ -186,7 +181,11 @@ def case_alpha_tex50k():
     from ckrenderengine_tpu.raster.types import VXBLEND, VXLIGHT
 
     ctx = CKContext()
-    rc = ctx.GetRenderManager().CreateRenderContext(1024, 768)
+    rm = ctx.GetRenderManager()
+    # Opt into the bounded-K textured peel path (the scene stacks exactly
+    # 4 sheets, inside the K=4 bound -> the peeled result is exact here).
+    rm.SetRenderOptions("TexturedPeel", 1)
+    rc = rm.CreateRenderContext(1024, 768)
     cam = CKCamera(ctx, "cam")
     cam.SetPosition((0.0, 14.0, -40.0))
     cam.SetOrientation((0.0, -0.3, 1.0))
@@ -245,3 +244,10 @@ def case_alpha_tex50k():
 
 
 CASES["alpha_tex50k"] = case_alpha_tex50k
+
+
+if __name__ == "__main__":
+    import bench  # noqa: F401  (case builders use bench helpers)
+    main()
+
+

@@ -1897,7 +1897,10 @@ class CKRenderContext(CKObject):
         # with exact fallback on overflow.
         _opeel = ((si[:, SI_ZWRITE] == 0)
                   & ((si[:, SI_ALPHABLEND] == 0) | _blend_over))
-        ordered_peel_ok = bool(np.all(~_ordered | _opeel))
+        _rm0 = self.context.render_manager
+        _peel_opt = int(_rm0.options.get("TexturedPeel", 0) or 0) if _rm0 \
+            else 0
+        ordered_peel_ok = bool(_peel_opt) and bool(np.all(~_ordered | _opeel))
         sampler_profile = (bool(np.any(_texd & ~_lin)),
                            bool(np.any(_texd & _mip)), quad_ok,
                            bool(np.all(si[:, SI_PERSPECTIVE] != 0)),

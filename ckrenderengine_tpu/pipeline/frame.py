@@ -837,11 +837,18 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                     bad_o, _xla_replay,
                     lambda opnd: (a_o * opnd[0] + b_o, opnd[1]), (fb, zb))
             elif on_tpu and ordered_peel_ok and pixel_shader is None:
-                # TEXTURED ordered path: draw-order layer peeling in the
-                # Pallas kernel + K dense shade/blend passes in XLA
-                # (raster/pallas_ordered.ordered_peel_tiled_pallas). A pixel
-                # with more than K ordered fragments, or phase-A overflow,
-                # replays the exact sequential pass under lax.cond.
+                # TEXTURED ordered path (opt-in: the TexturedPeel option):
+                # draw-order layer peeling in the Pallas kernel + K dense
+                # shade/blend passes in XLA
+                # (raster/pallas_ordered.ordered_peel_tiled_pallas).
+                # BOUNDED-K SEMANTICS: per-pixel ordered fragments beyond K
+                # layers are dropped (PARITY.md known-gaps). The exact
+                # lax.cond replay used by the affine branch CANNOT co-reside
+                # with this kernel: embedding the ~T-step sequential scan as
+                # the (unexecuted) false branch reproducibly faults the TPU
+                # worker at 50k ordered triangles (round-3 debugging; the
+                # stubbed-branch variant runs fine) — hence opt-in + bound
+                # instead of silent fallback.
                 from ..raster.pallas_ordered import ordered_peel_tiled_pallas
 
                 lids, les, bad_p = ordered_peel_tiled_pallas(
@@ -850,14 +857,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                     obatch.state_idx, obatch.clip_rect, obatch.clipd,
                     scene.state_i, scene.state_f, zb,
                     scene.viewport, height, width)
-
-                def _peeled(opnd):
-                    fb0, zb0 = opnd
-                    return (_composite_peeled(
-                        fb0, obatch, lids, les, scene, sampler_profile,
-                        height, width), zb0)
-
-                fb, zb = jax.lax.cond(bad_p, _xla_replay, _peeled, (fb, zb))
+                fb = _composite_peeled(fb, obatch, lids, les, scene,
+                                       sampler_profile, height, width)
             else:
                 fb, zb = rb.render_pass_tiled(
                     fb, zb, obatch, scene.state_i, scene.state_f,

@@ -34,6 +34,11 @@ _DEFAULTS = {
     # g_FogProjectionMode global in the reference (src/CKMaterial.cpp:49,
     # applied CKRenderedScene.cpp:416-425) — surfaced as an option here.
     "FogProjectionMode": 0,
+    # TPU-native extension (no reference equivalent): opt-in bounded-depth
+    # textured transparency through the layer-peel kernel — per-pixel
+    # ordered fragments beyond 4 layers are dropped (see PARITY.md).
+    # Default 0 = exact sequential ordered pass for textured alpha.
+    "TexturedPeel": 0,
 }
 
 _overrides: dict[str, object] = {}
