@@ -70,3 +70,38 @@ def test_antialias_zbuffer_shape_and_range():
     zb = np.asarray(rc.zb)
     assert zb.shape == (32, 32)
     assert np.all(zb <= 1.0) and np.all(zb >= 0.0)
+
+
+def test_antialias_in_batched_contexts():
+    """ProcessBatched must carry the supersample factor through the vmapped
+    packed program (ss is part of the batch-compat key)."""
+    ctx = CKContext()
+    rm = ctx.GetRenderManager()
+    rm.SetRenderOptions("Antialias", 1)
+    mesh = CKMesh(ctx, "m")
+    mesh.SetPositions(np.array([[-1.0, -0.8, 0.0], [1.1, -0.5, 0.0],
+                                [0.2, 1.0, 0.0]], np.float32))
+    mesh.SetFaces(np.array([[0, 2, 1]], np.int32))
+    mesh.BuildNormals()
+    mat = CKMaterial(ctx, "mm")
+    mat.SetEmissive((1.0, 1.0, 1.0, 1.0))
+    mesh.ApplyGlobalMaterial(mat)
+    obj = CK3dObject(ctx, "o")
+    obj.SetCurrentMesh(mesh)
+    rcs = []
+    for k in range(2):
+        rc = rm.CreateRenderContext(32, 32)
+        cam = CKCamera(ctx, f"c{k}")
+        cam.SetPosition((0.0, 0.0, -2.0 - k))
+        rc.AttachViewpointToCamera(cam)
+        rcs.append(rc)
+    rm.ProcessBatched()
+    for rc in rcs:
+        fb = np.asarray(rc.fb)
+        assert fb.shape == (4, 32, 32)
+        assert np.isfinite(fb).all()
+    # different camera distances -> different images, both with coverage
+    a = np.asarray(rcs[0].fb)[0]
+    b = np.asarray(rcs[1].fb)[0]
+    assert (a > 0.5).sum() > 10 and (b > 0.5).sum() > 10
+    assert not np.array_equal(a, b)
