@@ -616,6 +616,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             (4, height, width))
     z_init = scene.clear_z if prev_zb is None else prev_zb
 
+    peel_bad = jnp.zeros((), bool)
     clip, color, spec, fog, _world, uv, clipd_v, refl_v = transform_and_light(
         scene, levels, world, vertex_shader=vertex_shader,
         want_bump=want_bump, want_cube=want_cube, corner=corner,
@@ -857,6 +858,11 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                     obatch.state_idx, obatch.clip_rect, obatch.clipd,
                     scene.state_i, scene.state_f, zb,
                     scene.viewport, height, width)
+                # No in-frame replay is possible (see above); overflow —
+                # per-pixel layers past K OR phase-A capacity — drops the
+                # excess fragments. Surfaced as OrderedPeelOverflow in the
+                # debug stats and documented in PARITY.md known-gaps.
+                peel_bad = bad_p
                 fb = _composite_peeled(fb, obatch, lids, les, scene,
                                        sampler_profile, height, width)
             else:
@@ -880,10 +886,12 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             chunk=chunk)
         sb = ((s_id >= 0) & (s_depth <= zb + 1e-6)).astype(jnp.uint8)
         if want_stats:
-            return fb, zb, sb, {"TileBinPeak": tile_peak}
+            return fb, zb, sb, {"TileBinPeak": tile_peak,
+                                "OrderedPeelOverflow": peel_bad}
         return fb, zb, sb
     if want_stats:
-        return fb, zb, {"TileBinPeak": tile_peak}
+        return fb, zb, {"TileBinPeak": tile_peak,
+                        "OrderedPeelOverflow": peel_bad}
     return fb, zb
 
 

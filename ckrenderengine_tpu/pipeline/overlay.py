@@ -69,7 +69,8 @@ def build_quad_bank(quads: list[dict], pad: int = 4) -> QuadBank | None:
                     blend=jnp.asarray(blend), valid=jnp.asarray(valid))
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "win_cap"))
 def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
                     tex_hw: jnp.ndarray, height: int, width: int,
                     win_cap: int = 256) -> jnp.ndarray:
@@ -137,11 +138,19 @@ def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
         rect = q[0]
         valid = q[5]
         x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
-        small = ((x1 - x0 <= ww) & (y1 - y0 <= wh)) | ~valid
+        # Covered pixel CENTERS are columns [ceil(x0-0.5), ceil(x1-0.5)):
+        # size/fit tests must use that integer footprint, not x1-x0 — a
+        # win_cap-wide quad at a fractional origin > .5 would otherwise
+        # lose its last covered column to the window edge.
+        ix0 = jnp.ceil(x0 - 0.5).astype(jnp.int32)
+        ix1 = jnp.ceil(x1 - 0.5).astype(jnp.int32)
+        iy0 = jnp.ceil(y0 - 0.5).astype(jnp.int32)
+        iy1 = jnp.ceil(y1 - 0.5).astype(jnp.int32)
+        small = ((ix1 - ix0 <= ww) & (iy1 - iy0 <= wh)) | ~valid
 
         def windowed(fb):
-            ox = jnp.clip(jnp.floor(x0).astype(jnp.int32), 0, width - ww)
-            oy = jnp.clip(jnp.floor(y0).astype(jnp.int32), 0, height - wh)
+            ox = jnp.clip(ix0, 0, width - ww)
+            oy = jnp.clip(iy0, 0, height - wh)
             sub = jax.lax.dynamic_slice(fb, (0, oy, ox), (4, wh, ww))
             pxw = (ox.astype(jnp.float32)
                    + jnp.arange(ww, dtype=jnp.float32)[None, :] + 0.5)

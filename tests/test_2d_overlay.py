@@ -323,3 +323,55 @@ class TestMovieSprite:
         img = sp.GetImage(sp.GetCurrentSlot())
         assert abs(float(img[..., 0].mean()) - 100 / 255) < 0.05  # MJPG lossy
         assert np.all(img[..., 3] == 1.0)
+
+
+class TestWindowedQuadFootprint:
+    """Regression (round-3 review): a win_cap-wide quad with fractional
+    origin > .5 must keep its LAST covered pixel column/row — the window
+    base must come from the integer pixel-center footprint."""
+
+    def test_fractional_origin_capwide_quad(self):
+        import jax.numpy as jnp
+        from ckrenderengine_tpu.pipeline.overlay import (
+            QuadBank, composite_quads,
+        )
+
+        h, w = 16, 512
+        fb = jnp.zeros((4, h, w), jnp.float32)
+        bank = QuadBank(
+            rect=jnp.asarray([[10.75, 2.0, 266.75, 10.0]], jnp.float32),
+            uvrect=jnp.asarray([[0, 0, 1, 1]], jnp.float32),
+            color=jnp.asarray([[1.0, 1.0, 1.0, 1.0]], jnp.float32),
+            tex=jnp.asarray([-1], jnp.int32),
+            blend=jnp.asarray([0], jnp.int32),
+            valid=jnp.asarray([True]))
+        tex_planes = jnp.zeros((1, 4, 2, 2), jnp.float32)
+        tex_hw = jnp.asarray([[2, 2]], jnp.int32)
+        out = np.asarray(composite_quads(fb, bank, tex_planes, tex_hw, h, w,
+                                         win_cap=256))
+        row = out[0, 5]
+        covered = np.nonzero(row > 0.5)[0]
+        # centers 11..266 inclusive are inside [10.75, 266.75)
+        assert covered.min() == 11 and covered.max() == 266
+        assert covered.size == 256
+
+    def test_win_cap_param_is_static(self):
+        import jax.numpy as jnp
+        from ckrenderengine_tpu.pipeline.overlay import (
+            QuadBank, composite_quads,
+        )
+
+        h, w = 16, 64
+        fb = jnp.zeros((4, h, w), jnp.float32)
+        bank = QuadBank(
+            rect=jnp.asarray([[2.0, 2.0, 10.0, 10.0]], jnp.float32),
+            uvrect=jnp.asarray([[0, 0, 1, 1]], jnp.float32),
+            color=jnp.asarray([[1.0, 0.0, 0.0, 1.0]], jnp.float32),
+            tex=jnp.asarray([-1], jnp.int32),
+            blend=jnp.asarray([0], jnp.int32),
+            valid=jnp.asarray([True]))
+        tex_planes = jnp.zeros((1, 4, 2, 2), jnp.float32)
+        tex_hw = jnp.asarray([[2, 2]], jnp.int32)
+        out = np.asarray(composite_quads(fb, bank, tex_planes, tex_hw, h, w,
+                                         win_cap=16))
+        assert (out[0] > 0.5).sum() == 64
