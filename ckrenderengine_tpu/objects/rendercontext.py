@@ -1963,6 +1963,8 @@ class CKRenderContext(CKObject):
         if want_stats:
             out, dev_stats = out[:-1], out[-1]
             self.stats.TileBinPeak = int(dev_stats["TileBinPeak"])
+            self.stats.OrderedPeelOverflow = bool(
+                dev_stats.get("OrderedPeelOverflow", False))
         if params["want_stencil"]:
             fb, zb, self.sb = out
             return fb, zb

@@ -166,6 +166,9 @@ class VxStats:
         # observability only — the streaming reduce is exact, raster/tiled.py).
         # Populated under EnableDebugMode (avoids a per-frame device readback).
         self.TileBinPeak = 0
+        # Opt-in peel path dropped ordered fragments this frame (per-pixel
+        # depth > K or phase-A capacity overflow) — PARITY.md known-gaps.
+        self.OrderedPeelOverflow = False
         self.RenderStateCacheHit = 0
         self.RenderStateCacheMiss = 0
         self.SmoothedFps = 0.0
