@@ -45,6 +45,18 @@ class CKLayer(CKObject):
         self.format = 0
         self.squares = np.zeros((length, width), np.int32)
         self.visible = True
+        # Visualization color: square color = value x color in the grid's
+        # debug texture (reference: per-type color from CKGridManager,
+        # /root/reference/src/CKGrid.cpp:552-584).
+        self.color = (1.0, 1.0, 1.0, 1.0)
+
+    def SetColor(self, rgba):
+        self.color = tuple(float(c) for c in rgba)
+        if getattr(self.grid, "_viz_texture", None) is not None:
+            self.grid.UpdateMeshTexture()
+
+    def GetColor(self):
+        return self.color
 
     def GetType(self) -> int:
         return self.type
@@ -124,7 +136,152 @@ class CKGrid(CK3dEntity):
         self.orientation_mode = CKGRID_XZ
         self.grid_priority = 0
         self.layers: list[CKLayer] = []
+        # Debug-visualization mesh (reference ConstructMeshTexture,
+        # /root/reference/src/CKGrid.cpp:399): built lazily when shown.
+        self._viz_mesh = None
+        self._viz_texture = None
+        self._viz_materials = ()
         self.Show(False)         # grids are invisible entities by default
+
+    # -- debug visualization mesh -------------------------------------------
+    def Show(self, show: bool = True):
+        """Visible grids build their debug mesh; hiding destroys it
+        (reference RCKGrid::Show, /root/reference/src/CKGrid.cpp:383-392)."""
+        if show and not self.IsVisible():
+            super().Show(True)               # mesh path needs visibility on
+            self.ConstructMeshTexture(0.5)
+        elif not show:
+            if self.IsVisible():
+                self.DestroyMeshTexture()
+            super().Show(False)
+        else:
+            super().Show(show)
+
+    def ConstructMeshTexture(self, scale: float = 0.5):
+        """Build the grid's renderable debug mesh: a half-transparent main
+        quad textured with per-square layer colors plus an orange wireframe
+        border (reference RCKGrid::ConstructMeshTexture,
+        /root/reference/src/CKGrid.cpp:399-631 — 12 verts, 10 faces,
+        alpha-blend main material, wireframe border material, pow2 layer
+        texture with 2x2 texels per square, nearest filtering).
+        ``scale`` is the main-quad vertex alpha (0.5 = the reference's
+        half-transparent overlay)."""
+        if self._viz_mesh is not None:
+            self.SetCurrentMesh(self._viz_mesh, True)
+            return self._viz_mesh
+        from ..raster.types import VXBLEND, VXFILL, VXTEXTURE_FILTER, \
+            VXTEXTUREBLEND
+        from .material import CKMaterial
+        from .mesh import CKMesh
+        from .texture import CKTexture
+
+        name = self.GetName() or "grid"
+        mesh = self.context.CreateObject(CKMesh, f"{name} mesh")
+        w, l = float(self.width), float(self.length)
+        eps = 1e-4
+        mesh.SetVertexCount(12)
+        # Main quad (0-3) floats slightly above the border wireframe
+        # (reference uses y=1 for the quad, y=0 for the border).
+        verts = [(0.0, 1.0, 0.0), (0.0, 1.0, l), (w, 1.0, l), (w, 1.0, 0.0),
+                 (0.0, 0.0, eps), (eps, 0.0, l), (w, 0.0, l - eps),
+                 (w - eps, 0.0, 0.0), (eps, 0.0, 0.0), (0.0, 0.0, l - eps),
+                 (w - eps, 0.0, l), (w, 0.0, eps)]
+        for i, v in enumerate(verts):
+            mesh.SetVertexPosition(i, v)
+        mesh.SetLitMode(True)                        # VX_PRELITMESH
+        mesh.SetFaceCount(10)
+        faces = [(0, 1, 2), (0, 2, 3),               # main quad
+                 (5, 9, 1), (6, 10, 2), (7, 11, 3), (4, 8, 0),
+                 (4, 5, 9), (5, 6, 10), (6, 7, 11), (7, 4, 8)]
+        for f, (a, b, c) in enumerate(faces):
+            mesh.SetFaceVertexIndex(f, a, b, c)
+        for i in range(4):
+            mesh.SetVertexColor(i, (1.0, 1.0, 1.0, float(scale)))
+        for i in range(4, 12):
+            mesh.SetVertexColor(i, (1.0, 0.5, 0.1, 1.0))
+
+        mat = self.context.CreateObject(CKMaterial, f"{name} material")
+        mat.EnableAlphaBlend(True)
+        mat.EnableZWrite(False)
+        mat.SetSourceBlend(int(VXBLEND.SRCALPHA))
+        mat.SetDestBlend(int(VXBLEND.INVSRCALPHA))
+        mat.SetTwoSided(True)
+        mat.SetDiffuse((1.0, 1.0, 1.0, 1.0))
+        mat.SetTextureMagMode(int(VXTEXTURE_FILTER.NEAREST))
+        mat.SetTextureMinMode(int(VXTEXTURE_FILTER.NEAREST))
+        mat.SetTextureBlendMode(int(VXTEXTUREBLEND.MODULATEALPHA))
+        mesh.SetFaceMaterial(0, mat)
+        mesh.SetFaceMaterial(1, mat)
+
+        mat2 = self.context.CreateObject(CKMaterial, f"{name} material2")
+        mat2.SetFillMode(int(VXFILL.WIREFRAME))
+        mat2.SetTwoSided(True)
+        mat2.SetDiffuse((1.0, 1.0, 1.0, 1.0))
+        for f in range(2, 10):
+            mesh.SetFaceMaterial(f, mat2)
+
+        # pow2 layer texture, 2x2 texels per square (reference :519-541).
+        def _texdim(n):
+            for lim, d in ((64, 256), (32, 128), (16, 64), (8, 32)):
+                if n > lim:
+                    return d
+            return 16
+        tex_w, tex_h = _texdim(self.width), _texdim(self.length)
+        tex = self.context.CreateObject(CKTexture, f"{name} texture")
+        tex.Create(tex_w, tex_h, 32)
+        u_scale = (self.width * 2) / float(tex_w)
+        v_scale = (self.length * 2) / float(tex_h)
+        for i, (u, v) in enumerate(((0.0, 0.0), (0.0, v_scale),
+                                    (u_scale, v_scale), (u_scale, 0.0))):
+            mesh.SetVertexTextureCoordinates(i, u, v)
+        mat.SetTexture0(tex)
+
+        self._viz_mesh = mesh
+        self._viz_texture = tex
+        self._viz_materials = (mat, mat2)
+        self.UpdateMeshTexture()
+        mesh.SetTransparent(True)
+        self.SetCurrentMesh(mesh, True)
+        return mesh
+
+    def UpdateMeshTexture(self):
+        """Refill the visualization texture from the current layer values:
+        each square's color accumulates value x layer-color over visible
+        layers, clamped (reference texture fill loop,
+        /root/reference/src/CKGrid.cpp:566-600), written as 2x2 texels."""
+        tex = self._viz_texture
+        if tex is None:
+            return
+        img = tex.LockSurfacePtr()
+        tex_h, tex_w = img.shape[0], img.shape[1]
+        acc = np.zeros((self.length, self.width, 3), np.float32)
+        for layer in self.layers:
+            if not layer.IsVisible():
+                continue
+            color = np.asarray(getattr(layer, "color", (1.0, 1.0, 1.0, 1.0)),
+                               np.float32)[:3]
+            acc += layer.squares.astype(np.float32)[:, :, None] * color
+        cells = np.clip(acc / 255.0, 0.0, 1.0)
+        up = np.repeat(np.repeat(cells, 2, axis=0), 2, axis=1)
+        h = min(2 * self.length, tex_h)
+        w = min(2 * self.width, tex_w)
+        img[:] = 0.0
+        img[..., 3] = 1.0
+        img[:h, :w, :3] = up[:h, :w]
+        tex.SetImage(img)
+
+    def DestroyMeshTexture(self):
+        """Drop the visualization mesh/materials/texture (reference
+        RCKGrid::DestroyMeshTexture, called from Show(hide))."""
+        if self._viz_mesh is None:
+            return
+        self.RemoveMesh(self._viz_mesh)
+        for obj in (self._viz_mesh, self._viz_texture, *self._viz_materials):
+            if obj is not None:
+                self.context.DestroyObject(obj)
+        self._viz_mesh = None
+        self._viz_texture = None
+        self._viz_materials = ()
 
     # -- shape ---------------------------------------------------------------
     def SetDimensions(self, width: int, length: int, size_x: float = 1.0,

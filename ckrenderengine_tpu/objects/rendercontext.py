@@ -1949,8 +1949,13 @@ class CKRenderContext(CKObject):
             return render_frame_packed_banded_jit(
                 static, dyn_f, dyn_i, mesh=self._tile_mesh, **p)
         rm = self.context.render_manager
-        want_stats = (bool(int(rm.options.get("EnableDebugMode", 0)))
-                      if rm is not None else False)
+        debug_stats = (bool(int(rm.options.get("EnableDebugMode", 0)))
+                       if rm is not None else False)
+        # The layer-peel path can drop ordered fragments on capacity
+        # overflow; that must be visible WITHOUT opting into debug mode
+        # (a cheap device scalar) — advisor finding, round 3.
+        peel_active = bool(params["sampler_profile"][6])
+        want_stats = debug_stats or peel_active
         out = fr.render_frame_packed(
             static, dyn_f, dyn_i, **params, want_stats=want_stats,
             # CLEARBACK/CLEARZ off -> accumulate over last frame's buffers
@@ -1962,9 +1967,16 @@ class CKRenderContext(CKObject):
             else self.zb)
         if want_stats:
             out, dev_stats = out[:-1], out[-1]
-            self.stats.TileBinPeak = int(dev_stats["TileBinPeak"])
-            self.stats.OrderedPeelOverflow = bool(
-                dev_stats.get("OrderedPeelOverflow", False))
+            if debug_stats:
+                self.stats.TileBinPeak = int(dev_stats["TileBinPeak"])
+                self.stats.OrderedPeelOverflow = bool(
+                    dev_stats.get("OrderedPeelOverflow", False))
+            else:
+                # No forced device sync on the fast path: keep the raw
+                # device scalar; bool()/int() on access blocks only the
+                # caller that asks (by then the frame has completed).
+                self.stats.OrderedPeelOverflow = dev_stats.get(
+                    "OrderedPeelOverflow", False)
         if params["want_stencil"]:
             fb, zb, self.sb = out
             return fb, zb
@@ -2049,6 +2061,13 @@ class CKRenderContext(CKObject):
             # NEW buffer whose hand-off into another program costs a ~35 ms
             # relayout under the tunnel; consumers transpose in-program.
             self.target_texture.SetDeviceImage(self.fb, chw=True)
+        # Debug stepping overlay: composite the current object's name + last
+        # frame time into the output, like the reference's GDI text while
+        # stepping (src/CKRenderContext.cpp:657-762). Debug mode only.
+        rm0 = self.context.render_manager
+        if (rm0 is not None and int(rm0.options.get("EnableDebugMode", 0))
+                and self.GetDebugObjectCount() >= 0):
+            self._composite_debug_label()
         with PhaseTimer(ph, "CallbacksTime"):
             # Custom mesh render callbacks draw now (they REPLACE the
             # default render; immediate DrawPrimitive composites onto fb),
@@ -2889,6 +2908,31 @@ class CKRenderContext(CKObject):
 
     def GetDebugObjectCount(self) -> int:
         return getattr(self, "_debug_object_count", -1)
+
+    def _composite_debug_label(self):
+        """Draw '<object name> (<k>/<n>) <ms>' into the framebuffer during
+        object stepping (reference drew it via GDI per stepped object,
+        /root/reference/src/CKRenderContext.cpp:657-762)."""
+        from ..pipeline.overlay import composite_label, raster_label
+
+        k = self.GetDebugObjectCount()
+        n = self.context.entity_table.count
+        name = "(none)"
+        if k >= 1:
+            order = np.argsort(-self._entity_priority_np(n), kind="stable")
+            row = int(order[min(k, n) - 1])
+            for obj in self.context._objects.values():
+                if getattr(obj, "row", None) == row:
+                    name = obj.GetName() or f"row {row}"
+                    break
+        text = f"{name} ({k}/{n}) {self.stats.FrameTime:.1f} ms"
+        cached = getattr(self, "_dbg_label_cache", (None, None))
+        if cached[0] != text:
+            img = raster_label(text, max_w=max(self.width - 8, 1))
+            self._dbg_label_cache = (text, img)
+        img = self._dbg_label_cache[1]
+        if img.shape[0] + 4 <= self.height and img.shape[1] + 4 <= self.width:
+            self.fb = composite_label(self.fb, img, 4, 4)
 
     def DebugStep(self, delta: int = 1) -> int:
         """Advance the object-stepping cursor (Ctrl+Alt+F11 equivalent);

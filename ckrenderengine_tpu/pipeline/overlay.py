@@ -193,6 +193,37 @@ def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
     return fb
 
 
+@functools.partial(jax.jit, static_argnames=("x", "y"))
+def composite_label(fb: jnp.ndarray, label: jnp.ndarray, x: int, y: int):
+    """Alpha-composite a small host-rastered RGBA label (h,w,4) onto the
+    (4,H,W) framebuffer at pixel (x, y) — the debug-mode object name/time
+    overlay (reference GDI text during object stepping,
+    /root/reference/src/CKRenderContext.cpp:657-762)."""
+    h, w = label.shape[0], label.shape[1]
+    lab = jnp.moveaxis(label, -1, 0)                     # (4,h,w)
+    dst = jax.lax.dynamic_slice(fb, (0, y, x), (4, h, w))
+    a = lab[3:4]
+    out = jnp.concatenate([lab[:3] * a + dst[:3] * (1.0 - a),
+                           jnp.maximum(dst[3:4], a)], axis=0)
+    return jax.lax.dynamic_update_slice(fb, out, (0, y, x))
+
+
+def raster_label(text: str, max_w: int, pad: int = 2) -> np.ndarray:
+    """Host: rasterize ``text`` white-on-translucent-black via PIL
+    (the CKSpriteText raster reused for the debug overlay); (h,w,4) f32."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = ImageFont.load_default()
+    probe = ImageDraw.Draw(Image.new("RGBA", (1, 1)))
+    bb = probe.textbbox((0, 0), text, font=font)
+    w = min(max(bb[2] + 2 * pad, 1), max_w)
+    h = bb[3] + 2 * pad
+    img = Image.new("RGBA", (w, h), (0, 0, 0, 160))
+    ImageDraw.Draw(img).text((pad, pad), text, font=font,
+                             fill=(255, 255, 255, 255))
+    return np.asarray(img, np.float32) / 255.0
+
+
 class Sprite3DBank(NamedTuple):
     """S billboard sprites expanded on device (4 verts / 2 tris each).
 

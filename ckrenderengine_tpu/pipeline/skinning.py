@@ -115,9 +115,7 @@ def build_skin_bank(skins: list, k: int = 4, pad: int = 8) -> SkinBank | None:
 
     ``skins``: list of dicts with keys pool_offset (int), rest_pos (V,3),
     rest_nrm (V,3), bone_idx (V,K') int, bone_w (V,K'), bone_rows (B',),
-    obj_row (int), pre (B',4,4). An optional ``pool_rows`` (V,) int array
-    overrides pool_offset + arange (used for corner-expanded skin copies).
-    Returns None when empty.
+    obj_row (int), pre (B',4,4). Returns None when empty.
     """
     if not skins:
         return None
@@ -142,9 +140,7 @@ def build_skin_bank(skins: list, k: int = 4, pad: int = 8) -> SkinBank | None:
         v = s["rest_pos"].shape[0]
         nb = s["bone_rows"].shape[0]
         kk = min(k, s["bone_idx"].shape[1])
-        rows = s.get("pool_rows")
-        pool_idx[vo:vo + v] = (rows if rows is not None
-                               else s["pool_offset"] + np.arange(v))
+        pool_idx[vo:vo + v] = s["pool_offset"] + np.arange(v)
         rest_pos[vo:vo + v] = s["rest_pos"]
         rest_nrm[vo:vo + v] = s["rest_nrm"]
         bone_idx[vo:vo + v, :kk] = s["bone_idx"][:, :kk] + bo

@@ -259,6 +259,13 @@ def _ordered_phase_a(obatch_xyw, obatch_z, obatch_valid,
     from .deferred import take_small, triangle_setup
 
     t = obatch_xyw.shape[0]
+    if t >= 1 << 24:
+        # The draw index rides the stream as f32 (_OC_ID), exact only below
+        # 2^24; beyond that peel layer ids would silently corrupt. Static
+        # shape -> fail loudly at trace time.
+        raise ValueError(
+            f"ordered batch of {t} triangles exceeds the 2^24 f32 draw-id "
+            "range of the tiled ordered kernels")
     ty_n = (height + tile - 1) // tile
     tx_n = (width + tile - 1) // tile
     n_tiles = ty_n * tx_n

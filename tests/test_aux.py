@@ -287,3 +287,27 @@ class TestDebugObjectStepping:
         assert any(0 < c < full for c in counts)
         rc.Render()                            # cursor wrapped to -1 = all
         assert int((rc.framebuffer()[..., :3].sum(-1) > 0.05).sum()) == full
+
+    def test_debug_mode_draws_step_label(self):
+        """With EnableDebugMode on, stepping composites the object
+        name/time label into the output (reference GDI overlay,
+        src/CKRenderContext.cpp:657-762)."""
+        import numpy as np
+
+        from ckrenderengine_tpu.objects import CKCamera, CKContext
+        ctx = CKContext()
+        rm = ctx.GetRenderManager()
+        rc = rm.CreateRenderContext(96, 96)
+        cam = CKCamera(ctx, "cam")
+        cam.SetPosition((0, 0, -5))
+        rc.AttachViewpointToCamera(cam)
+        rc.Render()
+        base = np.asarray(rc.framebuffer())
+        assert base[4:20, 4:90, :3].max() < 0.05       # empty corner
+        rm.SetRenderOptions("EnableDebugMode", 1)
+        rc.SetDebugObjectCount(1)
+        rc.Render()
+        fb = np.asarray(rc.framebuffer())
+        corner = fb[4:20, 4:90]
+        assert corner[..., 3].max() > 0.5              # label drawn
+        assert (corner[..., :3].max(-1) > 0.8).sum() > 10  # white glyphs

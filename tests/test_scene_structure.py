@@ -151,6 +151,56 @@ class TestGrid:
         ctx = CKContext()
         g = CKGrid(ctx, "g")
         assert not g.IsVisible()
+        assert g._viz_mesh is None
+
+    def test_visible_grid_renders_pixels(self):
+        """A shown grid builds its debug mesh (reference
+        RCKGrid::ConstructMeshTexture, /root/reference/src/CKGrid.cpp:399)
+        and renders non-empty pixels through the normal mesh path."""
+        ctx = CKContext()
+        rc = _rc(ctx)
+        g = CKGrid(ctx, "g")
+        g.SetDimensions(4, 4, 1.0, 1.0)
+        layer = g.AddLayer("heat")
+        layer.SetSquareArray(np.full((4, 4), 255, np.int32))
+        layer.SetColor((1.0, 0.0, 0.0, 1.0))
+        # Face the camera: local x -> world x, local z (length) -> world y.
+        g.SetLocalMatrix(np.array([[1, 0, 0, 0], [0, 0, -1, 0],
+                                   [0, 1, 0, 0], [-2, -2, 0, 1]], np.float32))
+        g.Show(True)
+        assert g._viz_mesh is not None
+        assert g.GetCurrentMesh() is g._viz_mesh
+        rc.Render()
+        fb = rc.framebuffer()
+        # Half-transparent red fill over black: red well above green/blue.
+        center = fb[28:36, 28:36]
+        assert center[..., 0].max() > 0.3
+        assert center[..., 1].max() < 0.15
+        # Hiding destroys the mesh and the render goes empty.
+        g.Show(False)
+        assert g._viz_mesh is None
+        rc.Render()
+        assert rc.framebuffer()[..., :3].max() < 1e-6
+
+    def test_layer_colors_drive_texture(self):
+        ctx = CKContext()
+        g = CKGrid(ctx, "g")
+        g.SetDimensions(4, 4, 1.0, 1.0)
+        a = g.AddLayer("a")
+        b = g.AddLayer("b")
+        a.SetSquareArray(np.full((4, 4), 255, np.int32))
+        a.SetColor((1.0, 0.0, 0.0, 1.0))
+        b.SetSquareArray(np.full((4, 4), 255, np.int32))
+        b.SetColor((0.0, 1.0, 0.0, 1.0))
+        g.Show(True)
+        img = g._viz_texture.GetImage()
+        # layer colors accumulate per square (2x2 texels per square)
+        np.testing.assert_allclose(img[0, 0, :3], [1.0, 1.0, 0.0], atol=1e-5)
+        # invisible layers drop out of the accumulation
+        b.SetVisible(False)
+        g.UpdateMeshTexture()
+        img = g._viz_texture.GetImage()
+        np.testing.assert_allclose(img[0, 0, :3], [1.0, 0.0, 0.0], atol=1e-5)
 
 
 class TestPlace:
