@@ -214,17 +214,24 @@ def honest_fps(rc, tick, windows: int = 2, target_s: float = 6.0,
         assert v == v or True    # consume; NaNs still count as completion
         return v
 
+    # Frame-window pipelining (rc.SetFramePipelining): probe and window
+    # lengths align to the pipelining window so the fence never pads a
+    # partial window.
+    w = getattr(rc, "GetFramePipelining", lambda: 1)()
     tick(0)
     rc.Render()
     np.asarray(jax.device_get(rc.fb))          # drain + validate readback
     t0 = time.perf_counter()
-    tick(1)
-    rc.Render()
+    k = 1
+    for _j in range(w):
+        tick(k)
+        k += 1
+        rc.Render()
     fence()
-    frame_s = max(time.perf_counter() - t0, 1e-4)
+    frame_s = max((time.perf_counter() - t0) / w, 1e-4)
     n = max(3, min(max_frames, int(target_s / frame_s)))
+    n = max(w, (n // w) * w)
     best = 0.0
-    k = 2
     for _ in range(windows):
         t0 = time.perf_counter()
         for _i in range(n):
@@ -236,12 +243,10 @@ def honest_fps(rc, tick, windows: int = 2, target_s: float = 6.0,
     return best
 
 
-def run_batched_metric(n_ctx: int = 8, size: int = 256) -> dict:
-    """ProcessBatched throughput: ``n_ctx`` same-topology contexts rendered
-    as ONE vmapped program (the BASELINE '64 contexts per v5e slice' scale
-    axis, run at the context count that fits the one available chip).
-    Reports contexts/sec with the honest completion protocol."""
-    import jax
+def build_batched_scene(n_ctx: int = 8, size: int = 256):
+    """The ProcessBatched bench scene: ``n_ctx`` same-topology contexts
+    viewing a shared 48-sphere field from different angles. Returns
+    (rm, rcs, root) — also used by benchmarks/batch_probe.py."""
     from ckrenderengine_tpu.objects import (
         CKContext, CK3dObject, CKCamera, CKLight, CKMaterial, CKMesh,
     )
@@ -280,6 +285,17 @@ def run_batched_metric(n_ctx: int = 8, size: int = 256) -> dict:
         cam.SetOrientation((-np.sin(ang) * 0.3, -0.15, np.cos(ang)))
         rc.AttachViewpointToCamera(cam)
         rcs.append(rc)
+    return rm, rcs, root
+
+
+def run_batched_metric(n_ctx: int = 8, size: int = 256) -> dict:
+    """ProcessBatched throughput: ``n_ctx`` same-topology contexts rendered
+    as ONE program (the BASELINE '64 contexts per v5e slice' scale
+    axis, run at the context count that fits the one available chip).
+    Reports contexts/sec with the honest completion protocol."""
+    import jax
+
+    rm, rcs, root = build_batched_scene(n_ctx, size)
 
     rm.ProcessBatched()
     jax.block_until_ready(rcs[-1].fb)
@@ -321,6 +337,10 @@ def main():
     # Warmup / compile.
     rc.Render()
     jax.block_until_ready(rc.fb)
+    # Present-queue pipelining: 4 frames per device program amortizes the
+    # tunnel's ~4-5 ms per-program floor (benchmarks/window_probe.py). The
+    # honest fence still proves every frame truly rendered.
+    rc.SetFramePipelining(4)
 
     def tick(i):
         spinner.Rotate((0, 1, 0), 0.01)

@@ -37,6 +37,15 @@ class CKRenderContext(CKObject):
         self.pixel_shader = None   # user per-pixel stage hook (jax fn)
         self.portal_traversal = False
         # Output
+        # Frame-window pipelining (SetFramePipelining): W frames' packed
+        # buffers accumulate host-side and dispatch as ONE scan program,
+        # amortizing the tunnel's ~4-5 ms per-program floor
+        # (benchmarks/window_probe.py). fb/zb are properties that flush the
+        # pending window lazily on first read.
+        self._win_size = 1
+        self._win_slots: list = []
+        self._win_ctx = None
+        self._anim_req = None
         self.fb = jnp.zeros((4, self.height, self.width), jnp.float32)
         self.zb = jnp.ones((self.height, self.width), jnp.float32)
         self.sb = jnp.zeros((self.height, self.width), jnp.uint8)
@@ -89,6 +98,42 @@ class CKRenderContext(CKObject):
         self._driver_index = 0
         self.eye_separation = 0.06         # world units between eyes
         self.focal_length = 2.0
+
+    # -- framebuffer windowing (frame-window pipelining) -------------------
+    @property
+    def fb(self):
+        if getattr(self, "_win_slots", None):
+            self._flush_window()
+        return self._fb_val
+
+    @fb.setter
+    def fb(self, v):
+        self._fb_val = v
+
+    @property
+    def zb(self):
+        if getattr(self, "_win_slots", None):
+            self._flush_window()
+        return self._zb_val
+
+    @zb.setter
+    def zb(self, v):
+        self._zb_val = v
+
+    def SetFramePipelining(self, window: int = 1):
+        """Render up to ``window`` frames per device program: Render()
+        stages the frame's packed buffers and dispatches a W-frame scan
+        program when the window fills (or on first framebuffer read). The
+        TPU mapping of present-queue pipelining — the reference's Render()
+        also returns at QUEUE time, frames complete at Present
+        (src/CKRenderContext.cpp:576-765). Amortizes the ~4-5 ms
+        per-program dispatch floor to ~1 ms/frame (window_probe.py).
+        window=1 restores strict per-frame dispatch."""
+        self._flush_window()
+        self._win_size = max(1, int(window))
+
+    def GetFramePipelining(self) -> int:
+        return self._win_size
 
     # -- render callbacks (reference AddPreRenderCallBack /
     # AddPostRenderCallBack, include/RCKRenderContext.h) -------------------
@@ -1710,7 +1755,8 @@ class CKRenderContext(CKObject):
         self._last_cam = (view, proj, vp)
         return view, proj, cam_pos
 
-    def _fill_packed(self, quads_bg_list, quads_fg_list):
+    def _fill_packed(self, quads_bg_list, quads_fg_list,
+                     defer_anim: bool = False):
         """Build this frame's packed buffers; returns
         (static, dyn_f, dyn_i, params) with params = the static-ish kwargs
         of render_frame_packed."""
@@ -1835,12 +1881,20 @@ class CKRenderContext(CKObject):
         # the frame program receives the (N,4,4) result via ``world_in``.
         # (Embedding the bank in the frame program compiled 250x slower —
         # the executable is identical-flops but XLA schedules it badly.)
+        # In frame-window mode the eval DEFERS to the flush, where W frames'
+        # evals batch into one program (eval_anim_world_window).
         world_in = None
+        self._anim_req = None
         if clip is not None:
-            world_in = fr.eval_anim_world(
-                table.local[:n].copy(), static["parent"],
-                clip.bank(n_entities=n), np.float32(clip.frame),
-                self._compiled.levels)
+            if defer_anim:
+                self._anim_req = (table.local[:n].copy(),
+                                  clip.bank(n_entities=n),
+                                  np.float32(clip.frame))
+            else:
+                world_in = fr.eval_anim_world(
+                    table.local[:n].copy(), static["parent"],
+                    clip.bank(n_entities=n), np.float32(clip.frame),
+                    self._compiled.levels)
         # Static sampler profile (any_nearest, any_mip) from this frame's
         # state bank: lets the shade skip the nearest-filter fetch and the
         # second mip level when no material needs them — the reference's
@@ -1982,6 +2036,93 @@ class CKRenderContext(CKObject):
             return fb, zb
         return out
 
+    def _render_windowed(self, quads_bg_list, quads_fg_list):
+        """Stage this frame into the pipelining window; dispatch the whole
+        window as one scan program when full (SetFramePipelining)."""
+        accumulate = not (self._frame_flags & CK_RENDER_CLEARBACKBUFFER) \
+            or not (self._frame_flags & CK_RENDER_CLEARZBUFFER)
+        c = self._compiled
+        eligible = (self._tile_mesh is None and not accumulate
+                    and not getattr(c, "dev_ids", set())
+                    and self.target_texture is None)
+        if not eligible:
+            self._flush_window()
+            self.fb, self.zb = self._render_packed(quads_bg_list,
+                                                   quads_fg_list)
+            return
+        key = (c, self._frame_flags, self._bound_clip)
+        if self._win_slots and self._win_ctx[0] is not None \
+                and self._win_ctx[0] != key:
+            self._flush_window()
+        static, dyn_f, dyn_i, params = self._fill_packed(
+            quads_bg_list, quads_fg_list, defer_anim=True)
+        if params.get("texdev"):
+            self._flush_window()
+            self.fb, self.zb = self._render_packed(quads_bg_list,
+                                                   quads_fg_list)
+            return
+        if not self._win_slots:
+            self._win_ctx = (key, static, params)
+        self._win_slots.append((dyn_f, dyn_i, self._anim_req))
+        self._fb_val = None
+        self._zb_val = None
+        if len(self._win_slots) >= self._win_size:
+            self._flush_window()
+
+    def _flush_window(self):
+        """Dispatch all staged frames as ONE scan program; fb/zb become the
+        last frame's slices of the stacked outputs (device-resident)."""
+        slots = self._win_slots
+        if not slots:
+            return
+        self._win_slots = []
+        _key, static, params = self._win_ctx
+        if len(slots) < self._win_size:
+            # Pad to the full window by repeating the last frame: ONE
+            # compiled scan length regardless of flush point (each extra
+            # scan length would cost a full frame-program compile), and the
+            # repeated frames render identically so slot -1 stays correct.
+            slots = slots + [slots[-1]] * (self._win_size - len(slots))
+        dyn_fs = np.stack([s[0] for s in slots])
+        dyn_is = np.stack([s[1] for s in slots])
+        worlds = None
+        if slots[0][2] is not None:
+            locals_w = np.stack([s[2][0] for s in slots])
+            frames = np.asarray([s[2][2] for s in slots], np.float32)
+            bank = slots[0][2][1]
+            worlds = fr.eval_anim_world_window(
+                jnp.asarray(locals_w), static["parent"], bank,
+                jnp.asarray(frames), self._compiled.levels)
+        rm = self.context.render_manager
+        debug_stats = (bool(int(rm.options.get("EnableDebugMode", 0)))
+                       if rm is not None else False)
+        peel_active = bool(params["sampler_profile"][6])
+        want_stats = debug_stats or peel_active
+        p = {k: v for k, v in params.items()
+             if k not in ("world_in", "texdev", "texdev_rects")}
+        out = fr.render_frame_packed_window(
+            static, dyn_fs, dyn_is, world_in=worlds, want_stats=want_stats,
+            **p)
+        if want_stats:
+            out, dev_stats = out[:-1], out[-1]
+            ovf = dev_stats.get("OrderedPeelOverflow")
+            if debug_stats:
+                self.stats.TileBinPeak = int(
+                    np.asarray(dev_stats["TileBinPeak"])[-1])
+                self.stats.OrderedPeelOverflow = bool(
+                    np.asarray(ovf).any()) if ovf is not None else False
+            else:
+                # lazy device scalar: any frame in the window overflowed
+                self.stats.OrderedPeelOverflow = (
+                    jnp.any(ovf) if ovf is not None else False)
+        if params["want_stencil"]:
+            fbs, zbs, sbs = out
+            self.sb = sbs[-1]
+        else:
+            fbs, zbs = out
+        self._fb_val = fbs[-1]
+        self._zb_val = zbs[-1]
+
     # -- render -----------------------------------------------------------
     def Render(self, flags: int = 0):
         """One frame (RCKRenderContext::Render,
@@ -2050,8 +2191,11 @@ class CKRenderContext(CKObject):
             with PhaseTimer(ph, "SceneBuildTime"):
                 pass
             with PhaseTimer(ph, "DeviceTime"):
-                self.fb, self.zb = self._render_packed(quads_bg_list,
-                                                       quads_fg_list)
+                if self._win_size > 1:
+                    self._render_windowed(quads_bg_list, quads_fg_list)
+                else:
+                    self.fb, self.zb = self._render_packed(quads_bg_list,
+                                                           quads_fg_list)
         # Render-to-texture (reference SetTargetTexture/CopyContext,
         # src/CKRenderContext.cpp:606-638).
         if self.target_texture is not None:

@@ -838,33 +838,31 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                     bad_o, _xla_replay,
                     lambda opnd: (a_o * opnd[0] + b_o, opnd[1]), (fb, zb))
             elif on_tpu and ordered_peel_ok and pixel_shader is None:
-                # TEXTURED ordered path (opt-in: the TexturedPeel option):
-                # draw-order layer peeling in the Pallas kernel + K dense
-                # shade/blend passes in XLA
-                # (raster/pallas_ordered.ordered_peel_tiled_pallas).
-                # BOUNDED-K SEMANTICS: per-pixel ordered fragments beyond K
-                # layers are dropped (PARITY.md known-gaps). The exact
-                # lax.cond replay used by the affine branch CANNOT co-reside
-                # with this kernel: embedding the ~T-step sequential scan as
-                # the (unexecuted) false branch reproducibly faults the TPU
-                # worker at 50k ordered triangles (round-3 debugging; the
-                # stubbed-branch variant runs fine) — hence opt-in + bound
-                # instead of silent fallback.
-                from ..raster.pallas_ordered import ordered_peel_tiled_pallas
+                # TEXTURED ordered path (the TexturedPeel option):
+                # ITERATED draw-order layer peeling — the Pallas kernel
+                # records K layers per round and XLA composites them with
+                # full texturing; a while_loop re-peels (window advanced by
+                # K) until every pixel's fragment list drains, so the result
+                # is EXACT at any transparency depth (ordinary scenes run
+                # one round). The exact sequential replay still cannot ride
+                # a lax.cond branch next to this kernel (the embedded
+                # ~T-step scan faults the TPU worker even unexecuted —
+                # round-3 debugging); iteration replaces it. Remaining
+                # overflow = phase-A CAPACITY only, surfaced every frame as
+                # OrderedPeelOverflow.
+                from ..raster.pallas_ordered import ordered_peel_iterate
 
-                lids, les, bad_p = ordered_peel_tiled_pallas(
+                def _comp(f, lids, les):
+                    return _composite_peeled(f, obatch, lids, les, scene,
+                                             sampler_profile, height, width)
+
+                fb, peel_bad = ordered_peel_iterate(
+                    _comp, fb,
                     obatch.xyw, obatch.z, obatch.valid, obatch.color,
                     obatch.specular, obatch.uv, obatch.fog,
                     obatch.state_idx, obatch.clip_rect, obatch.clipd,
                     scene.state_i, scene.state_f, zb,
                     scene.viewport, height, width)
-                # No in-frame replay is possible (see above); overflow —
-                # per-pixel layers past K OR phase-A capacity — drops the
-                # excess fragments. Surfaced as OrderedPeelOverflow in the
-                # debug stats and documented in PARITY.md known-gaps.
-                peel_bad = bad_p
-                fb = _composite_peeled(fb, obatch, lids, les, scene,
-                                       sampler_profile, height, width)
             else:
                 fb, zb = rb.render_pass_tiled(
                     fb, zb, obatch, scene.state_i, scene.state_f,
@@ -1308,6 +1306,79 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
     if world_in is None:
         return jax.vmap(lambda df, di: one(df, di, None))(dyn_f, dyn_i)
     return jax.vmap(one)(dyn_f, dyn_i, world_in)
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def eval_anim_world_window(locals_w, parent, anim, anim_ts, levels):
+    """W frames of bound-clip track evaluation + world composition in ONE
+    device program (the frame-window path): W per-frame eval_anim_world
+    dispatches collapse into one executable, so the per-program floor
+    (~4-5 ms on the tunnel, measured benchmarks/window_probe.py) is paid
+    once per window instead of once per frame."""
+    from ..anim.bank import apply_bank
+
+    def one(local, t):
+        return compose_world(apply_bank(local, anim, t), parent, levels)
+
+    return jax.vmap(one)(locals_w, anim_ts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "levels", "height", "width", "ordered_cap",
+                     "chunk", "sort_transparent", "want_stencil",
+                     "vertex_shader", "pixel_shader", "want_bump",
+                     "want_cube", "want_stats", "sampler_profile",
+                     "corner", "want_texgen", "ss"))
+def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
+                               levels: tuple, height: int, width: int,
+                               skin=None, anim=None, world_in=None,
+                               sprites_static=None, lines=None,
+                               ordered_cap: int | None = None,
+                               chunk: int = 64,
+                               sort_transparent: bool = True,
+                               want_stencil: bool = False,
+                               vertex_shader=None, pixel_shader=None,
+                               want_bump: bool = False,
+                               want_cube: bool = False,
+                               want_stats: bool = False,
+                               sampler_profile=None,
+                               corner: tuple = (0, 0, 0),
+                               want_texgen: bool = True,
+                               ss: int = 1):
+    """W whole frames in ONE device program (frame-window pipelining).
+
+    ``dyn_fs``/``dyn_is`` stack W frames' packed buffers on a leading axis;
+    ``world_in`` optionally stacks W precomposed (N,4,4) world-matrix sets
+    (eval_anim_world_window). A ``lax.scan`` renders the frames in order —
+    one dispatch, one transfer — amortizing the tunnel's ~4-5 ms
+    per-program floor to ~1 ms/frame (benchmarks/window_probe.py: config 5
+    27.1 -> 23.6 ms/frame at W=4; a trivial body measures 4.93 -> 0.96).
+    The reference analogue is present-queue pipelining: Render() returns
+    when the frame is QUEUED, not displayed (SURVEY §3.2 BackToFront).
+
+    Returns the per-frame outputs stacked on a leading W axis."""
+
+    def body(carry, xs):
+        wi = None
+        if world_in is not None:
+            f, i, wi = xs
+        else:
+            f, i = xs
+        out = render_frame_packed_impl(
+            static, f, i, layout, levels, height, width, skin=skin,
+            anim=anim, world_in=wi, sprites_static=sprites_static,
+            lines=lines, ordered_cap=ordered_cap, chunk=chunk,
+            sort_transparent=sort_transparent, want_stencil=want_stencil,
+            vertex_shader=vertex_shader, pixel_shader=pixel_shader,
+            want_bump=want_bump, want_cube=want_cube, want_stats=want_stats,
+            sampler_profile=sampler_profile, corner=corner,
+            want_texgen=want_texgen, ss=ss)
+        return carry, out
+
+    xs = (dyn_fs, dyn_is) if world_in is None else (dyn_fs, dyn_is, world_in)
+    _, ys = jax.lax.scan(body, jnp.int32(0), xs)
+    return ys
 
 
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):

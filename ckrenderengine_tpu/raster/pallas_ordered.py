@@ -515,12 +515,14 @@ def ordered_blend_tiled_pallas(obatch_xyw, obatch_z, obatch_valid,
     return ab[0:4], ab[4:8], pa["bad"]
 
 
-def _peel_kernel(starts_ref, counts_ref, vp_ref, initz_ref, rows_hbm,
-                 out_ref, rbuf, sems, *, kchunk: int, tile: int,
+def _peel_kernel(starts_ref, counts_ref, vp_ref, skip_ref, initz_ref,
+                 rows_hbm, out_ref, rbuf, sems, *, kchunk: int, tile: int,
                  tx_n: int, n_planes: int, k_layers: int):
-    """One screen tile: stream draw-ordered rows and record, per pixel, the
-    first ``k_layers`` covering fragments IN DRAW ORDER — (draw id, raw
-    e0/e1/e2) per layer — plus an overflow mask when a pixel sees more.
+    """One screen tile: stream draw-ordered rows and record, per pixel,
+    covering fragments ``skip_ref[0]`` .. ``skip_ref[0] + k_layers - 1`` IN
+    DRAW ORDER — (draw id, raw e0/e1/e2) per layer — plus an overflow mask
+    when a pixel sees fragments beyond the window (the caller then peels
+    another round with a larger skip: iterated depth peeling).
 
     This is the textured-transparency half of the ordered path: the kernel
     cannot sample textures (no per-lane HBM gather on TPU), so it peels the
@@ -549,6 +551,7 @@ def _peel_kernel(starts_ref, counts_ref, vp_ref, initz_ref, rows_hbm,
                & (px < vp_ref[4]) & (py < vp_ref[5]))
     zb0 = initz_ref[0][0:1]                                  # (1, npix)
     zb_bits = jax.lax.bitcast_convert_type(zb0, jnp.int32)
+    skip = skip_ref[0]
 
     nchunks = (count + kchunk - 1) // kchunk
 
@@ -616,9 +619,9 @@ def _peel_kernel(starts_ref, counts_ref, vp_ref, initz_ref, rows_hbm,
                 # ovf carried as i32: an i1 plane in the fori/cond carry
                 # fails Mosaic layout inference (vector<...xi1> in scf).
                 ovf = jnp.maximum(
-                    ovf, (m & (cnt >= k_layers)).astype(jnp.int32))
+                    ovf, (m & (cnt >= skip + k_layers)).astype(jnp.int32))
                 for s in range(k_layers):
-                    sel = m & (cnt == s)
+                    sel = m & (cnt == skip + s)
                     lid[s] = jnp.where(sel, tid[k:k + 1], lid[s])
                     le0[s] = jnp.where(sel, e0[k:k + 1], le0[s])
                     le1[s] = jnp.where(sel, e1[k:k + 1], le1[s])
@@ -666,6 +669,59 @@ def _peel_kernel(starts_ref, counts_ref, vp_ref, initz_ref, rows_hbm,
     out_ref[0] = jnp.concatenate(blocks, axis=0)     # (8*K, npix)
 
 
+def _peel_phase_b(pa, skip, viewport, height: int, width: int, tile: int,
+                  kchunk: int, k_layers: int, interpret: bool):
+    """Run the peel kernel over a prepared phase-A stream with a dynamic
+    layer window start ``skip`` (() int32). Returns (lids (K,H,W) int32,
+    les (K,3,H,W) f32, ovf () bool — fragments beyond skip+K exist)."""
+    n_tiles, npix, ty_n, tx_n = (pa["n_tiles"], pa["npix"], pa["ty_n"],
+                                 pa["tx_n"])
+    vp6 = jnp.concatenate([
+        jnp.asarray(viewport, jnp.float32).reshape(4),
+        jnp.asarray([width, height], jnp.float32)])
+
+    kernel = functools.partial(_peel_kernel, kchunk=kchunk, tile=tile,
+                               tx_n=tx_n, n_planes=pa["n_planes"],
+                               k_layers=k_layers)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # vp6
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # skip
+            pl.BlockSpec((1, 8, npix), lambda i, s, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # init_z
+            pl.BlockSpec(memory_space=pl.ANY),               # stream (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8 * k_layers, npix), lambda i, s, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, kchunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    skip_arr = jnp.asarray(skip, jnp.int32).reshape(1)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, 8 * k_layers, npix),
+                                        jnp.float32),),
+        interpret=interpret,
+    )(pa["starts_k"], pa["kcounts"], vp6, skip_arr, pa["init_z"],
+      pa["stream_rows"])
+
+    full_h, full_w = ty_n * tile, tx_n * tile
+    o = out.reshape(ty_n, tx_n, 8 * k_layers, tile, tile)
+    o = o.transpose(2, 0, 3, 1, 4).reshape(8 * k_layers, full_h, full_w)
+    o = o[:, :height, :width]
+    lids = jnp.stack([o[8 * s].astype(jnp.int32) for s in range(k_layers)])
+    les = jnp.stack([o[8 * s + 1:8 * s + 4] for s in range(k_layers)])
+    ovf = jnp.any(o[4] > 0.5)
+    return lids, les, ovf
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile", "windows", "pair_cap",
@@ -681,12 +737,13 @@ def ordered_peel_tiled_pallas(obatch_xyw, obatch_z, obatch_valid,
                               pair_cap: int = 131072,
                               kchunk: int = 128, k_layers: int = 4,
                               interpret: bool = False):
-    """Draw-order fragment peeling for the TEXTURED ordered path.
+    """ONE round of draw-order fragment peeling (textured ordered path).
 
     Returns (lids (K,H,W) int32 [-1 = none], les (K,3,H,W) f32 raw winner
     edge values, bad ()). ``bad`` includes per-pixel layer overflow (more
-    than K ordered fragments on some pixel) and the phase-A capacity flags;
-    the caller must then replay the exact sequential XLA pass.
+    than K ordered fragments on some pixel) and the phase-A capacity flags.
+    The frame pipeline uses :func:`ordered_peel_iterate` instead, which
+    loops rounds until every layer is composited (exact at any depth).
     Reference behavior: transparent sort then per-fragment textured blend
     (/root/reference/src/CKSceneGraph.cpp:618-752 +
     CKDX9RasterizerContext::DrawPrimitive texturing)."""
@@ -694,46 +751,58 @@ def ordered_peel_tiled_pallas(obatch_xyw, obatch_z, obatch_valid,
                           obatch_spec, obatch_uv, obatch_fog, obatch_state,
                           obatch_rect, obatch_clipd, state_i, state_f,
                           zb, height, width, tile, windows, pair_cap, kchunk)
-    n_tiles, npix, ty_n, tx_n = (pa["n_tiles"], pa["npix"], pa["ty_n"],
-                                 pa["tx_n"])
-    vp6 = jnp.concatenate([
-        jnp.asarray(viewport, jnp.float32).reshape(4),
-        jnp.asarray([width, height], jnp.float32)])
-
-    kernel = functools.partial(_peel_kernel, kchunk=kchunk, tile=tile,
-                               tx_n=tx_n, n_planes=pa["n_planes"],
-                               k_layers=k_layers)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # vp6
-            pl.BlockSpec((1, 8, npix), lambda i, s, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),           # init_z
-            pl.BlockSpec(memory_space=pl.ANY),               # stream (HBM)
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 8 * k_layers, npix), lambda i, s, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, kchunk, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    (out,) = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_tiles, 8 * k_layers, npix),
-                                        jnp.float32),),
-        interpret=interpret,
-    )(pa["starts_k"], pa["kcounts"], vp6, pa["init_z"], pa["stream_rows"])
-
-    full_h, full_w = ty_n * tile, tx_n * tile
-    o = out.reshape(ty_n, tx_n, 8 * k_layers, tile, tile)
-    o = o.transpose(2, 0, 3, 1, 4).reshape(8 * k_layers, full_h, full_w)
-    o = o[:, :height, :width]
-    lids = jnp.stack([o[8 * s].astype(jnp.int32) for s in range(k_layers)])
-    les = jnp.stack([o[8 * s + 1:8 * s + 4] for s in range(k_layers)])
-    ovf = jnp.any(o[4] > 0.5)
+    lids, les, ovf = _peel_phase_b(pa, jnp.int32(0), viewport, height, width,
+                                   tile, kchunk, k_layers, interpret)
     return lids, les, pa["bad"] | ovf
+
+
+def ordered_peel_iterate(composite_fn, fb,
+                         obatch_xyw, obatch_z, obatch_valid,
+                         obatch_color, obatch_spec, obatch_uv,
+                         obatch_fog, obatch_state, obatch_rect,
+                         obatch_clipd, state_i, state_f,
+                         zb, viewport, height: int, width: int,
+                         tile: int = 32,
+                         windows: tuple = ((65536, 4), (4096, 16),
+                                           (1024, 128), (64, -1)),
+                         pair_cap: int = 131072,
+                         kchunk: int = 128, k_layers: int = 4,
+                         interpret: bool = False):
+    """ITERATED depth peeling: composite ordered layers K at a time until
+    every pixel's fragment list is drained — exact textured ordered
+    transparency at any depth (no bounded-K drops).
+
+    Phase A (bin + sort + stream build) runs ONCE; each round re-streams
+    the kernel with the layer window advanced by K and composites via
+    ``composite_fn(fb, lids, les)``. Ordinary scenes (depth <= K) run
+    exactly one round; the ``lax.while_loop`` body only executes when some
+    pixel still has fragments beyond the window. Returns (fb, bad) where
+    ``bad`` is the phase-A CAPACITY overflow alone (fragments actually
+    dropped — surfaced as OrderedPeelOverflow); per-pixel depth no longer
+    raises it."""
+    pa = _ordered_phase_a(obatch_xyw, obatch_z, obatch_valid, obatch_color,
+                          obatch_spec, obatch_uv, obatch_fog, obatch_state,
+                          obatch_rect, obatch_clipd, state_i, state_f,
+                          zb, height, width, tile, windows, pair_cap, kchunk)
+
+    def run(skip):
+        return _peel_phase_b(pa, skip, viewport, height, width, tile,
+                             kchunk, k_layers, interpret)
+
+    lids, les, ovf = run(jnp.int32(0))
+    fb = composite_fn(fb, lids, les)
+
+    def body(st):
+        _more, f, skip = st
+        l, e, o = run(skip)
+        f = composite_fn(f, l, e)
+        # carry the flag as i32 (i1 in a while carry next to the kernel is
+        # the layout-inference trap recorded in round 3)
+        return o.astype(jnp.int32), f, skip + k_layers
+
+    def cond(st):
+        return st[0] > 0
+
+    _, fb, _ = lax.while_loop(
+        cond, body, (ovf.astype(jnp.int32), fb, jnp.int32(k_layers)))
+    return fb, pa["bad"]

@@ -34,11 +34,14 @@ _DEFAULTS = {
     # g_FogProjectionMode global in the reference (src/CKMaterial.cpp:49,
     # applied CKRenderedScene.cpp:416-425) — surfaced as an option here.
     "FogProjectionMode": 0,
-    # TPU-native extension (no reference equivalent): opt-in bounded-depth
-    # textured transparency through the layer-peel kernel — per-pixel
-    # ordered fragments beyond 4 layers are dropped (see PARITY.md).
-    # Default 0 = exact sequential ordered pass for textured alpha.
-    "TexturedPeel": 0,
+    # TPU-native extension (no reference equivalent): textured ordered
+    # transparency through the ITERATED layer-peel kernel — draw-order
+    # layers composite K=4 at a time, re-peeling until every pixel's
+    # fragment list drains (exact at any depth; round 4). Default 1: the
+    # sequential per-triangle pass it replaces is in the sub-0.1 fps class
+    # at 50k ordered triangles, the peel path renders the same scene at
+    # ~13 fps with identical output. 0 restores the sequential pass.
+    "TexturedPeel": 1,
 }
 
 _overrides: dict[str, object] = {}

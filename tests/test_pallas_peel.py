@@ -117,6 +117,63 @@ def test_peel_matches_sequential_textured(seed):
                                atol=0.02)
 
 
+def test_iterated_peel_exact_beyond_k(monkeypatch=None):
+    """Depth ~8 (two rounds of K=4) composites EXACTLY like the sequential
+    pass via ordered_peel_iterate — no bounded-K drops."""
+    from functools import partial
+
+    from ckrenderengine_tpu.pipeline.frame import _composite_peeled
+    from ckrenderengine_tpu.raster.pallas_ordered import ordered_peel_iterate
+
+    rng = np.random.default_rng(11)
+    si, sf = _states()
+    h, w = 32, 32
+    t = 9
+    # nine stacked translucent triangles on the same pixels: depth 9 > 2K
+    tri = np.array([[2.0, 2.0, 1.0], [30.0, 2.0, 1.0], [2.0, 30.0, 1.0]],
+                   np.float32)
+    xyw = jnp.asarray(np.tile(tri[None], (t, 1, 1)))
+    z = jnp.full((t, 3), 0.4, jnp.float32)
+    batch = rb.DeviceBatch(
+        xyw=xyw, z=z,
+        color=jnp.asarray(rng.uniform(0, 1, (t, 3, 4)).astype(np.float32)),
+        specular=jnp.zeros((t, 3, 3), jnp.float32),
+        uv=jnp.asarray(rng.uniform(0, 1, (t, 3, 2)).astype(np.float32)),
+        fog=jnp.ones((t, 3), jnp.float32),
+        state_idx=jnp.asarray(rng.integers(0, 3, t).astype(np.int32)),
+        valid=jnp.ones(t, bool),
+        clip_rect=jnp.asarray(np.tile(
+            np.array([[-1e9, -1e9, 1e9, 1e9]], np.float32), (t, 1))),
+        clipd=jnp.zeros((t, 3, 0), jnp.float32),
+        refl=jnp.zeros((t, 3, 0), jnp.float32))
+    tex_planes, tex_hw = _tex()
+    fb = jnp.asarray(rng.uniform(0, 1, (4, h, w)).astype(np.float32))
+    zb = jnp.ones((h, w), jnp.float32)
+    viewport = jnp.asarray([0, 0, w, h], jnp.float32)
+    profile = (True, False, False, True, True, False, True)
+    scene = _scene_ns(si, sf, tex_planes, tex_hw)
+
+    fb_ref, _ = rb.render_pass(
+        fb, zb, batch, jnp.asarray(si), jnp.asarray(sf), tex_planes, tex_hw,
+        scene.fog_color, viewport, chunk=1, sampler_profile=profile)
+    comp = partial(_composite_peeled, scene=scene, sampler_profile=profile,
+                   height=h, width=w)
+
+    def comp_fn(f, lids, les):
+        return comp(f, batch, lids, les)
+
+    fb_it, bad = ordered_peel_iterate(
+        comp_fn, fb,
+        batch.xyw, batch.z, batch.valid, batch.color, batch.specular,
+        batch.uv, batch.fog, batch.state_idx, batch.clip_rect, batch.clipd,
+        jnp.asarray(si), jnp.asarray(sf), zb, viewport, h, w, tile=16,
+        interpret=True)
+    assert not bool(bad)       # capacity only — depth no longer raises it
+    # 9 blended u8-quantized layers accumulate ~9/255 of quantization noise.
+    np.testing.assert_allclose(np.asarray(fb_it), np.asarray(fb_ref),
+                               atol=0.05)
+
+
 def test_peel_overflow_raises_bad():
     """More than K=4 covering ordered fragments on a pixel -> bad."""
     rng = np.random.default_rng(3)

@@ -21,8 +21,8 @@ ALL_OPTIONS = [
     # global (reference src/CKMaterial.cpp:49, applied CKRenderedScene.cpp:416)
     # as a settings key, since a headless build has no SetGlobalFogMode export.
     "FogProjectionMode",
-    # 19th: opt-in bounded-K textured transparency (layer-peel kernel,
-    # PARITY.md known-gaps) — a TPU-native extension like the one above.
+    # 19th: textured ordered transparency via iterated layer peeling
+    # (default on; exact at any depth) — a TPU-native extension.
     "TexturedPeel",
 ]
 
