@@ -1994,12 +1994,14 @@ class CKRenderContext(CKObject):
         accumulate = not (self._frame_flags & CK_RENDER_CLEARBACKBUFFER) \
             or not (self._frame_flags & CK_RENDER_CLEARZBUFFER)
         if (self._tile_mesh is not None and not params["want_stencil"]
-                and not accumulate and params.get("ss", 1) == 1):
+                and not accumulate):
+            # Banded sharding composes with Antialias since round 4: each
+            # band renders at ss x and box-resolves locally (global-pixel
+            # row0 keeps band output bit-exact either way).
             from ..parallel.tile_shard import render_frame_packed_banded_jit
 
             p = dict(params)
             p.pop("want_stencil")
-            p.pop("ss", None)
             return render_frame_packed_banded_jit(
                 static, dyn_f, dyn_i, mesh=self._tile_mesh, **p)
         rm = self.context.render_manager

@@ -54,10 +54,18 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
                                texdev=None, texdev_rects: tuple = (),
                                sampler_profile=None,
                                corner: tuple = (0, 0, 0),
-                               want_texgen: bool = True):
+                               want_texgen: bool = True,
+                               ss: int = 1):
     """One logical frame of ``height`` rows rendered as ``mesh.shape[axis]``
     horizontal bands, one per device. Returns (fb (4,H,W), zb (H,W)) sharded
     over H. ``height`` must divide evenly by the band count.
+
+    Bands are BIT-EXACT vs the same rows of an unbanded render: pixels
+    evaluate at their GLOBAL screen coordinates (the frame program's
+    ``row0`` pixel-iota offset — integer-exact in f32), so no edge
+    coefficient re-rounds per band. ``ss``: Antialias supersample factor —
+    each band renders at ss x and box-resolves locally (the band split
+    composes with AA).
 
     Unsupported in banded mode (assertions): stencil plane, accumulate-over-
     previous-frame (CLEARBACKBUFFER/CLEARZBUFFER off), Pallas flat reduce.
@@ -80,7 +88,7 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
             want_bump=want_bump,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             sampler_profile=sampler_profile, allow_pallas=False, y_shift=y0,
-            corner=corner, want_texgen=want_texgen)
+            corner=corner, want_texgen=want_texgen, ss=ss)
         fb, zb = out
         return fb, zb
 
@@ -103,5 +111,5 @@ render_frame_packed_banded_jit = functools.partial(
                      "ordered_cap", "chunk", "sort_transparent",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "texdev_rects", "sampler_profile",
-                     "corner", "want_texgen"))(
+                     "corner", "want_texgen", "ss"))(
     render_frame_packed_banded)

@@ -578,8 +578,13 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       sampler_profile=None,
                       prev_fb=None, prev_zb=None,
                       corner: tuple = (0, 0, 0),
-                      want_texgen: bool = True):
+                      want_texgen: bool = True,
+                      row0=0.0):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
+
+    ``row0``: global row offset of the raster's first pixel row (band
+    sharding, parallel/tile_shard.py). XLA paths only — the banded caller
+    sets allow_pallas=False; the Pallas kernels always raster at row0=0.
 
     ``pixel_shader``: optional traced JAX fn replacing the fixed-function
     texture-blend stage per pixel, fused into both the deferred shade and
@@ -748,7 +753,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
 
         best_id, best_depth, tile_peak = depth_reduce_tiled(
             setup, defer_tri, z_init, scene.viewport, batch.xyw,
-            height, width)
+            height, width, row0=row0)
     elif (allow_pallas and prev_zb is None and batch.clipd.shape[-1] == 0
           and jax.default_backend() == "tpu" and width % 128 == 0):
         # Flat reduce as a Pallas kernel: the (H,W) carry stays in VMEM
@@ -760,7 +765,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     else:
         best_id, best_depth = df.depth_reduce(
             setup, defer_tri, z_init, scene.viewport, height, width,
-            chunk=chunk)
+            chunk=chunk, row0=row0)
     if fetched_rows is not None:
         fb = df.shade_rows(
             fetched_rows, best_id >= 0, scene.tex_planes, scene.tex_hw,
@@ -774,7 +779,8 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             scene.state_f, scene.tex_planes, scene.tex_hw, scene.fog_color,
             clear_fb, height, width, batch_refl=batch.refl,
             pixel_shader=pixel_shader,
-            sampler_profile=sampler_profile, tex_quad=scene.tex_quad)
+            sampler_profile=sampler_profile, tex_quad=scene.tex_quad,
+            row0=row0)
     zb = best_depth
 
     # --- ordered remainder: cutouts, z-overrides, transparent (sorted) -----
@@ -818,7 +824,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                     scene.tex_planes, scene.tex_hw, scene.fog_color,
                     scene.viewport, tile=tile_o,
                     pixel_shader=pixel_shader,
-                    sampler_profile=sampler_profile)
+                    sampler_profile=sampler_profile, row0=row0)
 
             if on_tpu and ordered_kernel_ok and pixel_shader is None:
                 # Affine ordered-blend kernel (raster/pallas_ordered.py):
@@ -868,20 +874,20 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                     fb, zb, obatch, scene.state_i, scene.state_f,
                     scene.tex_planes, scene.tex_hw, scene.fog_color,
                     scene.viewport, tile=tile_o, pixel_shader=pixel_shader,
-                    sampler_profile=sampler_profile)
+                    sampler_profile=sampler_profile, row0=row0)
         else:
             fb, zb = rb.render_pass(
                 fb, zb, obatch, scene.state_i, scene.state_f,
                 scene.tex_planes, scene.tex_hw, scene.fog_color,
                 scene.viewport, chunk=1, pixel_shader=pixel_shader,
-                sampler_profile=sampler_profile,
+                sampler_profile=sampler_profile, row0=row0,
             )
     if want_stencil:
         # Stencil mask: z-tested coverage of stencil-only draws
         # (VX_MOVEABLE_STENCILONLY, reference src/CKMesh.cpp:3938-3974).
         s_id, s_depth = df.depth_reduce(
             setup, stencil_tri, 1.0, scene.viewport, height, width,
-            chunk=chunk)
+            chunk=chunk, row0=row0)
         sb = ((s_id >= 0) & (s_depth <= zb + 1e-6)).astype(jnp.uint8)
         if want_stats:
             return fb, zb, sb, {"TileBinPeak": tile_peak,
@@ -919,7 +925,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            sampler_profile=None,
                            prev_fb=None, prev_zb=None,
                            corner: tuple = (0, 0, 0),
-                           want_texgen: bool = True):
+                           want_texgen: bool = True,
+                           row0=0.0):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
@@ -968,7 +975,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
             scene.clear_color[:, None, None].astype(jnp.float32),
             (4, height, width))
         background = composite_quads(background, quads_bg, scene.tex_planes,
-                                     scene.tex_hw, height, width)
+                                     scene.tex_hw, height, width, row0=row0)
     out = render_frame_impl(scene, levels, height, width, ordered_cap,
                             chunk, world=world, background=background,
                             sort_transparent=sort_transparent,
@@ -981,7 +988,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                             want_stats=want_stats,
                             sampler_profile=sampler_profile,
                             prev_fb=prev_fb, prev_zb=prev_zb,
-                            corner=corner, want_texgen=want_texgen)
+                            corner=corner, want_texgen=want_texgen,
+                            row0=row0)
     stats = None
     if want_stats:
         out, stats = out[:-1], out[-1]
@@ -993,10 +1001,11 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
     if lines is not None:
         from .lines import draw_lines
 
-        fb = draw_lines(fb, zb, scene, world, lines, height, width)
+        fb = draw_lines(fb, zb, scene, world, lines, height, width,
+                        row0=row0)
     if quads_fg is not None:
         fb = composite_quads(fb, quads_fg, scene.tex_planes, scene.tex_hw,
-                             height, width)
+                             height, width, row0=row0)
     ret = (fb, zb, sb) if want_stencil else (fb, zb)
     return ret + (stats,) if want_stats else ret
 
@@ -1115,6 +1124,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
     # program at the packed scalar time (host cost per frame = 4 bytes).
     anim_t = d["anim_t"] if (anim is not None
                              and has_field(layout, "anim_t")) else 0.0
+    row0 = 0.0 if y_shift is None else jnp.asarray(y_shift,
+                                                   jnp.float32) * ss
     out = render_frame_full_impl(
         scene, levels, rh, rw, skin=skin, sprites=sprites,
         anim=anim, anim_t=anim_t, world_in=world_in,
@@ -1126,7 +1137,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         want_cube=want_cube, want_stats=want_stats,
         sampler_profile=sampler_profile,
         prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas,
-        corner=corner, want_texgen=want_texgen)
+        corner=corner, want_texgen=want_texgen, row0=row0)
     if ss == 1:
         return out
 
@@ -1169,17 +1180,12 @@ def unpack_scene(static: dict, dyn_f, dyn_i, layout: tuple,
         for prefix in ("qbg", "qfg"):
             if has_field(layout, f"{prefix}_rect"):
                 d[f"{prefix}_rect"] = d[f"{prefix}_rect"] * np.float32(ss)
-    if y_shift is not None:
-        ys = jnp.asarray(y_shift, jnp.float32)
-        d = dict(d)
-        d["viewport"] = d["viewport"] - jnp.array([0.0, 1.0, 0.0, 0.0],
-                                                  jnp.float32) * ys
-        d["entity_clip"] = d["entity_clip"] - jnp.array(
-            [0.0, 1.0, 0.0, 1.0], jnp.float32) * ys
-        for prefix in ("qbg", "qfg"):
-            if has_field(layout, f"{prefix}_rect"):
-                d[f"{prefix}_rect"] = d[f"{prefix}_rect"] - jnp.array(
-                    [0.0, 1.0, 0.0, 1.0], jnp.float32) * ys
+    # Band sharding (y_shift) no longer shifts any pixel-space quantity:
+    # vertices project and scissors compare in GLOBAL screen coordinates,
+    # and the raster stages receive the band's row offset (``row0``) on
+    # their pixel iotas instead — an integer offset on the iota is exact in
+    # f32, so band pixels are BIT-IDENTICAL to the unbanded render's rows
+    # (a viewport shift re-rounds every edge coefficient).
     lights = LightArray(
         type=d["lt_type"], diffuse=d["lt_diffuse"], specular=d["lt_specular"],
         ambient=d["lt_ambient"], position=d["lt_position"],

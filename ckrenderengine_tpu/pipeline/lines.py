@@ -51,7 +51,7 @@ def build_line_bank(segments: list[dict], pad: int = 8) -> LineBank | None:
 def draw_lines(fb: jnp.ndarray, zb: jnp.ndarray, scene, world: jnp.ndarray,
                bank: LineBank, height: int, width: int,
                half_width: float = 0.7, z_bias: float = 1e-4,
-               chunk: int = 32) -> jnp.ndarray:
+               chunk: int = 32, row0=0.0) -> jnp.ndarray:
     """Composite the line bank onto fb (4,H,W) with a Z test against zb."""
     if bank.idx.shape[0] == 0:
         return fb
@@ -83,7 +83,7 @@ def draw_lines(fb: jnp.ndarray, zb: jnp.ndarray, scene, world: jnp.ndarray,
     lvalid = bank.valid & ~(behind[0::2] | behind[1::2])
 
     py, px = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(height, dtype=jnp.float32) + 0.5 + row0,
         jnp.arange(width, dtype=jnp.float32) + 0.5,
         indexing="ij",
     )

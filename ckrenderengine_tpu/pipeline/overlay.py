@@ -73,7 +73,7 @@ def build_quad_bank(quads: list[dict], pad: int = 4) -> QuadBank | None:
                    static_argnames=("height", "width", "win_cap"))
 def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
                     tex_hw: jnp.ndarray, height: int, width: int,
-                    win_cap: int = 256) -> jnp.ndarray:
+                    win_cap: int = 256, row0=0.0) -> jnp.ndarray:
     """Composite quads onto fb (4,H,W) in bank order. Returns new fb.
 
     Per-quad texel fetches are WINDOWED: a quad smaller than
@@ -129,10 +129,11 @@ def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
         return jnp.stack(out)
 
     py_full, px_full = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(height, dtype=jnp.float32) + 0.5 + row0,
         jnp.arange(width, dtype=jnp.float32) + 0.5,
         indexing="ij",
     )
+    row0_i = jnp.asarray(row0, jnp.float32).astype(jnp.int32)
 
     def one(fb, q):
         rect = q[0]
@@ -149,12 +150,14 @@ def composite_quads(fb: jnp.ndarray, bank: QuadBank, tex_planes: jnp.ndarray,
         small = ((ix1 - ix0 <= ww) & (iy1 - iy0 <= wh)) | ~valid
 
         def windowed(fb):
+            # Slice indices are band-LOCAL rows; pixel centers stay GLOBAL
+            # (rects arrive in global screen coordinates — band sharding).
             ox = jnp.clip(ix0, 0, width - ww)
-            oy = jnp.clip(iy0, 0, height - wh)
+            oy = jnp.clip(iy0 - row0_i, 0, height - wh)
             sub = jax.lax.dynamic_slice(fb, (0, oy, ox), (4, wh, ww))
             pxw = (ox.astype(jnp.float32)
                    + jnp.arange(ww, dtype=jnp.float32)[None, :] + 0.5)
-            pyw = (oy.astype(jnp.float32)
+            pyw = ((oy + row0_i).astype(jnp.float32)
                    + jnp.arange(wh, dtype=jnp.float32)[:, None] + 0.5)
             pxw = jnp.broadcast_to(pxw, (wh, ww))
             pyw = jnp.broadcast_to(pyw, (wh, ww))

@@ -195,13 +195,20 @@ def triangle_setup(xyw, z, state_idx, valid, state_i, clip_rect=None,
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk"))
 def depth_reduce(setup, defer_tri, clear_z, viewport, height: int, width: int,
-                 chunk: int = 64):
+                 chunk: int = 64, row0=0.0):
     """Argmin-reduce over deferred triangles.
+
+    ``row0``: global row offset of this raster's first pixel row (framebuffer
+    band sharding, parallel/tile_shard.py). Pixels evaluate at their GLOBAL
+    screen coordinates — an integer offset on the pixel iota is exact in
+    f32, so a band's pixels are BIT-IDENTICAL to the same rows of an
+    unbanded render (a viewport shift would re-round every edge
+    coefficient).
 
     Returns (best_id (H,W) int32 [-1 = background], best_depth (H,W) f32).
     """
     py, px = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(height, dtype=jnp.float32) + 0.5 + row0,
         jnp.arange(width, dtype=jnp.float32) + 0.5,
         indexing="ij",
     )
@@ -549,7 +556,8 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
                    batch_uv, batch_fog, batch_state, state_i, state_f,
                    tex_planes, tex_hw, fog_color, clear_fb,
                    height: int, width: int, batch_refl=None,
-                   pixel_shader=None, sampler_profile=None, tex_quad=None):
+                   pixel_shader=None, sampler_profile=None, tex_quad=None,
+                   row0=0.0):
     """One shading evaluation per pixel on the winning triangle.
 
     Fixed-function frames take :func:`_shade_deferred_fast`: every
@@ -578,12 +586,12 @@ def shade_deferred(best_id, batch_xyw, batch_z, batch_color, batch_spec,
             best_id, batch_xyw, batch_color, batch_spec, batch_uv,
             batch_fog, batch_state, state_i, state_f, tex_planes, tex_hw,
             fog_color, clear_fb, height, width, batch_refl=batch_refl,
-            sampler_profile=sampler_profile, tex_quad=tex_quad)
+            sampler_profile=sampler_profile, tex_quad=tex_quad, row0=row0)
     return _shade_deferred_ps(
         best_id, batch_xyw, batch_z, batch_color, batch_spec, batch_uv,
         batch_fog, batch_state, state_i, state_f, tex_planes, tex_hw,
         fog_color, clear_fb, height, width, batch_refl=batch_refl,
-        pixel_shader=pixel_shader)
+        pixel_shader=pixel_shader, row0=row0)
 
 
 # Shade row-table column layout (shared by the per-pixel gather path here
@@ -881,7 +889,7 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
                          batch_uv, batch_fog, batch_state, state_i, state_f,
                          tex_planes, tex_hw, fog_color, clear_fb,
                          height: int, width: int, batch_refl=None,
-                         sampler_profile=None, tex_quad=None):
+                         sampler_profile=None, tex_quad=None, row0=0.0):
     """Packed-row fixed-function deferred shade (see shade_deferred)."""
     t = batch_xyw.shape[0]
     tbl = shade_row_table(batch_xyw, batch_color, batch_spec, batch_uv,
@@ -902,12 +910,12 @@ def _shade_deferred_fast(best_id, batch_xyw, batch_color, batch_spec,
         (tbl.shape[1], height, width))
     return shade_rows(row, hit, tex_planes, tex_hw, fog_color, clear_fb,
                       height, width, sampler_profile=sampler_profile,
-                      tex_quad=tex_quad)
+                      tex_quad=tex_quad, row0=row0)
 
 
 def shade_rows(row, hit, tex_planes, tex_hw, fog_color, clear_fb,
                height: int, width: int, sampler_profile=None, tex_quad=None,
-               eplanes=None):
+               eplanes=None, row0=0.0):
     """Fixed-function shade over per-pixel winner ROWS (C,H,W) in the
     shade_row_table layout — the per-pixel half of the deferred shade,
     shared by the gather path and the Pallas in-kernel fetch path.
@@ -936,7 +944,7 @@ def shade_rows(row, hit, tex_planes, tex_hw, fog_color, clear_fb,
     si_cols, sf_cols = _sh_cols()
 
     py, px = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(height, dtype=jnp.float32) + 0.5 + row0,
         jnp.arange(width, dtype=jnp.float32) + 0.5,
         indexing="ij",
     )
@@ -1086,10 +1094,10 @@ def _shade_deferred_ps(best_id, batch_xyw, batch_z, batch_color, batch_spec,
                        batch_uv, batch_fog, batch_state, state_i, state_f,
                        tex_planes, tex_hw, fog_color, clear_fb,
                        height: int, width: int, batch_refl=None,
-                       pixel_shader=None):
+                       pixel_shader=None, row0=0.0):
     """Reference per-pixel-gather shade (pixel-shader frames only)."""
     py, px = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(height, dtype=jnp.float32) + 0.5 + row0,
         jnp.arange(width, dtype=jnp.float32) + 0.5,
         indexing="ij",
     )

@@ -374,7 +374,7 @@ def _scan_place(astarts, starts, ends, counts, sl_aligned, n_tiles):
     jax.jit,
     static_argnames=("height", "width", "tile", "max_span", "chunk", "span2",
                      "g_cap", "slab_cap", "pair_cap", "kchunk", "interpret",
-                     "_probe", "want_eplanes", "sh_pack"))
+                     "_probe", "want_eplanes", "sh_pack", "want_binstats"))
 def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                               height: int, width: int, tile: int = 32,
                               max_span: int = 2, chunk: int = 32,
@@ -385,7 +385,8 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
                               _probe: str | None = None,
                               shade_tbl=None, planar=None,
                               want_eplanes: bool = False,
-                              sh_pack: int = 0):
+                              sh_pack: int = 0,
+                              want_binstats: bool = False):
     """Tile-binned argmin depth reduce, Pallas phase B (exact).
 
     Same contract as tiled.depth_reduce_tiled: returns (best_id (H,W) int32,
@@ -410,7 +411,13 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     f32 patterns, and NaN would poison the one-hot matmul through 0*NaN;
     u16 integers are exact, boring f32 values), and the kernel recombines
     the fetched halves to (C, H, W) int32 rows. With ``want_eplanes`` the
-    return is a 5-tuple (best_id, best_depth, peak, eplanes, rows)."""
+    return is a 5-tuple (best_id, best_depth, peak, eplanes, rows).
+
+    ``want_binstats``: the ``peak`` return becomes a (7,) int32 vector
+    [peak, n_live_pairs, pair_cut_rows, g_over_rows, slab_over_rows,
+    n_small, n_mid] — the capacity-governor feed (VxStats SolveLivePairs /
+    SolveFallbackRows): nonzero *_over/cut means the exact-but-slow
+    all-tiles fallback ran and the static caps need a bump."""
     t = setup["e_coef"].shape[0]
     ty_n = (height + tile - 1) // tile
     tx_n = (width + tile - 1) // tile
@@ -805,6 +812,12 @@ def depth_reduce_tiled_pallas(setup, defer_tri, clear_z, viewport, xyw,
     carry = stream_sorted_tail(carry, cut_pos,
                                jnp.maximum(n_live - cut_pos, 0))
     best_d, best_i = carry
+
+    if want_binstats:
+        peak = jnp.stack([
+            peak, n_live, jnp.maximum(n_live - cut_pos, 0),
+            jnp.maximum(g_count - gcap, 0), jnp.maximum(s_over - scap, 0),
+            n_small, n_mid]).astype(jnp.int32)
 
     full_h, full_w = ty_n * tile, tx_n * tile
     bd = best_d.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3)

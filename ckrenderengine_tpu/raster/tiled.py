@@ -275,8 +275,13 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
                        height: int, width: int, tile: int = 16,
                        max_span: int = 4, chunk: int = 32,
                        span2: int = 64, g_cap: int = 8192,
-                       slab_cap: int = 131072):
+                       slab_cap: int = 131072, row0=0.0):
     """Tile-binned argmin depth reduce (exact — no per-tile triangle cap).
+
+    ``row0``: global row offset of the raster's first pixel row (band
+    sharding): tiles cover global rows [row0, row0+height) and pixels
+    evaluate at GLOBAL coordinates, so band output is bit-identical to the
+    same rows of an unbanded render.
 
     Returns (best_id (H,W) int32, best_depth (H,W) f32, peak () int32 — the
     densest tile's triangle count, surfaced as the VxStats.TileBinPeak
@@ -294,12 +299,16 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     ncol = _NCOL + 3 * n_planes
 
     # --- 1. bboxes (straddlers clipped) + span classification -------------
+    # bboxes are GLOBAL screen coords; tiles index the band-local grid.
     x0, y0, x1, y1, unbounded, empty = _screen_bbox(xyw, setup["z"])
     tx0 = jnp.clip(jnp.floor(x0 / tile).astype(jnp.int32), 0, tx_n - 1)
     tx1 = jnp.clip(jnp.floor(x1 / tile).astype(jnp.int32), 0, tx_n - 1)
-    ty0 = jnp.clip(jnp.floor(y0 / tile).astype(jnp.int32), 0, ty_n - 1)
-    ty1 = jnp.clip(jnp.floor(y1 / tile).astype(jnp.int32), 0, ty_n - 1)
-    offscreen = (x1 < 0) | (x0 >= width) | (y1 < 0) | (y0 >= height) | empty
+    ty0 = jnp.clip(jnp.floor((y0 - row0) / tile).astype(jnp.int32),
+                   0, ty_n - 1)
+    ty1 = jnp.clip(jnp.floor((y1 - row0) / tile).astype(jnp.int32),
+                   0, ty_n - 1)
+    offscreen = ((x1 < 0) | (x0 >= width) | (y1 < row0)
+                 | (y0 >= row0 + height) | empty)
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
     span = span_w * span_h
@@ -408,14 +417,14 @@ def depth_reduce_tiled(setup, defer_tri, clear_z, viewport, xyw,
     tyy, txx = jnp.meshgrid(jnp.arange(ty_n, dtype=jnp.float32),
                             jnp.arange(tx_n, dtype=jnp.float32), indexing="ij")
     base_x = (txx * tile).reshape(-1)                          # (TILES,)
-    base_y = (tyy * tile).reshape(-1)
+    base_y = (tyy * tile).reshape(-1) + row0                   # global rows
     px = base_x[:, None, None] + lx_pix[None, None, :]
     py = base_y[:, None, None] + ly_pix[None, :, None]
     px = jnp.broadcast_to(px, (n_tiles, tile, tile))
     py = jnp.broadcast_to(py, (n_tiles, tile, tile))
     scissor = ((px >= viewport[0]) & (px < viewport[0] + viewport[2])
                & (py >= viewport[1]) & (py < viewport[1] + viewport[3])
-               & (px < width) & (py < height))
+               & (px < width) & (py < row0 + height))
 
     cz = jnp.asarray(clear_z, jnp.float32)
     if cz.ndim == 2:

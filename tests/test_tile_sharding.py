@@ -74,10 +74,31 @@ class TestTileSharding:
         assert rc.GetTileSharding() == 8
         rc.Render()
         banded = rc.framebuffer()
-        # identical up to FP reassociation at band-edge pixels
-        diff = np.abs(banded - ref)
-        assert (diff > 2e-3).mean() < 0.002
-        np.testing.assert_allclose(banded.mean(), ref.mean(), atol=1e-3)
+        # Since round 4 bands raster at GLOBAL pixel coordinates (the frame
+        # program's row0 iota offset), so no edge coefficient re-rounds per
+        # band: the residual is 1 ULP from XLA fusing/FMA-contracting the
+        # band executable differently than the full-frame one — NOT from
+        # band-edge coverage flips (which were 2e-3-class before).
+        np.testing.assert_allclose(banded, ref, atol=2.5e-7, rtol=0)
+
+    def test_banded_composes_with_antialias(self):
+        """Antialias no longer silently degrades under band sharding: each
+        band renders at 2x and box-resolves locally, matching the unbanded
+        supersampled frame exactly."""
+        ctx, rc, cube = _scene()
+        rm = ctx.GetRenderManager()
+        rm.SetRenderOptions("Antialias", 1)
+        rc.Render()
+        ref = rc.framebuffer().copy()
+        assert rc.SetTileSharding(4)
+        rc.Render()
+        banded = rc.framebuffer()
+        np.testing.assert_allclose(banded, ref, atol=2.5e-7, rtol=0)
+        # AA is actually on: edge pixels carry fractional coverage vs 1x
+        rm.SetRenderOptions("Antialias", 0)
+        rc.Render()
+        hard = rc.framebuffer()
+        assert np.abs(hard - ref).max() > 0.05
 
     def test_banded_tracks_scene_changes(self):
         ctx, rc, cube = _scene()
