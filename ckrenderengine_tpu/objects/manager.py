@@ -296,6 +296,7 @@ class CKRenderManager(CKObject):
                params["anim"] is not filled[0][3]["anim"] or \
                params["sampler_profile"] != filled[0][3]["sampler_profile"] or \
                params.get("ss", 1) != filled[0][3].get("ss", 1) or \
+               params.get("solve_caps") != filled[0][3].get("solve_caps") or \
                params["sort_transparent"] != filled[0][3]["sort_transparent"]:
                 return False
         static, _f0, _i0, params = filled[0]
@@ -316,16 +317,39 @@ class CKRenderManager(CKObject):
             out = render_frames_packed_sharded(static, dyn_f, dyn_i, mesh,
                                                **params)
         else:
-            out = fr.render_frames_packed_batched(static, dyn_f, dyn_i,
-                                                  **params)
+            # Single-chip batch: lax.scan over the ctx axis with the Pallas
+            # solve per context — measured 29.7 vs 41.9 ms for 8x256^2 vs
+            # the vmapped XLA solve (benchmarks/batch_probe.py; vmap can't
+            # carry Pallas kernels, so it pays the gather-bound XLA reduce).
+            # The sharded multi-chip path keeps vmap (one context per chip
+            # partition slot).
+            w = params.pop("world_in", None)
+            p = {k: v for k, v in params.items()
+                 if k not in ("texdev", "texdev_rects")}
+            want_stats = rcs[0]._gov_enabled()
+            out = fr.render_frame_packed_window(static, dyn_f, dyn_i,
+                                                world_in=w,
+                                                want_stats=want_stats, **p)
+            if want_stats:
+                out, dev_stats = out[:-1], out[-1]
+                # batch-wide capacity governor: caps live on the group's
+                # first context and propagate to the members (the group
+                # compat check requires identical solve_caps)
+                rcs[0]._governor_tick(dev_stats, stacked=True)
+                for rc in rcs[1:]:
+                    rc._solve_caps = rcs[0]._solve_caps
         if params["want_stencil"]:
             fb, zb, sb = out
         else:
             fb, zb = out
             sb = None
         for i, rc in enumerate(rcs):
-            rc.fb = fb[i]
-            rc.zb = zb[i]
+            # Lazy slice handoff (rc.fb property): an eager fb[i]/zb[i]
+            # dispatch pair costs ~1 ms/context on the tunnel.
+            rc._fb_val = None
+            rc._fb_src = (fb, i)
+            rc._zb_val = None
+            rc._zb_src = (zb, i)
             if sb is not None:
                 rc.sb = sb[i]
         return True

@@ -166,9 +166,15 @@ class VxStats:
         # observability only — the streaming reduce is exact, raster/tiled.py).
         # Populated under EnableDebugMode (avoids a per-frame device readback).
         self.TileBinPeak = 0
-        # Opt-in peel path dropped ordered fragments this frame (per-pixel
-        # depth > K or phase-A capacity overflow) — PARITY.md known-gaps.
+        # Peel path dropped ordered fragments this frame (phase-A capacity
+        # overflow only since round 4 — per-pixel depth iterates instead).
         self.OrderedPeelOverflow = False
+        # Capacity governor (tiled Pallas solve): live binned pairs, exact
+        # fallback rows beyond the static caps (nonzero = the governed caps
+        # are bumping), and the bump count. Updated every 16th TPU frame.
+        self.SolveLivePairs = 0
+        self.SolveFallbackRows = 0
+        self.SolveCapBumps = 0
         self.RenderStateCacheHit = 0
         self.RenderStateCacheMiss = 0
         self.SmoothedFps = 0.0

@@ -9,10 +9,13 @@ device on a 1-D ``band`` mesh axis, via ``shard_map``:
 - every device receives the WHOLE packed dynamic state (replicated — it is
   two flat buffers, a few hundred KB) and the whole triangle stream;
 - each device renders only its band: the identical frame program runs with
-  the viewport / entity scissors / 2D quad rects shifted by the band's
-  starting row (render_frame_packed_impl's ``y_shift``) — geometry outside
-  the band is rejected by the band scissor exactly like any off-viewport
-  geometry, so no redistribution of triangles is needed;
+  the raster stages' pixel iotas offset by the band's starting row
+  (render_frame_packed_impl's ``y_shift`` -> ``row0``) while vertices and
+  scissors stay in GLOBAL screen coordinates — geometry outside the band
+  is rejected by tile binning / coverage exactly like any off-viewport
+  geometry, no triangle redistribution, and band pixels are BIT-IDENTICAL
+  to the same rows of an unbanded render (integer iota offsets are exact
+  in f32; the old viewport-shift re-rounded every edge coefficient);
 - the per-device (4, band_h, W) outputs ARE the sharded global framebuffer:
   out_specs places the band axis on H, so no gather collective runs unless
   the host reads the image back (the all-to-all the SURVEY flags as "the
@@ -55,7 +58,8 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
                                sampler_profile=None,
                                corner: tuple = (0, 0, 0),
                                want_texgen: bool = True,
-                               ss: int = 1):
+                               ss: int = 1,
+                               solve_caps: tuple | None = None):
     """One logical frame of ``height`` rows rendered as ``mesh.shape[axis]``
     horizontal bands, one per device. Returns (fb (4,H,W), zb (H,W)) sharded
     over H. ``height`` must divide evenly by the band count.
@@ -88,7 +92,8 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
             want_bump=want_bump,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             sampler_profile=sampler_profile, allow_pallas=False, y_shift=y0,
-            corner=corner, want_texgen=want_texgen, ss=ss)
+            corner=corner, want_texgen=want_texgen, ss=ss,
+            solve_caps=solve_caps)
         fb, zb = out
         return fb, zb
 
@@ -111,5 +116,5 @@ render_frame_packed_banded_jit = functools.partial(
                      "ordered_cap", "chunk", "sort_transparent",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "texdev_rects", "sampler_profile",
-                     "corner", "want_texgen", "ss"))(
+                     "corner", "want_texgen", "ss", "solve_caps"))(
     render_frame_packed_banded)

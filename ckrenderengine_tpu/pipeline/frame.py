@@ -579,12 +579,18 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                       prev_fb=None, prev_zb=None,
                       corner: tuple = (0, 0, 0),
                       want_texgen: bool = True,
-                      row0=0.0):
+                      row0=0.0,
+                      solve_caps: tuple | None = None):
     """Full frame: clear -> vertex stage -> deferred opaque -> ordered rest.
 
     ``row0``: global row offset of the raster's first pixel row (band
     sharding, parallel/tile_shard.py). XLA paths only — the banded caller
     sets allow_pallas=False; the Pallas kernels always raster at row0=0.
+
+    ``solve_caps``: optional static (pair_cap, slab_cap, g_cap) override of
+    the tiled solve's capacity knobs — set by the render context's capacity
+    governor from observed bin statistics (SolveLivePairs /
+    SolveFallbackRows); None keeps the t_count heuristic.
 
     ``pixel_shader``: optional traced JAX fn replacing the fixed-function
     texture-blend stage per pixel, fused into both the deferred shade and
@@ -697,15 +703,20 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         # poses — a hard 65536 cap put every animated frame in the
         # all-tiles fallback, 47 -> 14 fps). 96k gives dense mid-size
         # scenes margin for ~0.25 ms of extra stream build.
-        solve_caps = dict(
-            pair_cap=98304 if t_count <= 600_000 else 262144,
-            slab_cap=131072 if t_count <= (1 << 21) else 262144)
+        if solve_caps is not None:
+            caps_kw = dict(pair_cap=solve_caps[0], slab_cap=solve_caps[1],
+                           g_cap=solve_caps[2])
+        else:
+            caps_kw = dict(
+                pair_cap=98304 if t_count <= 600_000 else 262144,
+                slab_cap=131072 if t_count <= (1 << 21) else 262144)
+        caps_kw["want_binstats"] = want_stats
         if quant:
             all_persp = len(sampler_profile) > 3 and bool(sampler_profile[3])
             best_id, best_depth, tile_peak, epl = depth_reduce_tiled_pallas(
                 setup, defer_tri, z_init, scene.viewport, batch.xyw,
                 height, width, planar=batch.planar, want_eplanes=True,
-                **solve_caps)
+                **caps_kw)
             shade_tbl = df.shade_row_table_quant(
                 batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
                 batch.state_idx, batch_refl=refl,
@@ -729,7 +740,7 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
         else:
             best_id, best_depth, tile_peak = depth_reduce_tiled_pallas(
                 setup, defer_tri, z_init, scene.viewport, batch.xyw,
-                height, width, planar=batch.planar, **solve_caps)
+                height, width, planar=batch.planar, **caps_kw)
         if pixel_shader is None and not quant:
             # Compact table: per-state columns re-join per PIXEL after the
             # row gather — 44 columns ship through the gather, the 22
@@ -882,6 +893,22 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                 scene.viewport, chunk=1, pixel_shader=pixel_shader,
                 sampler_profile=sampler_profile, row0=row0,
             )
+    if want_stats:
+        if getattr(tile_peak, "shape", ()) == (7,):
+            # Pallas-solve bin statistics (want_binstats): the capacity
+            # governor's feed — live pairs vs pair_cap, and the exact
+            # fallback row counts per cap (nonzero = caps must bump).
+            dev_stats = {
+                "TileBinPeak": tile_peak[0],
+                "SolveLivePairs": tile_peak[1],
+                "SolveFallbackRows": (tile_peak[2] + tile_peak[3]
+                                      + tile_peak[4]),
+                "SolveBinStats": tile_peak,
+                "OrderedPeelOverflow": peel_bad,
+            }
+        else:
+            dev_stats = {"TileBinPeak": tile_peak,
+                         "OrderedPeelOverflow": peel_bad}
     if want_stencil:
         # Stencil mask: z-tested coverage of stencil-only draws
         # (VX_MOVEABLE_STENCILONLY, reference src/CKMesh.cpp:3938-3974).
@@ -890,12 +917,10 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
             chunk=chunk, row0=row0)
         sb = ((s_id >= 0) & (s_depth <= zb + 1e-6)).astype(jnp.uint8)
         if want_stats:
-            return fb, zb, sb, {"TileBinPeak": tile_peak,
-                                "OrderedPeelOverflow": peel_bad}
+            return fb, zb, sb, dev_stats
         return fb, zb, sb
     if want_stats:
-        return fb, zb, {"TileBinPeak": tile_peak,
-                        "OrderedPeelOverflow": peel_bad}
+        return fb, zb, dev_stats
     return fb, zb
 
 
@@ -903,7 +928,8 @@ render_frame = functools.partial(
     jax.jit, static_argnames=("levels", "height", "width", "ordered_cap",
                               "chunk", "vertex_shader", "pixel_shader",
                               "want_bump", "want_cube", "want_stats",
-                              "sampler_profile", "corner", "want_texgen")
+                              "sampler_profile", "corner", "want_texgen",
+                              "solve_caps")
 )(render_frame_impl)
 
 
@@ -926,7 +952,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            prev_fb=None, prev_zb=None,
                            corner: tuple = (0, 0, 0),
                            want_texgen: bool = True,
-                           row0=0.0):
+                           row0=0.0,
+                           solve_caps: tuple | None = None):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
@@ -989,7 +1016,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                             sampler_profile=sampler_profile,
                             prev_fb=prev_fb, prev_zb=prev_zb,
                             corner=corner, want_texgen=want_texgen,
-                            row0=row0)
+                            row0=row0, solve_caps=solve_caps)
     stats = None
     if want_stats:
         out, stats = out[:-1], out[-1]
@@ -1015,7 +1042,7 @@ render_frame_full = functools.partial(
                               "chunk", "sort_transparent", "want_stencil",
                               "vertex_shader", "pixel_shader", "want_bump",
                               "want_cube", "want_stats", "sampler_profile",
-                              "corner", "want_texgen")
+                              "corner", "want_texgen", "solve_caps")
 )(render_frame_full_impl)
 
 
@@ -1079,7 +1106,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              texdev=None, texdev_rects: tuple = (),
                              corner: tuple = (0, 0, 0),
                              want_texgen: bool = True,
-                             ss: int = 1):
+                             ss: int = 1,
+                             solve_caps: tuple | None = None):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -1137,7 +1165,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         want_cube=want_cube, want_stats=want_stats,
         sampler_profile=sampler_profile,
         prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas,
-        corner=corner, want_texgen=want_texgen, row0=row0)
+        corner=corner, want_texgen=want_texgen, row0=row0,
+        solve_caps=solve_caps)
     if ss == 1:
         return out
 
@@ -1259,7 +1288,7 @@ render_frame_packed = functools.partial(
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "want_stats", "sampler_profile",
                      "allow_pallas", "texdev_rects", "corner",
-                     "want_texgen", "ss"))(
+                     "want_texgen", "ss", "solve_caps"))(
     render_frame_packed_impl)
 
 
@@ -1269,7 +1298,7 @@ render_frame_packed = functools.partial(
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "texdev_rects", "sampler_profile",
-                     "corner", "want_texgen", "ss"))
+                     "corner", "want_texgen", "ss", "solve_caps"))
 def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  levels: tuple, height: int, width: int,
                                  skin=None, anim=None,
@@ -1286,7 +1315,8 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  world_in=None, sampler_profile=None,
                                  corner: tuple = (0, 0, 0),
                                  want_texgen: bool = True,
-                                 ss: int = 1):
+                                 ss: int = 1,
+                                 solve_caps: tuple | None = None):
     """Batched packed frames: ``dyn_f``/``dyn_i`` carry a leading context
     axis; statics (streams, pools, textures, banks topology) broadcast. This
     is the multi-context scale path with ONE f32 + ONE i32 host->device
@@ -1307,7 +1337,8 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
             want_bump=want_bump,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             sampler_profile=sampler_profile, allow_pallas=False,
-            corner=corner, want_texgen=want_texgen, ss=ss)
+            corner=corner, want_texgen=want_texgen, ss=ss,
+            solve_caps=solve_caps)
 
     if world_in is None:
         return jax.vmap(lambda df, di: one(df, di, None))(dyn_f, dyn_i)
@@ -1335,7 +1366,7 @@ def eval_anim_world_window(locals_w, parent, anim, anim_ts, levels):
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "want_stats", "sampler_profile",
-                     "corner", "want_texgen", "ss"))
+                     "corner", "want_texgen", "ss", "solve_caps"))
 def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
                                levels: tuple, height: int, width: int,
                                skin=None, anim=None, world_in=None,
@@ -1351,7 +1382,8 @@ def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
                                sampler_profile=None,
                                corner: tuple = (0, 0, 0),
                                want_texgen: bool = True,
-                               ss: int = 1):
+                               ss: int = 1,
+                               solve_caps: tuple | None = None):
     """W whole frames in ONE device program (frame-window pipelining).
 
     ``dyn_fs``/``dyn_is`` stack W frames' packed buffers on a leading axis;
@@ -1379,7 +1411,7 @@ def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
             vertex_shader=vertex_shader, pixel_shader=pixel_shader,
             want_bump=want_bump, want_cube=want_cube, want_stats=want_stats,
             sampler_profile=sampler_profile, corner=corner,
-            want_texgen=want_texgen, ss=ss)
+            want_texgen=want_texgen, ss=ss, solve_caps=solve_caps)
         return carry, out
 
     xs = (dyn_fs, dyn_is) if world_in is None else (dyn_fs, dyn_is, world_in)

@@ -1,0 +1,108 @@
+"""Capacity planning (round-4): the tiled solve exports bin statistics and
+the render context's governor derives/bumps its static capacity caps from
+them — a config-4-class silent fallback regression (47 -> 14 fps when a
+denser pose overflowed pair_cap) is now impossible: the fallback surfaces
+in VxStats.SolveFallbackRows and the caps recompile with headroom."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ckrenderengine_tpu.objects import CKCamera, CKContext
+
+
+def _rc():
+    ctx = CKContext()
+    rc = ctx.GetRenderManager().CreateRenderContext(64, 64)
+    cam = CKCamera(ctx, "cam")
+    cam.SetPosition((0, 0, -5))
+    rc.AttachViewpointToCamera(cam)
+    rc.Render()                      # compile so _default_solve_caps works
+    return rc
+
+
+def _stats(live=1000, cut=0, g_over=0, s_over=0, n_small=800, n_mid=10,
+           peak=50):
+    return {"SolveBinStats": jnp.asarray(
+        [peak, live, cut, g_over, s_over, n_small, n_mid], jnp.int32)}
+
+
+class TestGovernor:
+    def test_initial_plan_shrinks_to_scene(self):
+        rc = _rc()
+        rc._gov_on = True
+        assert rc._solve_caps is None
+        rc._governor_tick(_stats(live=5000, n_small=4000, n_mid=20))
+        pair, slab, gcap = rc._solve_caps
+        p0, s0, g0 = rc._default_solve_caps()
+        assert pair < p0 and slab < s0 and gcap < g0
+        assert pair >= 5000 * 2 and slab >= 4000 * 2    # safety margins
+        assert gcap >= 1024
+
+    def test_bumps_on_fallback_rows(self):
+        rc = _rc()
+        rc._gov_on = True
+        rc._governor_tick(_stats())                     # frame 1: plan
+        caps0 = rc._solve_caps
+        # ticks 2..15: no resolve; tick 16 stashes, tick 24 resolves
+        for i in range(2, 17):
+            rc._governor_tick(_stats(live=int(caps0[0] * 0.95), cut=128))
+        for i in range(17, 25):
+            rc._governor_tick(_stats(live=int(caps0[0] * 0.95), cut=128))
+        assert rc._solve_caps[0] > caps0[0]             # pair_cap bumped
+        assert rc.stats.SolveCapBumps >= 1
+        assert rc.stats.SolveFallbackRows > 0
+        assert rc.stats.SolveLivePairs > 0
+
+    def test_steady_state_keeps_caps(self):
+        rc = _rc()
+        rc._gov_on = True
+        rc._governor_tick(_stats())
+        caps0 = rc._solve_caps
+        for _ in range(40):
+            rc._governor_tick(_stats())
+        assert rc._solve_caps == caps0
+        assert rc.stats.SolveCapBumps == 0
+
+    def test_recompile_resets_caps(self):
+        rc = _rc()
+        rc._gov_on = True
+        rc._governor_tick(_stats())
+        assert rc._solve_caps is not None
+        rc._compile()
+        assert rc._solve_caps is None
+
+
+class TestBinStats:
+    def test_solver_exports_exact_fallback_counts(self):
+        """Tiny pair_cap forces the sorted-tail fallback: output must stay
+        EXACT (fallback is correctness insurance) and the binstats vector
+        must report the cut rows — the governor's trigger. This is the
+        1.5x-denser-scene scenario as a unit test."""
+        from ckrenderengine_tpu.raster import deferred as df
+        from ckrenderengine_tpu.raster.pallas_tiled import (
+            depth_reduce_tiled_pallas,
+        )
+        from ckrenderengine_tpu.raster.types import RasterState, pack_states
+        from tests.test_tiled_raster import _random_batch
+
+        h = w = 64
+        xyw, z, state_idx, valid = _random_batch(600, h, w, seed=7)
+        si, _sf = pack_states([RasterState()])
+        setup = df.triangle_setup(xyw, z, state_idx, valid, jnp.asarray(si))
+        defer = valid
+        batch_xyw = xyw
+        vp = jnp.asarray([0, 0, w, h], jnp.float32)
+        kw = dict(interpret=True, want_binstats=True)
+        bi_ref, bd_ref, st_ref = depth_reduce_tiled_pallas(
+            setup, defer, 1.0, vp, batch_xyw, h, w, **kw)
+        bi, bd, st = depth_reduce_tiled_pallas(
+            setup, defer, 1.0, vp, batch_xyw, h, w, pair_cap=128, **kw)
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(bi_ref))
+        np.testing.assert_array_equal(np.asarray(bd), np.asarray(bd_ref))
+        st = np.asarray(st)
+        st_ref = np.asarray(st_ref)
+        assert st.shape == (7,) and st_ref.shape == (7,)
+        assert st_ref[2] == 0                    # default caps: no fallback
+        assert st[2] > 0                         # cut rows reported
+        assert st[1] == st_ref[1]                # live pairs agree
