@@ -169,6 +169,22 @@ class TestStereo:
         # eye offset shifts the image between halves
         assert np.abs(left - right).sum() > 1.0
 
+    def test_stereo_packed_matches_legacy_path(self):
+        """Stereo rides the packed 2-frame scan program (round-4); its
+        output must match the legacy per-eye SceneDevice path."""
+        from ckrenderengine_tpu.pipeline.overlay import build_quad_bank
+
+        ctx = CKContext()
+        _tri_scene(ctx)
+        rc = _rc(ctx)
+        rc.SetStereoParameters(0.2, 2.0)
+        rc.Render()                                  # packed stereo path
+        fb_packed = rc.framebuffer().copy()
+        scene = rc._build_scene_device()
+        rc._render_stereo(scene, None, None, rc._sprite3d_bank())
+        fb_legacy = rc.framebuffer()
+        np.testing.assert_allclose(fb_packed, fb_legacy, atol=1e-5)
+
 
 def test_state_cache_hit_miss_counters():
     """Scene-compile cache counters (the reference's render-state cache
