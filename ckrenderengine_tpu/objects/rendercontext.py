@@ -50,6 +50,8 @@ class CKRenderContext(CKObject):
         # (initial shrink plan on frame 1, bump on fallback/near-cap).
         self._solve_caps = None
         self._gov_frames = 0
+        # Host chunk-cull survivor cap (bumps pre-dispatch; never drops).
+        self._chunk_cap = None
         self.fb = jnp.zeros((4, self.height, self.width), jnp.float32)
         self.zb = jnp.ones((self.height, self.width), jnp.float32)
         self.sb = jnp.zeros((self.height, self.width), jnp.uint8)
@@ -314,6 +316,7 @@ class CKRenderContext(CKObject):
         # New topology invalidates governed solve caps (scene scale changed).
         self._solve_caps = None
         self._gov_frames = 0
+        self._chunk_cap = None
 
         entities = self._scene_entities()
         c.n_entities = table.count
@@ -620,8 +623,39 @@ class CKRenderContext(CKObject):
             eligible = np.zeros(0, bool)
         itc = int(eligible.sum())
         if itc:
+            elig_idx = np.nonzero(eligible)[0]
+            if itc >= 8192:
+                # Spatial (Morton) sort of the corner block per entity: the
+                # cache-optimizer reorder scrambles locality, which would
+                # make every cull chunk span the whole mesh. Morton order
+                # keeps each CH-triangle chunk spatially tight so host
+                # frustum culling (chunk_meta below) can actually reject
+                # chunks. Deferred-opaque output is order-independent up to
+                # exact-depth ties; same-key transparent draws of one
+                # entity may reorder (the reference leaves that order
+                # undefined too — its own optimizers reorder faces).
+                src_e = c.src_idx[c.tri_idx[elig_idx]]        # (itc, 3)
+                cent = c.positions[src_e].mean(axis=1)        # (itc, 3)
+                ent_e = c.vert_entity[c.tri_idx[elig_idx, 0]]
+                lo = cent.min(0)
+                # one COMMON scale for all axes: a near-flat axis (terrain
+                # y) then maps to a constant instead of amplified noise
+                # that would scramble the interleave
+                span = max(float((cent.max(0) - lo).max()), 1e-6)
+                q = np.clip((cent - lo) / span * 1023, 0,
+                            1023).astype(np.uint32)
+
+                def spread(v):
+                    v = (v | (v << 16)) & 0x030000FF
+                    v = (v | (v << 8)) & 0x0300F00F
+                    v = (v | (v << 4)) & 0x030C30C3
+                    v = (v | (v << 2)) & 0x09249249
+                    return v
+                morton = (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+                          | (spread(q[:, 2]) << 2))
+                elig_idx = elig_idx[np.lexsort((morton, ent_e))]
             order = np.concatenate([
-                np.nonzero(eligible)[0], np.nonzero(~eligible)[0],
+                elig_idx, np.nonzero(~eligible)[0],
                 np.arange(it, it_pad)])
             c.tri_state = c.tri_state[order]
             c.tri_valid = c.tri_valid[order]
@@ -677,6 +711,28 @@ class CKRenderContext(CKObject):
             c.corner_nc = nc
             c.corner_itc = itc
             c.corner_p0 = p0
+
+        # --- chunk-cull metadata (host frustum culling at stream-chunk
+        # granularity) -------------------------------------------------------
+        # The TPU mapping of the reference's scene-graph culling
+        # (CKSceneGraphNode::ComputeHierarchicalBox + IsInViewFrustrumHierarchic,
+        # /root/reference/src/CKSceneGraph.cpp:849-888, CK3dEntity.cpp:3297):
+        # the corner-major head splits into CH-triangle chunks; the HOST
+        # tests each chunk's conservative world bbox against the frustum
+        # every frame (numpy, ~100 parts) and ships the surviving chunk
+        # list; the device compacts the stream to the static chunk cap by
+        # chunk-axis takes (contiguous blocks - bandwidth, not per-row
+        # gather cost). Culling only ever REMOVES fully-offscreen chunks,
+        # so output is bit-identical; the cap bumps (recompile) BEFORE
+        # dispatch whenever more chunks survive, so no frame ever drops
+        # visible geometry.
+        CH = 4096
+        c.chunk_meta = None
+        if itc >= 2 * CH:
+            c.chunk_meta = {
+                "ch": CH, "n_full": itc // CH, "itc": itc,
+                "parts": None, "pool_version": None,
+            }
 
         # Static ordered-path cap: triangles of materials that cannot take the
         # deferred opaque reduce (mirror of raster/deferred.deferred_mask).
@@ -1602,10 +1658,11 @@ class CKRenderContext(CKObject):
     def GetBoundAnimation(self):
         return self._bound_clip
 
-    def _ensure_packed_layout(self, n, s, l, sp, qb, qf, cp=0, vt=0, ab=0):
+    def _ensure_packed_layout(self, n, s, l, sp, qb, qf, cp=0, vt=0, ab=0,
+                              ck=0):
         from ..pipeline.packing import DynLayout
 
-        sig = (n, s, l, sp, qb, qf, cp, vt, ab)
+        sig = (n, s, l, sp, qb, qf, cp, vt, ab, ck)
         if self._layout_sig == sig:
             return
         self._layout_sig = sig
@@ -1658,6 +1715,10 @@ class CKRenderContext(CKObject):
                 lay.add_i(f"{prefix}_tex", (q,))
                 lay.add_i(f"{prefix}_blend", (q,))
                 lay.add_i(f"{prefix}_valid", (q,))
+        if ck:
+            # host-culled stream-chunk survivors (compact_scene_chunks)
+            lay.add_i("chunk_idx", (ck,))
+            lay.add_i("chunk_n", ())
         self._layout = lay.freeze()
         self._buf_f, self._buf_i = lay.make_buffers()
 
@@ -1801,10 +1862,26 @@ class CKRenderContext(CKObject):
         vt, vt_idx, vt_plan = self._video_patch_info(c)
         self._video_patch = (vt, vt_idx, vt_plan)
         clip = self._bound_clip
-        self._ensure_packed_layout(n, si.shape[0], lt["type"].shape[0], sp,
-                                   qb, qf, planes.shape[0], vt, 0)
-        static = self._packed_static_dict(c, n)
         view, proj, cam_pos = self._camera_np()
+        # Host chunk culling: pick surviving stream chunks for this frame's
+        # frustum; the cap (static) bumps BEFORE dispatch when more chunks
+        # survive than last compiled for — no frame ever drops geometry.
+        cull_idx = self._chunk_select(c, view, proj)
+        cull_static = None
+        ck = 0
+        if cull_idx is not None:
+            cm = c.chunk_meta
+            needed = int(cull_idx.shape[0])
+            cap = self._chunk_cap
+            if cap is None or needed > cap:
+                cap = min(cm["n_full"],
+                          max(8, -(-int(needed * 1.25) // 8) * 8))
+                self._chunk_cap = cap
+            ck = cap
+            cull_static = (cm["ch"], cap, cm["itc"], cm["n_full"])
+        self._ensure_packed_layout(n, si.shape[0], lt["type"].shape[0], sp,
+                                   qb, qf, planes.shape[0], vt, 0, ck)
+        static = self._packed_static_dict(c, n)
 
         visible = (table.flags[:n] & et.VX_MOVEABLE_VISIBLE) != 0
         # Debug object stepping (reference EnableDebugMode Ctrl+Alt+F11
@@ -1882,6 +1959,11 @@ class CKRenderContext(CKObject):
             vals[f"{prefix}_tex"] = tex
             vals[f"{prefix}_blend"] = blend
             vals[f"{prefix}_valid"] = valid
+        if ck:
+            idx_pad = np.full(ck, c.chunk_meta["n_full"], np.int32)
+            idx_pad[:cull_idx.shape[0]] = cull_idx
+            vals["chunk_idx"] = idx_pad
+            vals["chunk_n"] = np.int32(cull_idx.shape[0])
 
         fill(self._buf_f, self._buf_i, self._layout, vals)
         rm = ctx.render_manager
@@ -2004,7 +2086,8 @@ class CKRenderContext(CKObject):
             want_cube=getattr(c, "want_cube", False),
             corner=(c.corner_nc, c.corner_itc, c.corner_p0),
             want_texgen=getattr(c, "want_texgen", True),
-            solve_caps=self._solve_caps)
+            solve_caps=self._solve_caps,
+            cull=cull_static)
         # Fresh copies: the staging buffers are reused next frame while this
         # frame's host->device transfer may still be in flight (async tunnel).
         return static, self._buf_f.copy(), self._buf_i.copy(), params
@@ -2061,6 +2144,82 @@ class CKRenderContext(CKObject):
             fb, zb, self.sb = out
             return fb, zb
         return out
+
+    def _refresh_chunk_parts(self, c):
+        """(Re)build per-chunk conservative local bboxes — per (chunk,
+        entity) part over the corner-major head — lazily and again whenever
+        the pool refreshes (morphs / patch re-tessellation move vertices)."""
+        cm = c.chunk_meta
+        if cm["parts"] is not None and cm["pool_version"] == c._pool_version:
+            return
+        CH, n_full, itc = cm["ch"], cm["n_full"], cm["itc"]
+        head_ent = c.vert_entity[:itc]
+        pos_head = c.positions[c.corner_p0:c.corner_p0 + 3 * itc]
+        parts = []
+        for ci in range(n_full):
+            sl = slice(ci * CH, (ci + 1) * CH)
+            seg = head_ent[sl]
+            for er in np.unique(seg):
+                rows = np.nonzero(seg == er)[0] + ci * CH
+                pts = np.concatenate([pos_head[k * itc + rows]
+                                      for k in range(3)])
+                parts.append((ci, int(er), pts.min(0), pts.max(0)))
+        from .entity import CK3dEntity
+        rows_needed = {er for _ci, er, _lo, _hi in parts}
+        row_obj = {}
+        for obj in self.context._objects.values():
+            if isinstance(obj, CK3dEntity) \
+                    and getattr(obj, "row", None) in rows_needed:
+                row_obj[obj.row] = obj
+        cm["parts"] = parts
+        cm["row_obj"] = row_obj
+        cm["pool_version"] = c._pool_version
+
+    def _chunk_select(self, c, view, proj):
+        """HOST frustum culling at stream-chunk granularity (the TPU form
+        of the reference's hierarchical-bbox scene-graph culling,
+        /root/reference/src/CKSceneGraph.cpp:849-888 +
+        CK3dEntity::IsInViewFrustrumHierarchic :3297): returns the
+        ascending list of chunk indices whose conservative world bbox
+        touches the frustum, or None when chunk culling is off. The device
+        then compacts the dense stream to these survivors
+        (pipeline/frame.compact_scene_chunks) — culling only removes
+        fully-offscreen chunks, so pixels are identical."""
+        cm = getattr(c, "chunk_meta", None)
+        if cm is None or self._bound_clip is not None or self.stereo_enabled:
+            return None
+        self._refresh_chunk_parts(c)
+        m = np.asarray(view, np.float32) @ np.asarray(proj, np.float32)
+        cols = m.T                          # row-vector: clip = p @ m
+        w = cols[3]
+        pl = np.stack([w + cols[0], w - cols[0], w + cols[1], w - cols[1],
+                       cols[2], w - cols[2]])          # (6,4) inward planes
+        pl = pl / np.maximum(
+            np.linalg.norm(pl[:, :3], axis=1, keepdims=True), 1e-12)
+        eps = 0.5                           # world-unit conservative slack
+        vis = np.zeros(cm["n_full"], bool)
+        wm_cache: dict = {}
+        for ci, er, lo, hi in cm["parts"]:
+            if vis[ci]:
+                continue
+            obj = cm["row_obj"].get(er)
+            if obj is None:                 # unknown source: keep the chunk
+                vis[ci] = True
+                continue
+            wm = wm_cache.get(er)
+            if wm is None:
+                wm = wm_cache[er] = np.asarray(obj.GetWorldMatrix(),
+                                               np.float32)
+            corners = np.array(
+                [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+                 for z in (lo[2], hi[2])], np.float32)
+            wpts = corners @ wm[:3, :3] + wm[3, :3]
+            h4 = np.concatenate([wpts, np.ones((8, 1), np.float32)], 1)
+            d = h4 @ pl.T                                  # (8,6)
+            if (d.max(axis=0) < -eps).any():
+                continue                    # fully outside one plane
+            vis[ci] = True
+        return np.nonzero(vis)[0].astype(np.int32)
 
     def _gov_enabled(self) -> bool:
         """Capacity governor runs where the Pallas tiled solve does."""
@@ -2176,6 +2335,13 @@ class CKRenderContext(CKObject):
             self.fb, self.zb = self._render_packed(quads_bg_list,
                                                    quads_fg_list)
             return
+        if self._win_slots and (
+                self._win_ctx[2]["layout"] is not params["layout"]
+                or self._win_ctx[2].get("cull") != params.get("cull")):
+            # packed layout / chunk cap changed mid-window (e.g. the chunk
+            # governor bumped): staged frames keep their own consistent
+            # program; this frame starts a new window.
+            self._flush_window()
         if not self._win_slots:
             self._win_ctx = (key, static, params)
         self._win_slots.append((dyn_f, dyn_i, self._anim_req))

@@ -59,7 +59,8 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
                                corner: tuple = (0, 0, 0),
                                want_texgen: bool = True,
                                ss: int = 1,
-                               solve_caps: tuple | None = None):
+                               solve_caps: tuple | None = None,
+                               cull: tuple | None = None):
     """One logical frame of ``height`` rows rendered as ``mesh.shape[axis]``
     horizontal bands, one per device. Returns (fb (4,H,W), zb (H,W)) sharded
     over H. ``height`` must divide evenly by the band count.
@@ -93,7 +94,7 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             sampler_profile=sampler_profile, allow_pallas=False, y_shift=y0,
             corner=corner, want_texgen=want_texgen, ss=ss,
-            solve_caps=solve_caps)
+            solve_caps=solve_caps, cull=cull)
         fb, zb = out
         return fb, zb
 
@@ -116,5 +117,6 @@ render_frame_packed_banded_jit = functools.partial(
                      "ordered_cap", "chunk", "sort_transparent",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "texdev_rects", "sampler_profile",
-                     "corner", "want_texgen", "ss", "solve_caps"))(
+                     "corner", "want_texgen", "ss", "solve_caps",
+                     "cull"))(
     render_frame_packed_banded)

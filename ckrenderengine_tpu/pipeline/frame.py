@@ -297,6 +297,101 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
     return clip, color, spec, fog, world, uv, clipd_v, refl_v
 
 
+def compact_scene_chunks(scene: SceneDevice, chunk_idx, chunk_n,
+                         corner: tuple, chunk: tuple):
+    """Compact the corner-major head to the host-selected chunk list.
+
+    The HOST culls CH-triangle chunks of the static corner block against
+    the frustum each frame (the TPU mapping of the reference's
+    hierarchical-bbox scene-graph culling, src/CKSceneGraph.cpp:849-888 +
+    CK3dEntity::IsInViewFrustrumHierarchic :3297) and ships the surviving
+    chunk indices; this function gathers those chunks into a smaller
+    stream so every dense per-vertex/per-triangle stage downstream runs on
+    the survivors only. Gathers move whole (CH, C) blocks along the chunk
+    axis — contiguous-block bandwidth, not the ~8 ns/row element-gather
+    cost that killed per-triangle compaction (docs/PERFORMANCE.md round
+    3). Culled chunks are fully outside the frustum, so output is
+    IDENTICAL (they would be clip-rejected anyway); pad slots beyond
+    ``chunk_n`` mask their triangles invalid.
+
+    ``chunk`` = (CH, cap, itc, n_full) static; ``chunk_idx`` (cap,) int32
+    ascending survivor list; ``chunk_n`` () live count.
+    Returns (scene', corner') with the remainder block (itc - n_full*CH
+    triangles) and the gathered tail always kept."""
+    CH, cap, itc, n_full = chunk
+    nc = 3 * itc
+    p0 = corner[2]
+    safe = jnp.clip(chunk_idx, 0, n_full - 1)
+    live = jnp.arange(cap, dtype=jnp.int32) < chunk_n
+    rem = itc - n_full * CH
+    itc2 = cap * CH + rem
+    nc2 = 3 * itc2
+
+    def chunk_take(a, base, stride):
+        """Corner-major head (3 blocks of ``stride`` rows at ``base``) ->
+        compacted (3*itc2, ...) head, corner-major order preserved."""
+        parts = []
+        for k in range(3):
+            b0 = base + k * stride
+            blk = jax.lax.slice_in_dim(a, b0, b0 + n_full * CH, axis=0)
+            blk = blk.reshape((n_full, CH) + a.shape[1:])
+            sel = jnp.take(blk, safe, axis=0)
+            sel = sel.reshape((cap * CH,) + a.shape[1:])
+            if rem:
+                t = jax.lax.slice_in_dim(a, b0 + n_full * CH, b0 + stride,
+                                         axis=0)
+                sel = jnp.concatenate([sel, t], axis=0)
+            parts.append(sel)
+        return jnp.concatenate(parts, axis=0)
+
+    def pool2(a):
+        # new pool = [compacted corner head, whole old pool] — take_pool's
+        # head slice reads [0, nc2); tail gathers shift by +nc2.
+        return jnp.concatenate([chunk_take(a, p0, itc), a], axis=0)
+
+    def stream2(a):
+        head = chunk_take(a, 0, itc)
+        tail = jax.lax.slice_in_dim(a, nc, a.shape[0], axis=0)
+        return jnp.concatenate([head, tail], axis=0)
+
+    def tri2(a):
+        blk = jax.lax.slice_in_dim(a, 0, n_full * CH, axis=0)
+        blk = blk.reshape((n_full, CH) + a.shape[1:])
+        sel = jnp.take(blk, safe, axis=0).reshape((cap * CH,) + a.shape[1:])
+        if rem:
+            sel = jnp.concatenate(
+                [sel, jax.lax.slice_in_dim(a, n_full * CH, itc, axis=0)],
+                axis=0)
+        tail = jax.lax.slice_in_dim(a, itc, a.shape[0], axis=0)
+        return jnp.concatenate([sel, tail], axis=0)
+
+    src_tail = jax.lax.slice_in_dim(scene.src_idx, nc,
+                                    scene.src_idx.shape[0], axis=0) + nc2
+    src_idx = jnp.concatenate(
+        [jnp.arange(nc2, dtype=jnp.int32), src_tail], axis=0)
+    tri_valid = tri2(scene.tri_valid)
+    slot_live = jnp.repeat(live, CH)                  # (cap*CH,)
+    head_valid = jax.lax.slice_in_dim(tri_valid, 0, cap * CH) & slot_live
+    tri_valid = jnp.concatenate(
+        [head_valid, jax.lax.slice_in_dim(tri_valid, cap * CH,
+                                          tri_valid.shape[0])], axis=0)
+    ar = jnp.arange(itc2, dtype=jnp.int32)
+    tidx_head = jnp.stack([ar, itc2 + ar, 2 * itc2 + ar], axis=1)
+    tidx_tail = jax.lax.slice_in_dim(scene.tri_idx, itc,
+                                     scene.tri_idx.shape[0], axis=0) \
+        + (nc2 - nc)
+    scene2 = scene._replace(
+        positions=pool2(scene.positions), normals=pool2(scene.normals),
+        uv=pool2(scene.uv), prelit=pool2(scene.prelit),
+        prelit_spec=pool2(scene.prelit_spec),
+        src_idx=src_idx, vert_entity=stream2(scene.vert_entity),
+        vert_state=stream2(scene.vert_state),
+        vert_lit=stream2(scene.vert_lit),
+        tri_idx=jnp.concatenate([tidx_head, tidx_tail], axis=0),
+        tri_state=tri2(scene.tri_state), tri_valid=tri_valid)
+    return scene2, (nc2, itc2, 0)
+
+
 def assemble_triangles(scene: SceneDevice, clip, color, spec, fog, uv=None,
                        clipd_v=None, refl_v=None, corner: tuple = (0, 0, 0)):
     """Triangle stage: gather per-corner attrs + cull. Returns the FULL
@@ -953,7 +1048,9 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
                            corner: tuple = (0, 0, 0),
                            want_texgen: bool = True,
                            row0=0.0,
-                           solve_caps: tuple | None = None):
+                           solve_caps: tuple | None = None,
+                           cull: tuple | None = None,
+                           cull_sel=None):
     """The FULL per-frame device program:
     animate -> compose -> skin -> billboards -> bg 2D -> 3D raster -> fg 2D.
 
@@ -995,6 +1092,14 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
         positions = apply_billboards(world, scene.view, positions, sprites,
                                      scene.entity_visible)
     scene = scene._replace(local=local, positions=positions, normals=normals)
+    # Host chunk culling (see compact_scene_chunks): compaction happens
+    # AFTER skin/billboard pool writes so the gathered tail sees them; the
+    # line pass keeps the uncompacted scene (its bank indexes the original
+    # stream rows).
+    scene_lines = scene
+    if cull is not None and cull_sel is not None:
+        scene, corner = compact_scene_chunks(scene, cull_sel[0],
+                                             cull_sel[1], corner, cull)
 
     background = None
     if quads_bg is not None:
@@ -1028,7 +1133,7 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
     if lines is not None:
         from .lines import draw_lines
 
-        fb = draw_lines(fb, zb, scene, world, lines, height, width,
+        fb = draw_lines(fb, zb, scene_lines, world, lines, height, width,
                         row0=row0)
     if quads_fg is not None:
         fb = composite_quads(fb, quads_fg, scene.tex_planes, scene.tex_hw,
@@ -1042,7 +1147,8 @@ render_frame_full = functools.partial(
                               "chunk", "sort_transparent", "want_stencil",
                               "vertex_shader", "pixel_shader", "want_bump",
                               "want_cube", "want_stats", "sampler_profile",
-                              "corner", "want_texgen", "solve_caps")
+                              "corner", "want_texgen", "solve_caps",
+                              "cull")
 )(render_frame_full_impl)
 
 
@@ -1107,7 +1213,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              corner: tuple = (0, 0, 0),
                              want_texgen: bool = True,
                              ss: int = 1,
-                             solve_caps: tuple | None = None):
+                             solve_caps: tuple | None = None,
+                             cull: tuple | None = None):
     """Packed-transfer frame entry: ``static`` is the per-compile device
     pytree (no re-transfer), ``dyn_f``/``dyn_i`` are the two per-frame
     buffers (see pipeline/packing.py). Unpacks fields on device and runs the
@@ -1154,6 +1261,9 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              and has_field(layout, "anim_t")) else 0.0
     row0 = 0.0 if y_shift is None else jnp.asarray(y_shift,
                                                    jnp.float32) * ss
+    cull_sel = None
+    if cull is not None and has_field(layout, "chunk_idx"):
+        cull_sel = (d["chunk_idx"], d["chunk_n"])
     out = render_frame_full_impl(
         scene, levels, rh, rw, skin=skin, sprites=sprites,
         anim=anim, anim_t=anim_t, world_in=world_in,
@@ -1166,7 +1276,7 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
         sampler_profile=sampler_profile,
         prev_fb=prev_fb, prev_zb=prev_zb, allow_pallas=allow_pallas,
         corner=corner, want_texgen=want_texgen, row0=row0,
-        solve_caps=solve_caps)
+        solve_caps=solve_caps, cull=cull, cull_sel=cull_sel)
     if ss == 1:
         return out
 
@@ -1288,7 +1398,7 @@ render_frame_packed = functools.partial(
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "want_stats", "sampler_profile",
                      "allow_pallas", "texdev_rects", "corner",
-                     "want_texgen", "ss", "solve_caps"))(
+                     "want_texgen", "ss", "solve_caps", "cull"))(
     render_frame_packed_impl)
 
 
@@ -1298,7 +1408,7 @@ render_frame_packed = functools.partial(
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "texdev_rects", "sampler_profile",
-                     "corner", "want_texgen", "ss", "solve_caps"))
+                     "corner", "want_texgen", "ss", "solve_caps", "cull"))
 def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  levels: tuple, height: int, width: int,
                                  skin=None, anim=None,
@@ -1316,7 +1426,8 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  corner: tuple = (0, 0, 0),
                                  want_texgen: bool = True,
                                  ss: int = 1,
-                                 solve_caps: tuple | None = None):
+                                 solve_caps: tuple | None = None,
+                                 cull: tuple | None = None):
     """Batched packed frames: ``dyn_f``/``dyn_i`` carry a leading context
     axis; statics (streams, pools, textures, banks topology) broadcast. This
     is the multi-context scale path with ONE f32 + ONE i32 host->device
@@ -1338,7 +1449,7 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
             want_cube=want_cube, texdev=texdev, texdev_rects=texdev_rects,
             sampler_profile=sampler_profile, allow_pallas=False,
             corner=corner, want_texgen=want_texgen, ss=ss,
-            solve_caps=solve_caps)
+            solve_caps=solve_caps, cull=cull)
 
     if world_in is None:
         return jax.vmap(lambda df, di: one(df, di, None))(dyn_f, dyn_i)
@@ -1366,7 +1477,7 @@ def eval_anim_world_window(locals_w, parent, anim, anim_ts, levels):
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "want_stats", "sampler_profile",
-                     "corner", "want_texgen", "ss", "solve_caps"))
+                     "corner", "want_texgen", "ss", "solve_caps", "cull"))
 def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
                                levels: tuple, height: int, width: int,
                                skin=None, anim=None, world_in=None,
@@ -1383,7 +1494,8 @@ def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
                                corner: tuple = (0, 0, 0),
                                want_texgen: bool = True,
                                ss: int = 1,
-                               solve_caps: tuple | None = None):
+                               solve_caps: tuple | None = None,
+                               cull: tuple | None = None):
     """W whole frames in ONE device program (frame-window pipelining).
 
     ``dyn_fs``/``dyn_is`` stack W frames' packed buffers on a leading axis;
@@ -1411,7 +1523,8 @@ def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
             vertex_shader=vertex_shader, pixel_shader=pixel_shader,
             want_bump=want_bump, want_cube=want_cube, want_stats=want_stats,
             sampler_profile=sampler_profile, corner=corner,
-            want_texgen=want_texgen, ss=ss, solve_caps=solve_caps)
+            want_texgen=want_texgen, ss=ss, solve_caps=solve_caps,
+            cull=cull)
         return carry, out
 
     xs = (dyn_fs, dyn_is) if world_in is None else (dyn_fs, dyn_is, world_in)
