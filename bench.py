@@ -345,7 +345,7 @@ def main():
     # Present-queue pipelining: 4 frames per device program amortizes the
     # tunnel's ~4-5 ms per-program floor (benchmarks/window_probe.py). The
     # honest fence still proves every frame truly rendered.
-    rc.SetFramePipelining(4)
+    rc.SetFramePipelining(8)
 
     def tick(i):
         spinner.Rotate((0, 1, 0), 0.01)

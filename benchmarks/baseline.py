@@ -448,7 +448,7 @@ def run(name: str, frames: int, phases: bool) -> dict:
     rc.Render()
     jax.block_until_ready(rc.fb)
     # 4-frame pipelining window (see bench.py main) — honest fence intact.
-    rc.SetFramePipelining(4)
+    rc.SetFramePipelining(8)
 
     # Honest timing (pre-drain + final full readback per window): see
     # bench.honest_fps — block_until_ready alone does not wait on the

@@ -807,27 +807,40 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
                 slab_cap=131072 if t_count <= (1 << 21) else 262144)
         caps_kw["want_binstats"] = want_stats
         if quant:
+            import os as _os
             all_persp = len(sampler_profile) > 3 and bool(sampler_profile[3])
-            best_id, best_depth, tile_peak, epl = depth_reduce_tiled_pallas(
-                setup, defer_tri, z_init, scene.viewport, batch.xyw,
-                height, width, planar=batch.planar, want_eplanes=True,
-                **caps_kw)
             shade_tbl = df.shade_row_table_quant(
                 batch.xyw, batch.color, batch.specular, batch.uv, batch.fog,
                 batch.state_idx, batch_refl=refl,
                 inv_det_s=setup["inv_det_s"], planar=batch.planar,
                 want_ws=not all_persp)
-            # Winner rows via the per-pixel gather of the channel-major
-            # table. The Pallas in-kernel fused fetch (sh_pack=2) was
-            # REMEASURED round 3 and stays off: in situ this gather costs
-            # ~1 ms (XLA overlaps it), while carrying the shade columns
-            # through the binned stream costs +6 ms of phase-A work
-            # (benchmarks/fused_probe.py; bench 41.9 -> 33.9 fps fused).
-            tblT = jax.lax.optimization_barrier(shade_tbl.T)
-            tid = jnp.clip(best_id, 0, t_count - 1).reshape(-1)
-            rows_q = jnp.take(tblT, tid, axis=1).reshape(
-                shade_tbl.shape[1], height, width)
-            rows_q = jnp.where((best_id >= 0)[None], rows_q, jnp.int32(0))
+            if _os.environ.get("CK_FUSED_FETCH"):
+                # Experimental: in-kernel one-hot fused winner-row fetch
+                # (sh_pack=2) — re-probed per round since the phase-A
+                # overhead scales with the (now chunk-culled) stream size.
+                out = depth_reduce_tiled_pallas(
+                    setup, defer_tri, z_init, scene.viewport, batch.xyw,
+                    height, width, planar=batch.planar, want_eplanes=True,
+                    shade_tbl=shade_tbl, sh_pack=2, **caps_kw)
+                best_id, best_depth, tile_peak, epl, rows_q = out
+            else:
+                best_id, best_depth, tile_peak, epl = \
+                    depth_reduce_tiled_pallas(
+                        setup, defer_tri, z_init, scene.viewport, batch.xyw,
+                        height, width, planar=batch.planar,
+                        want_eplanes=True, **caps_kw)
+                # Winner rows via the per-pixel gather of the channel-major
+                # table. The Pallas in-kernel fused fetch (sh_pack=2) was
+                # REMEASURED round 3 and stays off by default: in situ this
+                # gather costs ~1 ms (XLA overlaps it), while carrying the
+                # shade columns through the binned stream costs +6 ms of
+                # phase-A work (benchmarks/fused_probe.py).
+                tblT = jax.lax.optimization_barrier(shade_tbl.T)
+                tid = jnp.clip(best_id, 0, t_count - 1).reshape(-1)
+                rows_q = jnp.take(tblT, tid, axis=1).reshape(
+                    shade_tbl.shape[1], height, width)
+                rows_q = jnp.where((best_id >= 0)[None], rows_q,
+                                   jnp.int32(0))
             fetched_rows = df.expand_rows_quant(
                 rows_q, scene.state_i, scene.state_f, scene.tex_hw,
                 want_ws=not all_persp, has_refl=refl is not None)
