@@ -23,7 +23,9 @@ def main():
     height, width = params["height"], params["width"]
     corner = params.get("corner", (0, 0, 0))
     profile = params.get("sampler_profile")
-    caps = dict(pair_cap=65536, slab_cap=131072)
+    caps = dict(pair_cap=int(os.environ.get("CK_PROBE_PAIR_CAP", 65536)),
+                slab_cap=int(os.environ.get("CK_PROBE_SLAB_CAP", 131072)),
+                g_cap=int(os.environ.get("CK_PROBE_G_CAP", 8192)))
 
     def upto_setup(st, f, i):
         scene, _sp, _d = fr.unpack_scene(st, f, i, layout)

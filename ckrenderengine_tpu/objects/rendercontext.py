@@ -2164,6 +2164,13 @@ class CKRenderContext(CKObject):
                 pts = np.concatenate([pos_head[k * itc + rows]
                                       for k in range(3)])
                 parts.append((ci, int(er), pts.min(0), pts.max(0)))
+        if len(parts) > 6 * n_full:
+            # Chunks average >6 entities (many-small-entity scenes like the
+            # 1000-node hierarchy): per-part host culling would cost more
+            # than the compaction saves, and per-chunk bboxes degenerate to
+            # entity unions anyway. Disable chunk culling for this scene.
+            c.chunk_meta = None
+            return
         from .entity import CK3dEntity
         rows_needed = {er for _ci, er, _lo, _hi in parts}
         row_obj = {}
@@ -2189,6 +2196,9 @@ class CKRenderContext(CKObject):
         if cm is None or self._bound_clip is not None or self.stereo_enabled:
             return None
         self._refresh_chunk_parts(c)
+        cm = c.chunk_meta                    # parts build may disable it
+        if cm is None:
+            return None
         m = np.asarray(view, np.float32) @ np.asarray(proj, np.float32)
         cols = m.T                          # row-vector: clip = p @ m
         w = cols[3]
@@ -2366,14 +2376,14 @@ class CKRenderContext(CKObject):
             slots = slots + [slots[-1]] * (self._win_size - len(slots))
         dyn_fs = np.stack([s[0] for s in slots])
         dyn_is = np.stack([s[1] for s in slots])
-        worlds = None
+        anim_win = None
         if slots[0][2] is not None:
             locals_w = np.stack([s[2][0] for s in slots])
             frames = np.asarray([s[2][2] for s in slots], np.float32)
             bank = slots[0][2][1]
-            worlds = fr.eval_anim_world_window(
-                jnp.asarray(locals_w), static["parent"], bank,
-                jnp.asarray(frames), self._compiled.levels)
+            # anim evals ride the window program itself as a prologue
+            # (one dispatch per window instead of two)
+            anim_win = (jnp.asarray(locals_w), bank, jnp.asarray(frames))
         rm = self.context.render_manager
         debug_stats = (bool(int(rm.options.get("EnableDebugMode", 0)))
                        if rm is not None else False)
@@ -2382,8 +2392,8 @@ class CKRenderContext(CKObject):
         p = {k: v for k, v in params.items()
              if k not in ("world_in", "texdev", "texdev_rects")}
         out = fr.render_frame_packed_window(
-            static, dyn_fs, dyn_is, world_in=worlds, want_stats=want_stats,
-            **p)
+            static, dyn_fs, dyn_is, anim_win=anim_win,
+            want_stats=want_stats, **p)
         if want_stats:
             out, dev_stats = out[:-1], out[-1]
             ovf = dev_stats.get("OrderedPeelOverflow")

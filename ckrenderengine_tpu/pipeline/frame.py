@@ -1494,6 +1494,7 @@ def eval_anim_world_window(locals_w, parent, anim, anim_ts, levels):
 def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
                                levels: tuple, height: int, width: int,
                                skin=None, anim=None, world_in=None,
+                               anim_win=None,
                                sprites_static=None, lines=None,
                                ordered_cap: int | None = None,
                                chunk: int = 64,
@@ -1520,7 +1521,23 @@ def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
     The reference analogue is present-queue pipelining: Render() returns
     when the frame is QUEUED, not displayed (SURVEY §3.2 BackToFront).
 
-    Returns the per-frame outputs stacked on a leading W axis."""
+    Returns the per-frame outputs stacked on a leading W axis.
+
+    ``anim_win``: optional (locals_w (W,N,4,4), bank, frames_w (W,)) —
+    the bound-clip evals run as a PROLOGUE of this same program (one
+    dispatch per window instead of two; the scan boundary keeps the anim
+    graph out of the frame body, avoiding the round-2 pathology where
+    embedding the bank per frame compiled 250x slower)."""
+    if anim_win is not None:
+        from ..anim.bank import apply_bank
+
+        locals_w, bank, frames_w = anim_win
+
+        def one(local, t):
+            return compose_world(apply_bank(local, bank, t),
+                                 static["parent"], levels)
+
+        world_in = jax.vmap(one)(locals_w, frames_w)
 
     def body(carry, xs):
         wi = None
