@@ -1985,7 +1985,7 @@ class CKRenderContext(CKObject):
         # (Embedding the bank in the frame program compiled 250x slower —
         # the executable is identical-flops but XLA schedules it badly.)
         # In frame-window mode the eval DEFERS to the flush, where W frames'
-        # evals batch into one program (eval_anim_world_window).
+        # evals run as a prologue of the window program itself.
         world_in = None
         self._anim_req = None
         if clip is not None:

@@ -1469,21 +1469,6 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
     return jax.vmap(one)(dyn_f, dyn_i, world_in)
 
 
-@functools.partial(jax.jit, static_argnames=("levels",))
-def eval_anim_world_window(locals_w, parent, anim, anim_ts, levels):
-    """W frames of bound-clip track evaluation + world composition in ONE
-    device program (the frame-window path): W per-frame eval_anim_world
-    dispatches collapse into one executable, so the per-program floor
-    (~4-5 ms on the tunnel, measured benchmarks/window_probe.py) is paid
-    once per window instead of once per frame."""
-    from ..anim.bank import apply_bank
-
-    def one(local, t):
-        return compose_world(apply_bank(local, anim, t), parent, levels)
-
-    return jax.vmap(one)(locals_w, anim_ts)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "levels", "height", "width", "ordered_cap",
@@ -1513,8 +1498,8 @@ def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
     """W whole frames in ONE device program (frame-window pipelining).
 
     ``dyn_fs``/``dyn_is`` stack W frames' packed buffers on a leading axis;
-    ``world_in`` optionally stacks W precomposed (N,4,4) world-matrix sets
-    (eval_anim_world_window). A ``lax.scan`` renders the frames in order —
+    ``world_in`` optionally stacks W precomposed (N,4,4) world-matrix
+    sets. A ``lax.scan`` renders the frames in order —
     one dispatch, one transfer — amortizing the tunnel's ~4-5 ms
     per-program floor to ~1 ms/frame (benchmarks/window_probe.py: config 5
     27.1 -> 23.6 ms/frame at W=4; a trivial body measures 4.93 -> 0.96).

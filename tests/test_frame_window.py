@@ -72,7 +72,8 @@ def test_window_resets_to_immediate():
 
 
 def test_windowed_bound_clip_animation():
-    """Deferred eval_anim_world_window must match per-frame eval."""
+    """The window program's deferred anim prologue must match per-frame
+    eval_anim_world dispatches."""
     from ckrenderengine_tpu.anim import CKKeyedAnimation, CKObjectAnimation
     from ckrenderengine_tpu.anim.objectanim import CKANIMATION_LINEAR_POS
 
