@@ -326,7 +326,13 @@ class CKRenderManager(CKObject):
             w = params.pop("world_in", None)
             p = {k: v for k, v in params.items()
                  if k not in ("texdev", "texdev_rects")}
-            want_stats = rcs[0]._gov_enabled()
+            # Stats outputs cost real tunnel time (see
+            # CKRenderContext._render_packed): sample every 32nd batch;
+            # batch ticks 0/1 are warmup so both variants precompile.
+            rc0 = rcs[0]
+            rc0._stat_tick_win = getattr(rc0, "_stat_tick_win", -1) + 1
+            want_stats = (rc0._gov_enabled()
+                          and (rc0._stat_tick_win % 32) == 0)
             out = fr.render_frame_packed_window(static, dyn_f, dyn_i,
                                                 world_in=w,
                                                 want_stats=want_stats, **p)

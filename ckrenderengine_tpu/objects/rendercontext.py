@@ -2112,12 +2112,26 @@ class CKRenderContext(CKObject):
         rm = self.context.render_manager
         debug_stats = (bool(int(rm.options.get("EnableDebugMode", 0)))
                        if rm is not None else False)
-        # The layer-peel path can drop ordered fragments on capacity
-        # overflow; that must be visible WITHOUT opting into debug mode
-        # (a cheap device scalar) — advisor finding, round 3. The capacity
-        # governor likewise needs the solve's bin stats on every TPU frame.
-        peel_active = bool(params["sampler_profile"][6])
-        want_stats = debug_stats or peel_active or self._gov_enabled()
+        # Stats are NOT free: extra program outputs cost ~7 ms/frame on the
+        # tunnel at W=1 (config 1 measured 84 vs 197 fps), and even
+        # DISPATCHING the stats variant costs ~60 ms. So: always-on stats
+        # ONLY when the frame actually takes the layer-peel branch (those
+        # frames are slow anyway, and its capacity overflow must surface —
+        # advisor finding); otherwise the governor samples every 256th
+        # frame. Tick 0 is a warmup render, so both program variants
+        # compile before any timed window.
+        peel_branch = (bool(params["sampler_profile"][6])
+                       and (params["ordered_cap"] or 0)
+                       * self.height * self.width
+                       * params.get("ss", 1) ** 2 > (1 << 26))
+        self._stat_tick = getattr(self, "_stat_tick", -1) + 1
+        # Big scenes keep stats ON every frame (one executable, no ~60 ms
+        # variant switches; the outputs amortize into their ~25 ms frames
+        # and the governor stays responsive). Small scenes sample rarely.
+        big_scene = int(self._compiled.tri_idx.shape[0]) > 100_000
+        gov_sample = (self._gov_enabled()
+                      and (big_scene or (self._stat_tick % 256) == 0))
+        want_stats = debug_stats or peel_branch or gov_sample
         out = fr.render_frame_packed(
             static, dyn_f, dyn_i, **params, want_stats=want_stats,
             # CLEARBACK/CLEARZ off -> accumulate over last frame's buffers
@@ -2266,15 +2280,13 @@ class CKRenderContext(CKObject):
         self._gov_frames += 1
         first = self._gov_frames == 1 and self._solve_caps is None
         if not first:
-            # Never block the dispatch pipeline: stash a handle every 16th
-            # tick and resolve it only once the device reports it READY
-            # (is_ready is a non-blocking host call; a blocking np.asarray
-            # mid-window measured 1.35 s behind a deep dispatch queue).
-            if (self._gov_frames % 16) == 0 \
-                    and getattr(self, "_gov_pending", None) is None:
-                self._gov_pending = bs
-                return
+            # Stats dicts arrive SAMPLED (~every 16th frame). Never block
+            # the dispatch pipeline: stash this frame's handle and resolve
+            # the previously stashed one only once the device reports it
+            # READY (is_ready is a non-blocking host call; a blocking
+            # np.asarray mid-window measured 1.35 s behind a deep queue).
             p = getattr(self, "_gov_pending", None)
+            self._gov_pending = bs
             if p is None:
                 return
             try:
@@ -2282,7 +2294,7 @@ class CKRenderContext(CKObject):
                     return
             except AttributeError:
                 pass
-            bs, self._gov_pending = p, None
+            bs = p
         b = np.asarray(bs)
         if b.ndim == 2:                       # window-stacked: worst frame
             b = b.max(axis=0)
@@ -2387,8 +2399,26 @@ class CKRenderContext(CKObject):
         rm = self.context.render_manager
         debug_stats = (bool(int(rm.options.get("EnableDebugMode", 0)))
                        if rm is not None else False)
-        peel_active = bool(params["sampler_profile"][6])
-        want_stats = debug_stats or peel_active or self._gov_enabled()
+        # Same stats economics as _render_packed (extra outputs cost ~1.7
+        # ms/frame even amortized over W=8): peel-branch windows always
+        # carry stats; otherwise every 32nd window (~256 frames at W=8).
+        # Window ticks 0 and 1 are the honest-fps probe windows, so both
+        # variants compile before the timed windows.
+        peel_branch = (bool(params["sampler_profile"][6])
+                       and (params["ordered_cap"] or 0)
+                       * self.height * self.width
+                       * params.get("ss", 1) ** 2 > (1 << 26))
+        self._stat_tick_win = getattr(self, "_stat_tick_win", -1) + 1
+        # Cadence scales with scene size: big scenes NEED the per-window
+        # governor feedback (rotating poses overflow the frame-1-planned
+        # caps; without bumps config 5 sat in sustained fallback, 62 -> 43
+        # fps) and their ~130 ms windows amortize the stats outputs to <2%;
+        # small scenes pay ~20%/window for stats, so they sample rarely.
+        big_scene = int(self._compiled.tri_idx.shape[0]) > 100_000
+        _every = 1 if big_scene else 32
+        gov_sample = (self._gov_enabled()
+                      and (self._stat_tick_win % _every) == 0)
+        want_stats = debug_stats or peel_branch or gov_sample
         p = {k: v for k, v in params.items()
              if k not in ("world_in", "texdev", "texdev_rects")}
         out = fr.render_frame_packed_window(
