@@ -210,7 +210,17 @@ def honest_fps(rc, tick, windows: int = 2, target_s: float = 6.0,
     fence_sum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
 
     def fence():
-        v = float(jax.device_get(fence_sum(rc.fb)))
+        # Window mode: the window program emits a per-frame checksum vector
+        # (GetFrameFence) — ONE device_get readback, no extra fence program
+        # (each transfer/program RPC costs ~5-15 ms of serialized tunnel
+        # latency, so the fence itself must not add dispatches). The
+        # checksum is computed FROM each frame's framebuffer inside the
+        # program, so its bytes prove every queued frame truly rendered.
+        tok = getattr(rc, "GetFrameFence", lambda: None)()
+        if tok is not None and getattr(tok, "ndim", None) == 1:
+            v = float(np.asarray(jax.device_get(tok)).sum())
+        else:
+            v = float(jax.device_get(fence_sum(rc.fb)))
         assert v == v or True    # consume; NaNs still count as completion
         return v
 

@@ -447,8 +447,12 @@ def run(name: str, frames: int, phases: bool) -> dict:
     tick(0)
     rc.Render()
     jax.block_until_ready(rc.fb)
-    # 4-frame pipelining window (see bench.py main) — honest fence intact.
-    rc.SetFramePipelining(8)
+    # Frame-window pipelining (see bench.py main) — honest fence intact.
+    # Small scenes are tunnel-RPC-bound (~2 RPCs/window at ~5-15 ms each),
+    # so they run a LONGER window to amortize; device-bound scenes keep
+    # W=8 (window compute dominates there and a flush mid-window pads).
+    rc.SetFramePipelining(32 if name in ("config1", "config2", "config3")
+                          else 8)
 
     # Honest timing (pre-drain + final full readback per window): see
     # bench.honest_fps — block_until_ready alone does not wait on the

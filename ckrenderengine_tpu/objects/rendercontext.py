@@ -45,6 +45,7 @@ class CKRenderContext(CKObject):
         self._win_size = 1
         self._win_slots: list = []
         self._win_ctx = None
+        self._win_fence = None
         self._anim_req = None
         # Capacity governor: solve caps derived from observed bin stats
         # (initial shrink plan on frame 1, bump on fallback/near-cap).
@@ -124,6 +125,7 @@ class CKRenderContext(CKObject):
     def fb(self, v):
         self._fb_val = v
         self._fb_src = None
+        self._win_fence = None
 
     @property
     def zb(self):
@@ -154,6 +156,21 @@ class CKRenderContext(CKObject):
 
     def GetFramePipelining(self) -> int:
         return self._win_size
+
+    def GetFrameFence(self):
+        """Honest completion token: a tiny device array whose host readback
+        cannot produce bytes until every queued frame has truly rendered.
+
+        In frame-window mode this is the window program's per-frame f32
+        checksum vector (4*W bytes — each frame's framebuffer feeds its
+        entry, and the device executes programs in order, so reading it
+        proves all earlier windows completed too). Otherwise it is the
+        framebuffer itself. One `jax.device_get` of this token replaces the
+        round-4 fence (a separate sum program + readback = 2 tunnel RPCs)."""
+        if getattr(self, "_win_slots", None):
+            self._flush_window()
+        f = getattr(self, "_win_fence", None)
+        return f if f is not None else self.fb
 
     # -- render callbacks (reference AddPreRenderCallBack /
     # AddPostRenderCallBack, include/RCKRenderContext.h) -------------------
@@ -2386,16 +2403,26 @@ class CKRenderContext(CKObject):
             # scan length would cost a full frame-program compile), and the
             # repeated frames render identically so slot -1 stays correct.
             slots = slots + [slots[-1]] * (self._win_size - len(slots))
+        W = len(slots)
         dyn_fs = np.stack([s[0] for s in slots])
         dyn_is = np.stack([s[1] for s in slots])
-        anim_win = None
+        # ONE fused int32 upload per window: the tunnel charges ~5-15 ms of
+        # serialized latency per transfer RPC regardless of size, so every
+        # per-window host->device array merges into a single buffer
+        # (render_frame_window_fused docstring has the RPC ledger).
+        parts = [dyn_fs.view(np.int32), dyn_is]
+        nloc = 0
+        bank = None
         if slots[0][2] is not None:
             locals_w = np.stack([s[2][0] for s in slots])
             frames = np.asarray([s[2][2] for s in slots], np.float32)
             bank = slots[0][2][1]
+            nloc = int(locals_w.shape[1])
             # anim evals ride the window program itself as a prologue
             # (one dispatch per window instead of two)
-            anim_win = (jnp.asarray(locals_w), bank, jnp.asarray(frames))
+            parts += [locals_w.reshape(W, -1).view(np.int32),
+                      frames.reshape(W, 1).view(np.int32)]
+        dyn_c = np.concatenate(parts, axis=1)
         rm = self.context.render_manager
         debug_stats = (bool(int(rm.options.get("EnableDebugMode", 0)))
                        if rm is not None else False)
@@ -2421,9 +2448,9 @@ class CKRenderContext(CKObject):
         want_stats = debug_stats or peel_branch or gov_sample
         p = {k: v for k, v in params.items()
              if k not in ("world_in", "texdev", "texdev_rects")}
-        out = fr.render_frame_packed_window(
-            static, dyn_fs, dyn_is, anim_win=anim_win,
-            want_stats=want_stats, **p)
+        out = fr.render_frame_window_fused(
+            static, dyn_c, lf=int(dyn_fs.shape[1]), li=int(dyn_is.shape[1]),
+            nloc=nloc, bank=bank, want_stats=want_stats, **p)
         if want_stats:
             out, dev_stats = out[:-1], out[-1]
             ovf = dev_stats.get("OrderedPeelOverflow")
@@ -2437,13 +2464,16 @@ class CKRenderContext(CKObject):
                 self.stats.OrderedPeelOverflow = (
                     jnp.any(ovf) if ovf is not None else False)
             self._governor_tick(dev_stats, stacked=True)
+        fence = out[-1]
+        out = out[:-1]
         if params["want_stencil"]:
-            fbs, zbs, sbs = out
-            self.sb = sbs[-1]
+            fb, zb, sb = out
+            self.sb = sb
         else:
-            fbs, zbs = out
-        self._fb_val = fbs[-1]
-        self._zb_val = zbs[-1]
+            fb, zb = out
+        self._fb_val = fb
+        self._zb_val = zb
+        self._win_fence = fence
 
     # -- render -----------------------------------------------------------
     def Render(self, flags: int = 0):

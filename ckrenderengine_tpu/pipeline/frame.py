@@ -1547,6 +1547,115 @@ def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
     return ys
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "levels", "height", "width", "ordered_cap",
+                     "chunk", "sort_transparent", "want_stencil",
+                     "vertex_shader", "pixel_shader", "want_bump",
+                     "want_cube", "want_stats", "sampler_profile",
+                     "corner", "want_texgen", "ss", "solve_caps", "cull",
+                     "lf", "li", "nloc"))
+def render_frame_window_fused(static: dict, dyn_c, layout: tuple,
+                              levels: tuple, height: int, width: int,
+                              lf: int = 0, li: int = 0, nloc: int = 0,
+                              bank=None,
+                              skin=None, anim=None,
+                              sprites_static=None, lines=None,
+                              ordered_cap: int | None = None,
+                              chunk: int = 64,
+                              sort_transparent: bool = True,
+                              want_stencil: bool = False,
+                              vertex_shader=None, pixel_shader=None,
+                              want_bump: bool = False,
+                              want_cube: bool = False,
+                              want_stats: bool = False,
+                              sampler_profile=None,
+                              corner: tuple = (0, 0, 0),
+                              want_texgen: bool = True,
+                              ss: int = 1,
+                              solve_caps: tuple | None = None,
+                              cull: tuple | None = None):
+    """Frame-window program with ONE fused input transfer and NO stacked
+    framebuffer outputs — the round-5 tunnel-latency diet.
+
+    The driver tunnel charges ~5-15 ms of serialized latency PER host->
+    device transfer RPC regardless of size (a 1.3 KB pair measured 10-33
+    ms; bandwidth is irrelevant at these sizes). The round-4 window path
+    paid per window: two buffer uploads + anim locals/frames uploads + the
+    program + two post-hoc slice dispatches (fbs[-1]/zbs[-1]) + a fence
+    program — ~7 RPCs. This entry collapses them to TWO (one upload, one
+    program):
+
+    - ``dyn_c`` is ONE int32 (W, lf+li+16*nloc+(1 if nloc else 0)) buffer:
+      per frame the f32 packed buffer bitcast to i32, the i32 packed
+      buffer, then (bound-clip windows) the 4x4 local matrices bitcast
+      flat and the clip frame time. Split + bitcast back on device.
+    - the ``lax.scan`` carries the LAST frame's (fb, zb[, sb]) instead of
+      stacking all W framebuffers (less HBM traffic, no [-1] slice
+      program), and emits a per-frame f32 checksum ``fence`` (W,): every
+      frame's framebuffer feeds its checksum, so reading ``fence`` proves
+      the whole window truly rendered — the 4*W-byte honest completion
+      token (GetFrameFence), no separate fence program needed.
+
+    Returns (fb, zb[, sb], fence[, stats]) where stats (want_stats) is the
+    per-frame stacked device-stats dict, as render_frame_packed_window.
+    """
+    W = dyn_c.shape[0]
+    dyn_fs = jax.lax.bitcast_convert_type(dyn_c[:, :lf], jnp.float32)
+    dyn_is = dyn_c[:, lf:lf + li]
+    world_in = None
+    if nloc:
+        from ..anim.bank import apply_bank
+
+        flat = jax.lax.bitcast_convert_type(
+            dyn_c[:, lf + li:lf + li + nloc * 16], jnp.float32)
+        locals_w = flat.reshape(W, nloc, 4, 4)
+        frames_w = jax.lax.bitcast_convert_type(dyn_c[:, lf + li + nloc * 16],
+                                                jnp.float32)
+
+        def one(local, t):
+            return compose_world(apply_bank(local, bank, t),
+                                 static["parent"], levels)
+
+        world_in = jax.vmap(one)(locals_w, frames_w)
+
+    def frame_one(f, i, wi):
+        out = render_frame_packed_impl(
+            static, f, i, layout, levels, height, width, skin=skin,
+            anim=anim, world_in=wi, sprites_static=sprites_static,
+            lines=lines, ordered_cap=ordered_cap, chunk=chunk,
+            sort_transparent=sort_transparent, want_stencil=want_stencil,
+            vertex_shader=vertex_shader, pixel_shader=pixel_shader,
+            want_bump=want_bump, want_cube=want_cube, want_stats=want_stats,
+            sampler_profile=sampler_profile, corner=corner,
+            want_texgen=want_texgen, ss=ss, solve_caps=solve_caps,
+            cull=cull)
+        stats = None
+        if want_stats:
+            out, stats = tuple(out[:-1]), out[-1]
+        return tuple(out), stats
+
+    def body(carry, xs):
+        if world_in is not None:
+            f, i, wi = xs
+        else:
+            (f, i), wi = xs, None
+        out, stats = frame_one(f, i, wi)
+        fence = jnp.sum(out[0], dtype=jnp.float32)
+        return out, ((fence, stats) if want_stats else fence)
+
+    out_shape = jax.eval_shape(
+        frame_one, dyn_fs[0], dyn_is[0],
+        None if world_in is None else world_in[0])[0]
+    init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), out_shape)
+    xs = (dyn_fs, dyn_is) if world_in is None else (dyn_fs, dyn_is, world_in)
+    last, ys = jax.lax.scan(body, init, xs)
+    if want_stats:
+        fence_w, stats_w = ys
+        return last + (fence_w, stats_w)
+    return last + (ys,)
+
+
 def frame_stats(scene: SceneDevice, batch_valid: jnp.ndarray | None = None):
     """Device-side VxStats counters (reference include/CKRasterizerTypes.h:63-69)."""
     return {
