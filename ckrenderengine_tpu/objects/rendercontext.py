@@ -153,6 +153,11 @@ class CKRenderContext(CKObject):
         window=1 restores strict per-frame dispatch."""
         self._flush_window()
         self._win_size = max(1, int(window))
+        # Restart the stats-sampling cadence so the FIRST window at the new
+        # size is a stats window: both program variants (with/without stats
+        # outputs) compile during warmup instead of a surprise multi-second
+        # compile at the 32nd window of a timed/live run.
+        self._stat_tick_win = -1
 
     def GetFramePipelining(self) -> int:
         return self._win_size
@@ -793,6 +798,17 @@ class CKRenderContext(CKObject):
 
         from ..pipeline.skinning import build_skin_bank
         c.skin_bank = build_skin_bank(skin_descs)
+        # Static contiguity metadata: every skin's pool rows are
+        # pool_offset + arange(v) (anim/skin.py bank_descriptor), so the
+        # device skin write is a dense dynamic_update_slice per skin
+        # instead of a ~8 ns/element row scatter (see apply_skin).
+        ranges = []
+        vo = 0
+        for s in skin_descs:
+            v = int(s["rest_pos"].shape[0])
+            ranges.append((vo, int(s["pool_offset"]), v))
+            vo += v
+        c.skin_ranges = tuple(ranges)
         from ..pipeline.lines import build_line_bank
         c.line_bank = build_line_bank(c.line_segments)
         self._compiled = c
@@ -2094,6 +2110,7 @@ class CKRenderContext(CKObject):
             texdev_rects=tuple(texdev_rects),
             layout=self._layout, levels=self._compiled.levels,
             height=self.height, width=self.width, skin=c.skin_bank,
+            skin_ranges=getattr(c, "skin_ranges", ()),
             anim=None, world_in=world_in,
             sprites_static=self._sprites_static, lines=c.line_bank,
             ordered_cap=c.ordered_cap, sort_transparent=sort_t,
@@ -2707,7 +2724,9 @@ class CKRenderContext(CKObject):
             eye_scene = scene._replace(view=jnp.asarray(eye_view, jnp.float32))
             fb, zb = fr.render_frame_full(
                 eye_scene, self._compiled.levels, self.height, self.width,
-                skin=self._compiled.skin_bank, sprites=sprites,
+                skin=self._compiled.skin_bank,
+                skin_ranges=getattr(self._compiled, "skin_ranges", ()),
+                sprites=sprites,
                 quads_bg=quads_bg, quads_fg=quads_fg,
                 lines=self._compiled.line_bank,
                 ordered_cap=self._compiled.ordered_cap,

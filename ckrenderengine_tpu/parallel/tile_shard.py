@@ -45,7 +45,8 @@ from ..pipeline import frame as fr
 def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
                                levels: tuple, height: int, width: int,
                                mesh: Mesh, axis: str = "band",
-                               skin=None, anim=None, world_in=None,
+                               skin=None, skin_ranges: tuple = (),
+                               anim=None, world_in=None,
                                sprites_static=None, lines=None,
                                ordered_cap: int | None = None,
                                chunk: int = 64,
@@ -85,7 +86,8 @@ def render_frame_packed_banded(static: dict, dyn_f, dyn_i, layout: tuple,
         y0 = (b * band_h).astype(jnp.float32)
         out = fr.render_frame_packed_impl(
             static_, dyn_f_, dyn_i_, layout, levels, band_h, width,
-            skin=skin, anim=anim, world_in=world_in,
+            skin=skin, skin_ranges=skin_ranges,
+            anim=anim, world_in=world_in,
             sprites_static=sprites_static, lines=lines,
             ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=False,
@@ -118,5 +120,5 @@ render_frame_packed_banded_jit = functools.partial(
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "texdev_rects", "sampler_profile",
                      "corner", "want_texgen", "ss", "solve_caps",
-                     "cull"))(
+                     "cull", "skin_ranges"))(
     render_frame_packed_banded)

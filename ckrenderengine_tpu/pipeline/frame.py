@@ -1042,7 +1042,8 @@ render_frame = functools.partial(
 
 
 def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
-                           width: int, skin=None, anim=None, anim_t=0.0,
+                           width: int, skin=None, skin_ranges: tuple = (),
+                           anim=None, anim_t=0.0,
                            anim_b=None, anim_b_t=0.0, blend=0.0,
                            world_in=None,
                            sprites=None, quads_bg=None, quads_fg=None,
@@ -1100,7 +1101,8 @@ def render_frame_full_impl(scene: SceneDevice, levels: tuple, height: int,
         world = compose_world(local, scene.parent, levels)
     positions, normals = scene.positions, scene.normals
     if skin is not None:
-        positions, normals = apply_skin(world, positions, normals, skin)
+        positions, normals = apply_skin(world, positions, normals, skin,
+                                        ranges=skin_ranges)
     if sprites is not None:
         positions = apply_billboards(world, scene.view, positions, sprites,
                                      scene.entity_visible)
@@ -1161,7 +1163,7 @@ render_frame_full = functools.partial(
                               "vertex_shader", "pixel_shader", "want_bump",
                               "want_cube", "want_stats", "sampler_profile",
                               "corner", "want_texgen", "solve_caps",
-                              "cull")
+                              "cull", "skin_ranges")
 )(render_frame_full_impl)
 
 
@@ -1208,7 +1210,8 @@ def _apply_tex_patch(static: dict, d: dict, layout: tuple,
 
 def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
                              levels: tuple, height: int, width: int,
-                             skin=None, anim=None, world_in=None,
+                             skin=None, skin_ranges: tuple = (),
+                             anim=None, world_in=None,
                              sprites_static=None, lines=None,
                              ordered_cap: int | None = None, chunk: int = 64,
                              sort_transparent: bool = True,
@@ -1278,7 +1281,8 @@ def render_frame_packed_impl(static: dict, dyn_f, dyn_i, layout: tuple,
     if cull is not None and has_field(layout, "chunk_idx"):
         cull_sel = (d["chunk_idx"], d["chunk_n"])
     out = render_frame_full_impl(
-        scene, levels, rh, rw, skin=skin, sprites=sprites,
+        scene, levels, rh, rw, skin=skin, skin_ranges=skin_ranges,
+        sprites=sprites,
         anim=anim, anim_t=anim_t, world_in=world_in,
         quads_bg=quad_bank("qbg"), quads_fg=quad_bank("qfg"), lines=lines,
         ordered_cap=ordered_cap, chunk=chunk,
@@ -1411,7 +1415,7 @@ render_frame_packed = functools.partial(
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "want_stats", "sampler_profile",
                      "allow_pallas", "texdev_rects", "corner",
-                     "want_texgen", "ss", "solve_caps", "cull"))(
+                     "want_texgen", "ss", "solve_caps", "cull", "skin_ranges"))(
     render_frame_packed_impl)
 
 
@@ -1421,10 +1425,11 @@ render_frame_packed = functools.partial(
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "texdev_rects", "sampler_profile",
-                     "corner", "want_texgen", "ss", "solve_caps", "cull"))
+                     "corner", "want_texgen", "ss", "solve_caps", "cull", "skin_ranges"))
 def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                                  levels: tuple, height: int, width: int,
-                                 skin=None, anim=None,
+                                 skin=None, skin_ranges: tuple = (),
+                                 anim=None,
                                  sprites_static=None, lines=None,
                                  ordered_cap: int | None = None,
                                  chunk: int = 64,
@@ -1453,6 +1458,7 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
     def one(df, di, wi):
         return render_frame_packed_impl(
             static, df, di, layout, levels, height, width, skin=skin,
+            skin_ranges=skin_ranges,
             anim=anim, world_in=wi, sprites_static=sprites_static,
             lines=lines,
             ordered_cap=ordered_cap, chunk=chunk,
@@ -1475,10 +1481,11 @@ def render_frames_packed_batched(static: dict, dyn_f, dyn_i, layout: tuple,
                      "chunk", "sort_transparent", "want_stencil",
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "want_stats", "sampler_profile",
-                     "corner", "want_texgen", "ss", "solve_caps", "cull"))
+                     "corner", "want_texgen", "ss", "solve_caps", "cull", "skin_ranges"))
 def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
                                levels: tuple, height: int, width: int,
-                               skin=None, anim=None, world_in=None,
+                               skin=None, skin_ranges: tuple = (),
+                               anim=None, world_in=None,
                                anim_win=None,
                                sprites_static=None, lines=None,
                                ordered_cap: int | None = None,
@@ -1532,6 +1539,7 @@ def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
             f, i = xs
         out = render_frame_packed_impl(
             static, f, i, layout, levels, height, width, skin=skin,
+            skin_ranges=skin_ranges,
             anim=anim, world_in=wi, sprites_static=sprites_static,
             lines=lines, ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=want_stencil,
@@ -1554,12 +1562,13 @@ def render_frame_packed_window(static: dict, dyn_fs, dyn_is, layout: tuple,
                      "vertex_shader", "pixel_shader", "want_bump",
                      "want_cube", "want_stats", "sampler_profile",
                      "corner", "want_texgen", "ss", "solve_caps", "cull",
-                     "lf", "li", "nloc"))
+                     "skin_ranges", "lf", "li", "nloc"))
 def render_frame_window_fused(static: dict, dyn_c, layout: tuple,
                               levels: tuple, height: int, width: int,
                               lf: int = 0, li: int = 0, nloc: int = 0,
                               bank=None,
-                              skin=None, anim=None,
+                              skin=None, skin_ranges: tuple = (),
+                              anim=None,
                               sprites_static=None, lines=None,
                               ordered_cap: int | None = None,
                               chunk: int = 64,
@@ -1622,6 +1631,7 @@ def render_frame_window_fused(static: dict, dyn_c, layout: tuple,
     def frame_one(f, i, wi):
         out = render_frame_packed_impl(
             static, f, i, layout, levels, height, width, skin=skin,
+            skin_ranges=skin_ranges,
             anim=anim, world_in=wi, sprites_static=sprites_static,
             lines=lines, ordered_cap=ordered_cap, chunk=chunk,
             sort_transparent=sort_transparent, want_stencil=want_stencil,
