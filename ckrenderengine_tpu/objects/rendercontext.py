@@ -607,6 +607,10 @@ class CKRenderContext(CKObject):
         c.vert_entity = cat_pad(vent, iv_pad, np.int32)
         c.vert_state = cat_pad(vstate, iv_pad, np.int32)
         c.vert_lit = cat_pad(vlit, iv_pad, bool)
+        # Static: does any REAL stream row use prelit colors? (pad rows are
+        # "unlit" but belong to no valid triangle.) Gates the prelit pool
+        # gathers out of the vertex stage via sampler_profile[7].
+        c.any_prelit = bool(np.any(~np.concatenate(vlit))) if vlit else False
         c.tri_idx = cat_pad(tidx, it_pad, np.int32, shape=(3,))
         c.tri_state = cat_pad(tstate, it_pad, np.int32)
         valid = np.zeros(it_pad, bool)
@@ -2091,11 +2095,15 @@ class CKRenderContext(CKObject):
         _peel_opt = int(_rm0.options.get("TexturedPeel", 0) or 0) if _rm0 \
             else 0
         ordered_peel_ok = bool(_peel_opt) and bool(np.all(~_ordered | _opeel))
+        # 8th: any stream vertex uses PRELIT colors (unlit materials) —
+        # false compiles the two per-row prelit pool gathers away
+        # (transform_and_light want_prelit).
         sampler_profile = (bool(np.any(_texd & ~_lin)),
                            bool(np.any(_texd & _mip)), quad_ok,
                            bool(np.all(si[:, SI_PERSPECTIVE] != 0)),
                            bool(np.any(_texd)), ordered_kernel_ok,
-                           ordered_peel_ok)
+                           ordered_peel_ok,
+                           bool(getattr(c, "any_prelit", True)))
         # Antialias option -> ordered 2x2 supersample + box resolve (the TPU
         # mapping of the reference's multisample device setup,
         # /root/reference/src/CKRenderManager.cpp:117,668 ->

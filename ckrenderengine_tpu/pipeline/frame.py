@@ -119,7 +119,8 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
                         vertex_shader=None, want_bump: bool = False,
                         want_cube: bool = False,
                         corner: tuple = (0, 0, 0),
-                        want_texgen: bool = True):
+                        want_texgen: bool = True,
+                        want_prelit: bool = True):
     """Vertex stage: world compose -> gather -> transform -> light -> project.
 
     Returns (clip (IV,4), color (IV,4), spec (IV,3), fog (IV,), world (N,4,4)).
@@ -152,8 +153,17 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
         return jnp.concatenate(
             [jax.lax.slice_in_dim(a, p0, p0 + nc, axis=0), tail], axis=0)
 
-    pos = take_pool(scene.positions)                             # (IV,3)
-    nrm = take_pool(scene.normals)
+    # ONE fused (V,8) pool gather for positions+normals+uv: tail-row gather
+    # cost is flat per ROW (~7-8 ns regardless of width under 16 words), so
+    # three narrow gathers over a skinned/billboard tail cost 3x one wide
+    # gather — config 4's 368k-row skinned tail paid that every frame. The
+    # (V,8) concat itself is a dense pool-sized write (~free).
+    pool_cat = jnp.concatenate(
+        [scene.positions, scene.normals, scene.uv], axis=1)      # (V,8)
+    cat = take_pool(pool_cat)                                    # (IV,8)
+    pos = cat[:, 0:3]                                            # (IV,3)
+    nrm = cat[:, 3:6]
+    uv_pool = cat[:, 6:8]
 
     posw = vx.transform_points(pos, wm)
     nrmw = vx.transform_vectors(nrm, wm)
@@ -177,9 +187,15 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
     lit_diffuse, lit_spec = compute_vertex_lighting(
         posw, nrmw, mat, scene.lights, scene.global_ambient, scene.cam_pos)
 
-    lit = scene.vert_lit[:, None]
-    color = jnp.where(lit, lit_diffuse, take_pool(scene.prelit))
-    spec = jnp.where(lit, lit_spec, take_pool(scene.prelit_spec))
+    if want_prelit:
+        lit = scene.vert_lit[:, None]
+        color = jnp.where(lit, lit_diffuse, take_pool(scene.prelit))
+        spec = jnp.where(lit, lit_spec, take_pool(scene.prelit_spec))
+    else:
+        # Statically gated (sampler_profile[7]): no mesh in the scene uses
+        # prelit vertex colors, so the two pool gathers (which jnp.where
+        # would evaluate for EVERY stream row) compile away.
+        color, spec = lit_diffuse, lit_spec
     if scene.fog_proj is None:
         fog = fog_factor(cam_z, scene.fog_mode, scene.fog_start,
                          scene.fog_end, scene.fog_density)
@@ -218,7 +234,7 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
         SI_TEXGEN, TEXGEN_CHROME, TEXGEN_CUBE, TEXGEN_PLANAR, TEXGEN_REFLECT,
     )
 
-    uv = take_pool(scene.uv)                                     # (IV,2)
+    uv = uv_pool                                                 # (IV,2)
     rw = None
     if want_texgen or want_cube:
         # statically gated: scenes without TexGen materials skip the whole
@@ -270,7 +286,7 @@ def transform_and_light(scene: SceneDevice, levels: tuple, world=None,
         tex2 = jnp.take(scene.state_i[:, SI_TEX2], scene.vert_state, axis=0)
         bscale = jnp.take(scene.state_f[:, SF_BUMP_SCALE],
                           scene.vert_state, axis=0)
-        base_uv = take_pool(scene.uv)
+        base_uv = uv_pool
         texel = sample_texture_pp(
             scene.tex_planes, scene.tex_hw, jnp.maximum(tex2, 0),
             base_uv[..., 0], base_uv[..., 1],
@@ -723,10 +739,12 @@ def render_frame_impl(scene: SceneDevice, levels: tuple, height: int, width: int
     z_init = scene.clear_z if prev_zb is None else prev_zb
 
     peel_bad = jnp.zeros((), bool)
+    want_prelit = (sampler_profile is None or len(sampler_profile) < 8
+                   or bool(sampler_profile[7]))
     clip, color, spec, fog, _world, uv, clipd_v, refl_v = transform_and_light(
         scene, levels, world, vertex_shader=vertex_shader,
         want_bump=want_bump, want_cube=want_cube, corner=corner,
-        want_texgen=want_texgen)
+        want_texgen=want_texgen, want_prelit=want_prelit)
     batch = assemble_triangles(scene, clip, color, spec, fog, uv, clipd_v,
                                refl_v, corner=corner)
 
