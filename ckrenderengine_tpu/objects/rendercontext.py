@@ -111,6 +111,9 @@ class CKRenderContext(CKObject):
     def fb(self):
         if getattr(self, "_win_slots", None):
             self._flush_window()
+            # A direct fb read is a sync point (the caller is about to
+            # materialize the frame): resolve any stashed governor sample.
+            self._governor_resolve()
         if self._fb_val is None and getattr(self, "_fb_src", None) is not None:
             # Deferred batch slice: ProcessBatched leaves the stacked batch
             # output in place and each context slices its frame lazily —
@@ -174,6 +177,7 @@ class CKRenderContext(CKObject):
         round-4 fence (a separate sum program + readback = 2 tunnel RPCs)."""
         if getattr(self, "_win_slots", None):
             self._flush_window()
+        self._governor_resolve()
         f = getattr(self, "_win_fence", None)
         return f if f is not None else self.fb
 
@@ -2174,6 +2178,10 @@ class CKRenderContext(CKObject):
         gov_sample = (self._gov_enabled()
                       and (big_scene or (self._stat_tick % 256) == 0))
         want_stats = debug_stats or peel_branch or gov_sample
+        # Resolve the previous frame's stashed governor sample before
+        # dispatching (blocks at most one frame behind; W=1 samples are
+        # rare for small scenes so the cost is amortized).
+        self._governor_resolve()
         out = fr.render_frame_packed(
             static, dyn_f, dyn_i, **params, want_stats=want_stats,
             # CLEARBACK/CLEARZ off -> accumulate over last frame's buffers
@@ -2320,24 +2328,32 @@ class CKRenderContext(CKObject):
         if bs is None:
             return
         self._gov_frames += 1
-        first = self._gov_frames == 1 and self._solve_caps is None
-        if not first:
-            # Stats dicts arrive SAMPLED (~every 16th frame). Never block
-            # the dispatch pipeline: stash this frame's handle and resolve
-            # the previously stashed one only once the device reports it
-            # READY (is_ready is a non-blocking host call; a blocking
-            # np.asarray mid-window measured 1.35 s behind a deep queue).
-            p = getattr(self, "_gov_pending", None)
-            self._gov_pending = bs
-            if p is None:
-                return
-            try:
-                if not p.is_ready():
-                    return
-            except AttributeError:
-                pass
-            bs = p
-        b = np.asarray(bs)
+        if self._gov_frames == 1 and self._solve_caps is None:
+            # Frame-1 plan: one blocking readback at startup is fine.
+            self._gov_apply(np.asarray(bs))
+            return
+        # Never block the dispatch pipeline mid-window (a blocking
+        # np.asarray behind a deep queue measured 1.35 s). Round-4 polled
+        # handle.is_ready() here — but on the axon tunnel is_ready() NEVER
+        # reports True (r5 measurement: False even straight after a drained
+        # fence), which silently killed every bump/shrink in window mode.
+        # Instead: stash the newest handle and resolve it at the next SYNC
+        # POINT (_governor_resolve from GetFrameFence / the fb property),
+        # where the caller is already blocking on the device and the
+        # readback is effectively free.
+        self._gov_stash = bs
+
+    def _governor_resolve(self):
+        """Apply the newest stashed bin-stats sample (called where the host
+        already synchronizes with the device)."""
+        bs = getattr(self, "_gov_stash", None)
+        if bs is None:
+            return
+        self._gov_stash = None
+        self._gov_apply(np.asarray(bs))
+
+    def _gov_apply(self, b):
+        first = self._solve_caps is None
         if b.ndim == 2:                       # window-stacked: worst frame
             b = b.max(axis=0)
         _peak, live, cut, g_over, s_over, n_small, n_mid = (
@@ -2352,6 +2368,12 @@ class CKRenderContext(CKObject):
             return int(-(-int(v) // 16384) * 16384)
 
         if first:
+            # Generous first plan: a single pose says little about the
+            # scene's bin swing (config 4's waving character bins 33-73k
+            # pairs across its clip — a x1.75 frame-1 margin put EVERY
+            # later frame in the all-tiles fallback, 63 -> 8.6 fps). The
+            # x2.5 margin survives the swing; the SHRINK pass below tightens
+            # caps from OBSERVED peaks once real history exists.
             pair = min(pair0, up16k(max(49152, live * 2.5)))
             slab = min(slab0, up16k(max(32768, n_small * 2.5)))
             gp = 1024
@@ -2359,20 +2381,63 @@ class CKRenderContext(CKObject):
                 gp *= 2
             gcap = min(g0, max(gp, 1024))
             self._solve_caps = (pair, slab, gcap)
+            self._gov_hist = []
+            self._gov_shrunk = False
             return
+        # Bump on OVERFLOW (the fallback actually ran) or >95% occupancy.
+        # Riding near-full is the point of governed caps: the old 85%
+        # pre-emptive bump re-fattened config 4's pair cap to 131072 at 89%
+        # occupancy with zero overflow (64 -> 55 fps); the fallback path
+        # below the cap is the safety net, not a place to avoid at 11%
+        # margin.
         changed = False
-        if cut > 0 or live > 0.85 * pair:
+        if cut > 0 or live > 0.95 * pair:
             pair = up16k(max(pair * 1.5, live * 1.75))
             changed = True
-        if s_over > 0 or n_small > 0.85 * slab:
+        if s_over > 0 or n_small > 0.95 * slab:
             slab = up16k(max(slab * 1.5, n_small * 1.75))
             changed = True
-        if g_over > 0 or n_mid > 0.85 * gcap:
+        if g_over > 0 or n_mid > 0.95 * gcap:
             gcap = max(2 * gcap, 1024)
             changed = True
         if changed:
             self._solve_caps = (pair, slab, gcap)
             s.SolveCapBumps += 1
+            # A bump after a shrink means the observed-peak window was too
+            # short for this scene's pose swing: stop shrinking it.
+            self._gov_hist = []
+            if getattr(self, "_gov_shrunk", False):
+                self._gov_shrunk = None      # disabled for this compile
+            return
+        # Observed-peak shrink: tighter caps shrink the pair-key sort
+        # directly (~2 ms at 229k keys; config 5 measured +1.8 fps going
+        # slab/g 49k/8192 -> 33k/4096). Margins over the PEAK of the last 6
+        # samples, one shrink per compile, disabled if it ever causes a
+        # bump. An over-shrink costs one fallback window + a bump recompile,
+        # never pixels.
+        if getattr(self, "_gov_shrunk", False) is None or \
+                getattr(self, "_gov_shrunk", False):
+            return
+        hist = getattr(self, "_gov_hist", None)
+        if hist is None:
+            hist = self._gov_hist = []
+        hist.append((live, n_small, n_mid))
+        if len(hist) < 6:
+            return
+        pl = max(h[0] for h in hist)
+        ps = max(h[1] for h in hist)
+        pm = max(h[2] for h in hist)
+        tp = min(pair, up16k(max(49152, pl * 1.25)))
+        ts = min(slab, up16k(max(32768, ps * 1.25)))
+        gp = 1024
+        while gp < max(pm * 1.5, 512):
+            gp *= 2
+        tg = min(gcap, max(gp, 1024))
+        if tp <= pair - 16384 or ts <= slab - 16384 or tg <= gcap // 2:
+            self._solve_caps = (tp, ts, tg)
+            s.SolveCapShrinks += 1
+            self._gov_shrunk = True
+        self._gov_hist = []
 
     def _render_windowed(self, quads_bg_list, quads_fg_list):
         """Stage this frame into the pipelining window; dispatch the whole
@@ -2461,13 +2526,17 @@ class CKRenderContext(CKObject):
                        * self.height * self.width
                        * params.get("ss", 1) ** 2 > (1 << 26))
         self._stat_tick_win = getattr(self, "_stat_tick_win", -1) + 1
-        # Cadence scales with scene size: big scenes NEED the per-window
-        # governor feedback (rotating poses overflow the frame-1-planned
-        # caps; without bumps config 5 sat in sustained fallback, 62 -> 43
-        # fps) and their ~130 ms windows amortize the stats outputs to <2%;
-        # small scenes pay ~20%/window for stats, so they sample rarely.
+        # Cadence scales with scene size AND settles over time: big scenes
+        # need per-window governor feedback while caps are being learned
+        # (rotating poses overflow the frame-1-planned caps; without bumps
+        # config 5 sat in sustained fallback, 62 -> 43 fps), but the stats
+        # outputs + fence-time readback measured 1.1 ms/frame at Ballance
+        # scale — so once the observed-peak shrink has fired (or been
+        # disabled), sampling decays to every 8th window, still catching a
+        # sustained fallback within ~1 s. Small scenes sample rarely.
         big_scene = int(self._compiled.tri_idx.shape[0]) > 100_000
-        _every = 1 if big_scene else 32
+        settled = getattr(self, "_gov_shrunk", False) is not False
+        _every = (8 if settled else 1) if big_scene else 32
         gov_sample = (self._gov_enabled()
                       and (self._stat_tick_win % _every) == 0)
         want_stats = debug_stats or peel_branch or gov_sample
@@ -2553,9 +2622,18 @@ class CKRenderContext(CKObject):
                 quads_fg_list = []
         self._refresh_textures()
         if self.stereo_enabled:
+            # Flush any frames staged by a pipelining window BEFORE the
+            # stereo render: a later fb/zb property read would otherwise
+            # run _flush_window and overwrite the stereo frame with the
+            # older windowed one (advisor r4).
+            self._flush_window()
             accumulate = not (self._frame_flags & CK_RENDER_CLEARBACKBUFFER) \
                 or not (self._frame_flags & CK_RENDER_CLEARZBUFFER)
-            if self._tile_mesh is None and not accumulate:
+            # Render-to-texture feeds (dev_ids) must go through the eager
+            # path: _render_stereo_packed strips texdev, so a packed stereo
+            # frame would sample STALE texture contents (advisor r4).
+            texdev_live = bool(getattr(self._compiled, "dev_ids", None))
+            if self._tile_mesh is None and not accumulate and not texdev_live:
                 # Stereo rides the packed fast path: both eyes in ONE
                 # 2-frame scan program (round-3 verdict #9 — the eager
                 # per-eye SceneDevice path paid the host costs the packed
@@ -2567,6 +2645,11 @@ class CKRenderContext(CKObject):
 
                 # Fallback path builds SceneDevice directly (no packed
                 # anim_t slot); a bound clip needs host evaluation here.
+                # Surfaced in VxStats: flipping on accumulation / banded
+                # sharding / RTT feeds silently restores the eager host-
+                # heavy cost structure (round-4 verdict #7) — the stat
+                # makes the cliff observable.
+                self.stats.StereoEagerFallback = True
                 if self._bound_clip is not None:
                     self._bound_clip.SyncToHost()
                 with PhaseTimer(ph, "SceneBuildTime"):

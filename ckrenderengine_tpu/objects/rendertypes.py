@@ -171,10 +171,17 @@ class VxStats:
         self.OrderedPeelOverflow = False
         # Capacity governor (tiled Pallas solve): live binned pairs, exact
         # fallback rows beyond the static caps (nonzero = the governed caps
-        # are bumping), and the bump count. Updated every 16th TPU frame.
+        # are bumping), and the bump count. Sampling cadence: every window
+        # for big scenes (>100k tris), every 32nd window otherwise — see
+        # CKRenderContext._flush_window.
         self.SolveLivePairs = 0
         self.SolveFallbackRows = 0
         self.SolveCapBumps = 0
+        self.SolveCapShrinks = 0
+        # Stereo rendered through the eager SceneDevice path this frame
+        # (accumulation / banded sharding / RTT feeds force it) — the packed
+        # 2-frame scan program is the fast path; this flags the cost cliff.
+        self.StereoEagerFallback = False
         self.RenderStateCacheHit = 0
         self.RenderStateCacheMiss = 0
         self.SmoothedFps = 0.0
