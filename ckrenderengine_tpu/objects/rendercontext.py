@@ -2310,18 +2310,21 @@ class CKRenderContext(CKObject):
                 131072 if t <= (1 << 21) else 262144,
                 8192)
 
-    def _governor_tick(self, dev_stats, stacked: bool = False):
+    def _governor_tick(self, dev_stats):
         """Derive/adjust the tiled solve's capacity caps from observed bin
         statistics (the round-3 verdict's 'capacity planning instead of
         hand-tuned cliffs'; reference analogue: render-state/cap clamping,
         include/CKRasterizerTypes.h:29-58).
 
-        Frame 1: shrink-plan the caps from the first frame's live counts
-        (margin 2.5x small/live, 4x mid; never above the static defaults) —
-        this is the pair-sort diet. Every 16th frame after: read the stats
-        (one small readback of an already-computed frame) and BUMP any cap
-        whose fallback ran or whose load is within 85% — a config-4-class
-        silent 3x regression is impossible: the fallback surfaces in
+        Frame 1: plan the caps from the first frame's live counts with a
+        GENEROUS margin (2.5x small/live, 4x mid; never above the static
+        defaults). Later samples (cadence: every window for big scenes
+        until settled, then every 8th; every 32nd window / 256th frame for
+        small scenes) stash their device handle here and apply at the next
+        sync point (_governor_resolve): BUMP any cap whose fallback ran or
+        whose load exceeds 95%, and once per compile SHRINK to 1.25x the
+        observed peak — the pair-sort diet. A config-4-class silent 3x
+        regression is impossible: the fallback surfaces in
         VxStats.SolveFallbackRows and the next frames recompile with
         headroom."""
         bs = dev_stats.get("SolveBinStats")
@@ -2466,10 +2469,21 @@ class CKRenderContext(CKObject):
             return
         if self._win_slots and (
                 self._win_ctx[2]["layout"] is not params["layout"]
-                or self._win_ctx[2].get("cull") != params.get("cull")):
-            # packed layout / chunk cap changed mid-window (e.g. the chunk
-            # governor bumped): staged frames keep their own consistent
-            # program; this frame starts a new window.
+                or self._win_ctx[2].get("cull") != params.get("cull")
+                or self._win_ctx[1] is not static
+                or self._win_ctx[2].get("sampler_profile")
+                != params.get("sampler_profile")
+                or self._win_ctx[2].get("ordered_cap")
+                != params.get("ordered_cap")
+                or self._win_ctx[2].get("solve_caps")
+                != params.get("solve_caps")):
+            # Mid-window state change (packed layout / chunk cap / static
+            # texture stack rebuild / sampler profile / ordered cap /
+            # governed solve caps): staged frames keep their own consistent
+            # program; this frame starts a new window. Without the static-
+            # dict identity check a same-count SetImage with a new shape
+            # rendered the window's remaining frames with frame-1 textures
+            # (advisor r4).
             self._flush_window()
         if not self._win_slots:
             self._win_ctx = (key, static, params)
@@ -2557,7 +2571,7 @@ class CKRenderContext(CKObject):
                 # lazy device scalar: any frame in the window overflowed
                 self.stats.OrderedPeelOverflow = (
                     jnp.any(ovf) if ovf is not None else False)
-            self._governor_tick(dev_stats, stacked=True)
+            self._governor_tick(dev_stats)
         fence = out[-1]
         out = out[:-1]
         if params["want_stencil"]:
