@@ -55,32 +55,49 @@ class TestGovernor:
         assert rc.stats.SolveFallbackRows > 0
         assert rc.stats.SolveLivePairs > 0
 
-    def test_steady_state_keeps_caps_then_shrinks_to_observed_peak(self):
+    def test_small_loads_stay_at_cap_floors(self):
+        """Tiny scenes plan at the cap floors; the shrink pass finds no
+        room below them and never churns the compile."""
         rc = _rc()
         rc._gov_on = True
         rc._governor_tick(_stats())
         caps0 = rc._solve_caps
-        # Steady near-plan load: first 5 resolved samples build history
-        # without touching the caps...
-        for _ in range(5):
+        for _ in range(20):
             rc._governor_tick(_stats())
+            rc._governor_resolve()
+        assert rc._solve_caps == caps0
+        assert rc.stats.SolveCapBumps == 0
+        assert rc.stats.SolveCapShrinks == 0
+
+    def test_steady_state_shrinks_to_observed_peak(self):
+        rc = _rc()
+        rc._gov_on = True
+        # Frame-1 pose bins heavy: generous 2.5x plan.
+        rc._governor_tick(_stats(live=39000, n_small=40000, n_mid=3000))
+        caps0 = rc._solve_caps
+        assert caps0[0] >= 39000 * 2.4
+        # Steady observed load well under the plan: 5 resolved samples
+        # build history without touching the caps...
+        for _ in range(5):
+            rc._governor_tick(_stats(live=30000, n_small=20000, n_mid=700))
             rc._governor_resolve()
         assert rc._solve_caps == caps0
         assert rc.stats.SolveCapBumps == 0
         # ...the 6th completes the observed-peak window: ONE shrink to
         # 1.25x the peak (the plan's 2.5x frame-1 margin is pose-swing
         # insurance, not a steady-state cost).
-        rc._governor_tick(_stats())
+        rc._governor_tick(_stats(live=30000, n_small=20000, n_mid=700))
         rc._governor_resolve()
         assert rc.stats.SolveCapShrinks == 1
-        assert rc._solve_caps[0] <= caps0[0]
-        assert rc._solve_caps[1] <= caps0[1]
-        # and the shrunk caps still clear the observed load with margin
-        assert rc._solve_caps[0] >= 1000 and rc._solve_caps[1] >= 800
+        assert rc._solve_caps[0] < caps0[0]
+        assert rc._solve_caps[1] < caps0[1]
+        # and the shrunk caps still clear the observed peak with margin
+        assert rc._solve_caps[0] >= 30000 * 1.25
+        assert rc._solve_caps[1] >= 20000 * 1.25
         # further steady samples change nothing (one shrink per compile)
         caps1 = rc._solve_caps
         for _ in range(10):
-            rc._governor_tick(_stats())
+            rc._governor_tick(_stats(live=30000, n_small=20000, n_mid=700))
             rc._governor_resolve()
         assert rc._solve_caps == caps1
         assert rc.stats.SolveCapShrinks == 1
