@@ -114,6 +114,9 @@ class CKRenderContext(CKObject):
             # A direct fb read is a sync point (the caller is about to
             # materialize the frame): resolve any stashed governor sample.
             self._governor_resolve()
+        # Peel exactness: correct the presented frame if the peel path
+        # reported capacity overflow (no-op otherwise).
+        self._peel_correct()
         if self._fb_val is None and getattr(self, "_fb_src", None) is not None:
             # Deferred batch slice: ProcessBatched leaves the stacked batch
             # output in place and each context slices its frame lazily —
@@ -134,6 +137,7 @@ class CKRenderContext(CKObject):
     def zb(self):
         if getattr(self, "_win_slots", None):
             self._flush_window()
+        self._peel_correct()
         if self._zb_val is None and getattr(self, "_zb_src", None) is not None:
             arr, i = self._zb_src
             self._zb_val = arr[i]
@@ -2182,15 +2186,16 @@ class CKRenderContext(CKObject):
         # dispatching (blocks at most one frame behind; W=1 samples are
         # rare for small scenes so the cost is amortized).
         self._governor_resolve()
+        # CLEARBACK/CLEARZ off -> accumulate over last frame's buffers
+        # (reference Clear flag handling, src/CKRenderContext.cpp:438-544;
+        # the buffers already live on device, so this costs no transfer).
+        prev_fb = (None if (self._frame_flags & CK_RENDER_CLEARBACKBUFFER)
+                   else self.fb)
+        prev_zb = (None if (self._frame_flags & CK_RENDER_CLEARZBUFFER)
+                   else self.zb)
         out = fr.render_frame_packed(
             static, dyn_f, dyn_i, **params, want_stats=want_stats,
-            # CLEARBACK/CLEARZ off -> accumulate over last frame's buffers
-            # (reference Clear flag handling, src/CKRenderContext.cpp:438-544;
-            # the buffers already live on device, so this costs no transfer).
-            prev_fb=None if (self._frame_flags & CK_RENDER_CLEARBACKBUFFER)
-            else self.fb,
-            prev_zb=None if (self._frame_flags & CK_RENDER_CLEARZBUFFER)
-            else self.zb)
+            prev_fb=prev_fb, prev_zb=prev_zb)
         if want_stats:
             out, dev_stats = out[:-1], out[-1]
             if debug_stats:
@@ -2204,10 +2209,56 @@ class CKRenderContext(CKObject):
                 self.stats.OrderedPeelOverflow = dev_stats.get(
                     "OrderedPeelOverflow", False)
             self._governor_tick(dev_stats)
+            ovf = dev_stats.get("OrderedPeelOverflow")
+            if peel_branch and ovf is not None:
+                # Exactness insurance: stash this frame's inputs; the fb
+                # read (the present) re-renders through the exact
+                # sequential ordered pass if the flag reads true
+                # (_peel_correct).
+                self._peel_redo = (ovf, static, dyn_f, dyn_i, params,
+                                   (prev_fb, prev_zb), None)
         if params["want_stencil"]:
             fb, zb, self.sb = out
             return fb, zb
         return out
+
+    def _peel_correct(self):
+        """Unconditional peel exactness (round-5): if the layer-peel path
+        reported phase-A CAPACITY overflow for the presented frame, re-render
+        that frame HOST-SIDE through the exact sequential ordered pass
+        (sampler_profile[6] off) and present that instead — capacity
+        overflow costs time, never pixels. Runs outside jit at the fb read,
+        the documented-safe side of the Mosaic lax.cond fault that forbids
+        embedding the sequential replay next to the peel kernel
+        (docs/PERFORMANCE.md round 3). Reference semantics: the sorted
+        transparent composite, /root/reference/src/CKSceneGraph.cpp:618-752."""
+        r = getattr(self, "_peel_redo", None)
+        if r is None:
+            return
+        self._peel_redo = None
+        ovf, static, dyn_f, dyn_i, params, prev, anim_req = r
+        if not bool(np.asarray(ovf).any()):
+            return
+        p = dict(params)
+        sp = list(p["sampler_profile"])
+        sp[6] = False                       # peel off -> sequential ordered
+        p["sampler_profile"] = tuple(sp)
+        if anim_req is not None:
+            # Deferred bound-clip frame: re-evaluate its world matrices
+            # from the stashed anim request (only paid on actual overflow).
+            local, bank, frame_t = anim_req
+            p["world_in"] = fr.eval_anim_world(
+                local, static["parent"], bank, frame_t, p["levels"])
+        out = fr.render_frame_packed(
+            static, dyn_f, dyn_i, **p, want_stats=False,
+            prev_fb=prev[0], prev_zb=prev[1])
+        if params["want_stencil"]:
+            fb, zb, self.sb = out
+        else:
+            fb, zb = out
+        self._fb_val = fb
+        self._zb_val = zb
+        self.stats.OrderedPeelCorrected += 1
 
     def _refresh_chunk_parts(self, c):
         """(Re)build per-chunk conservative local bboxes — per (chunk,
@@ -2572,6 +2623,12 @@ class CKRenderContext(CKObject):
                 self.stats.OrderedPeelOverflow = (
                     jnp.any(ovf) if ovf is not None else False)
             self._governor_tick(dev_stats)
+            if peel_branch and ovf is not None:
+                # Peel exactness insurance for the PRESENTED (last) frame
+                # of the window: see _peel_correct. (Windows never
+                # accumulate — eligibility excludes it — so prev is None.)
+                self._peel_redo = (ovf, static, slots[-1][0], slots[-1][1],
+                                   params, (None, None), slots[-1][2])
         fence = out[-1]
         out = out[:-1]
         if params["want_stencil"]:
@@ -2590,6 +2647,9 @@ class CKRenderContext(CKObject):
         from ..profiler import PhaseTimer
 
         self._frame_flags = self.ResolveRenderFlags(int(flags))
+        # A new frame supersedes any unread peel correction for the
+        # previous one (it is no longer the presented frame).
+        self._peel_redo = None
 
         t0 = time.monotonic()
         ph = self.phases

@@ -166,9 +166,14 @@ class VxStats:
         # observability only — the streaming reduce is exact, raster/tiled.py).
         # Populated under EnableDebugMode (avoids a per-frame device readback).
         self.TileBinPeak = 0
-        # Peel path dropped ordered fragments this frame (phase-A capacity
-        # overflow only since round 4 — per-pixel depth iterates instead).
+        # Peel path reported phase-A capacity overflow this frame (per-pixel
+        # depth iterates since round 4, so this is the only overflow class).
+        # Since round 5 an overflowed PRESENTED frame re-renders through the
+        # exact sequential ordered pass at the fb read (_peel_correct) —
+        # the flag now means "this frame cost extra time", never pixels.
         self.OrderedPeelOverflow = False
+        # Number of frames corrected that way.
+        self.OrderedPeelCorrected = 0
         # Capacity governor (tiled Pallas solve): live binned pairs, exact
         # fallback rows beyond the static caps (nonzero = the governed caps
         # are bumping), and the bump count. Sampling cadence: every window

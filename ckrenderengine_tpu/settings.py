@@ -41,6 +41,12 @@ _DEFAULTS = {
     # sequential per-triangle pass it replaces is in the sub-0.1 fps class
     # at 50k ordered triangles, the peel path renders the same scene at
     # ~13 fps with identical output. 0 restores the sequential pass.
+    # Phase-A CAPACITY overflow (pair/window caps) is surfaced every peel
+    # frame as VxStats.OrderedPeelOverflow and — since round 5 — auto-
+    # corrected: an overflowed presented frame re-renders through the
+    # exact sequential pass at the fb read (CKRenderContext._peel_correct),
+    # so the default-on peel NEVER drops fragments, it only slows the rare
+    # overflowing frame (PARITY.md).
     "TexturedPeel": 1,
 }
 
