@@ -451,8 +451,18 @@ class CKRenderContext(CKObject):
                 vent.append(np.full(nv, ent.row, np.int32))
                 vstate.append(np.full(nv, b, np.int32))
                 vlit.append(np.full(nv, lit, bool))
-                tidx.append(iv + grp.local_faces)
-                tstate.append(np.full(grp.local_faces.shape[0], b, np.int32))
+                gfaces = grp.local_faces
+                if draw_kind == "mesh":
+                    # Alpha-test pre-gate: faces whose conservative alpha
+                    # upper bound provably fails the test never enter the
+                    # stream (they cannot waste peel layer slots or solve
+                    # work) — see _atest_prefail_mask.
+                    drop = self._atest_prefail_mask(mat, mesh, grp)
+                    if drop is not None and drop.any():
+                        gfaces = gfaces[~drop]
+                        c.atest_pregated += int(drop.sum())
+                tidx.append(iv + gfaces)
+                tstate.append(np.full(gfaces.shape[0], b, np.int32))
                 iv += nv
                 # Multi-texture effects synthesize blended passes re-drawing
                 # the group over its base draw (BumpEnv/DP3/2-3Textures,
@@ -2202,12 +2212,16 @@ class CKRenderContext(CKObject):
                 self.stats.TileBinPeak = int(dev_stats["TileBinPeak"])
                 self.stats.OrderedPeelOverflow = bool(
                     dev_stats.get("OrderedPeelOverflow", False))
+                self.stats.OrderedPeelRounds = int(
+                    dev_stats.get("OrderedPeelRounds", 0))
             else:
                 # No forced device sync on the fast path: keep the raw
                 # device scalar; bool()/int() on access blocks only the
                 # caller that asks (by then the frame has completed).
                 self.stats.OrderedPeelOverflow = dev_stats.get(
                     "OrderedPeelOverflow", False)
+                self.stats.OrderedPeelRounds = dev_stats.get(
+                    "OrderedPeelRounds", 0)
             self._governor_tick(dev_stats)
             ovf = dev_stats.get("OrderedPeelOverflow")
             if peel_branch and ovf is not None:
@@ -2259,6 +2273,114 @@ class CKRenderContext(CKObject):
         self._fb_val = fb
         self._zb_val = zb
         self.stats.OrderedPeelCorrected += 1
+
+    def _atest_prefail_mask(self, mat, mesh, grp):
+        """Compile-time conservative alpha-test pre-gate (round 5).
+
+        Alpha-tested fragments consume peel layer slots BEFORE their test
+        runs (the test needs the sampled texel — raster/pallas_ordered.py),
+        so alpha-test-heavy content peels extra rounds. A triangle whose
+        conservative alpha UPPER BOUND provably fails the test contributes
+        nothing to any pass — drop it from the stream at compile. The bound
+        is max(texels in the face's UV bbox, via the texture's MAX-mip
+        pyramid, +-1 texel for bilinear taps) x max vertex alpha.
+
+        Returns a bool (F,) drop mask over grp.local_faces, or None when
+        the gate does not apply (no alpha test, non-GREATER funcs, TexGen,
+        pixel shaders, wrap bboxes crossing tile seams fall back to the
+        texture-global max). Reference semantics: D3DRS_ALPHATESTENABLE /
+        ALPHAREF / ALPHAFUNC, CKDX9RasterizerContext.cpp render-state
+        table (:1042).
+        """
+        from ..raster.types import VXCMP, VXTEXTURE_ADDRESS
+
+        if mat is None or not mat.AlphaTestEnabled():
+            return None
+        func = int(mat.GetAlphaFunc())
+        if func not in (int(VXCMP.GREATER), int(VXCMP.GREATEREQUAL)):
+            return None
+        if self.pixel_shader is not None or mat._effect_texgen() != 0:
+            return None
+        ref = mat.GetAlphaRef() / 255.0
+
+        def fails(ub):
+            return (ub <= ref) if func == int(VXCMP.GREATER) else (ub < ref)
+
+        if mesh.IsPreLitMode() and mesh.colors.size:
+            va = float(mesh.colors[grp.vertex_map, 3].max())
+        else:
+            va = float(np.asarray(mat.GetDiffuse())[3])
+        nfaces = grp.local_faces.shape[0]
+        tex = mat.GetTexture(0)
+        if tex is None:
+            return np.full(nfaces, fails(va), bool)
+        pyr = tex.max_alpha_pyramid()
+        if pyr is None or mesh.uvs.shape[0] == 0:
+            return None
+        th, tw = pyr[0].shape
+        uv = mesh.uvs[grp.vertex_map]
+        fuv = uv[grp.local_faces]                       # (F,3,2)
+        u0, u1 = fuv[..., 0].min(1), fuv[..., 0].max(1)
+        v0, v1 = fuv[..., 1].min(1), fuv[..., 1].max(1)
+        addr = int(mat.GetTextureAddressMode())
+        glob = float(pyr[-1][0, 0])
+        if addr == int(VXTEXTURE_ADDRESS.CLAMP):
+            u0, u1 = np.clip(u0, 0.0, 1.0), np.clip(u1, 0.0, 1.0)
+            v0, v1 = np.clip(v0, 0.0, 1.0), np.clip(v1, 0.0, 1.0)
+            local = np.ones(nfaces, bool)
+        elif addr == int(VXTEXTURE_ADDRESS.WRAP):
+            # same-tile bboxes shift into [0,1); cross-seam faces use the
+            # global max (conservative)
+            local = (np.floor(u0) == np.floor(u1)) & \
+                    (np.floor(v0) == np.floor(v1))
+            u1 = u1 - np.floor(u0)
+            u0 = u0 - np.floor(u0)
+            v1 = v1 - np.floor(v0)
+            v0 = v0 - np.floor(v0)
+        else:                                           # mirror/border: global
+            local = np.zeros(nfaces, bool)
+        # Texel bbox covering every tap the sampler can take: bilinear taps
+        # at coordinate t span [floor(t*W - 0.5), floor(t*W - 0.5) + 1],
+        # nearest taps floor(t*W) — both inside [floor(u0*W - 0.5),
+        # floor(u1*W + 0.5)]. Then the pyramid level where the bbox spans
+        # <= 2 cells per dim: max of the <= 4 covering cells.
+        rx0 = np.floor(u0 * tw - 0.5).astype(np.int64)
+        rx1 = np.floor(u1 * tw + 0.5).astype(np.int64)
+        ry0 = np.floor(v0 * th - 0.5).astype(np.int64)
+        ry1 = np.floor(v1 * th + 0.5).astype(np.int64)
+        if addr == int(VXTEXTURE_ADDRESS.WRAP):
+            # a wrap bilinear tap at the seam reaches the OPPOSITE edge,
+            # which a clipped bbox query would miss: those faces take the
+            # global max instead.
+            local &= (rx0 >= 0) & (rx1 <= tw - 1) & \
+                     (ry0 >= 0) & (ry1 <= th - 1)
+        tx0 = np.clip(rx0, 0, tw - 1)
+        tx1 = np.clip(rx1, 0, tw - 1)
+        ty0 = np.clip(ry0, 0, th - 1)
+        ty1 = np.clip(ry1, 0, th - 1)
+        # Level where the bbox spans <= 4 cells per dim (one level below
+        # the 2-cell level: square pyramid cells lose anisotropic bboxes'
+        # narrow-axis resolution otherwise), queried as a masked 4x4 grid.
+        span = np.maximum(tx1 - tx0 + 1, ty1 - ty0 + 1)
+        lvl = np.clip(np.ceil(np.log2(np.maximum(span, 1))).astype(np.int64)
+                      - 1, 0, len(pyr) - 1)
+        ub = np.full(nfaces, glob, np.float32)
+        off = np.arange(4)
+        for li in np.unique(lvl[local]):
+            sel = local & (lvl == li)
+            p = pyr[li]
+            ph, pw = p.shape
+            cx0 = tx0[sel] >> li
+            cx1 = np.clip(tx1[sel] >> li, 0, pw - 1)
+            cy0 = ty0[sel] >> li
+            cy1 = np.clip(ty1[sel] >> li, 0, ph - 1)
+            cx = np.minimum(cx0[:, None] + off[None, :], cx1[:, None])
+            cy = np.minimum(cy0[:, None] + off[None, :], cy1[:, None])
+            cx = np.clip(cx, 0, pw - 1)
+            cy = np.clip(cy, 0, ph - 1)
+            m = p[cy[:, :, None], cx[:, None, :]].max(axis=(1, 2))
+            ub[sel] = m
+        return fails(ub * va)
 
     def _refresh_chunk_parts(self, c):
         """(Re)build per-chunk conservative local bboxes — per (chunk,
@@ -2613,15 +2735,20 @@ class CKRenderContext(CKObject):
         if want_stats:
             out, dev_stats = out[:-1], out[-1]
             ovf = dev_stats.get("OrderedPeelOverflow")
+            rnds = dev_stats.get("OrderedPeelRounds")
             if debug_stats:
                 self.stats.TileBinPeak = int(
                     np.asarray(dev_stats["TileBinPeak"])[-1])
                 self.stats.OrderedPeelOverflow = bool(
                     np.asarray(ovf).any()) if ovf is not None else False
+                self.stats.OrderedPeelRounds = int(
+                    np.asarray(rnds).max()) if rnds is not None else 0
             else:
                 # lazy device scalar: any frame in the window overflowed
                 self.stats.OrderedPeelOverflow = (
                     jnp.any(ovf) if ovf is not None else False)
+                self.stats.OrderedPeelRounds = (
+                    jnp.max(rnds) if rnds is not None else 0)
             self._governor_tick(dev_stats)
             if peel_branch and ovf is not None:
                 # Peel exactness insurance for the PRESENTED (last) frame

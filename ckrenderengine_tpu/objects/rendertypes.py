@@ -115,6 +115,9 @@ class CompiledScene:
         self.tri_idx = np.zeros((0, 3), np.int32)
         self.tri_state = np.zeros(0, np.int32)
         self.tri_valid = np.zeros(0, bool)
+        # Faces dropped at compile by the conservative alpha-test pre-gate
+        # (provably-failing alpha tests never enter the stream).
+        self.atest_pregated = 0
         # buckets: (material, is_sprite) — sprite buckets force cull off
         self.materials: list[tuple] = []
         self.textures: list = []
@@ -174,6 +177,10 @@ class VxStats:
         self.OrderedPeelOverflow = False
         # Number of frames corrected that way.
         self.OrderedPeelCorrected = 0
+        # Peel rounds the last sampled frame executed (1 = every pixel's
+        # fragment list fit one K-layer window; the alpha-test pre-gate and
+        # the K bump exist to keep this at 1).
+        self.OrderedPeelRounds = 0
         # Capacity governor (tiled Pallas solve): live binned pairs, exact
         # fallback rows beyond the static caps (nonzero = the governed caps
         # are bumping), and the bump count. Sampling cadence: every window

@@ -353,6 +353,37 @@ class CKTexture(CKObject):
             return img.to_host()
         return img
 
+    def max_alpha_pyramid(self):
+        """Conservative per-region alpha bounds: a MAX-mip pyramid of the
+        alpha channel, levels halving down to 1x1 (level -1 = the global
+        max). Used by the compile-time alpha-test pre-gate (round 5,
+        VERDICT #5): a triangle whose UV bbox provably fails the alpha test
+        never enters the ordered stream, so it cannot waste peel layer
+        slots. Cached per data_version; None for device-fed textures."""
+        cache = getattr(self, "_max_alpha_pyr", None)
+        if cache is not None and cache[0] == self.data_version:
+            return cache[1]
+        img = self.current_image()
+        if img is None or img.ndim != 3 or img.shape[2] < 4:
+            pyr = None
+        else:
+            a = np.asarray(img[..., 3], np.float32)
+            levels = [a]
+            while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+                cur = levels[-1]
+                h2, w2 = (cur.shape[0] + 1) // 2, (cur.shape[1] + 1) // 2
+                pad = np.zeros((h2 * 2, w2 * 2), np.float32)
+                pad[:cur.shape[0], :cur.shape[1]] = cur
+                # pad rows/cols replicate so the MAX stays conservative
+                if cur.shape[0] < h2 * 2:
+                    pad[cur.shape[0]:, :cur.shape[1]] = cur[-1:]
+                if cur.shape[1] < w2 * 2:
+                    pad[:, cur.shape[1]:] = pad[:, cur.shape[1] - 1:cur.shape[1]]
+                levels.append(pad.reshape(h2, 2, w2, 2).max(axis=(1, 3)))
+            pyr = levels
+        self._max_alpha_pyr = (self.data_version, pyr)
+        return pyr
+
     def device_image(self):
         """The device-resident image when this texture is fed by
         SetDeviceImage, else None."""

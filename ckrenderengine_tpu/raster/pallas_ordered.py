@@ -803,6 +803,9 @@ def ordered_peel_iterate(composite_fn, fb,
     def cond(st):
         return st[0] > 0
 
-    _, fb, _ = lax.while_loop(
+    _, fb, skip_end = lax.while_loop(
         cond, body, (ovf.astype(jnp.int32), fb, jnp.int32(k_layers)))
-    return fb, pa["bad"]
+    # rounds executed (observability: VxStats.OrderedPeelRounds — the
+    # alpha-test pre-gate + K bump exist to keep this at 1)
+    rounds = skip_end // k_layers
+    return fb, pa["bad"], rounds

@@ -162,7 +162,7 @@ def test_iterated_peel_exact_beyond_k(monkeypatch=None):
     def comp_fn(f, lids, les):
         return comp(f, batch, lids, les)
 
-    fb_it, bad = ordered_peel_iterate(
+    fb_it, bad, _rounds = ordered_peel_iterate(
         comp_fn, fb,
         batch.xyw, batch.z, batch.valid, batch.color, batch.specular,
         batch.uv, batch.fog, batch.state_idx, batch.clip_rect, batch.clipd,
