@@ -129,6 +129,13 @@ def main():
         kw = {}
         if _jax.default_backend() == "tpu":
             kw["planar"] = batch.planar
+            # Mirror frame.py's default caps: the kernel's own defaults are
+            # SMALLER, and an undersized pair_cap silently measures the
+            # all-tiles fallback instead of the production solve (config 4
+            # read 111 ms here vs its real ~8 ms until this matched).
+            t = batch.valid.shape[0]
+            kw["pair_cap"] = 98304 if t <= 600_000 else 262144
+            kw["slab_cap"] = 131072 if t <= (1 << 21) else 262144
         best_id, best_depth, peak = solve(
             setup, defer_tri, s.clear_z, s.viewport, batch.xyw, height, width,
             **kw)

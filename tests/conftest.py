@@ -18,6 +18,32 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
+# Compile-heavy modules (full frame programs / Pallas kernels / golden-image
+# comparisons — the long tail of the 46-min full suite). Everything else is
+# marked `fast`: `python -m pytest -m fast` is the CI-style run (<15 min)
+# without dropping object-model/API coverage; `-m slow` runs the rest.
+_SLOW_MODULES = {
+    "test_raster_parity", "test_integration_capstone", "test_soak",
+    "test_api_fuzz", "test_pallas_ordered", "test_pallas_peel",
+    "test_pallas_reduce", "test_pallas_tiled", "test_tiled_raster",
+    "test_ordered_tiled", "test_tile_sharding", "test_context_batching",
+    "test_transparent_order", "test_antialias", "test_channels",
+    "test_chunk_cull", "test_end_to_end", "test_frame_window",
+    "test_graft_entry", "test_cubemap", "test_material_effects",
+    "test_texgen", "test_mipmaps", "test_pixel_shader",
+    "test_vertex_shader", "test_serialization", "test_animation",
+    "test_patchmesh", "test_peel_correction", "test_atest_pregate",
+    "test_clip_planes", "test_fog_modes", "test_lighting_model",
+    "test_scene_structure", "test_2d_overlay", "test_robustness",
+    "test_draw_kinds", "test_portal_traversal",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker("slow" if mod in _SLOW_MODULES else "fast")
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _bound_jit_cache():
