@@ -341,7 +341,7 @@ class CKRenderManager(CKObject):
                 # batch-wide capacity governor: caps live on the group's
                 # first context and propagate to the members (the group
                 # compat check requires identical solve_caps)
-                rcs[0]._governor_tick(dev_stats, stacked=True)
+                rcs[0]._governor_tick(dev_stats)
                 for rc in rcs[1:]:
                     rc._solve_caps = rcs[0]._solve_caps
         if params["want_stencil"]:
